@@ -1,13 +1,55 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{EventTime, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a matching DuckDB SQL in [[oracleSql]]
+  * producing a hash-identical result (same column names, same ORDER BY,
+  * bit-identical doubles — see graft.Tables for the determinism rules).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q7MultiJoin(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_filter_project" -> Relational.q4FilterProject _,
+    "q5_hash_agg"       -> Relational.q5HashAgg _,
+    "q6_join_agg"       -> Relational.q6JoinAgg _,
+    "q7_multi_join"     -> Relational.q7MultiJoin _,
+    "q8_anti_join"      -> Relational.q8AntiJoin _,
+    "q9_window_topk"    -> Relational.q9WindowTopK _,
+    "q10_rollup"        -> Relational.q10Rollup _,
+    "q11_distinct_hll"  -> Relational.q11DistinctHll _,
+    "q12_sort_limit"    -> Relational.q12SortLimit _,
+    "q13_set_ops"       -> Relational.q13SetOps _,
+    "q14_scalar_fns"    -> Relational.q14ScalarFns _,
+    "q15_tumbling_agg"  -> EventTime.q15TumblingAgg _,
+    "q16_sessionize"    -> EventTime.q16Sessionize _,
+    "q17_json_extract"  -> EventTime.q17JsonExtract _,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q4_filter_project" -> Relational.q4Sql,
+    "q5_hash_agg"       -> Relational.q5Sql,
+    "q6_join_agg"       -> Relational.q6Sql,
+    "q7_multi_join"     -> Relational.q7Sql,
+    "q8_anti_join"      -> Relational.q8Sql,
+    "q9_window_topk"    -> Relational.q9Sql,
+    "q10_rollup"        -> Relational.q10Sql,
+    "q11_distinct_hll"  -> Relational.q11Sql,
+    "q12_sort_limit"    -> Relational.q12Sql,
+    "q13_set_ops"       -> Relational.q13Sql,
+    "q14_scalar_fns"    -> Relational.q14Sql,
+    "q15_tumbling_agg"  -> EventTime.q15Sql,
+    "q16_sessionize"    -> EventTime.q16Sql,
+    "q17_json_extract"  -> EventTime.q17Sql,
+  )
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loading + cross-engine-deterministic numeric helpers.
+  *
+  * Design rule for every scored query (SURVEY.md §2.4): any DOUBLE that
+  * reaches the output must be bit-identical between Spark and the DuckDB
+  * oracle. Floating sums are order-dependent, so all money/measure sums are
+  * computed as exact DECIMAL sums (order-independent) and only cast back to
+  * DOUBLE at the very end; single-value double ops (mul/div/sqrt) are IEEE
+  * 754 correctly-rounded and match across engines.
+  */
+object Tables {
+
+  /** Load one synthetic table (TESTDATA.md layout: `<dir>/<name>.parquet`). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is TIMESTAMP(NANOS) in the parquet footer, which Spark's
+    * vectorized reader rejects. Read nanos as raw longs and floor-truncate to
+    * microsecond timestamps — the same ns→µs truncation DuckDB applies when
+    * it casts TIMESTAMP_NS to TIMESTAMP, so both engines see identical values. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Exact decimal(18,2) view of a double column (per-value rounding is
+    * deterministic and identical in Spark and DuckDB — both round half away
+    * from zero for positives). */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** decimal(18,6) for derived per-row expressions (e.g. price*(1-disc)). */
+  def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Order-independent exact sum of a money column, emitted as DOUBLE. */
+  def sumMoney2(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+  def sumMoney6(c: Column): Column = sum(dec6(c)).cast(DoubleType)
+
+  /** Stable round-for-hashing of a bounded double (cosines, ratios). */
+  def round6(c: Column): Column = c.cast(DecimalType(18, 6)).cast(DoubleType)
+}

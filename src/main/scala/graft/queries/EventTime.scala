@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+
+/** Event-time queries over the `events` table (SURVEY.md §2.4 Q15–Q16 plus
+  * the JSON-props battery). Batch formulations here are the scored,
+  * DuckDB-checkable contract; `graft.streaming.EventStreams` re-expresses
+  * Q15 as a Structured Streaming job with a watermark over the same logic.
+  */
+object EventTime {
+
+  /** Q15 — tumbling 1-hour window aggregation, epoch-aligned in UTC (Spark's
+    * `window()` and DuckDB's `time_bucket` agree on epoch alignment). */
+  def q15TumblingAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").getField("start").cast("timestamp_ntz").as("window_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sumMoney2(col("value")).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val q15Sql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Q16 — batch sessionization: a session breaks after a 30-minute gap.
+    * lag + cumulative-sum over a (user_id)-partitioned window; one shuffle
+    * on user_id, then the per-user rollup reuses the same partitioning. */
+  def q16Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"),
+           count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val q16Sql: String =
+    """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |    FROM events))
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Q17 — semi-structured props: JSON path extraction + typed cast
+    * (reference parity for schemaless JSON handling, SURVEY §2.1 S2). */
+  def q17JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"),
+              get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+              col("event_type"))
+      .filter(col("k") % 10 === 0)
+      .orderBy(col("event_id"))
+
+  val q17Sql: String =
+    """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k, event_type
+      |FROM events WHERE CAST(props->>'$.k' AS BIGINT) % 10 = 0
+      |ORDER BY event_id""".stripMargin
+}

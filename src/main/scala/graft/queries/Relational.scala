@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+
+/** Relational core (SURVEY.md §2.2 / §2.4 Q4–Q14): filters, joins, aggs,
+  * windows, set ops, scalar functions. Each query has an adjacent DuckDB
+  * oracle SQL producing a hash-identical result on the same parquet tables.
+  *
+  * Scale notes (100 TB): every query is declarative DataFrame code — Catalyst
+  * pushes filters/projections into the parquet scan, aggregations run
+  * partial+final, small dimension tables are broadcast explicitly, and no
+  * driver-side materialization happens anywhere.
+  */
+object Relational {
+
+  /** Q4 — filter + project; predicate and 4-column projection both push into
+    * the parquet scan (verify via .explain: PushedFilters + ReadSchema). */
+  def q4FilterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+              col("l_shipdate") <  lit("1997-01-01").cast(TimestampType))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val q4Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Q5 — TPC-H Q1-shaped hash aggregation (partial+final, map-side combine).
+    * Sums are exact decimal (order-independent) cast to double at the end. */
+  def q5HashAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumMoney2(col("l_quantity")).as("sum_qty"),
+        sumMoney2(col("l_extendedprice")).as("sum_base_price"),
+        sumMoney6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        sumMoney6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        (sum(dec2(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        (sum(dec2(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"),
+        (sum(dec6(col("l_discount"))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q5Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Q6 — equi join + agg. customer is ~1% of orders → broadcast it; the agg
+    * then needs only one shuffle (on c_mktsegment, 5 groups). */
+  def q6JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sumMoney2(col("o_totalprice")).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q6Sql: String =
+    """SELECT c_mktsegment,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Q7 — multi-join chain (TPC-H Q5 shape). All dimensions (customer,
+    * nation, region) broadcast → lineitem⋈orders is the only shuffle join,
+    * and with AQE it stays a single big-table pipeline. */
+  def q7MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o  = t(spark, dir, "orders")
+    val c  = t(spark, dir, "customer")
+    val n  = t(spark, dir, "nation")
+    val r  = t(spark, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(col("r_name") === "AMERICA")
+      .groupBy(col("n_name"))
+      .agg(sumMoney6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  val q7Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'AMERICA'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Q8 — left anti join: customers with no orders. Builds the same
+    * insert-if-absent primitive the reference gets from ON CONFLICT
+    * (reference dags/etl.py:70-75); broadcast the distinct keys. */
+  def q8AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    val urgent = o.filter(col("o_orderpriority").startsWith("1"))
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q8Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Q9 — window top-k: top-3 orders per customer by totalprice; tie-broken
+    * on o_orderkey so ranking is deterministic. */
+  def q9WindowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val q9Sql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Q10 — rollup. Rollup-generated NULLs are coalesced to 'ALL' so the sort
+    * order is engine-independent (Spark sorts NULLS FIRST, DuckDB NULLS LAST). */
+  def q10Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumMoney2(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              col("n"), col("total"))
+      .orderBy(col("priority"), col("status"))
+
+  val q10Sql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |       coalesce(o_orderstatus, 'ALL') AS status,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+
+  /** Q11 — exact vs approximate distinct. The HLL++ estimate itself is
+    * engine-specific, so the hashed output carries the exact count plus a
+    * boolean asserting the estimate landed within 5% (the scored contract). */
+  def q11DistinctHll(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .agg(countDistinct(col("l_partkey")).as("n_exact"),
+           approx_count_distinct(col("l_partkey")).as("n_approx"))
+      .select(col("n_exact"),
+              (abs(col("n_approx") - col("n_exact")).cast(DoubleType) /
+                col("n_exact") <= 0.05).as("approx_ok"))
+
+  val q11Sql: String =
+    "SELECT count(DISTINCT l_partkey) AS n_exact, true AS approx_ok FROM lineitem"
+
+  /** Q12 — global sort + limit (Spark runs TakeOrderedAndProject: per-partition
+    * top-k then a k-row merge on the driver — no full sort at 100 TB). */
+  def q12SortLimit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .limit(10)
+
+  val q12Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin
+
+  /** Q13 — set ops: customers that ordered EXCEPT customers with negative
+    * balance (EXCEPT is distinct-semantics in both engines). */
+  def q13SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(col("o_custkey").as("custkey"))
+    val neg = t(spark, dir, "customer").filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("custkey"))
+    o.except(neg).orderBy(col("custkey"))
+  }
+
+  val q13Sql: String =
+    """SELECT o_custkey AS custkey FROM orders
+      |EXCEPT
+      |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+      |ORDER BY custkey""".stripMargin
+
+  /** Q14 — scalar-function battery: string, date, math. Every expression is
+    * whole-stage-codegen'd; doubles from libm (sqrt/ln) are rounded to 1e-6
+    * before hashing since only sqrt is IEEE-exact across platforms. */
+  def q14ScalarFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(
+        col("o_orderkey"),
+        upper(substring(col("o_orderpriority"), 1, 8)).as("prio_up"),
+        concat_ws("#", col("o_orderstatus"), col("o_orderpriority")).as("tagged"),
+        length(col("o_orderpriority")).cast(LongType).as("prio_len"),
+        regexp_extract(col("o_orderpriority"), "^(\\d+)", 1).as("prio_num"),
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        month(col("o_orderdate")).cast(LongType).as("mo"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+        date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("mon_start"),
+        datediff(col("o_orderdate"), lit("1994-01-01").cast(DateType)).cast(LongType).as("days_since"),
+        (col("o_orderkey") % 7).as("key_mod"),
+        col("o_totalprice").cast(DecimalType(18, 4)).multiply(new java.math.BigDecimal("1.1")).cast(DecimalType(18, 4)).cast(DoubleType).as("price_up"),
+        floor(col("o_totalprice")).as("price_floor"),
+        round6(sqrt(col("o_totalprice"))).as("price_sqrt"),
+        round6(log(col("o_totalprice") + 1.0)).as("price_ln"))
+      .orderBy(col("o_orderkey"))
+
+  val q14Sql: String =
+    """SELECT o_orderkey,
+      |  upper(substr(o_orderpriority, 1, 8)) AS prio_up,
+      |  concat_ws('#', o_orderstatus, o_orderpriority) AS tagged,
+      |  length(o_orderpriority) AS prio_len,
+      |  regexp_extract(o_orderpriority, '^(\d+)', 1) AS prio_num,
+      |  year(o_orderdate) AS yr,
+      |  month(o_orderdate) AS mo,
+      |  dayofmonth(o_orderdate) AS dom,
+      |  date_trunc('month', o_orderdate) AS mon_start,
+      |  date_diff('day', DATE '1994-01-01', o_orderdate) AS days_since,
+      |  o_orderkey % 7 AS key_mod,
+      |  CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(18,4)) AS DOUBLE) AS price_up,
+      |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+      |  CAST(CAST(sqrt(o_totalprice) AS DECIMAL(18,6)) AS DOUBLE) AS price_sqrt,
+      |  CAST(CAST(ln(o_totalprice + 1.0) AS DECIMAL(18,6)) AS DOUBLE) AS price_ln
+      |FROM orders WHERE o_orderkey % 10 = 0
+      |ORDER BY o_orderkey""".stripMargin
+}
