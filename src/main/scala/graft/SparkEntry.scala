@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EventTime, Relational}
+import graft.queries.{EventTime, Parity, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,6 +18,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_ingest_project" -> Parity.p1IngestProject _,
+    "p2_dedup_append"   -> Parity.p2DedupAppend _,
+    "p3_full_scan"      -> Parity.p3FullScan _,
     "q4_filter_project" -> Relational.q4FilterProject _,
     "q5_hash_agg"       -> Relational.q5HashAgg _,
     "q6_join_agg"       -> Relational.q6JoinAgg _,
@@ -37,6 +40,9 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "p1_ingest_project" -> Parity.p1Sql,
+    "p2_dedup_append"   -> Parity.p2Sql,
+    "p3_full_scan"      -> Parity.p3Sql,
     "q4_filter_project" -> Relational.q4Sql,
     "q5_hash_agg"       -> Relational.q5Sql,
     "q6_join_agg"       -> Relational.q6Sql,

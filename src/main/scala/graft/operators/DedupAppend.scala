@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Idempotent key-deduplicated append — the Spark-native restatement of the
+  * reference's `INSERT … ON CONFLICT (flr_id) DO NOTHING`
+  * (reference dags/etl.py:70-75).
+  *
+  * Where the reference ships every duplicate across the network and lets the
+  * store discard it row-by-row, this moves dedup before the write:
+  *   1. in-batch dedup, first-by-deterministic-order per key (row_number
+  *      window — NOT dropDuplicates, whose survivor is partition-order
+  *      dependent and would break re-run determinism);
+  *   2. cross-batch conflict skip via left_anti join against existing keys
+  *      (at scale the existing side is key-columns-only, so the scan prunes
+  *      to the key column and the join shuffles minimal data; if the new
+  *      batch is small Spark broadcasts it instead);
+  *   3. set-oriented append of only the surviving rows.
+  *
+  * Plain-parquet caveat (SURVEY §7.3): append is not transactional —
+  * single-writer assumption, documented; a table format with MERGE INTO
+  * would replace step 2+3 atomically.
+  */
+object DedupAppend {
+
+  /** Append `batch` to the parquet table at `path`, keeping only the first
+    * row per `keys` (ordered by `tieBreak`) not already present. */
+  def append(spark: SparkSession, batch: DataFrame, path: String,
+             keys: Seq[String], tieBreak: Seq[String]): Unit = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((tieBreak ++ keys).map(c => col(c).asc_nulls_last): _*)
+    val inBatch = batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    val fresh =
+      if (!exists(spark, path)) inBatch
+      else {
+        val existingKeys = spark.read.parquet(path).select(keys.map(col): _*)
+        inBatch.join(existingKeys, keys, "left_anti")
+      }
+    fresh.write.mode("append").parquet(path)
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+}

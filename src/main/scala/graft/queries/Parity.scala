@@ -1,0 +1,179 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ingest.Donki
+import graft.operators.DedupAppend
+
+/** Reference-parity queries P1–P3 (SURVEY.md §2.4).
+  *
+  * The DONKI fixture below is the single source of truth for BOTH engines:
+  * it renders to JSON for the Spark ingest path and to a SQL VALUES clause
+  * for the DuckDB oracle, so the two sides can never drift.
+  *
+  * Edge rows exercised (FIXTURES.md §A): missing activeRegionNum key, null
+  * endTime, duplicate flrID with differing payload (dedup tie-break), and a
+  * malformed timestamp (lenient cast → null).
+  */
+object Parity {
+
+  /** One raw DONKI flare record; None = key absent from the JSON. */
+  final case class Flr(
+      flrID: String, classType: String,
+      beginTime: Option[String], peakTime: Option[String], endTime: Option[String],
+      sourceLocation: Option[String], activeRegionNum: Option[Int],
+      link: String, instruments: Seq[String] = Nil)
+
+  /** Batch A — first day's fetch. FLR-005 appears with classType M3.1. */
+  val batchA: Seq[Flr] = Seq(
+    Flr("2025-05-25T08:24:00-FLR-001", "M1.2", Some("2025-05-25T08:24Z"),
+      Some("2025-05-25T08:45Z"), Some("2025-05-25T09:01Z"), Some("N15W60"),
+      Some(13663), "https://api.example/FLR/1", Seq("GOES-P: EXIS 1.0-8.0")),
+    Flr("2025-05-26T01:10:00-FLR-001", "C9.8", Some("2025-05-26T01:10Z"),
+      Some("2025-05-26T01:22Z"), Some("2025-05-26T01:40Z"), Some("S08E22"),
+      None, "https://api.example/FLR/2"),
+    Flr("2025-05-27T14:02:00-FLR-001", "X2.0", Some("2025-05-27T14:02Z"),
+      Some("2025-05-27T14:30Z"), None, None, Some(13667),
+      "https://api.example/FLR/3", Seq("GOES-P: EXIS 1.0-8.0")),
+    Flr("2025-05-28T03:55:00-FLR-001", "B7.4", Some("not-a-timestamp"),
+      Some("2025-05-28T04:10Z"), Some("2025-05-28T04:31Z"), Some("N02W11"),
+      Some(13668), "https://api.example/FLR/4"),
+    Flr("2025-05-29T19:46:00-FLR-001", "M3.1", Some("2025-05-29T19:46Z"),
+      Some("2025-05-29T20:02Z"), Some("2025-05-29T20:20Z"), Some("S21W35"),
+      Some(13669), "https://api.example/FLR/5"))
+
+  /** Batch B — next day's fetch of an overlapping 30-day window (reference
+    * README.md:74): re-delivers FLR-005's key with a REVISED classType
+    * (M3.2) plus two new flares. Idempotent append must keep batch A's row. */
+  val batchB: Seq[Flr] = Seq(
+    Flr("2025-05-29T19:46:00-FLR-001", "M3.2", Some("2025-05-29T19:46Z"),
+      Some("2025-05-29T20:02Z"), Some("2025-05-29T20:21Z"), Some("S21W35"),
+      Some(13669), "https://api.example/FLR/5"),
+    Flr("2025-05-30T11:11:00-FLR-001", "C1.1", Some("2025-05-30T11:11Z"),
+      Some("2025-05-30T11:19Z"), Some("2025-05-30T11:30Z"), None, None,
+      "https://api.example/FLR/6"),
+    Flr("2025-05-31T22:03:00-FLR-001", "M8.9", Some("2025-05-31T22:03Z"),
+      Some("2025-05-31T22:41Z"), Some("2025-05-31T23:05Z"), Some("N30E47"),
+      Some(13671), "https://api.example/FLR/7", Seq("GOES-P: EXIS 1.0-8.0")))
+
+  // ---- fixture rendering: JSON (Spark ingest) --------------------------
+
+  private def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def toJson(r: Flr): String = {
+    val fields = Seq(
+      Some("flrID" -> jstr(r.flrID)),
+      Some("classType" -> jstr(r.classType)),
+      r.beginTime.map(v => "beginTime" -> jstr(v)),
+      r.peakTime.map(v => "peakTime" -> jstr(v)),
+      r.endTime.map(v => "endTime" -> jstr(v)),
+      r.sourceLocation.map(v => "sourceLocation" -> jstr(v)),
+      r.activeRegionNum.map(v => "activeRegionNum" -> v.toString),
+      Some("link" -> jstr(r.link)),
+      Option.when(r.instruments.nonEmpty)("instruments" ->
+        r.instruments.map(i => s"""{"displayName": ${jstr(i)}}""").mkString("[", ",", "]")),
+    ).flatten
+    fields.map { case (k, v) => s"${jstr(k)}: $v" }.mkString("{", ", ", "}")
+  }
+
+  /** A JSON array payload, as one HTTP response body would carry it. */
+  def jsonBody(rows: Seq[Flr]): String = rows.map(toJson).mkString("[", ", ", "]")
+
+  // ---- fixture rendering: SQL VALUES (DuckDB oracle) -------------------
+
+  private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
+  private def sqlOpt(s: Option[String]) = s.map(sqlStr).getOrElse("NULL")
+
+  private def toValuesRow(r: Flr): String = Seq(
+    sqlStr(r.flrID), sqlStr(r.classType), sqlOpt(r.beginTime),
+    sqlOpt(r.peakTime), sqlOpt(r.endTime), sqlOpt(r.sourceLocation),
+    r.activeRegionNum.map(n => s"CAST($n AS INTEGER)").getOrElse("CAST(NULL AS INTEGER)"),
+    sqlStr(r.link)).mkString("(", ", ", ")")
+
+  /** `(VALUES …) AS t(flr_id, class_type, …)` subquery for a batch. */
+  def valuesTable(rows: Seq[Flr], alias: String): String =
+    rows.map(toValuesRow).mkString("(VALUES ", ", ", ")") +
+      s" AS $alias(flr_id, class_type, begin_raw, peak_raw, end_raw," +
+      " source_location, active_region_num, link)"
+
+  /** Shared oracle-side projection: raw strings → timestamps, leniently. */
+  private val oracleCast =
+    """flr_id, class_type,
+      |  try_strptime(begin_raw, '%Y-%m-%dT%H:%MZ') AS begin_time,
+      |  try_strptime(peak_raw, '%Y-%m-%dT%H:%MZ') AS peak_time,
+      |  try_strptime(end_raw, '%Y-%m-%dT%H:%MZ') AS end_time,
+      |  source_location, active_region_num, link""".stripMargin
+
+  /** Oracle-side first-per-key dedup (same rule as DedupAppend). */
+  private def dedupSql(values: String): String =
+    s"""SELECT flr_id, class_type, begin_raw, peak_raw, end_raw, source_location, active_region_num, link
+       |FROM (SELECT *, row_number() OVER (PARTITION BY flr_id ORDER BY class_type, link, flr_id) AS rn
+       |      FROM $values) WHERE rn = 1""".stripMargin
+
+  // ---- P1: ingest-project-cast ----------------------------------------
+
+  /** P1 — parse the DONKI JSON payload, project/rename the 8 kept fields,
+    * lenient timestamp cast, deterministic surrogate id. */
+  def p1IngestProject(spark: SparkSession, dir: String): DataFrame =
+    Donki.withId(Donki.project(Donki.readJson(spark, Seq(jsonBody(batchA ++ batchB)))))
+      .orderBy(col("flr_id"), col("class_type"))
+
+  val p1Sql: String =
+    s"""SELECT row_number() OVER (ORDER BY flr_id, class_type, link) AS id, $oracleCast
+       |FROM ${valuesTable(batchA ++ batchB, "raw")}
+       |ORDER BY flr_id, class_type""".stripMargin
+
+  // ---- P2: idempotent dedup-append ------------------------------------
+
+  /** P2 — append batch A, re-append batch A (no-op), append overlapping
+    * batch B; final table must equal once-appended distinct set with batch
+    * A's FLR-005 surviving. Exercises the reference's ON CONFLICT semantics
+    * end-to-end through a real parquet table. */
+  def p2DedupAppend(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_p2_").toFile
+    tmp.deleteOnExit()
+    val path = new java.io.File(tmp, "solar_flare_data").getAbsolutePath
+    val keys = Seq("flr_id")
+    val tie = Seq("class_type", "link")
+    val a = Donki.project(Donki.readJson(spark, Seq(jsonBody(batchA))))
+    val b = Donki.project(Donki.readJson(spark, Seq(jsonBody(batchB))))
+    DedupAppend.append(spark, a, path, keys, tie)
+    DedupAppend.append(spark, a, path, keys, tie) // idempotent re-run
+    DedupAppend.append(spark, b, path, keys, tie)
+    spark.read.parquet(path).orderBy(col("flr_id"))
+  }
+
+  val p2Sql: String = {
+    val a = dedupSql(valuesTable(batchA, "a"))
+    val b = dedupSql(valuesTable(batchB, "b"))
+    s"""WITH da AS ($a), db AS ($b),
+       |final AS (SELECT * FROM da UNION ALL
+       |          SELECT * FROM db WHERE flr_id NOT IN (SELECT flr_id FROM da))
+       |SELECT $oracleCast FROM final ORDER BY flr_id""".stripMargin
+  }
+
+  // ---- P3: full-table scan --------------------------------------------
+
+  /** P3 — the reference's one analytical query (`SELECT * FROM
+    * solar_flare_data`, reference documentation.md:411) over the ingested,
+    * deduplicated table, with the surrogate id. */
+  def p3FullScan(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("flr_id"))
+      .orderBy(col("class_type").asc_nulls_last, col("link").asc_nulls_last,
+               col("flr_id").asc_nulls_last)
+    val all = Donki.project(Donki.readJson(spark, Seq(jsonBody(batchA), jsonBody(batchB))))
+    val deduped = all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    Donki.withId(deduped).orderBy(col("id"))
+  }
+
+  val p3Sql: String =
+    s"""SELECT row_number() OVER (ORDER BY flr_id, class_type, link) AS id, $oracleCast
+       |FROM (${dedupSql(valuesTable(batchA ++ batchB, "raw"))})
+       |ORDER BY id""".stripMargin
+}
