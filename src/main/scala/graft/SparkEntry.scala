@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EventTime, Parity, Relational}
+import graft.queries.{EventTime, LlmData, Parity, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,6 +35,18 @@ object SparkEntry {
     "q15_tumbling_agg"  -> EventTime.q15TumblingAgg _,
     "q16_sessionize"    -> EventTime.q16Sessionize _,
     "q17_json_extract"  -> EventTime.q17JsonExtract _,
+    "x17_exact_dedup"   -> LlmData.x17ExactDedup _,
+    "x18_neardup_jaccard" -> LlmData.x18NearDupJaccard _,
+    "x19_cosine_topk"   -> LlmData.x19CosineTopK _,
+    "x20_text_stats"    -> LlmData.x20TextStats _,
+    "x21_minhash_lsh"   -> LlmData.x21MinhashLsh _,
+    "x22_simhash"       -> LlmData.x22Simhash _,
+    "x23_ann_srp"       -> LlmData.x23AnnSrp _,
+    "x24_lang_id"       -> LlmData.x24LangId _,
+    "x25_quality_score" -> LlmData.x25QualityScore _,
+    "x26_token_count"   -> LlmData.x26TokenCount _,
+    "x27_fingerprint"   -> LlmData.x27Fingerprint _,
+    "x28_multimodal_binary" -> LlmData.x28MultimodalBinary _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -57,5 +69,17 @@ object SparkEntry {
     "q15_tumbling_agg"  -> EventTime.q15Sql,
     "q16_sessionize"    -> EventTime.q16Sql,
     "q17_json_extract"  -> EventTime.q17Sql,
+    "x17_exact_dedup"   -> LlmData.x17Sql,
+    "x18_neardup_jaccard" -> LlmData.x18Sql,
+    "x19_cosine_topk"   -> LlmData.x19Sql,
+    "x20_text_stats"    -> LlmData.x20Sql,
+    "x21_minhash_lsh"   -> LlmData.x21Sql,
+    "x22_simhash"       -> LlmData.x22Sql,
+    "x23_ann_srp"       -> LlmData.x23Sql,
+    "x24_lang_id"       -> LlmData.x24Sql,
+    "x25_quality_score" -> LlmData.x25Sql,
+    "x26_token_count"   -> LlmData.x26Sql,
+    "x27_fingerprint"   -> LlmData.x27Sql,
+    "x28_multimodal_binary" -> LlmData.x28Sql,
   )
 }

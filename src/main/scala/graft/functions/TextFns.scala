@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cross-engine-deterministic text/hash primitives.
+  *
+  * Every hash here is defined purely in terms of md5 hex digits + integer
+  * arithmetic so the DuckDB oracle can compute the exact same value
+  * (`('0x' || substr(md5(t),1,15))::BIGINT`), keeping even the MinHash /
+  * SimHash / fingerprint pipelines hash-checkable end-to-end.
+  */
+object TextFns {
+
+  /** Mersenne prime 2^31-1 — modulus for 31-bit token hashes; keeps every
+    * product in the permutation family `(a*h+b) mod p` inside a Long. */
+  val P31 = 2147483647L
+
+  /** Whitespace tokenization (documents.text is space-separated tokens). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct token set, deterministic order not required (set semantics). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** 60-bit token hash: first 15 hex chars of md5 (oracle-replicable). */
+  def h60(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast(LongType)
+
+  /** 31-bit token hash for permutation families / fingerprints. */
+  def h31(tok: Column): Column = h60(tok) % P31
+
+  /** Same hash as a SQL fragment for the DuckDB oracle. */
+  def h60Sql(tokExpr: String): String =
+    s"(('0x' || substr(md5($tokExpr), 1, 15))::BIGINT)"
+  def h31Sql(tokExpr: String): String = s"(${h60Sql(tokExpr)} % $P31)"
+
+  /** Order-sensitive document fingerprint: Σ position·h31(token) mod p over
+    * the token sequence (1-based positions). Each product is < 2^47 so the
+    * Long sum is exact; the sum is order-independent in execution while
+    * staying sensitive to token order in the document.
+    * `tokensCol` names an array<string> column. */
+  def fingerprintExpr(tokensCol: String): Column = expr(
+    s"aggregate(zip_with($tokensCol, sequence(1, size($tokensCol)), " +
+      s"(t, i) -> i * (cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % $P31)), " +
+      s"cast(0 as bigint), (acc, v) -> acc + v) % $P31")
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding similarity search over `array<float>` columns.
+  *
+  * Determinism contract: a float dot-product summed in arbitrary order is
+  * not reproducible across engines, so every per-element product is cast to
+  * an exact DECIMAL(20,9) and summed exactly (order-independent); only the
+  * final cosine division happens in double (single IEEE op — identical
+  * everywhere). This keeps similarity results bit-stable across Spark,
+  * DuckDB, partitionings, and re-runs — worth the few extra cycles even at
+  * scale, where nondeterministic top-k results poison incremental pipelines.
+  *
+  * Scale design: brute-force top-k is the correctness baseline (fine when
+  * one side is a small probe set — it broadcasts); the SRP-LSH bucketed
+  * variant is the 100 TB path: candidate generation becomes a shuffle on
+  * bucket keys, cost linear in rows + within-bucket pairs. IVF with learned
+  * centroids would slot into the same shape (bucket = nearest centroid).
+  */
+object Similarity {
+
+  /** Dot product in exact integer units of 1e-9: each per-element product is
+    * floor-quantized (pure IEEE ops — identical across engines, unlike a
+    * decimal cast whose tie-rounding differs) and summed as exact Longs
+    * (order-independent). |unit values| ≤ ~1e10 per element, ×64 elements
+    * stays far inside Long range. */
+  private def dotUnits(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> " +
+      "cast(floor(cast(x as double) * cast(y as double) * 1e9) as bigint)), " +
+      "cast(0 as bigint), (acc, v) -> acc + v)"
+
+  /** Cosine similarity column, computed per the determinism contract; the
+    * 1e9 scaling cancels between numerator and denominator.
+    * `a`/`b` are SQL expressions naming array columns. */
+  def cosine(a: String, b: String): Column = expr(
+    s"cast(${dotUnits(a, b)} as double) / " +
+      s"sqrt(cast(${dotUnits(a, a)} as double) * cast(${dotUnits(b, b)} as double))")
+
+  /** Cosine truncated to 1e-6 for hash-stable output/ranking. Truncation
+    * (floor), not rounding: a decimal-cast round differs between engines on
+    * shortest-repr ties (Spark rounds the string form, DuckDB the exact
+    * binary value), while floor(x*1e6)/1e6 is pure IEEE arithmetic —
+    * bit-identical everywhere. */
+  def cosineR(a: String, b: String): Column =
+    (floor(cosine(a, b) * 1e6).cast(DoubleType) / 1e6).cast(DoubleType)
+
+  /** Brute-force top-k cosine neighbors of each probe row against the
+    * corpus. Probe side is expected small → Spark broadcasts it, so the
+    * corpus streams once with no shuffle before the per-probe top-k. */
+  def bruteForceTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val p = probes.select(col("vec_id").as("p_id"), col("embedding").as("pv"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+    val w = Window.partitionBy(col("p_id")).orderBy(col("cos_r").desc, col("n_id").asc)
+    c.join(broadcast(p), col("p_id") =!= col("n_id"))
+      .withColumn("cos_r", cosineR("pv", "nv"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("p_id"), col("rn"), col("n_id"), col("cos_r"))
+  }
+
+  // ---- SRP-LSH (signed random projections) ----------------------------
+
+  /** Fixed integer hyperplanes (LCG seed 7, entries in [-4,4]), shared with
+    * the oracle SQL via [[hyperplaneSqlArray]] so both engines bucket
+    * identically. */
+  val NumPlanes = 4
+  val Dim = 64
+  val hyperplanes: Array[Array[Long]] = {
+    var state = 7L
+    def next(): Long = { state = (state * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; state }
+    Array.fill(NumPlanes)(Array.fill(Dim)(next() % 9 - 4))
+  }
+
+  def hyperplaneSqlArray(j: Int): String =
+    hyperplanes(j).mkString("[", ",", "]") + "::DOUBLE[]"
+
+  private def hyperplaneLit(j: Int): String =
+    hyperplanes(j).map(v => s"${v}D").mkString("array(", ",", ")")
+
+  /** Bucket id: sign bit per hyperplane dot product (exact unit sums →
+    * engine-independent signs). */
+  def bucketCol(vecExpr: String): Column = {
+    val bits = (0 until NumPlanes).map { j =>
+      s"if(${dotUnits(vecExpr, hyperplaneLit(j))} > 0, ${1L << j}L, 0L)"
+    }
+    expr(bits.mkString(" + "))
+  }
+
+  /** Approximate nearest neighbor per vector: top-1 cosine within the
+    * vector's SRP bucket (vectors alone in their bucket are dropped). */
+  def srpNearestNeighbor(embeddings: DataFrame): DataFrame = {
+    val bucketed = embeddings
+      .select(col("vec_id"), col("embedding"), bucketCol("embedding").as("bucket"))
+    val l = bucketed.select(col("bucket"), col("vec_id"), col("embedding").as("v"))
+    val r = bucketed.select(col("bucket"), col("vec_id").as("n_id"), col("embedding").as("nv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_r").desc, col("n_id").asc)
+    l.join(r, Seq("bucket")).filter(col("vec_id") =!= col("n_id"))
+      .withColumn("cos_r", cosineR("v", "nv"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("bucket"), col("n_id"), col("cos_r"))
+  }
+}

@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+import graft.functions.TextFns
+import graft.operators.{Similarity, TextDedup}
+
+/** LLM-training-data extension queries (SURVEY.md §2.3/§2.4 X17–X20 plus the
+  * wider dedup/similarity/text/multimodal battery the north star requires).
+  * Everything is hash-checked against DuckDB — including MinHash-LSH (exact
+  * recall at the mined threshold, verified) and SimHash-LSH (exact recall by
+  * pigeonhole) — not just the trivially SQL-expressible parts.
+  */
+object LlmData {
+
+  private def docs(spark: SparkSession, dir: String) = t(spark, dir, "documents")
+  private def embs(spark: SparkSession, dir: String) = t(spark, dir, "embeddings")
+
+  // ---- X17: exact dedup ------------------------------------------------
+
+  def x17ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.exact(docs(spark, dir)).orderBy(col("keep_id"))
+
+  val x17Sql: String =
+    """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  // ---- X18: exact near-dup pairs (set Jaccard >= 0.9) ------------------
+
+  val JaccThreshold = 0.9
+
+  def x18NearDupJaccard(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.jaccardPairs(docs(spark, dir), JaccThreshold)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** Shared oracle for X18 and X21 (LSH recall is exact on this corpus —
+    * miss-probability ≈ 6e-16 per pair at s=0.9 with 32×4 banding). */
+  val x18Sql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+       |vocab AS (SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS bit FROM (SELECT DISTINCT tok FROM tok)),
+       |mask AS (SELECT doc_id, sum(1::BIGINT << bit)::BIGINT AS m
+       |         FROM tok JOIN vocab USING (tok) GROUP BY doc_id)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(a.m & b.m) AS DOUBLE) / CAST(bit_count(a.m | b.m) AS DOUBLE) AS jacc
+       |FROM mask a JOIN mask b ON a.doc_id < b.doc_id
+       |WHERE CAST(bit_count(a.m & b.m) AS DOUBLE) / CAST(bit_count(a.m | b.m) AS DOUBLE) >= $JaccThreshold
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // ---- X19: brute-force cosine top-k -----------------------------------
+
+  def x19CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, 5)
+      .orderBy(col("p_id"), col("rn"))
+  }
+
+  private val cosSumCols =
+    """CAST(sum(CAST(floor(x*y * 1e9) AS BIGINT)) AS BIGINT) AS dot,
+      |  CAST(sum(CAST(floor(x*x * 1e9) AS BIGINT)) AS BIGINT) AS na,
+      |  CAST(sum(CAST(floor(y*y * 1e9) AS BIGINT)) AS BIGINT) AS nb""".stripMargin
+  private val cosRExpr =
+    "CAST(floor((CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) * 1000000.0) AS DOUBLE) / 1000000.0"
+
+  val x19Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id < 10),
+       |pr AS (SELECT p_id, e.vec_id AS n_id, unnest(pv) AS x, unnest(e.v) AS y
+       |       FROM p, e WHERE e.vec_id != p_id),
+       |s AS (SELECT p_id, n_id, $cosSumCols FROM pr GROUP BY 1, 2),
+       |c AS (SELECT p_id, n_id, $cosRExpr AS cos_r FROM s),
+       |r AS (SELECT p_id, n_id, cos_r,
+       |        row_number() OVER (PARTITION BY p_id ORDER BY cos_r DESC, n_id ASC) AS rn FROM c)
+       |SELECT p_id, rn, n_id, cos_r FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin
+
+  // ---- X20: per-language text stats ------------------------------------
+
+  def x20TextStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("n_tok", size(TextFns.tokens(col("text"))).cast(LongType))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("total_tokens"),
+           (sum(col("n_tok")).cast(DoubleType) / count(lit(1))).as("avg_tokens"),
+           sum(col("n_chars")).as("total_chars"),
+           countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+
+  val x20Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- X21: MinHash-LSH near-dups (verified candidates) ----------------
+
+  def x21MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashNearDups(docs(spark, dir), JaccThreshold)
+      .orderBy(col("a_id"), col("b_id"))
+
+  val x21Sql: String = x18Sql
+
+  // ---- X22: SimHash near-dups (hamming <= 3) ---------------------------
+
+  def x22Simhash(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashNearDups(docs(spark, dir), 3)
+      .orderBy(col("a_id"), col("b_id"))
+
+  val x22Sql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+       |th AS (SELECT doc_id, ${TextFns.h60Sql("tok")} AS h FROM tok),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id),
+       |bits AS (SELECT doc_id, j, sum((h >> j) & 1) AS bitsum
+       |         FROM th, range(60) t(j) GROUP BY doc_id, j),
+       |sig AS (SELECT b.doc_id, CAST(sum(CASE WHEN 2 * b.bitsum > c.n THEN (1::BIGINT << b.j) ELSE 0 END) AS BIGINT) AS sh
+       |        FROM bits b JOIN cnt c USING (doc_id) GROUP BY b.doc_id)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // ---- X23: SRP-LSH approximate nearest neighbor -----------------------
+
+  def x23AnnSrp(spark: SparkSession, dir: String): DataFrame =
+    Similarity.srpNearestNeighbor(embs(spark, dir)).orderBy(col("vec_id"))
+
+  val x23Sql: String = {
+    val h = (0 until Similarity.NumPlanes).map(Similarity.hyperplaneSqlArray)
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |f AS (SELECT vec_id, unnest(v) AS x, unnest(${h(0)}) AS h0, unnest(${h(1)}) AS h1,
+       |             unnest(${h(2)}) AS h2, unnest(${h(3)}) AS h3 FROM e),
+       |d AS (SELECT vec_id,
+       |             CAST(sum(CAST(floor(x*h0 * 1e9) AS BIGINT)) AS BIGINT) AS d0,
+       |             CAST(sum(CAST(floor(x*h1 * 1e9) AS BIGINT)) AS BIGINT) AS d1,
+       |             CAST(sum(CAST(floor(x*h2 * 1e9) AS BIGINT)) AS BIGINT) AS d2,
+       |             CAST(sum(CAST(floor(x*h3 * 1e9) AS BIGINT)) AS BIGINT) AS d3
+       |      FROM f GROUP BY vec_id),
+       |bk AS (SELECT vec_id,
+       |         CAST(CASE WHEN d0 > 0 THEN 1 ELSE 0 END
+       |            + CASE WHEN d1 > 0 THEN 2 ELSE 0 END
+       |            + CASE WHEN d2 > 0 THEN 4 ELSE 0 END
+       |            + CASE WHEN d3 > 0 THEN 8 ELSE 0 END AS BIGINT) AS bucket
+       |       FROM d),
+       |pair AS (SELECT a.vec_id AS vec_id, a.bucket, b.vec_id AS n_id
+       |         FROM bk a JOIN bk b USING (bucket) WHERE a.vec_id != b.vec_id),
+       |pf AS (SELECT pair.vec_id, pair.bucket, pair.n_id, unnest(ea.v) AS x, unnest(eb.v) AS y
+       |       FROM pair JOIN e ea ON ea.vec_id = pair.vec_id JOIN e eb ON eb.vec_id = pair.n_id),
+       |s AS (SELECT vec_id, bucket, n_id, $cosSumCols FROM pf GROUP BY 1, 2, 3),
+       |c AS (SELECT vec_id, bucket, n_id, $cosRExpr AS cos_r FROM s),
+       |r AS (SELECT vec_id, bucket, n_id, cos_r,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, n_id ASC) AS rn FROM c)
+       |SELECT vec_id, bucket, n_id, cos_r FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
+  // ---- X24: language-ID heuristic (char n-gram features) ---------------
+
+  def x24LangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("alpha", length(regexp_replace(col("text"), "[^a-z]", "")).cast(LongType))
+      .withColumn("vowels", length(regexp_replace(col("text"), "[^aeiou]", "")).cast(LongType))
+      .withColumn("n_tok", size(TextFns.tokens(col("text"))).cast(LongType))
+      .withColumn("vr", col("vowels").cast(DoubleType) / col("alpha"))
+      .withColumn("atl", col("alpha").cast(DoubleType) / col("n_tok"))
+      .withColumn("pred_lang",
+        when(col("vr") >= 0.42, "en")
+          .when(col("vr") >= 0.38, "de")
+          .when(col("atl") >= 4.5, "fr")
+          .otherwise("zh"))
+    d.groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  val x24Sql: String =
+    """WITH f AS (
+      |  SELECT lang,
+      |    length(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha,
+      |    length(regexp_replace(text, '[^aeiou]', '', 'g')) AS vowels,
+      |    len(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |p AS (
+      |  SELECT lang,
+      |    CASE WHEN CAST(vowels AS DOUBLE) / alpha >= 0.42 THEN 'en'
+      |         WHEN CAST(vowels AS DOUBLE) / alpha >= 0.38 THEN 'de'
+      |         WHEN CAST(alpha AS DOUBLE) / n_tok >= 4.5 THEN 'fr'
+      |         ELSE 'zh' END AS pred_lang
+      |  FROM f)
+      |SELECT lang, pred_lang, count(*) AS n FROM p
+      |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+
+  // ---- X25: quality scoring --------------------------------------------
+
+  def x25QualityScore(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("n_tok", size(TextFns.tokens(col("text"))).cast(LongType))
+      .withColumn("n_distinct", size(TextFns.tokenSet(col("text"))).cast(LongType))
+      .withColumn("ttr", col("n_distinct").cast(DoubleType) / col("n_tok"))
+      .withColumn("score",
+        lit(0.5) * least(col("n_tok").cast(DoubleType) / 100.0, lit(1.0)) + lit(0.5) * col("ttr"))
+      .select(col("doc_id"), col("n_tok"), col("ttr"), col("score"))
+      .orderBy(col("doc_id"))
+
+  val x25Sql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tok,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr,
+      |  0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+      |    + 0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) AS score
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- X26: token counting (whitespace + regex lexer) ------------------
+
+  def x26TokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).cast(LongType).as("re_tokens"),
+        length(col("text")).cast(LongType).as("len_chars"),
+        (length(col("text")) === col("n_chars")).as("meta_consistent"))
+      .orderBy(col("doc_id"))
+
+  val x26Sql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens,
+      |  length(text) AS len_chars,
+      |  length(text) = n_chars AS meta_consistent
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- X27: order-sensitive document fingerprint -----------------------
+
+  def x27Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .select(col("doc_id"), TextFns.fingerprintExpr("toks").as("fp"))
+      .orderBy(col("doc_id"))
+
+  val x27Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(sum(i * ${TextFns.h31Sql("tok")}) % ${TextFns.P31} AS BIGINT) AS fp
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |             unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+       |      FROM documents)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- X28: multimodal binary-column plumbing --------------------------
+
+  /** Treats text as an opaque binary payload (stand-in for image/audio
+    * bytes): byte length, content address (sha256), a "thumbnail" slice,
+    * and a frame count — the typed-metadata pattern for multimodal columns.
+    * The real decode path (stubbed, no media libs in-container) lives in
+    * graft.multimodal.BinaryMedia. */
+  def x28MultimodalBinary(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("payload", col("text").cast(BinaryType))
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast(LongType).as("n_bytes"),
+        sha2(col("payload"), 256).as("content_id"),
+        lower(hex(substring(col("text"), 1, 8).cast(BinaryType))).as("thumb"),
+        expr("(size(split(text, ' ')) + 7) div 8").cast(LongType).as("n_frames"))
+      .orderBy(col("doc_id"))
+
+  val x28Sql: String =
+    """SELECT doc_id,
+      |  octet_length(text::BLOB) AS n_bytes,
+      |  sha256(text) AS content_id,
+      |  lower(hex(substr(text, 1, 8)::BLOB)) AS thumb,
+      |  (len(string_split(text, ' ')) + 7) // 8 AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+}
