@@ -1,0 +1,74 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: opaque binary payloads + typed metadata,
+  * with a pluggable decode step.
+  *
+  * The Spark-side plumbing (schema, batch shape, partition-parallel decode
+  * via mapPartitions over a typed Dataset) is real and tested; the actual
+  * media decode is STUBBED — no image/audio libraries exist in this
+  * container, so [[StubDecoder]] produces deterministic fake features from
+  * the bytes. Swapping in a real decoder (JNI/FFmpeg/ImageIO) changes only
+  * the [[Decoder]] instance: the decoder is instantiated once per PARTITION
+  * (not per row), which is the shape an expensive native decoder needs.
+  */
+object BinaryMedia {
+
+  /** Typed metadata carried beside every payload column. */
+  case class MediaMeta(kind: String, nBytes: Long, contentId: String)
+
+  case class MediaRow(id: Long, payload: Array[Byte], meta: MediaMeta)
+  case class FeatureRow(id: Long, features: Array[Float])
+
+  /** Wrap a string column as a binary payload with metadata (stand-in for
+    * reading real media files; the pattern is payload + sibling meta). */
+  def asMedia(df: DataFrame, idCol: String, contentCol: String, kind: String): DataFrame =
+    df.select(
+      col(idCol).cast(LongType).as("id"),
+      col(contentCol).cast(BinaryType).as("payload"),
+      struct(
+        lit(kind).as("kind"),
+        octet_length(col(contentCol).cast(BinaryType)).cast(LongType).as("nBytes"),
+        sha2(col(contentCol).cast(BinaryType), 256).as("contentId")).as("meta"))
+
+  /** Decode interface — constructed per partition. */
+  trait Decoder extends Serializable {
+    def decode(bytes: Array[Byte]): Array[Float]
+  }
+
+  /** Deterministic fake decode: 8 features from the byte prefix + length.
+    * Stands in for image decode / audio feature extraction. */
+  object StubDecoder extends Decoder {
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](8)
+      var i = 0
+      while (i < 7) {
+        out(i) = if (bytes.length > i) (bytes(i) & 0xff) / 255.0f else 0.0f
+        i += 1
+      }
+      out(7) = bytes.length.toFloat
+      out
+    }
+  }
+
+  /** Partition-parallel feature extraction. Rows stream through the
+    * decoder batch-wise per partition; no driver materialization. */
+  def extractFeatures(media: Dataset[MediaRow],
+                      mkDecoder: () => Decoder): Dataset[FeatureRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val decoder = mkDecoder() // once per partition, not per row
+      rows.map(r => FeatureRow(r.id, decoder.decode(r.payload)))
+    }
+  }
+
+  /** "Frame sampling": fixed-stride byte-range slices of the payload —
+    * the access pattern of video frame extraction, as pure column ops. */
+  def frameSample(df: DataFrame, frameBytes: Int, maxFrames: Int): DataFrame =
+    df.withColumn("frames", expr(
+      s"transform(sequence(0, least(cast(octet_length(payload) / $frameBytes as int), ${maxFrames - 1})), " +
+        s"i -> substring(payload, i * $frameBytes + 1, $frameBytes))"))
+}
