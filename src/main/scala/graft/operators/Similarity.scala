@@ -48,15 +48,28 @@ object Similarity {
   def cosineR(a: String, b: String): Column =
     (floor(cosine(a, b) * 1e6).cast(DoubleType) / 1e6).cast(DoubleType)
 
+  /** Norm units of a vector (dotUnits with itself) — hoist per side before
+    * a pairwise join so each pair computes one dot product, not three. */
+  def normUnits(vecExpr: String): Column = expr(dotUnits(vecExpr, vecExpr))
+
+  /** cosineR from a pair dot and pre-hoisted norms (identical arithmetic to
+    * [[cosineR]], just with the norms computed once per vector). */
+  def cosineRFromParts(a: String, b: String, naCol: String, nbCol: String): Column =
+    (floor(expr(s"cast(${dotUnits(a, b)} as double) / " +
+      s"sqrt(cast($naCol as double) * cast($nbCol as double))") * 1e6)
+      .cast(DoubleType) / 1e6).cast(DoubleType)
+
   /** Brute-force top-k cosine neighbors of each probe row against the
     * corpus. Probe side is expected small → Spark broadcasts it, so the
     * corpus streams once with no shuffle before the per-probe top-k. */
   def bruteForceTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val p = probes.select(col("vec_id").as("p_id"), col("embedding").as("pv"))
-    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+    val p = probes.select(col("vec_id").as("p_id"), col("embedding").as("pv"),
+      normUnits("embedding").as("p_nu"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+      normUnits("embedding").as("n_nu"))
     val w = Window.partitionBy(col("p_id")).orderBy(col("cos_r").desc, col("n_id").asc)
     c.join(broadcast(p), col("p_id") =!= col("n_id"))
-      .withColumn("cos_r", cosineR("pv", "nv"))
+      .withColumn("cos_r", cosineRFromParts("pv", "nv", "p_nu", "n_nu"))
       .withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= k)
       .select(col("p_id"), col("rn"), col("n_id"), col("cos_r"))
@@ -94,12 +107,15 @@ object Similarity {
     * vector's SRP bucket (vectors alone in their bucket are dropped). */
   def srpNearestNeighbor(embeddings: DataFrame): DataFrame = {
     val bucketed = embeddings
-      .select(col("vec_id"), col("embedding"), bucketCol("embedding").as("bucket"))
-    val l = bucketed.select(col("bucket"), col("vec_id"), col("embedding").as("v"))
-    val r = bucketed.select(col("bucket"), col("vec_id").as("n_id"), col("embedding").as("nv"))
+      .select(col("vec_id"), col("embedding"), bucketCol("embedding").as("bucket"),
+        normUnits("embedding").as("nu"))
+    val l = bucketed.select(col("bucket"), col("vec_id"), col("embedding").as("v"),
+      col("nu").as("v_nu"))
+    val r = bucketed.select(col("bucket"), col("vec_id").as("n_id"), col("embedding").as("nv"),
+      col("nu").as("n_nu"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_r").desc, col("n_id").asc)
     l.join(r, Seq("bucket")).filter(col("vec_id") =!= col("n_id"))
-      .withColumn("cos_r", cosineR("v", "nv"))
+      .withColumn("cos_r", cosineRFromParts("v", "nv", "v_nu", "n_nu"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("bucket"), col("n_id"), col("cos_r"))

@@ -57,9 +57,15 @@ object TextDedup {
   // ---- MinHash + banded LSH -------------------------------------------
 
   /** Fixed permutation family (a_i*h + b_i) mod P31, deterministically
-    * generated (LCG, seed 42) so signatures are reproducible run-to-run. */
-  val NumPerms = 128
-  val NumBands = 32 // 4 rows/band: miss-prob at s=0.9 is (1-0.9^4)^32 ≈ 6e-16
+    * generated (LCG, seed 42) so signatures are reproducible run-to-run.
+    *
+    * Banding at 32 bands × 8 rows: collision S-curve threshold
+    * (1/32)^(1/8) ≈ 0.65, miss-prob at s=0.9 is (1-0.9^8)^32 ≈ 1.2e-8.
+    * The longer rows-per-band matter on self-similar corpora: with r=4 the
+    * threshold sits at 0.42 and a corpus where most pairs are ≥0.5-similar
+    * floods candidate generation (measured 8× more raw candidate rows). */
+  val NumPerms = 256
+  val NumBands = 32
   private val lcg = {
     var state = 42L
     () => { state = (state * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; state }
@@ -67,24 +73,30 @@ object TextDedup {
   val permA: Array[Long] = Array.fill(NumPerms)(lcg() % (P31 - 1) + 1)
   val permB: Array[Long] = Array.fill(NumPerms)(lcg() % P31)
 
-  /** doc_id, sig: array<bigint> of NumPerms MinHash values. Pure
-    * higher-order expressions — no shuffle, stays in codegen. */
+  /** doc_id, sig: array<bigint> of NumPerms MinHash values.
+    *
+    * Formulated as explode(token hashes) + one hash aggregation with
+    * NumPerms min() columns: higher-order lambda expressions are
+    * interpreted (not codegen'd) in Spark, so the nested
+    * transform-over-perms form costs ~10µs per lambda call; the agg form
+    * is whole-stage-codegen'd and an order of magnitude faster. The
+    * shuffle is on doc_id with map-side partial mins — linear. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val aLit = permA.mkString("array(", "L,", "L)")
-    val bLit = permB.mkString("array(", "L,", "L)")
-    docs
-      .withColumn("th", expr(
-        s"transform(array_distinct(split(text, ' ')), " +
-          s"t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % $P31)"))
-      .withColumn("sig", expr(
-        s"transform(sequence(0, ${NumPerms - 1}), " +
-          s"i -> array_min(transform(th, h -> ($aLit[i] * h + $bLit[i]) % $P31)))"))
-      .select(col("doc_id"), col("sig"))
+    val th = docs.select(col("doc_id"), explode(expr(
+      s"transform(array_distinct(split(text, ' ')), " +
+        s"t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % $P31)")).as("h"))
+    val mins = (0 until NumPerms).map(i =>
+      min(expr(s"(${permA(i)}L * h + ${permB(i)}L) % $P31")).as(s"m$i"))
+    th.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** LSH candidate pairs: explode signatures into (band, band-key) buckets,
-    * self-join buckets, distinct pairs. Shuffle is on band keys only. */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
+  /** Raw LSH candidate pairs — NOT deduplicated: a true near-dup pair
+    * collides in most of its 32 bands, so dedup here would shuffle ~32×
+    * the real candidate count. Callers verify first (cheap broadcast
+    * lookups + popcount), then dedup the small verified set. */
+  private def minhashCandidatesRaw(docs: DataFrame): DataFrame = {
     val rows = NumPerms / NumBands
     val bands = minhashSignatures(docs)
       .select(col("doc_id"), posexplode(expr(
@@ -93,23 +105,50 @@ object TextDedup {
     val l = bands.select(col("band"), col("key"), col("doc_id").as("a_id"))
     val r = bands.select(col("band"), col("key"), col("doc_id").as("b_id"))
     l.join(r, Seq("band", "key")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
+      .select(col("a_id"), col("b_id"))
   }
 
-  /** MinHash-LSH near-dup mining with exact verification: candidates from
-    * banding, then exact set-Jaccard filter — the standard generate-verify
-    * split (candidates ~linear, verification only on candidates). */
+  /** LSH candidate pairs, deduplicated (public inspection API). */
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    minhashCandidatesRaw(docs).distinct()
+
+  /** MinHash-LSH near-dup mining with exact verification.
+    *
+    * Corpora with heavy duplication put thousands of docs with IDENTICAL
+    * token sets into the same LSH bucket, making the band self-join
+    * quadratic in cluster size (observed: 450s at sf0.1). So the pipeline
+    * collapses identical sets first — the production shape at any scale:
+    *   1. group docs by token set (one representative per distinct set);
+    *   2. signatures + banding + verification over distinct sets only;
+    *   3. expand set-level pairs back to doc pairs (cross-group via the
+    *      verified pairs, intra-group pairs are Jaccard-1 by construction).
+    * LSH cost becomes linear in DISTINCT content, and the quadratic part
+    * only materializes the true answer (the near-dup pairs themselves). */
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
-    val m = tokenMasks(docs)
-    val cand = minhashCandidates(docs)
-    cand
-      .join(m.select(col("doc_id").as("a_id"), col("mask").as("a_mask")), "a_id")
-      .join(m.select(col("doc_id").as("b_id"), col("mask").as("b_mask")), "b_id")
+    val members = tokenMasks(docs).select(col("doc_id"), col("mask"))
+    val groups = members.groupBy(col("mask")).agg(min(col("doc_id")).as("rep"))
+    val repDocs = docs.join(
+      groups.select(col("rep"), col("mask")), docs("doc_id") === col("rep"))
+    val cand = minhashCandidatesRaw(repDocs.select(col("doc_id"), col("text")))
+    val repPairs = cand
+      .join(broadcast(groups.select(col("rep").as("a_id"), col("mask").as("a_mask"))), "a_id")
+      .join(broadcast(groups.select(col("rep").as("b_id"), col("mask").as("b_mask"))), "b_id")
       .withColumn("jacc",
         bit_count(col("a_mask").bitwiseAND(col("b_mask"))).cast(DoubleType) /
         bit_count(col("a_mask").bitwiseOR(col("b_mask"))).cast(DoubleType))
       .filter(col("jacc") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jacc"))
+      .select(col("a_mask"), col("b_mask"), col("jacc"))
+      .distinct() // dedup AFTER the cheap verify: ~band-count× smaller input
+    val cross = members.select(col("doc_id").as("da"), col("mask").as("a_mask"))
+      .join(broadcast(repPairs), "a_mask")
+      .join(members.select(col("doc_id").as("db"), col("mask").as("b_mask")), "b_mask")
+      .select(least(col("da"), col("db")).as("a_id"),
+              greatest(col("da"), col("db")).as("b_id"), col("jacc"))
+    val intra = members.select(col("doc_id").as("a_id"), col("mask"))
+      .join(members.select(col("doc_id").as("b_id"), col("mask")), "mask")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("jacc"))
+    cross.unionByName(intra) // intra pairs are jacc=1.0 ≥ any valid threshold
   }
 
   // ---- SimHash + banded LSH -------------------------------------------
@@ -117,34 +156,51 @@ object TextDedup {
   val SimBits = 60
   val SimBands = 4 // 15 bits/band; pigeonhole: distance <= 3 ⇒ ≥1 band equal
 
-  /** 60-bit SimHash over the distinct-token set (unit weights). */
-  def simhashSignatures(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("th", expr(
-        s"transform(array_distinct(split(text, ' ')), " +
-          s"t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"))
-      .withColumn("simhash", expr(
-        s"aggregate(sequence(0, ${SimBits - 1}), cast(0 as bigint), (acc, j) -> " +
-          s"acc + if(2 * aggregate(th, cast(0 as bigint), (s, h) -> s + ((h >> j) & 1)) " +
-          s"> size(th), shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"))
-      .select(col("doc_id"), col("simhash"))
+  /** 60-bit SimHash over the distinct-token set (unit weights).
+    * Same explode+codegen-agg formulation as [[minhashSignatures]] (60
+    * per-bit sums in one hash agg) — the nested lambda form was ~50×
+    * slower because higher-order functions evaluate interpreted. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val th = docs.select(col("doc_id"), explode(expr(
+      s"transform(array_distinct(split(text, ' ')), " +
+        s"t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))")).as("h"))
+    val aggs = count(lit(1)).as("n") +:
+      (0 until SimBits).map(j => sum(expr(s"(h >> $j) & 1")).as(s"s$j"))
+    val simhash = expr((0 until SimBits)
+      .map(j => s"if(2 * s$j > n, ${1L << j}L, 0L)").mkString(" + "))
+    th.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+  }
 
   /** Pairs within `maxDist` Hamming distance. Banded LSH with
     * SimBands > maxDist gives EXACT recall (pigeonhole), so this is both
-    * the scale path and oracle-checkable. */
+    * the scale path and oracle-checkable. Identical signatures are
+    * collapsed before banding (same cluster-blowup reasoning as
+    * [[minhashNearDups]]): banding runs over distinct signatures, then
+    * signature-level pairs expand back to doc pairs. */
   def simhashNearDups(docs: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist < SimBands, "pigeonhole guarantee needs maxDist < SimBands")
-    val sig = simhashSignatures(docs)
+    val sig = simhashSignatures(docs) // doc_id, simhash
+    val distinctSigs = sig.select(col("simhash")).distinct()
     val bandBits = SimBits / SimBands
-    val bands = sig.select(col("doc_id"), col("simhash"), posexplode(expr(
+    val bands = distinctSigs.select(col("simhash"), posexplode(expr(
       s"transform(sequence(0, ${SimBands - 1}), " +
         s"b -> (simhash >> (b * $bandBits)) & ${(1L << bandBits) - 1})")).as(Seq("band", "key")))
-    val l = bands.select(col("band"), col("key"), col("doc_id").as("a_id"), col("simhash").as("a_sh"))
-    val r = bands.select(col("band"), col("key"), col("doc_id").as("b_id"), col("simhash").as("b_sh"))
-    l.join(r, Seq("band", "key")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast(LongType).as("hamming"))
-      .distinct()
+    val l = bands.select(col("band"), col("key"), col("simhash").as("a_sh"))
+    val r = bands.select(col("band"), col("key"), col("simhash").as("b_sh"))
+    val sigPairs = l.join(r, Seq("band", "key")).filter(col("a_sh") < col("b_sh"))
+      .select(col("a_sh"), col("b_sh")).distinct()
+      .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast(LongType))
       .filter(col("hamming") <= maxDist)
+    val cross = sig.select(col("doc_id").as("da"), col("simhash").as("a_sh"))
+      .join(broadcast(sigPairs), "a_sh")
+      .join(sig.select(col("doc_id").as("db"), col("simhash").as("b_sh")), "b_sh")
+      .select(least(col("da"), col("db")).as("a_id"),
+              greatest(col("da"), col("db")).as("b_id"), col("hamming"))
+    val intra = sig.select(col("doc_id").as("a_id"), col("simhash"))
+      .join(sig.select(col("doc_id").as("b_id"), col("simhash")), "simhash")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(0L).as("hamming"))
+    cross.unionByName(intra)
   }
 }
