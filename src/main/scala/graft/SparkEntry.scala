@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EventTime, LlmData, Parity, Relational}
+import graft.queries.{EventTime, Extended, LlmData, Parity, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,6 +35,10 @@ object SparkEntry {
     "q15_tumbling_agg"  -> EventTime.q15TumblingAgg _,
     "q16_sessionize"    -> EventTime.q16Sessionize _,
     "q17_json_extract"  -> EventTime.q17JsonExtract _,
+    "q18_semi_join"     -> Extended.q18SemiJoin _,
+    "q19_asof_join"     -> Extended.q19AsofJoin _,
+    "q20_cube"          -> Extended.q20Cube _,
+    "q21_maxby_agg"     -> Extended.q21MaxByAgg _,
     "x17_exact_dedup"   -> LlmData.x17ExactDedup _,
     "x18_neardup_jaccard" -> LlmData.x18NearDupJaccard _,
     "x19_cosine_topk"   -> LlmData.x19CosineTopK _,
@@ -69,6 +73,10 @@ object SparkEntry {
     "q15_tumbling_agg"  -> EventTime.q15Sql,
     "q16_sessionize"    -> EventTime.q16Sql,
     "q17_json_extract"  -> EventTime.q17Sql,
+    "q18_semi_join"     -> Extended.q18Sql,
+    "q19_asof_join"     -> Extended.q19Sql,
+    "q20_cube"          -> Extended.q20Sql,
+    "q21_maxby_agg"     -> Extended.q21Sql,
     "x17_exact_dedup"   -> LlmData.x17Sql,
     "x18_neardup_jaccard" -> LlmData.x18Sql,
     "x19_cosine_topk"   -> LlmData.x19Sql,

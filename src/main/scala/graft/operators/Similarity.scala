@@ -8,10 +8,11 @@ import org.apache.spark.sql.types._
 /** Embedding similarity search over `array<float>` columns.
   *
   * Determinism contract: a float dot-product summed in arbitrary order is
-  * not reproducible across engines, so every per-element product is cast to
-  * an exact DECIMAL(20,9) and summed exactly (order-independent); only the
-  * final cosine division happens in double (single IEEE op — identical
-  * everywhere). This keeps similarity results bit-stable across Spark,
+  * not reproducible across engines, so every per-element product is
+  * floor-quantized to integer 1e-9 units and summed exactly
+  * (order-independent); only the final cosine division happens in double
+  * (single IEEE op — identical everywhere). This keeps results bit-stable
+  * across Spark,
   * DuckDB, partitionings, and re-runs — worth the few extra cycles even at
   * scale, where nondeterministic top-k results poison incremental pipelines.
   *
@@ -34,11 +35,13 @@ object Similarity {
       "cast(0 as bigint), (acc, v) -> acc + v)"
 
   /** Cosine similarity column, computed per the determinism contract; the
-    * 1e9 scaling cancels between numerator and denominator.
-    * `a`/`b` are SQL expressions naming array columns. */
-  def cosine(a: String, b: String): Column = expr(
-    s"cast(${dotUnits(a, b)} as double) / " +
-      s"sqrt(cast(${dotUnits(a, a)} as double) * cast(${dotUnits(b, b)} as double))")
+    * 1e9 scaling cancels between numerator and denominator. Uses the fused
+    * codegen'd CosineUnits expression (register it on the session first);
+    * arithmetic is identical to the composable dotUnits form. */
+  def cosine(a: String, b: String): Column = {
+    graft.functions.CosineUnits.register(org.apache.spark.sql.SparkSession.active)
+    expr(s"cosine_units($a, $b)")
+  }
 
   /** Cosine truncated to 1e-6 for hash-stable output/ranking. Truncation
     * (floor), not rounding: a decimal-cast round differs between engines on
@@ -48,28 +51,18 @@ object Similarity {
   def cosineR(a: String, b: String): Column =
     (floor(cosine(a, b) * 1e6).cast(DoubleType) / 1e6).cast(DoubleType)
 
-  /** Norm units of a vector (dotUnits with itself) — hoist per side before
-    * a pairwise join so each pair computes one dot product, not three. */
-  def normUnits(vecExpr: String): Column = expr(dotUnits(vecExpr, vecExpr))
 
-  /** cosineR from a pair dot and pre-hoisted norms (identical arithmetic to
-    * [[cosineR]], just with the norms computed once per vector). */
-  def cosineRFromParts(a: String, b: String, naCol: String, nbCol: String): Column =
-    (floor(expr(s"cast(${dotUnits(a, b)} as double) / " +
-      s"sqrt(cast($naCol as double) * cast($nbCol as double))") * 1e6)
-      .cast(DoubleType) / 1e6).cast(DoubleType)
 
   /** Brute-force top-k cosine neighbors of each probe row against the
     * corpus. Probe side is expected small → Spark broadcasts it, so the
     * corpus streams once with no shuffle before the per-probe top-k. */
   def bruteForceTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val p = probes.select(col("vec_id").as("p_id"), col("embedding").as("pv"),
-      normUnits("embedding").as("p_nu"))
-    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("nv"),
-      normUnits("embedding").as("n_nu"))
+    graft.functions.CosineUnits.register(probes.sparkSession)
+    val p = probes.select(col("vec_id").as("p_id"), col("embedding").as("pv"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
     val w = Window.partitionBy(col("p_id")).orderBy(col("cos_r").desc, col("n_id").asc)
     c.join(broadcast(p), col("p_id") =!= col("n_id"))
-      .withColumn("cos_r", cosineRFromParts("pv", "nv", "p_nu", "n_nu"))
+      .withColumn("cos_r", cosineR("pv", "nv"))
       .withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= k)
       .select(col("p_id"), col("rn"), col("n_id"), col("cos_r"))
@@ -106,16 +99,14 @@ object Similarity {
   /** Approximate nearest neighbor per vector: top-1 cosine within the
     * vector's SRP bucket (vectors alone in their bucket are dropped). */
   def srpNearestNeighbor(embeddings: DataFrame): DataFrame = {
+    graft.functions.CosineUnits.register(embeddings.sparkSession)
     val bucketed = embeddings
-      .select(col("vec_id"), col("embedding"), bucketCol("embedding").as("bucket"),
-        normUnits("embedding").as("nu"))
-    val l = bucketed.select(col("bucket"), col("vec_id"), col("embedding").as("v"),
-      col("nu").as("v_nu"))
-    val r = bucketed.select(col("bucket"), col("vec_id").as("n_id"), col("embedding").as("nv"),
-      col("nu").as("n_nu"))
+      .select(col("vec_id"), col("embedding"), bucketCol("embedding").as("bucket"))
+    val l = bucketed.select(col("bucket"), col("vec_id"), col("embedding").as("v"))
+    val r = bucketed.select(col("bucket"), col("vec_id").as("n_id"), col("embedding").as("nv"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_r").desc, col("n_id").asc)
     l.join(r, Seq("bucket")).filter(col("vec_id") =!= col("n_id"))
-      .withColumn("cos_r", cosineRFromParts("v", "nv", "v_nu", "n_nu"))
+      .withColumn("cos_r", cosineR("v", "nv"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("bucket"), col("n_id"), col("cos_r"))

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+import graft.functions.Aggregators
+
+/** Coverage for the remaining SURVEY.md §2.2 categories: semi join, as-of
+  * (non-equi) join, cube, and a typed custom Aggregator (UDAF). */
+object Extended {
+
+  /** Q18 — left semi join: customers that placed at least one URGENT-class
+    * order (EXISTS). Semi joins ship only the probe side's keys. */
+  def q18SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val urgent = t(spark, dir, "orders").filter(col("o_orderpriority").startsWith("1"))
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q18Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Q19 — as-of join (equi key + time inequality + latest-wins): each
+    * event is joined to the most recent order of its user at event time.
+    * Composable form: equi join on the key, inequality filter, then a
+    * row_number window per event — the scale path keeps the shuffle on the
+    * equi key, so it behaves like a normal hash join plus an in-partition
+    * top-1 (no custom SparkStrategy needed for these semantics). */
+  def q19AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("o_orderkey").as("asof_orderkey"),
+        col("o_orderdate").cast("timestamp_ntz").as("asof_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  val q19Sql: String =
+    """SELECT event_id, user_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
+      |FROM (
+      |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e JOIN orders o
+      |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+      |WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  /** Q20 — cube over (status, order-year) with both rollup dimensions
+    * coalesced for engine-independent ordering. */
+  def q20Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")).cast(LongType))
+      .cube(col("o_orderstatus"), col("yr"))
+      .agg(count(lit(1)).as("n"), sumMoney2(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("yr"), lit(-1L)).as("yr"), col("n"), col("total"))
+      .orderBy(col("status"), col("yr"))
+
+  val q20Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(yr, -1) AS yr,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM (SELECT o_orderstatus, year(o_orderdate) AS yr, o_totalprice FROM orders)
+      |GROUP BY CUBE(o_orderstatus, yr)
+      |ORDER BY status, yr""".stripMargin
+
+  /** Q21 — typed custom Aggregator (UDAF): per customer, the orderkey of
+    * their highest-priced order (argmax, smallest-key tie-break). */
+  def q21MaxByAgg(spark: SparkSession, dir: String): DataFrame = {
+    val maxBy = udaf(Aggregators.MaxByKey)
+    t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(maxBy(col("o_totalprice"), col("o_orderkey")).as("best_orderkey"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q21Sql: String =
+    """SELECT o_custkey, best_orderkey, n AS n_orders FROM (
+      |  SELECT o_custkey, o_orderkey AS best_orderkey,
+      |    count(*) OVER (PARTITION BY o_custkey) AS n,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders)
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+}

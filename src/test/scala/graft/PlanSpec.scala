@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.queries.{Extended, Relational}
+
+/** Physical-plan assertions (SURVEY.md: "the plan you'd want, not the first
+  * one that passed"). These lock in the scale-critical plan properties so a
+  * refactor that silently loses pushdown or a broadcast fails CI. */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q4: filter and projection are pushed into the parquet scan") {
+    val plan = planOf(Relational.q4FilterProject(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"predicate must reach the scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double"),
+      s"scan must read only the 4 projected columns + filter column:\n$plan")
+  }
+
+  test("q7: all dimension joins are broadcast (fact table shuffles at most once)") {
+    val plan = planOf(Relational.q7MultiJoin(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"customer/nation/region must broadcast:\n$plan")
+  }
+
+  test("q12: global sort+limit plans as TakeOrderedAndProject (no full sort)") {
+    val plan = planOf(Relational.q12SortLimit(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+
+  test("q18: semi join stays a join (no row explosion)") {
+    val plan = planOf(Extended.q18SemiJoin(spark, sf))
+    assert(plan.contains("LeftSemi"), s"expected semi join:\n$plan")
+  }
+
+  test("cosine_units participates in whole-stage codegen") {
+    graft.functions.CosineUnits.register(spark)
+    val df = Tables.t(spark, sf, "embeddings").limit(10)
+      .selectExpr("cosine_units(embedding, embedding) AS c")
+    val plan = planOf(df)
+    // executedPlan.toString renders a WholeStageCodegen stage as "*(id)"
+    assert(plan.contains("*(1) Project [cosineunits"),
+      s"expected the expression inside a codegen stage:\n$plan")
+    // and it must agree with the interpreted composable formulation
+    val fused = df.collect().map(_.getDouble(0))
+    val interp = Tables.t(spark, sf, "embeddings").limit(10).selectExpr(
+      """cast(aggregate(zip_with(embedding, embedding, (x, y) ->
+        |cast(floor(cast(x as double) * cast(y as double) * 1e9) as bigint)),
+        |cast(0 as bigint), (acc, v) -> acc + v) as double) /
+        |sqrt(cast(aggregate(zip_with(embedding, embedding, (x, y) ->
+        |cast(floor(cast(x as double) * cast(y as double) * 1e9) as bigint)),
+        |cast(0 as bigint), (acc, v) -> acc + v) as double) *
+        |cast(aggregate(zip_with(embedding, embedding, (x, y) ->
+        |cast(floor(cast(x as double) * cast(y as double) * 1e9) as bigint)),
+        |cast(0 as bigint), (acc, v) -> acc + v) as double))""".stripMargin.replace("\n", " "))
+      .collect().map(_.getDouble(0))
+    assert(fused.toSeq == interp.toSeq, "fused expression must be bit-identical to composable form")
+  }
+
+  test("q19 as-of join: shuffle is on the equi key, not a cartesian product") {
+    val plan = planOf(Extended.q19AsofJoin(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of must keep the equi-join shape:\n$plan")
+  }
+}
