@@ -42,6 +42,9 @@ object Tables {
   def sumMoney2(c: Column): Column = sum(dec2(c)).cast(DoubleType)
   def sumMoney6(c: Column): Column = sum(dec6(c)).cast(DoubleType)
 
-  /** Stable round-for-hashing of a bounded double (cosines, ratios). */
-  def round6(c: Column): Column = c.cast(DecimalType(18, 6)).cast(DoubleType)
+  /** Stable truncate-for-hashing of a double. floor(x*1e6)/1e6 is pure
+    * IEEE arithmetic, identical in Spark and DuckDB; a decimal cast is NOT
+    * (the engines disagree on shortest-repr rounding ties). */
+  def round6(c: Column): Column =
+    (floor(c * 1e6).cast(DoubleType) / 1e6).cast(DoubleType)
 }

@@ -44,6 +44,25 @@ object Donki {
     spark.read.schema(flrSchema).json(spark.createDataset(bodies))
   }
 
+  /** Lenient read with quarantine: records that fail to parse land in a
+    * `_corrupt_record` column instead of failing the job (PERMISSIVE mode)
+    * — the production posture for third-party API payloads. Returns
+    * (parsed rows, quarantined raw strings). */
+  def readJsonQuarantine(spark: SparkSession, bodies: Seq[String]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val withCorrupt = flrSchema.add(StructField("_corrupt_record", StringType))
+    val raw = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(spark.createDataset(bodies))
+      .cache() // Spark disallows filtering a just-parsed corrupt column uncached
+    val good = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val quarantined = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record"))
+    (good, quarantined)
+  }
+
   /** T1+T3: project/rename the 8 kept fields and cast timestamps.
     * Output timestamps are NTZ (wall-clock UTC) for store portability. */
   def project(raw: DataFrame): DataFrame =

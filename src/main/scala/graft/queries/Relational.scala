@@ -250,8 +250,8 @@ object Relational {
       |  o_orderkey % 7 AS key_mod,
       |  CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(18,4)) AS DOUBLE) AS price_up,
       |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
-      |  CAST(CAST(sqrt(o_totalprice) AS DECIMAL(18,6)) AS DOUBLE) AS price_sqrt,
-      |  CAST(CAST(ln(o_totalprice + 1.0) AS DECIMAL(18,6)) AS DOUBLE) AS price_ln
+      |  CAST(floor(sqrt(o_totalprice) * 1000000.0) AS DOUBLE) / 1000000.0 AS price_sqrt,
+      |  CAST(floor(ln(o_totalprice + 1.0) * 1000000.0) AS DOUBLE) / 1000000.0 AS price_ln
       |FROM orders WHERE o_orderkey % 10 = 0
       |ORDER BY o_orderkey""".stripMargin
 }

@@ -26,6 +26,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.count() == Parity.batchA.size)
   }
 
+  test("quarantine: malformed records are captured, good records parse") {
+    val malformed = """[{"flrID": "OK-1", "classType": "M1.0", "link": "https://x/1"}, {"flrID": broken]"""
+    val (good, bad) = Donki.readJsonQuarantine(spark, Seq(goodBody, malformed))
+    assert(good.count() == Parity.batchA.size) // the valid body parses fully
+    assert(bad.count() >= 1) // the broken body is quarantined, not dropped
+    val quarantined = bad.collect().map(_.getString(0)).mkString
+    assert(quarantined.contains("broken"))
+  }
+
   test("fallback: total failure substitutes the static dataset") {
     val alwaysFail: () => String = () => throw new RuntimeException("down")
     val (df, live) = HttpJson.readWithFallback(
