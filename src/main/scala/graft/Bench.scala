@@ -24,19 +24,24 @@ object Bench {
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    // two timed passes, min per query — damps GC/JIT noise in the shared JVM
+    // two timed passes, min per query — damps GC/JIT noise in the shared JVM.
+    // A query that throws records the sentinel -1.0 (and lands in "failed"),
+    // never a bogus elapsed time.
     def timeOne(n: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { SparkEntry.queries(n)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
     }
     val pass1 = names.map(n => n -> timeOne(n)).toMap
-    val results = names.map(n => n -> math.min(pass1(n), timeOne(n)))
+    val results = names.map { n =>
+      val a = pass1(n); val b = timeOne(n)
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

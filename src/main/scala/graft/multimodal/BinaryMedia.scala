@@ -66,9 +66,16 @@ object BinaryMedia {
   }
 
   /** "Frame sampling": fixed-stride byte-range slices of the payload —
-    * the access pattern of video frame extraction, as pure column ops. */
+    * the access pattern of video frame extraction, as pure column ops.
+    * Emits exactly min(ceil(len/frameBytes), maxFrames) frames: no empty
+    * trailing frame when len is an exact multiple, no frames for an empty
+    * payload (sequence() would go descending for a 0..-1 range, hence the
+    * explicit empty-payload branch). */
   def frameSample(df: DataFrame, frameBytes: Int, maxFrames: Int): DataFrame =
     df.withColumn("frames", expr(
-      s"transform(sequence(0, least(cast(octet_length(payload) / $frameBytes as int), ${maxFrames - 1})), " +
-        s"i -> substring(payload, i * $frameBytes + 1, $frameBytes))"))
+      s"""case when octet_length(payload) = 0 then cast(array() as array<binary>)
+         |else transform(
+         |  sequence(0, cast(least((octet_length(payload) + ${frameBytes - 1}) div $frameBytes, $maxFrames) as int) - 1),
+         |  i -> substring(payload, i * $frameBytes + 1, $frameBytes))
+         |end""".stripMargin))
 }

@@ -25,15 +25,22 @@ object TextDedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Per-doc distinct-token bitmask over a dense global token dictionary.
-    * Requires |vocab| <= 63 (guarded) — the test corpora have ~31 distinct
-    * tokens. At real scale the dictionary doesn't fit a Long and the MinHash
-    * path below replaces this; the bitmask form exists because it makes
-    * set-Jaccard exact, cheap (two popcounts), and oracle-replicable. */
+    * Requires |vocab| <= 63, enforced by a plan-level raise_error on any
+    * bit index > 62 (bit 63 would hit the sign bit and Spark's shiftleft
+    * wraps shift counts mod 64, silently colliding masks) — the test
+    * corpora have ~31 distinct tokens. At real scale the dictionary doesn't
+    * fit a Long and the MinHash path below replaces this; the bitmask form
+    * exists because it makes set-Jaccard exact, cheap (two popcounts), and
+    * oracle-replicable. */
   def tokenMasks(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
     val vocab = tok.select(col("tok")).distinct()
       .withColumn("bit", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("tok"))).cast(LongType) - 1)
+      // runtime guard: fail the job rather than silently wrap shift counts
+      .withColumn("bit", when(col("bit") <= 62, col("bit")).otherwise(raise_error(
+        concat(lit("tokenMasks requires |vocab| <= 63 distinct tokens; saw bit index "),
+               col("bit").cast(StringType)))))
     // tiny dictionary → broadcast join; the explode/join never shuffles docs
     tok.join(broadcast(vocab), "tok")
       .groupBy(col("doc_id"))

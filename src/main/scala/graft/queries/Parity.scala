@@ -136,16 +136,30 @@ object Parity {
     * end-to-end through a real parquet table. */
   def p2DedupAppend(spark: SparkSession, dir: String): DataFrame = {
     val tmp = Files.createTempDirectory("graft_p2_").toFile
-    tmp.deleteOnExit()
     val path = new java.io.File(tmp, "solar_flare_data").getAbsolutePath
     val keys = Seq("flr_id")
     val tie = Seq("class_type", "link")
-    val a = Donki.project(Donki.readJson(spark, Seq(jsonBody(batchA))))
-    val b = Donki.project(Donki.readJson(spark, Seq(jsonBody(batchB))))
-    DedupAppend.append(spark, a, path, keys, tie)
-    DedupAppend.append(spark, a, path, keys, tie) // idempotent re-run
-    DedupAppend.append(spark, b, path, keys, tie)
-    spark.read.parquet(path).orderBy(col("flr_id"))
+    try {
+      val a = Donki.project(Donki.readJson(spark, Seq(jsonBody(batchA))))
+      val b = Donki.project(Donki.readJson(spark, Seq(jsonBody(batchB))))
+      DedupAppend.append(spark, a, path, keys, tie)
+      DedupAppend.append(spark, a, path, keys, tie) // idempotent re-run
+      DedupAppend.append(spark, b, path, keys, tie)
+      // Materialize the fixture-sized (7-row) result so the temp tree can be
+      // removed eagerly — repeated Bench/Verify runs must not leak parquet
+      // dirs to /tmp for the JVM lifetime (deleteOnExit can't remove
+      // non-empty dirs). Driver-side collect is fine here: this is the
+      // hand-authored parity fixture, not a data-path operator.
+      val read = spark.read.parquet(path)
+      val rows = read.collectAsList()
+      spark.createDataFrame(rows, read.schema).orderBy(col("flr_id"))
+    } finally deleteTree(tmp)
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    val fs = Option(f.listFiles()).getOrElse(Array.empty)
+    fs.foreach(deleteTree)
+    f.delete(): Unit
   }
 
   val p2Sql: String = {

@@ -82,9 +82,17 @@ object EventStreams {
   }
 
   /** Event-time sessionization with explicit per-user state
-    * (flatMapGroupsWithState): emits one row per CLOSED session (closed by
-    * a >30-min gap; the final open session flushes on stream end via state
-    * timeout — here, on the bounded test input, by a terminal flush batch).
+    * (flatMapGroupsWithState + EventTimeTimeout): emits one row per CLOSED
+    * session. A session closes two ways:
+    *   1. the same user produces a later event with a >gap jump (in-batch
+    *      close), or
+    *   2. the GLOBAL event-time watermark advances past `last + gap` with
+    *      no new events for the user — the state times out and the open
+    *      session is emitted (so an idle user's session closes as long as
+    *      the stream as a whole makes progress).
+    * Sessions whose `last + gap` the final watermark never passes remain
+    * open BY DESIGN — an unbounded stream has no "end", so the newest
+    * sessions (within one gap of the watermark) are always still pending.
     * The scored batch twin is EventTime.q16Sessionize; this is the
     * unbounded-state form where per-user state is just (start, last, n). */
   case class SessionState(start: Long, last: Long, n: Long)
@@ -96,33 +104,47 @@ object EventStreams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.functions._
     val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
+    // keep the watermarked `ts` column in the projection — dropping it would
+    // discard the watermark the event-time timeout needs
     val events = readEvents(spark, dir)
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
-      .as[(Long, Long)]
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, java.sql.Timestamp, Long)]
 
-    def fn(user: Long, rows: Iterator[(Long, Long)],
+    def fn(user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
            state: GroupState[SessionState]): Iterator[SessionOut] = {
-      // rows within a micro-batch are not ordered: sort this user's slice
-      val sorted = rows.map(_._2).toSeq.sorted
-      var closed = List.empty[SessionOut]
-      var cur = state.getOption
-      sorted.foreach { t =>
-        cur match {
-          case Some(s) if t - s.last <= gapUs =>
-            cur = Some(s.copy(last = t, n = s.n + 1))
-          case Some(s) =>
-            closed ::= SessionOut(user, s.start, s.last, s.n)
-            cur = Some(SessionState(t, t, 1))
-          case None =>
-            cur = Some(SessionState(t, t, 1))
+      if (state.hasTimedOut) {
+        // watermark passed last+gap with no new events: session is closed
+        val s = state.get
+        state.remove()
+        Iterator.single(SessionOut(user, s.start, s.last, s.n))
+      } else {
+        // rows within a micro-batch are not ordered: sort this user's slice
+        val sorted = rows.map(_._3).toSeq.sorted
+        var closed = List.empty[SessionOut]
+        var cur = state.getOption
+        sorted.foreach { t =>
+          cur match {
+            case Some(s) if t - s.last <= gapUs =>
+              cur = Some(s.copy(last = t, n = s.n + 1))
+            case Some(s) =>
+              closed ::= SessionOut(user, s.start, s.last, s.n)
+              cur = Some(SessionState(t, t, 1))
+            case None =>
+              cur = Some(SessionState(t, t, 1))
+          }
         }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last / 1000L + gapMs)
+        }
+        closed.reverseIterator
       }
-      cur.foreach(state.update)
-      closed.reverseIterator
     }
 
     val q = events.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
       .writeStream.outputMode("append")
       .format("memory").queryName(queryName)
       .start()

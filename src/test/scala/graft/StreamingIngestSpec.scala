@@ -30,22 +30,42 @@ class StreamingIngestSpec extends AnyFunSuite {
   }
 
   test("stateful sessionization: closed sessions consistent with batch query") {
+    val gapUs = 30L * 60L * 1000000L
     val streamed = EventStreams.sessionizeStateful(spark, sf, "sessions_out")
       .collect()
-    // batch q16 counts ALL sessions; the stateful form emits only CLOSED
-    // ones (last session per user stays open) → exactly n_sessions-1 each
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+                 r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
+      .toSet
+    // Independently derive the expected CLOSED-session set: sessions close
+    // in-stream either by a same-user >gap jump or by the event-time
+    // timeout once the global watermark (max ts, 0s delay) passes
+    // last+gap. Only sessions within one gap of the final watermark stay
+    // open — an unbounded stream has no "end".
+    val evs = Tables.t(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+              org.apache.spark.sql.functions.unix_micros(
+                org.apache.spark.sql.functions.col("ts")).as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxTsUs = evs.map(_._2).max
+    val expected = evs.groupBy(_._1).flatMap { case (user, rows) =>
+      val ts = rows.map(_._2).sorted
+      val sessions = ts.tail.foldLeft(List((user, ts.head, ts.head, 1L))) {
+        case ((u, s0, last, n) :: rest, t) =>
+          if (t - last <= gapUs) (u, s0, t, n + 1) :: rest
+          else (u, t, t, 1L) :: (u, s0, last, n) :: rest
+        case (Nil, _) => Nil // unreachable: seeded with one session
+      }
+      // watermark is ms-truncated in Spark: timeout fires iff last+gap < wm
+      sessions.filter { case (_, _, last, _) => last / 1000L + gapUs / 1000L < maxTsUs / 1000L }
+    }.toSet
+    assert(streamed == expected,
+      s"closed-session sets differ: ${streamed.size} streamed vs ${expected.size} expected; " +
+        s"missing=${(expected -- streamed).take(3)} extra=${(streamed -- expected).take(3)}")
+    // batch q16 must count at least as many sessions per user as we closed
     val batch = EventTime.q16Sessionize(spark, sf).collect()
       .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_sessions")).toMap
-    val closedPerUser = streamed.groupBy(_.getAs[Long]("user_id"))
-      .view.mapValues(_.length.toLong).toMap
-    batch.foreach { case (user, n) =>
-      assert(closedPerUser.getOrElse(user, 0L) == n - 1,
-        s"user $user: batch says $n sessions, stream closed ${closedPerUser.getOrElse(user, 0L)}")
-    }
-    // session internals sane
-    streamed.foreach { r =>
-      assert(r.getAs[Long]("start_us") <= r.getAs[Long]("end_us"))
-      assert(r.getAs[Long]("n_events") >= 1)
+    streamed.groupBy(_._1).foreach { case (user, closed) =>
+      assert(closed.size <= batch(user))
     }
   }
 }

@@ -15,6 +15,16 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_copies")).sum == docs.count())
   }
 
+  test("tokenMasks fails loudly when the vocabulary exceeds 63 tokens") {
+    import spark.implicits._
+    val wide = Seq((1L, (0 until 80).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] { TextDedup.tokenMasks(wide).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("|vocab| <= 63")))
+  }
+
   test("jaccard pairs: values within (0.9, 1], pairs ordered a<b") {
     val rows = TextDedup.jaccardPairs(docs, 0.9).collect()
     assert(rows.nonEmpty)
