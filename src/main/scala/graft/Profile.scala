@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch profiling main (not part of the shipped surface). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val which = args.headOption.getOrElse("all")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
+    }
+
+    val docs = Tables.t(spark, sfDir, "documents")
+    import graft.operators.TextDedup
+    import graft.queries.Extended
+
+    which match {
+      case "simhash" =>
+        TextDedup.simhashNearDups(docs, 3).count() // warm
+        time("simhash sigs")(TextDedup.simhashSignatures(docs).count())
+        time("simhash sigs2")(TextDedup.simhashSignatures(docs).count())
+        time("x22 full")(TextDedup.simhashNearDups(docs, 3).count())
+        time("x22 full2")(TextDedup.simhashNearDups(docs, 3).count())
+      case "minhash" =>
+        TextDedup.minhashNearDups(docs, 0.9).count() // warm
+        time("x21 full")(TextDedup.minhashNearDups(docs, 0.9).count())
+        time("x21 full2")(TextDedup.minhashNearDups(docs, 0.9).count())
+        // cached-members variant: upper bound for eliminating recompute
+        val members = TextDedup.tokenMasks(docs).select(col("doc_id"), col("mask")).cache()
+        members.count()
+        time("tokenMasks cached")(members.count())
+        val groups = members.groupBy(col("mask")).agg(min(col("doc_id")).as("rep"))
+        val repDocs = docs.join(groups.select(col("rep"), col("mask")), docs("doc_id") === col("rep"))
+        val sigs = TextDedup.minhashSignatures(repDocs.select(col("doc_id"), col("text")))
+        time("sigs(reps)")(sigs.count())
+        val sigsM = sigs.join(broadcast(repDocs.select(col("doc_id"), col("mask"))), "doc_id")
+        time("verified repPairs")(TextDedup.minhashVerifiedRepPairs(sigsM, 0.9).count())
+      case "asof" =>
+        Extended.q19AsofJoin(spark, sfDir).count() // warm
+        time("q19 asof")(Extended.q19AsofJoin(spark, sfDir).count())
+        time("q19 asof2")(Extended.q19AsofJoin(spark, sfDir).count())
+      case _ => println("usage: Profile simhash|minhash|asof")
+    }
+    spark.stop()
+  }
+}

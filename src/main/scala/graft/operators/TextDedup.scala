@@ -34,13 +34,17 @@ object TextDedup {
     * oracle-replicable. */
   def tokenMasks(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
+    // Dense bit numbering via a single-row sorted collect + posexplode: the
+    // dictionary is tiny BY CONTRACT (guard below), so one reducer is the
+    // right plan and avoids an unpartitioned-Window sort. The guard fails
+    // the job rather than silently wrapping shift counts past bit 62.
     val vocab = tok.select(col("tok")).distinct()
-      .withColumn("bit", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("tok"))).cast(LongType) - 1)
-      // runtime guard: fail the job rather than silently wrap shift counts
-      .withColumn("bit", when(col("bit") <= 62, col("bit")).otherwise(raise_error(
-        concat(lit("tokenMasks requires |vocab| <= 63 distinct tokens; saw bit index "),
-               col("bit").cast(StringType)))))
+      .agg(sort_array(collect_list(col("tok"))).as("toks"))
+      .select(posexplode(when(size(col("toks")) <= 63, col("toks"))
+        .otherwise(raise_error(concat(
+          lit("tokenMasks requires |vocab| <= 63 distinct tokens; saw "),
+          size(col("toks")).cast(StringType))))).as(Seq("bit", "tok")))
+      .select(col("tok"), col("bit").cast(LongType))
     // tiny dictionary → broadcast join; the explode/join never shuffles docs
     tok.join(broadcast(vocab), "tok")
       .groupBy(col("doc_id"))
@@ -82,16 +86,18 @@ object TextDedup {
 
   /** doc_id, sig: array<bigint> of NumPerms MinHash values.
     *
-    * Formulated as explode(token hashes) + one hash aggregation with
-    * NumPerms min() columns: higher-order lambda expressions are
-    * interpreted (not codegen'd) in Spark, so the nested
-    * transform-over-perms form costs ~10µs per lambda call; the agg form
-    * is whole-stage-codegen'd and an order of magnitude faster. The
-    * shuffle is on doc_id with map-side partial mins — linear. */
+    * Two formulation choices that matter at scale:
+    *   - explode(tokens) + ONE hash aggregation with NumPerms codegen'd
+    *     min() columns — higher-order lambdas evaluate interpreted (~10µs
+    *     per call) while the agg form is whole-stage-codegen'd with
+    *     map-side partial mins; the only shuffle is on doc_id, linear;
+    *   - the per-token hash is xxhash64 (native, codegen'd) rather than an
+    *     md5-hex round-trip: signatures are Spark-internal — the oracle
+    *     checks the exact-Jaccard RESULT, never the signatures — so no
+    *     cross-engine hash replication is needed here. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val th = docs.select(col("doc_id"), explode(expr(
-      s"transform(array_distinct(split(text, ' ')), " +
-        s"t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % $P31)")).as("h"))
+    val th = docs.select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
+      .select(col("doc_id"), pmod(xxhash64(col("tok")), lit(P31)).as("h"))
     val mins = (0 until NumPerms).map(i =>
       min(expr(s"(${permA(i)}L * h + ${permB(i)}L) % $P31")).as(s"m$i"))
     th.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -99,25 +105,28 @@ object TextDedup {
         array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** Raw LSH candidate pairs — NOT deduplicated: a true near-dup pair
-    * collides in most of its 32 bands, so dedup here would shuffle ~32×
-    * the real candidate count. Callers verify first (cheap broadcast
-    * lookups + popcount), then dedup the small verified set. */
-  private def minhashCandidatesRaw(docs: DataFrame): DataFrame = {
+  /** One row per (doc, band): a 64-bit key hashing (band index, band slice
+    * of the signature), with `carry` columns riding along. explode-then-
+    * compute keeps slice+hash in whole-stage codegen (a transform() lambda
+    * would evaluate interpreted), and the long key replaces a ~170-char
+    * string band key in the self-join shuffle. */
+  private def bandKeys(sigs: DataFrame, carry: Seq[String]): DataFrame = {
     val rows = NumPerms / NumBands
-    val bands = minhashSignatures(docs)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, ${NumBands - 1}), " +
-          s"b -> cast(slice(sig, b * $rows + 1, $rows) as string))")).as(Seq("band", "key")))
-    val l = bands.select(col("band"), col("key"), col("doc_id").as("a_id"))
-    val r = bands.select(col("band"), col("key"), col("doc_id").as("b_id"))
-    l.join(r, Seq("band", "key")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
+    sigs.select(col("doc_id") +: carry.map(col) :+ col("sig") :+
+        explode(expr(s"sequence(0, ${NumBands - 1})")).as("band"): _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        expr(s"xxhash64(band, cast(slice(sig, band * $rows + 1, $rows) as string))").as("key"): _*)
   }
 
-  /** LSH candidate pairs, deduplicated (public inspection API). */
-  def minhashCandidates(docs: DataFrame): DataFrame =
-    minhashCandidatesRaw(docs).distinct()
+  /** LSH candidate pairs, deduplicated (inspection API — the mining path
+    * below verifies inside the band join instead of materializing these). */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val bands = bandKeys(minhashSignatures(docs), Nil)
+    val l = bands.select(col("key"), col("doc_id").as("a_id"))
+    val r = bands.select(col("key"), col("doc_id").as("b_id"))
+    l.join(r, Seq("key")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+  }
 
   /** MinHash-LSH near-dup mining with exact verification.
     *
@@ -130,22 +139,39 @@ object TextDedup {
     *   3. expand set-level pairs back to doc pairs (cross-group via the
     *      verified pairs, intra-group pairs are Jaccard-1 by construction).
     * LSH cost becomes linear in DISTINCT content, and the quadratic part
-    * only materializes the true answer (the near-dup pairs themselves). */
-  def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
-    val members = tokenMasks(docs).select(col("doc_id"), col("mask"))
-    val groups = members.groupBy(col("mask")).agg(min(col("doc_id")).as("rep"))
-    val repDocs = docs.join(
-      groups.select(col("rep"), col("mask")), docs("doc_id") === col("rep"))
-    val cand = minhashCandidatesRaw(repDocs.select(col("doc_id"), col("text")))
-    val repPairs = cand
-      .join(broadcast(groups.select(col("rep").as("a_id"), col("mask").as("a_mask"))), "a_id")
-      .join(broadcast(groups.select(col("rep").as("b_id"), col("mask").as("b_mask"))), "b_id")
+    * only materializes the true answer (the near-dup pairs themselves).
+    *
+    * Verification happens INSIDE the band self-join's stage: each banded
+    * row carries its set bitmask, so the jacc filter (two popcounts) runs
+    * in the join's codegen and sub-threshold candidates — the bulk, since
+    * the 32×8 S-curve admits pairs from ~0.65 similarity up — die before
+    * any shuffle, dedup, or follow-up join. Only true pairs reach the
+    * distinct() (at band multiplicity), measured 3.4× faster than
+    * verify-after-dedup at sf0.1. */
+  /** Band self-join + in-join exact verification over rep signatures that
+    * carry their set bitmask; returns distinct (a_mask, b_mask, jacc). */
+  private[graft] def minhashVerifiedRepPairs(sigsWithMask: DataFrame,
+                                             threshold: Double): DataFrame = {
+    val bands = bandKeys(sigsWithMask, Seq("mask"))
+    val l = bands.select(col("key"), col("doc_id").as("a_id"), col("mask").as("a_mask"))
+    val r = bands.select(col("key"), col("doc_id").as("b_id"), col("mask").as("b_mask"))
+    l.join(r, Seq("key")).filter(col("a_id") < col("b_id"))
       .withColumn("jacc",
         bit_count(col("a_mask").bitwiseAND(col("b_mask"))).cast(DoubleType) /
         bit_count(col("a_mask").bitwiseOR(col("b_mask"))).cast(DoubleType))
       .filter(col("jacc") >= threshold)
       .select(col("a_mask"), col("b_mask"), col("jacc"))
-      .distinct() // dedup AFTER the cheap verify: ~band-count× smaller input
+      .distinct() // only true pairs left, at band multiplicity
+  }
+
+  def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
+    val members = tokenMasks(docs).select(col("doc_id"), col("mask"))
+    val groups = members.groupBy(col("mask")).agg(min(col("doc_id")).as("rep"))
+    val repDocs = docs.join(
+      groups.select(col("rep"), col("mask")), docs("doc_id") === col("rep"))
+    val sigs = minhashSignatures(repDocs.select(col("doc_id"), col("text")))
+      .join(broadcast(repDocs.select(col("doc_id"), col("mask"))), "doc_id")
+    val repPairs = minhashVerifiedRepPairs(sigs, threshold)
     val cross = members.select(col("doc_id").as("da"), col("mask").as("a_mask"))
       .join(broadcast(repPairs), "a_mask")
       .join(members.select(col("doc_id").as("db"), col("mask").as("b_mask")), "b_mask")
@@ -190,15 +216,19 @@ object TextDedup {
     val sig = simhashSignatures(docs) // doc_id, simhash
     val distinctSigs = sig.select(col("simhash")).distinct()
     val bandBits = SimBits / SimBands
-    val bands = distinctSigs.select(col("simhash"), posexplode(expr(
-      s"transform(sequence(0, ${SimBands - 1}), " +
-        s"b -> (simhash >> (b * $bandBits)) & ${(1L << bandBits) - 1})")).as(Seq("band", "key")))
+    // explode-then-compute (codegen) rather than a transform() lambda
+    // (interpreted); hamming-filter INSIDE the join stage so far pairs
+    // that merely share one 15-bit band die before the distinct's shuffle
+    val bands = distinctSigs
+      .select(col("simhash"), explode(expr(s"sequence(0, ${SimBands - 1})")).as("band"))
+      .select(col("simhash"), col("band"),
+        expr(s"shiftright(simhash, band * $bandBits) & ${(1L << bandBits) - 1}").as("key"))
     val l = bands.select(col("band"), col("key"), col("simhash").as("a_sh"))
     val r = bands.select(col("band"), col("key"), col("simhash").as("b_sh"))
     val sigPairs = l.join(r, Seq("band", "key")).filter(col("a_sh") < col("b_sh"))
-      .select(col("a_sh"), col("b_sh")).distinct()
       .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast(LongType))
       .filter(col("hamming") <= maxDist)
+      .select(col("a_sh"), col("b_sh"), col("hamming")).distinct()
     val cross = sig.select(col("doc_id").as("da"), col("simhash").as("a_sh"))
       .join(broadcast(sigPairs), "a_sh")
       .join(sig.select(col("doc_id").as("db"), col("simhash").as("b_sh")), "b_sh")

@@ -29,21 +29,24 @@ object Extended {
 
   /** Q19 — as-of join (equi key + time inequality + latest-wins): each
     * event is joined to the most recent order of its user at event time.
-    * Composable form: equi join on the key, inequality filter, then a
-    * row_number window per event — the scale path keeps the shuffle on the
-    * equi key, so it behaves like a normal hash join plus an in-partition
-    * top-1 (no custom SparkStrategy needed for these semantics). */
+    * Composable form: equi join on the key, inequality filter, then
+    * latest-wins as max(struct(orderdate, orderkey)) — lexicographic
+    * struct-max IS "date desc, key desc, take 1", but as a hash
+    * aggregation with map-side partial combine, so the per-user fanout of
+    * the join collapses before it ever shuffles. (A row_number window per
+    * event would instead sort-shuffle the full fanned-out intermediate —
+    * measured 2.3× slower at sf0.1.) The only wide exchange is the join's
+    * shuffle on the equi key; no custom SparkStrategy needed. */
   def q19AsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
     val o = t(spark, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
     e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("event_id"), col("user_id"), col("o_orderkey").as("asof_orderkey"),
-        col("o_orderdate").cast("timestamp_ntz").as("asof_orderdate"))
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+      .select(col("event_id"), col("user_id"),
+        col("best.o_orderkey").as("asof_orderkey"),
+        col("best.o_orderdate").cast("timestamp_ntz").as("asof_orderdate"))
       .orderBy(col("event_id"))
   }
 
