@@ -51,7 +51,15 @@ object Profile {
         Extended.q19AsofJoin(spark, sfDir).count() // warm
         time("q19 asof")(Extended.q19AsofJoin(spark, sfDir).count())
         time("q19 asof2")(Extended.q19AsofJoin(spark, sfDir).count())
-      case _ => println("usage: Profile simhash|minhash|asof")
+      case "new" =>
+        import graft.queries.LlmData
+        LlmData.x29NgramJaccard(spark, sfDir).count() // warm
+        time("x29 ngram")(LlmData.x29NgramJaccard(spark, sfDir).count())
+        LlmData.x30CosineNearDup(spark, sfDir).count()
+        time("x30 cosdup")(LlmData.x30CosineNearDup(spark, sfDir).count())
+        LlmData.x31IvfAnn(spark, sfDir).count()
+        time("x31 ivf")(LlmData.x31IvfAnn(spark, sfDir).count())
+      case _ => println("usage: Profile simhash|minhash|asof|new")
     }
     spark.stop()
   }

@@ -52,6 +52,9 @@ object SparkEntry {
     "x26_token_count"   -> LlmData.x26TokenCount _,
     "x27_fingerprint"   -> LlmData.x27Fingerprint _,
     "x28_multimodal_binary" -> LlmData.x28MultimodalBinary _,
+    "x29_ngram_jaccard" -> LlmData.x29NgramJaccard _,
+    "x30_cosine_neardup" -> LlmData.x30CosineNearDup _,
+    "x31_ivf_ann"       -> LlmData.x31IvfAnn _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -91,5 +94,8 @@ object SparkEntry {
     "x26_token_count"   -> LlmData.x26Sql,
     "x27_fingerprint"   -> LlmData.x27Sql,
     "x28_multimodal_binary" -> LlmData.x28Sql,
+    "x29_ngram_jaccard" -> LlmData.x29Sql,
+    "x30_cosine_neardup" -> LlmData.x30Sql,
+    "x31_ivf_ann"       -> LlmData.x31Sql,
   )
 }

@@ -68,6 +68,67 @@ object Similarity {
       .select(col("p_id"), col("rn"), col("n_id"), col("cos_r"))
   }
 
+  /** Embedding-cosine near-dup mining: all pairs (a<b) with truncated
+    * cosine >= threshold — the EXACT baseline/verifier for semantic dedup.
+    * The corpus side broadcasts (vectors are narrow); each worker streams
+    * its slice against it with the fused codegen'd cosine, so there is no
+    * shuffle at all — but the comparison count is N²/2.
+    *
+    * Scale path: at high thresholds, prefilter candidates with the SRP
+    * band machinery below (same-bucket pairs only) and verify with this
+    * exact cosine — same candidates-then-verify shape as
+    * TextDedup.minhashNearDups. The exact form stays the oracle because
+    * banded SRP recall is probabilistic, not pigeonhole-exact. */
+  def cosineNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.CosineUnits.register(embeddings.sparkSession)
+    val a = embeddings.select(col("vec_id").as("a_id"), col("embedding").as("av"))
+    val b = embeddings.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("cos_r", cosineR("av", "bv"))
+      .filter(col("cos_r") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos_r"))
+  }
+
+  // ---- IVF (inverted-file) ANN ----------------------------------------
+
+  /** Number of IVF cells; "training" is deterministic — the numCentroids
+    * lowest vec_ids serve as centroids (a k-means step would slot in here
+    * unchanged; fixed centroids keep the result oracle-replicable). */
+  val IvfCentroids = 16
+
+  /** IVF-style ANN: assign every vector to its nearest centroid (argmax
+    * cosine, centroid-id tie-break), then answer each probe's top-k by
+    * scanning ONLY the probe's own cell (nprobe=1).
+    *
+    * This is the 100 TB similarity-search shape: the cell id is a
+    * partition key, so a probe touches 1/numCentroids of the corpus —
+    * partition pruning does the work, not a smarter kernel. Assignment is
+    * a broadcast of the centroids + a map-side max(struct) — no shuffle;
+    * the search is a broadcast of the probes into their cells. */
+  def ivfTopK(embeddings: DataFrame, k: Int, numCentroids: Int = IvfCentroids): DataFrame = {
+    graft.functions.CosineUnits.register(embeddings.sparkSession)
+    val cents = embeddings.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    // nearest centroid per vector: max over (cosine, -c_id) — lexicographic
+    // struct-max = highest cosine then lowest centroid id, map-side combined
+    val cells = embeddings.join(broadcast(cents))
+      .withColumn("cos_c", cosineR("embedding", "cv"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos_c"), (-col("c_id")).as("negc"))).as("best"))
+      .select(col("vec_id"), (-col("best.negc")).cast(LongType).as("cell"))
+    val assigned = embeddings.join(cells, "vec_id")
+    val probes = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("p_id"), col("embedding").as("pv"), col("cell"))
+    val cand = assigned.select(col("cell"), col("vec_id").as("n_id"), col("embedding").as("nv"))
+    val w = Window.partitionBy(col("p_id")).orderBy(col("cos_r").desc, col("n_id").asc)
+    cand.join(broadcast(probes), Seq("cell"))
+      .filter(col("p_id") =!= col("n_id"))
+      .withColumn("cos_r", cosineR("pv", "nv"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("p_id"), col("rn"), col("n_id"), col("cell"), col("cos_r"))
+  }
+
   // ---- SRP-LSH (signed random projections) ----------------------------
 
   /** Fixed integer hyperplanes (LCG seed 7, entries in [-4,4]), shared with

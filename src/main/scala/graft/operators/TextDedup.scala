@@ -65,6 +65,63 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), col("jacc"))
   }
 
+  // ---- word n-gram (shingle) Jaccard ----------------------------------
+
+  /** Distinct word n-gram (shingle) set per doc: one row per (doc_id,
+    * shingle). explode positions then element_at (codegen) — docs with
+    * fewer than n tokens contribute no shingles. */
+  def shingles(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), col("ts"),
+        explode(expr(s"sequence(1, size(ts) - ${n - 1})")).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until n).map(k => expr(s"element_at(ts, i + $k)")): _*).as("shingle"))
+      .distinct()
+
+  /** All pairs (a<b) with n-gram-set Jaccard >= threshold — EXACT, via an
+    * inverted-index intersection count: join docs on shared shingles,
+    * count matches per pair, |A∩B| / (|A|+|B|-|A∩B|). Order-sensitive
+    * near-duplication (unlike the token-set form): reordering tokens
+    * changes the shingle set.
+    *
+    * Scale shape: the shingle join is a shuffle on shingle — cost
+    * Σ_s freq(s)², so hot shingles are the skew risk; identical texts are
+    * collapsed first (they alias whole clusters into every shingle), and
+    * at real scale stop-shingle dropping (freq cap) bounds the worst key.
+    * Unrelated docs rarely share a specific n-token sequence, which keeps
+    * the candidate set near-linear where token-level joins explode. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val hashed = docs.select(col("doc_id"), col("text"), sha2(col("text"), 256).as("h"))
+    val reps = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("rep_id"))
+    val members = hashed.select(col("doc_id"), col("h"))
+      .join(broadcast(reps), "h").select(col("doc_id"), col("rep_id"))
+    val repDocs = hashed.join(broadcast(reps), hashed("doc_id") === reps("rep_id"))
+      .select(col("doc_id"), col("text"))
+    val sh = shingles(repDocs, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val inter = sh.select(col("shingle"), col("doc_id").as("ra"))
+      .join(sh.select(col("shingle"), col("doc_id").as("rb")), "shingle")
+      .filter(col("ra") < col("rb"))
+      .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("c"))
+    val repPairs = inter
+      .join(broadcast(sizes.select(col("doc_id").as("ra"), col("nsh").as("na"))), "ra")
+      .join(broadcast(sizes.select(col("doc_id").as("rb"), col("nsh").as("nb"))), "rb")
+      .withColumn("jacc", col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
+      .filter(col("jacc") >= threshold)
+      .select(col("ra"), col("rb"), col("jacc"))
+    val cross = members.select(col("doc_id").as("da"), col("rep_id").as("ra"))
+      .join(broadcast(repPairs), "ra")
+      .join(members.select(col("doc_id").as("db"), col("rep_id").as("rb")), "rb")
+      .select(least(col("da"), col("db")).as("a_id"),
+              greatest(col("da"), col("db")).as("b_id"), col("jacc"))
+    val intra = members.select(col("doc_id").as("a_id"), col("rep_id"))
+      .join(members.select(col("doc_id").as("b_id"), col("rep_id")), "rep_id")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("jacc"))
+    cross.unionByName(intra) // identical texts are Jaccard-1 by definition
+  }
+
   // ---- MinHash + banded LSH -------------------------------------------
 
   /** Fixed permutation family (a_i*h + b_i) mod P31, deterministically

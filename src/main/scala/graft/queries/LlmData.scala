@@ -124,6 +124,87 @@ object LlmData {
        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
        |ORDER BY a_id, b_id""".stripMargin
 
+  // ---- X29: word n-gram (shingle) Jaccard near-dup pairs ---------------
+
+  /** Order-SENSITIVE near-dup mining: 3-gram shingle sets, exact Jaccard
+    * via inverted-index intersection counts (TextDedup.ngramJaccardPairs).
+    * Complements X18/X21's token-set form — reordering tokens breaks
+    * shingles, so this finds true sequence-level duplication. */
+  val NgramThreshold = 0.8
+
+  def x29NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.ngramJaccardPairs(docs(spark, dir), 3, NgramThreshold)
+      .orderBy(col("a_id"), col("b_id"))
+
+  val x29Sql: String =
+    s"""WITH rep AS (SELECT text, min(doc_id) AS rep_id FROM documents GROUP BY text),
+       |mem AS (SELECT d.doc_id, r.rep_id FROM documents d JOIN rep r ON d.text = r.text),
+       |rd AS (SELECT rep_id AS doc_id, text FROM rep),
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM rd),
+       |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+       |       FROM tk, unnest(range(1, len(ts) - 1)) AS u(i) WHERE len(ts) >= 3),
+       |sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+       |itr AS (SELECT a.doc_id AS ra, b.doc_id AS rb, count(*) AS c
+       |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |rp AS (SELECT ra, rb, CAST(c AS DOUBLE) / (sa.nsh + sb.nsh - c) AS jacc
+       |       FROM itr JOIN sz sa ON sa.doc_id = ra JOIN sz sb ON sb.doc_id = rb
+       |       WHERE CAST(c AS DOUBLE) / (sa.nsh + sb.nsh - c) >= $NgramThreshold),
+       |crossp AS (SELECT least(m1.doc_id, m2.doc_id) AS a_id,
+       |                  greatest(m1.doc_id, m2.doc_id) AS b_id, jacc
+       |           FROM rp JOIN mem m1 ON m1.rep_id = ra JOIN mem m2 ON m2.rep_id = rb),
+       |intra AS (SELECT m1.doc_id AS a_id, m2.doc_id AS b_id, CAST(1.0 AS DOUBLE) AS jacc
+       |          FROM mem m1 JOIN mem m2 ON m1.rep_id = m2.rep_id AND m1.doc_id < m2.doc_id)
+       |SELECT a_id, b_id, jacc FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra)
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // ---- X30: embedding-cosine near-dup pairs ----------------------------
+
+  /** Exact cosine-threshold pair mining over the embedding corpus (the
+    * semantic-dedup baseline; Similarity.cosineNearDups documents the
+    * SRP-prefilter scale path). Threshold 0.40 sits in the corpus's upper
+    * similarity tail (max pairwise cosine ≈ 0.51). */
+  val CosineDupThreshold = 0.40
+
+  def x30CosineNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDups(embs(spark, dir), CosineDupThreshold)
+      .orderBy(col("a_id"), col("b_id"))
+
+  val x30Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, unnest(a.v) AS x, unnest(b.v) AS y
+       |       FROM e a JOIN e b ON a.vec_id < b.vec_id),
+       |s AS (SELECT a_id, b_id, $cosSumCols FROM pr GROUP BY 1, 2),
+       |c AS (SELECT a_id, b_id, $cosRExpr AS cos_r FROM s)
+       |SELECT a_id, b_id, cos_r FROM c WHERE cos_r >= $CosineDupThreshold
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // ---- X31: IVF-style ANN (fixed centroids, cell-pruned search) --------
+
+  def x31IvfAnn(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(embs(spark, dir), 5).orderBy(col("p_id"), col("rn"))
+
+  val x31Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < ${Similarity.IvfCentroids}),
+       |apr AS (SELECT e.vec_id, cent.c_id, unnest(e.v) AS x, unnest(cent.cv) AS y FROM e, cent),
+       |asum AS (SELECT vec_id, c_id, $cosSumCols FROM apr GROUP BY 1, 2),
+       |ac AS (SELECT vec_id, c_id, $cosRExpr AS cos_c FROM asum),
+       |asg AS (SELECT vec_id, c_id AS cell FROM (
+       |          SELECT vec_id, c_id,
+       |            row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_id ASC) AS rn
+       |          FROM ac) WHERE rn = 1),
+       |p AS (SELECT a.vec_id AS p_id, e.v AS pv, a.cell FROM asg a
+       |      JOIN e ON e.vec_id = a.vec_id WHERE a.vec_id < 10),
+       |cand AS (SELECT p.p_id, p.cell, a.vec_id AS n_id, e2.v AS nv, p.pv FROM p
+       |         JOIN asg a ON a.cell = p.cell JOIN e e2 ON e2.vec_id = a.vec_id
+       |         WHERE a.vec_id != p.p_id),
+       |pf AS (SELECT p_id, cell, n_id, unnest(pv) AS x, unnest(nv) AS y FROM cand),
+       |s2 AS (SELECT p_id, cell, n_id, $cosSumCols FROM pf GROUP BY 1, 2, 3),
+       |c2 AS (SELECT p_id, cell, n_id, $cosRExpr AS cos_r FROM s2),
+       |r AS (SELECT p_id, cell, n_id, cos_r,
+       |        row_number() OVER (PARTITION BY p_id ORDER BY cos_r DESC, n_id ASC) AS rn FROM c2)
+       |SELECT p_id, rn, n_id, cell, cos_r FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin
+
   // ---- X23: SRP-LSH approximate nearest neighbor -----------------------
 
   def x23AnnSrp(spark: SparkSession, dir: String): DataFrame =

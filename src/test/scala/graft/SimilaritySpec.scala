@@ -29,6 +29,53 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("cosine near-dups: threshold respected, pairs ordered, values match pointwise cosine") {
+    val out = Similarity.cosineNearDups(embs, 0.3).collect()
+    assert(out.nonEmpty)
+    val vecs = embs.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray).toMap
+    def cosR(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L
+      (a.indices).foreach { i =>
+        dot += math.floor(a(i).toDouble * b(i).toDouble * 1e9).toLong
+        na += math.floor(a(i).toDouble * a(i).toDouble * 1e9).toLong
+        nb += math.floor(b(i).toDouble * b(i).toDouble * 1e9).toLong
+      }
+      math.floor(dot.toDouble / math.sqrt(na.toDouble * nb.toDouble) * 1e6) / 1e6
+    }
+    out.foreach { r =>
+      val (a, b, c) = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Double]("cos_r"))
+      assert(a < b && c >= 0.3)
+      assert(c == cosR(vecs(a), vecs(b)))
+    }
+  }
+
+  test("IVF: cells are centroid ids, probe results stay inside the probe's cell") {
+    val out = Similarity.ivfTopK(embs, 5).collect()
+    assert(out.nonEmpty)
+    // recompute each vector's cell independently of the operator
+    val cents = embs.filter(col("vec_id") < Similarity.IvfCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val cellOf = embs.join(broadcast(cents))
+      .withColumn("cos_c", Similarity.cosineR("embedding", "cv"))
+      .collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+      .map { case (v, rows) =>
+        v -> rows.maxBy(r => (r.getAs[Double]("cos_c"), -r.getAs[Long]("c_id"))).getAs[Long]("c_id")
+      }
+    out.foreach { r =>
+      val (p, n, cell) = (r.getAs[Long]("p_id"), r.getAs[Long]("n_id"), r.getAs[Long]("cell"))
+      assert(cell == cellOf(p), s"probe $p cell")
+      assert(cell == cellOf(n), s"neighbor $n must share probe $p's cell")
+      assert(p != n)
+    }
+    // ranks dense from 1 within each probe
+    out.groupBy(_.getAs[Long]("p_id")).foreach { case (_, g) =>
+      val rns = g.map(_.getAs[Long]("rn")).sorted
+      assert(rns.toSeq == (1L to rns.length).toSeq)
+    }
+  }
+
   test("SRP buckets: every vector gets a bucket in [0, 16); ANN neighbor shares the bucket") {
     val bucketed = embs.select(col("vec_id"),
       Similarity.bucketCol("embedding").as("bucket")).collect()

@@ -25,6 +25,33 @@ class TextDedupSpec extends AnyFunSuite {
     assert(msgs(ex).exists(_.contains("|vocab| <= 63")))
   }
 
+  test("shingles: n-gram sets are exact, short docs contribute none") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e"), (2L, "a b"), (3L, "x y z")).toDF("doc_id", "text")
+    val got = TextDedup.shingles(df, 3).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (k, v) => k -> v.map(_.getAs[String]("shingle")).toSet }
+    assert(got.getOrElse(1L, Set()) == Set("a b c", "b c d", "c d e"))
+    assert(!got.contains(2L)) // < n tokens -> no shingles
+    assert(got.getOrElse(3L, Set()) == Set("x y z"))
+  }
+
+  test("ngram jaccard: exact overlap arithmetic and identical-text intra pairs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e"),  // shingles {abc,bcd,cde}
+      (2L, "a b c d f"),  // shingles {abc,bcd,cdf}; inter=2 union=4 -> 0.5
+      (3L, "a b c d e"),  // identical to 1 -> intra pair jacc 1.0
+      (4L, "q r s t u")   // unrelated
+    ).toDF("doc_id", "text")
+    val got = TextDedup.ngramJaccardPairs(df, 3, 0.4).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("jacc")).toMap
+    assert(got((1L, 2L)) == 0.5)
+    assert(got((2L, 3L)) == 0.5) // via rep expansion of the identical pair
+    assert(got((1L, 3L)) == 1.0)
+    assert(got.size == 3)
+  }
+
   test("jaccard pairs: values within (0.9, 1], pairs ordered a<b") {
     val rows = TextDedup.jaccardPairs(docs, 0.9).collect()
     assert(rows.nonEmpty)
