@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits one class per plan; a 40+-query battery
+  // overflows the default 240m code cache, silently disabling the JIT
+  // mid-run (measured: later queries degrade 2-10x).
+  "-XX:ReservedCodeCacheSize=512m",
 )

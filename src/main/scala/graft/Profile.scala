@@ -51,6 +51,32 @@ object Profile {
         Extended.q19AsofJoin(spark, sfDir).count() // warm
         time("q19 asof")(Extended.q19AsofJoin(spark, sfDir).count())
         time("q19 asof2")(Extended.q19AsofJoin(spark, sfDir).count())
+      case "minhash-persist" =>
+        import org.apache.spark.sql.DataFrame
+        def variant(persist: Boolean): Long = {
+          val members0 = TextDedup.tokenMasks(docs).select(col("doc_id"), col("mask"))
+          val members = if (persist) members0.localCheckpoint(true) else members0
+          val groups = members.groupBy(col("mask")).agg(min(col("doc_id")).as("rep"))
+          val repDocs = docs.join(groups.select(col("rep"), col("mask")), docs("doc_id") === col("rep"))
+          val sigs = TextDedup.minhashSignatures(repDocs.select(col("doc_id"), col("text")))
+            .join(broadcast(repDocs.select(col("doc_id"), col("mask"))), "doc_id")
+          val repPairs = TextDedup.minhashVerifiedRepPairs(sigs, 0.9)
+          val cross = members.select(col("doc_id").as("da"), col("mask").as("a_mask"))
+            .join(broadcast(repPairs), "a_mask")
+            .join(members.select(col("doc_id").as("db"), col("mask").as("b_mask")), "b_mask")
+            .select(least(col("da"), col("db")).as("a_id"),
+                    greatest(col("da"), col("db")).as("b_id"), col("jacc"))
+          val intra = members.select(col("doc_id").as("a_id"), col("mask"))
+            .join(members.select(col("doc_id").as("b_id"), col("mask")), "mask")
+            .filter(col("a_id") < col("b_id"))
+            .select(col("a_id"), col("b_id"), lit(1.0).as("jacc"))
+          cross.unionByName(intra).count()
+        }
+        variant(false); variant(true) // warm both
+        time("x21 no-persist")(variant(false))
+        time("x21 persist")(variant(true))
+        time("x21 no-persist2")(variant(false))
+        time("x21 persist2")(variant(true))
       case "new" =>
         import graft.queries.LlmData
         LlmData.x29NgramJaccard(spark, sfDir).count() // warm

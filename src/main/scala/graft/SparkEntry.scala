@@ -40,6 +40,11 @@ object SparkEntry {
     "q20_cube"          -> Extended.q20Cube _,
     "q21_maxby_agg"     -> Extended.q21MaxByAgg _,
     "q22_grouping_sets" -> Extended.q22GroupingSets _,
+    "q23_sliding_agg"   -> EventTime.q23SlidingAgg _,
+    "q24_interval_join" -> Extended.q24IntervalJoin _,
+    "q25_explode"       -> Relational.q25Explode _,
+    "q26_window_frames" -> Relational.q26WindowFrames _,
+    "q27_pivot"         -> Relational.q27Pivot _,
     "x17_exact_dedup"   -> LlmData.x17ExactDedup _,
     "x18_neardup_jaccard" -> LlmData.x18NearDupJaccard _,
     "x19_cosine_topk"   -> LlmData.x19CosineTopK _,
@@ -82,6 +87,11 @@ object SparkEntry {
     "q20_cube"          -> Extended.q20Sql,
     "q21_maxby_agg"     -> Extended.q21Sql,
     "q22_grouping_sets" -> Extended.q22Sql,
+    "q23_sliding_agg"   -> EventTime.q23Sql,
+    "q24_interval_join" -> Extended.q24Sql,
+    "q25_explode"       -> Relational.q25Sql,
+    "q26_window_frames" -> Relational.q26Sql,
+    "q27_pivot"         -> Relational.q27Sql,
     "x17_exact_dedup"   -> LlmData.x17Sql,
     "x18_neardup_jaccard" -> LlmData.x18Sql,
     "x19_cosine_topk"   -> LlmData.x19Sql,

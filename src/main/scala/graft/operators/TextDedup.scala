@@ -98,7 +98,9 @@ object TextDedup {
       .join(broadcast(reps), "h").select(col("doc_id"), col("rep_id"))
     val repDocs = hashed.join(broadcast(reps), hashed("doc_id") === reps("rep_id"))
       .select(col("doc_id"), col("text"))
-    val sh = shingles(repDocs, n)
+    // the distinct shingle table feeds three consumers (sizes + both join
+    // sides): materialize once, same reasoning as minhashNearDups.members
+    val sh = shingles(repDocs, n).localCheckpoint(true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val inter = sh.select(col("shingle"), col("doc_id").as("ra"))
       .join(sh.select(col("shingle"), col("doc_id").as("rb")), "shingle")
@@ -222,7 +224,12 @@ object TextDedup {
   }
 
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
+    // members is read by 4 downstream branches (grouping, both sides of the
+    // expansion, intra pairs): materialize once. localCheckpoint = executor-
+    // local blocks + truncated lineage — right for single-job mining; a
+    // long-lived cluster pipeline would persist/checkpoint durably instead.
     val members = tokenMasks(docs).select(col("doc_id"), col("mask"))
+      .localCheckpoint(true)
     val groups = members.groupBy(col("mask")).agg(min(col("doc_id")).as("rep"))
     val repDocs = docs.join(
       groups.select(col("rep"), col("mask")), docs("doc_id") === col("rep"))

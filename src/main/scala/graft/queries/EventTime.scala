@@ -30,6 +30,27 @@ object EventTime {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Q23 — SLIDING 1-hour window (15-minute slide): each event lands in
+    * exactly 4 overlapping windows. Spark's window(ts, size, slide) emits
+    * them directly (epoch-aligned); the oracle reconstructs the same four
+    * starts as time_bucket(15m) - k·15m, k ∈ 0..3. */
+  def q23SlidingAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").getField("start")
+                 .cast("timestamp_ntz").as("window_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sumMoney2(col("value")).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val q23Sql: String =
+    """SELECT window_start, event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS window_start,
+      |             event_type, value
+      |      FROM events, unnest([0, 1, 2, 3]) AS u(k))
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Q16 — batch sessionization: a session breaks after a 30-minute gap.
     * lag + cumulative-sum over a (user_id)-partitioned window; one shuffle
     * on user_id, then the per-user rollup reuses the same partitioning. */

@@ -60,6 +60,32 @@ object Extended {
       |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
       |WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  /** Q24 — interval (range) join: per order, its lineitems shipped inside
+    * [orderdate, orderdate+30d). Equi key + range predicate — the shuffle
+    * stays on the equi key and the range filters inside the join's codegen,
+    * the same shape as Q19 (a pure range join with no equi key would be a
+    * broadcast nested loop; with TPC-H-like keys there is always one). */
+  def q24IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+    o.join(li, o("o_orderkey") === li("l_orderkey") &&
+               li("l_shipdate") >= o("o_orderdate") &&
+               li("l_shipdate") < o("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_fast_items"),
+           sumMoney2(col("l_extendedprice")).as("fast_revenue"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q24Sql: String =
+    """SELECT o_orderkey, count(*) AS n_fast_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS fast_revenue
+      |FROM orders o JOIN lineitem l
+      |  ON l.l_orderkey = o.o_orderkey
+      | AND l.l_shipdate >= o.o_orderdate AND l.l_shipdate < o.o_orderdate + INTERVAL '30 days'
+      |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+
   /** Q20 — cube over (status, order-year) with both rollup dimensions
     * coalesced for engine-independent ordering. */
   def q20Cube(spark: SparkSession, dir: String): DataFrame =

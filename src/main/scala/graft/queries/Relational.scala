@@ -254,4 +254,77 @@ object Relational {
       |  CAST(floor(ln(o_totalprice + 1.0) * 1000000.0) AS DOUBLE) / 1000000.0 AS price_ln
       |FROM orders WHERE o_orderkey % 10 = 0
       |ORDER BY o_orderkey""".stripMargin
+
+  /** Q25 — generator / lateral view: posexplode the token stream of every
+    * document into per-token rows, then aggregate the inverted view (doc
+    * frequency, occurrence count, earliest position). The explode is
+    * pipelined inside whole-stage codegen — no materialized intermediate. */
+  def q25Explode(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_occurrences"),
+           min(col("pos")).cast(LongType).as("min_pos"))
+      .orderBy(col("tok"))
+
+  val q25Sql: String =
+    """SELECT tok, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,
+      |  CAST(min(pos) AS BIGINT) AS min_pos
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |             unnest(range(len(string_split(text, ' ')))) AS pos
+      |      FROM documents)
+      |GROUP BY tok ORDER BY tok""".stripMargin
+
+  /** Q26 — window FRAMES (running/analytic, not just ranking): per-customer
+    * running revenue (ROWS UNBOUNDED PRECEDING — an exact decimal sum, so
+    * the running values are order-independent-exact at every prefix), plus
+    * lag-based previous price and day gap. One shuffle on o_custkey serves
+    * all three window functions (same window spec). */
+  def q26WindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("running_total", sum(dec2(col("o_totalprice"))).over(frame).cast(DoubleType))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).cast(LongType))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+        col("running_total"), col("prev_price"), col("gap_days"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q26Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      |  lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+      |  CAST(date_diff('day',
+      |    lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |    o_orderdate) AS BIGINT) AS gap_days
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Q27 — pivot: order counts per year × status, statuses as columns.
+    * Explicit pivot value list keeps the plan a single pass (no value
+    * discovery job); the oracle is the equivalent FILTERed aggregate. */
+  def q27Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")).cast(LongType))
+      .groupBy(col("yr")).pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("yr"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"),
+        coalesce(col("P"), lit(0L)).as("p_cnt"))
+      .orderBy(col("yr"))
+
+  val q27Sql: String =
+    """SELECT year(o_orderdate) AS yr,
+      |  count(*) FILTER (o_orderstatus = 'F') AS f_cnt,
+      |  count(*) FILTER (o_orderstatus = 'O') AS o_cnt,
+      |  count(*) FILTER (o_orderstatus = 'P') AS p_cnt
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 }

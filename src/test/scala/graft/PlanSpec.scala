@@ -67,4 +67,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"as-of must keep the equi-join shape:\n$plan")
   }
+
+  test("q24 interval join: range predicate rides the equi join, no nested loop") {
+    val plan = planOf(Extended.q24IntervalJoin(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join must keep the equi-join shape:\n$plan")
+  }
+
+  test("q27 pivot: explicit value list keeps a single aggregation pass (no value-discovery job)") {
+    val plan = planOf(Relational.q27Pivot(spark, sf))
+    assert("HashAggregate".r.findAllIn(plan).size <= 4, // partial+final, one layer
+      s"pivot with explicit values must not add extra agg layers:\n$plan")
+  }
 }
