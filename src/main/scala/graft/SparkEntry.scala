@@ -45,6 +45,8 @@ object SparkEntry {
     "q25_explode"       -> Relational.q25Explode _,
     "q26_window_frames" -> Relational.q26WindowFrames _,
     "q27_pivot"         -> Relational.q27Pivot _,
+    "q28_percentiles"   -> Relational.q28Percentiles _,
+    "q29_correlated"    -> Relational.q29Correlated _,
     "x17_exact_dedup"   -> LlmData.x17ExactDedup _,
     "x18_neardup_jaccard" -> LlmData.x18NearDupJaccard _,
     "x19_cosine_topk"   -> LlmData.x19CosineTopK _,
@@ -92,6 +94,8 @@ object SparkEntry {
     "q25_explode"       -> Relational.q25Sql,
     "q26_window_frames" -> Relational.q26Sql,
     "q27_pivot"         -> Relational.q27Sql,
+    "q28_percentiles"   -> Relational.q28Sql,
+    "q29_correlated"    -> Relational.q29Sql,
     "x17_exact_dedup"   -> LlmData.x17Sql,
     "x18_neardup_jaccard" -> LlmData.x18Sql,
     "x19_cosine_topk"   -> LlmData.x19Sql,

@@ -327,4 +327,55 @@ object Relational {
       |  count(*) FILTER (o_orderstatus = 'O') AS o_cnt,
       |  count(*) FILTER (o_orderstatus = 'P') AS p_cnt
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Q28 — discrete percentiles (p50/p90 order value per priority).
+    * percentile_disc RETURNS AN ELEMENT (the SQL-standard "first value
+    * with cume_dist >= p") — no interpolation arithmetic, so the result
+    * is cross-engine exact where an interpolated percentile_cont's
+    * last-ulp float math is not. The oracle states the definition
+    * explicitly via cume_dist rather than trusting another engine's
+    * quantile index convention. */
+  def q28Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_q28")
+    spark.sql(
+      """SELECT o_orderpriority,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+        |  count(*) AS n
+        |FROM orders_q28 GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val q28Sql: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_totalprice AS v,
+      |    cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cd
+      |  FROM orders)
+      |SELECT o_orderpriority,
+      |  min(v) FILTER (cd >= 0.5) AS p50,
+      |  min(v) FILTER (cd >= 0.9) AS p90,
+      |  count(*) AS n
+      |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Q29 — correlated scalar subquery: orders 50% above their customer's
+    * average order value. Catalyst decorrelates the subquery into an
+    * aggregate + join (no per-row re-execution); the average is an exact
+    * decimal sum / count so the comparison value is cross-engine stable. */
+  def q29Correlated(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_q29")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders_q29 o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |  FROM orders_q29 o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val q29Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > 1.5 * (
+      |  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
 }

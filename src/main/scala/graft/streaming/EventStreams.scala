@@ -43,18 +43,47 @@ object EventStreams {
       .agg(count(lit(1)).as("n"),
            sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
 
+  /** Sliding 1-hour/15-minute window counts/sums — the streaming twin of
+    * EventTime.q23SlidingAgg. Each event updates 4 overlapping windows;
+    * the watermark bounds open-window state exactly as in [[tumblingAgg]]
+    * (sliding multiplies state by size/slide, still independent of input
+    * volume). */
+  def slidingAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").getField("start").as("window_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+
+  /** Streaming exact dedup on a key with bounded state:
+    * dropDuplicatesWithinWatermark keeps one row per event_id and expires
+    * key state once the watermark passes — the unbounded-stream form of
+    * the reference's ON CONFLICT DO NOTHING (reference dags/etl.py:74),
+    * where [[ingestFlares]] is the batch-per-file form. */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Drain the landing dir through the streaming agg into an in-memory
     * table and return the result — used by tests to prove batch/stream
     * equivalence. `complete` output mode so still-open windows are emitted
     * too (matching the batch answer on a bounded input). */
-  def runOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
-    val q = tumblingAgg(readEvents(spark, dir))
-      .writeStream.outputMode("complete")
+  def runOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    drain(tumblingAgg(readEvents(spark, dir)), queryName)
+
+  /** Same, for the sliding-window twin. */
+  def runOnceSliding(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    drain(slidingAgg(readEvents(spark, dir)), queryName)
+
+  private def drain(df: DataFrame, queryName: String): DataFrame = {
+    val q = df.writeStream.outputMode("complete")
       .format("memory").queryName(queryName)
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(queryName)
+    df.sparkSession.table(queryName)
   }
 
   /** Incremental ingest of a JSON landing dir into a dedup-append parquet
