@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point: registers the engine's custom Catalyst
+  * expressions catalog-wide, so any session (including pure-SQL users and
+  * thrift-style frontends) sees them without imperative registration:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * This is the supported extension surface for function/rule/strategy
+  * injection; the engine needs only the one fused expression (the rest of
+  * the library is deliberately stock Catalyst — SURVEY.md §4.3).
+  * `graft.functions.CosineUnits.register` remains as the imperative
+  * fallback for sessions built without the config.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_units"),
+      new ExpressionInfo(
+        classOf[graft.functions.CosineUnits].getName,
+        null,
+        "cosine_units",
+        "cosine_units(a, b) - deterministic integer-unit cosine similarity of two float/double arrays",
+        ""),
+      (exprs: Seq[Expression]) => graft.functions.CosineUnits(exprs(0), exprs(1))))
+  }
+}

@@ -66,6 +66,28 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked STREAM-STREAM inner join: pairs every event with the same
+    * user's events in the following `windowMinutes` (exclusive of itself).
+    * Both sides carry watermarks and the join condition bounds event-time
+    * distance, so each side's buffered state expires once the other side's
+    * watermark passes — state stays proportional to rate × window, never
+    * to stream length. The batch twin is the same join on the static frame
+    * (asserted equal in StreamingSpec). */
+  def pairWithin(events: DataFrame, windowMinutes: Int = 10): DataFrame = {
+    val a = events.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", "1 hour")
+    val b = events.select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+    a.join(b,
+      col("user_id") === col("b_user") &&
+        col("a_id") =!= col("b_id") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        unix_micros(col("b_ts")).minus(unix_micros(col("a_ts"))).as("gap_us"))
+  }
+
   /** Drain the landing dir through the streaming agg into an in-memory
     * table and return the result — used by tests to prove batch/stream
     * equivalence. `complete` output mode so still-open windows are emitted

@@ -10,6 +10,15 @@ class SimilaritySpec extends AnyFunSuite {
 
   lazy val embs = Tables.t(spark, sf, "embeddings")
 
+  test("session extensions: cosine_units resolves in pure SQL with no imperative registration") {
+    // TestSpark's builder sets spark.sql.extensions=graft.GraftExtensions;
+    // a NEW session state must already know the function
+    val s2 = spark.newSession()
+    val v = s2.sql(
+      "SELECT cosine_units(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").collect()(0).getDouble(0)
+    assert(math.abs(v - 1.0) < 1e-9)
+  }
+
   test("cosine is bounded and self-similarity is ~1") {
     val self = embs.limit(20)
       .withColumn("c", Similarity.cosineR("embedding", "embedding"))

@@ -42,4 +42,68 @@ class SourcesSpec extends AnyFunSuite {
     assert(!live)
     assert(df.count() == Parity.batchA.size)
   }
+
+  // ---- DataSource V2 (graft-http-json) --------------------------------
+
+  private def writeFixtures(): (String, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_")
+    val a = dir.resolve("a.json"); val b = dir.resolve("b.json")
+    java.nio.file.Files.writeString(a, Parity.jsonBody(Parity.batchA))
+    java.nio.file.Files.writeString(b, Parity.jsonBody(Parity.batchB))
+    (a.toUri.toString, b.toUri.toString)
+  }
+
+  test("dsv2: rows match the built-in json reader; one partition per url") {
+    val (ua, ub) = writeFixtures()
+    val df = spark.read.format("graft-http-json")
+      .schema(Donki.flrSchema)
+      .option("urls", s"$ua,$ub")
+      .load()
+    assert(df.rdd.getNumPartitions == 2) // one executor-side fetch per URL
+    val viaDsv2 = Donki.project(df).collect()
+      .map(_.toSeq).toSet
+    val viaBuiltin = Donki.project(Donki.readJson(spark,
+      Seq(Parity.jsonBody(Parity.batchA), Parity.jsonBody(Parity.batchB)))).collect()
+      .map(_.toSeq).toSet
+    assert(viaDsv2 == viaBuiltin)
+  }
+
+  test("dsv2: column pruning reaches the scan (select parses only needed fields)") {
+    val (ua, _) = writeFixtures()
+    val df = spark.read.format("graft-http-json")
+      .schema(Donki.flrSchema)
+      .option("urls", ua)
+      .load()
+      .select("flrID", "classType")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.output.map(_.name) == Seq("flrID", "classType"),
+      s"scan must read only pruned columns, got: ${scans.head.output.map(_.name)}")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      Parity.batchA.map(_.flrID).sorted)
+  }
+
+  test("dsv2: nested arrays of structs survive (instruments)") {
+    val (ua, _) = writeFixtures()
+    val df = spark.read.format("graft-http-json")
+      .schema(Donki.flrSchema)
+      .option("urls", ua)
+      .load()
+    val withInstruments = df
+      .select(org.apache.spark.sql.functions.col("flrID"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.col("instruments.displayName")).as("inst"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    assert(withInstruments.count(_._2 == "GOES-P: EXIS 1.0-8.0") == 2)
+  }
+
+  test("dsv2: missing schema fails loudly (no silent inference)") {
+    val ex = intercept[Exception] {
+      spark.read.format("graft-http-json").option("urls", "file:///nope.json").load()
+    }
+    assert(ex.getMessage.contains("explicit schema") ||
+      Option(ex.getCause).exists(_.getMessage.contains("explicit schema")))
+  }
 }

@@ -38,6 +38,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream join: pairs match the static self-join") {
+    import org.apache.spark.sql.functions._
+    val q = EventStreams.pairWithin(EventStreams.readEvents(spark, sf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_pairs")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_pairs").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("a_id"),
+        r.getAs[Long]("b_id"), r.getAs[Long]("gap_us"))).toSet
+    val e = Tables.t(spark, sf, "events")
+    val a = e.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+    val b = e.select(col("user_id").as("b_user"), col("event_id").as("b_id"), col("ts").as("b_ts"))
+    val batch = a.join(b,
+        col("user_id") === col("b_user") && col("a_id") =!= col("b_id") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        unix_micros(col("b_ts")).minus(unix_micros(col("a_ts"))).as("gap_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming dedup: one survivor per event_id, state bounded by watermark") {
     val q = EventStreams.dedupStream(EventStreams.readEvents(spark, sf))
       .select(org.apache.spark.sql.functions.col("event_id"))
