@@ -86,7 +86,26 @@ object Profile {
         time("x30 cosdup")(LlmData.x30CosineNearDup(spark, sfDir).count())
         LlmData.x31IvfAnn(spark, sfDir).count()
         time("x31 ivf")(LlmData.x31IvfAnn(spark, sfDir).count())
-      case _ => println("usage: Profile simhash|minhash|asof|new")
+      case "explain" =>
+        import graft.queries.{Extended, LlmData, Relational, EventTime}
+        val qs: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+          "q23" -> EventTime.q23SlidingAgg(spark, sfDir),
+          "q24" -> Extended.q24IntervalJoin(spark, sfDir),
+          "q26" -> Relational.q26WindowFrames(spark, sfDir),
+          "q27" -> Relational.q27Pivot(spark, sfDir),
+          "q28" -> Relational.q28Percentiles(spark, sfDir),
+          "q29" -> Relational.q29Correlated(spark, sfDir),
+          "q30" -> Relational.q30OuterJoin(spark, sfDir),
+          "x30" -> LlmData.x30CosineNearDup(spark, sfDir),
+          "x31" -> LlmData.x31IvfAnn(spark, sfDir))
+        qs.foreach { case (n, df) =>
+          val p = df.queryExecution.executedPlan.toString
+          val joins = "(BroadcastHashJoin|SortMergeJoin|BroadcastNestedLoopJoin|CartesianProduct|ShuffledHashJoin)".r
+            .findAllIn(p).toSeq.groupBy(identity).view.mapValues(_.size).toMap
+          val exch = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r.findAllIn(p).size
+          println(s"PLAN $n joins=$joins exchanges=$exch codegenSpans=${"WholeStageCodegen".r.findAllIn(p).size}")
+        }
+      case _ => println("usage: Profile simhash|minhash|asof|new|explain")
     }
     spark.stop()
   }

@@ -378,4 +378,32 @@ object Relational {
       |  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
       |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
+
+  /** Q30 — left OUTER join preserving unmatched rows: every customer with
+    * their order count/revenue, zero-order customers kept with coalesced
+    * zeros. Aggregate-then-join (the pre-aggregated side is one row per
+    * customer), so the outer join's build side is small and the fact table
+    * never re-shuffles after its groupBy. */
+  def q30OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val perCust = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sumMoney2(col("o_totalprice")).as("revenue"))
+    c.join(perCust, c("c_custkey") === perCust("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q30Sql: String =
+    """SELECT c_custkey, c_name,
+      |  coalesce(n_orders, 0) AS n_orders,
+      |  coalesce(revenue, 0.0) AS revenue
+      |FROM customer c LEFT JOIN (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |  FROM orders GROUP BY o_custkey) o
+      |ON c.c_custkey = o.o_custkey
+      |ORDER BY c_custkey""".stripMargin
 }
