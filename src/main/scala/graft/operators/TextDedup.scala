@@ -277,7 +277,9 @@ object TextDedup {
     * signature-level pairs expand back to doc pairs. */
   def simhashNearDups(docs: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist < SimBands, "pigeonhole guarantee needs maxDist < SimBands")
-    val sig = simhashSignatures(docs) // doc_id, simhash
+    // consumed by 4 branches (banding, both expansion sides, intra pairs):
+    // materialize once — same reasoning as minhashNearDups.members
+    val sig = simhashSignatures(docs).localCheckpoint(true) // doc_id, simhash
     val distinctSigs = sig.select(col("simhash")).distinct()
     val bandBits = SimBits / SimBands
     // explode-then-compute (codegen) rather than a transform() lambda
