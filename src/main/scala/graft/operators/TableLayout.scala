@@ -37,4 +37,21 @@ object TableLayout {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Write a table bucketed (and sorted) by a join key. Two tables
+    * bucketed on the same key with the same bucket count join WITHOUT any
+    * exchange — each task merges bucket i of both sides directly
+    * (asserted in LayoutSpec). At 100 TB this is THE repeated-join
+    * optimization: the shuffle of the biggest table is paid once at write
+    * time, then every subsequent join on that key is shuffle-free.
+    * Bucket count trades file count against per-bucket size; sortBy makes
+    * the merge side of SMJ sort-free too. */
+  def writeBucketed(df: DataFrame, tableName: String, key: String,
+                    buckets: Int, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(tableName)
 }

@@ -30,4 +30,29 @@ class LayoutSpec extends AnyFunSuite {
       .filter(to_date(col("ts")) === "2024-01-03").count()
     assert(pruned.count() == expected)
   }
+
+  test("bucketed tables: co-located join runs with zero exchanges") {
+    val root = Files.createTempDirectory("graft_bucketed_").toString
+    TableLayout.writeBucketed(Tables.t(spark, sf, "orders"),
+      "orders_bkt", "o_custkey", 4, s"$root/orders")
+    TableLayout.writeBucketed(Tables.t(spark, sf, "customer"),
+      "customer_bkt", "c_custkey", 4, s"$root/customer")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      // disable broadcast so the join strategy is the bucket-merge path
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_bkt").join(spark.table("customer_bkt"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed-bucketed equi join must not shuffle either side:\n$plan")
+      val expected = Tables.t(spark, sf, "orders").join(Tables.t(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    }
+  }
 }
