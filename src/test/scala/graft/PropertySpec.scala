@@ -1,0 +1,124 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Donki
+import graft.operators.{DedupAppend, TextDedup}
+import graft.queries.Parity
+
+/** Property-based laws (SURVEY.md §5.2): dedup-append idempotence and
+  * key-set commutativity on random batches, projection totality under
+  * missing keys, cosine bounds, and a differential check of Jaccard pair
+  * mining against an in-memory reference implementation.
+  *
+  * Each case runs real Spark jobs, so minSuccessfulTests is kept small —
+  * these are law checks, not fuzzing for throughput. */
+object PropertySpec extends Properties("graft") {
+  import TestSpark.spark
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(4).withMaxDiscardRatio(10)
+
+  // ---- generators ------------------------------------------------------
+
+  private val genFlr: Gen[Parity.Flr] = for {
+    id <- Gen.choose(1, 30)
+    ct <- Gen.oneOf("M1.2", "C9.8", "X2.0", "B7.4")
+    begin <- Gen.option(Gen.oneOf("2025-05-25T08:24Z", "not-a-timestamp"))
+    loc <- Gen.option(Gen.oneOf("N15W60", "S08E22"))
+    arn <- Gen.option(Gen.choose(13000, 14000))
+  } yield Parity.Flr(f"FLR-$id%03d", ct, begin, begin, begin, loc, arn,
+    s"https://api.example/FLR/$id")
+
+  private val genBatch: Gen[List[Parity.Flr]] = Gen.listOfN(8, genFlr)
+
+  private def appendAll(path: String, batches: Seq[Seq[Parity.Flr]]): Map[String, String] =
+    try {
+      batches.foreach { b =>
+        DedupAppend.append(spark, Donki.project(Donki.readJson(spark, Seq(Parity.jsonBody(b)))),
+          path, keys = Seq("flr_id"), tieBreak = Seq("class_type", "link"))
+      }
+      spark.read.parquet(path).collect()
+        .map(r => r.getAs[String]("flr_id") -> r.getAs[String]("class_type")).toMap
+    } finally deleteTree(new java.io.File(path).getParentFile)
+
+  private def deleteTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
+    f.delete(): Unit
+  }
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_prop_").resolve("t").toString
+
+  // ---- dedup-append laws ----------------------------------------------
+
+  property("dedupAppend is idempotent: append(A);append(A) == append(A)") =
+    forAll(genBatch) { a =>
+      a.nonEmpty ==> {
+        val once = appendAll(tmp(), Seq(a))
+        val twice = appendAll(tmp(), Seq(a, a))
+        Prop(once == twice) :| s"once=$once twice=$twice"
+      }
+    }
+
+  property("dedupAppend key set is order-insensitive: keys(A;B) == keys(B;A)") =
+    forAll(genBatch, genBatch) { (a, b) =>
+      (a.nonEmpty && b.nonEmpty) ==> {
+        val ab = appendAll(tmp(), Seq(a, b)).keySet
+        val ba = appendAll(tmp(), Seq(b, a)).keySet
+        Prop(ab == ba) :| s"ab=$ab ba=$ba"
+      }
+    }
+
+  // ---- projection totality --------------------------------------------
+
+  property("projection is total under arbitrary missing keys (missing -> null, never throws)") =
+    forAll(genBatch) { a =>
+      a.nonEmpty ==> {
+        val out = Donki.project(Donki.readJson(spark, Seq(Parity.jsonBody(a)))).collect()
+        Prop(out.length == a.length)
+      }
+    }
+
+  // ---- cosine bounds ---------------------------------------------------
+
+  private val genVec: Gen[List[Double]] =
+    Gen.listOfN(16, Gen.choose(-2.0, 2.0).suchThat(v => math.abs(v) >= 0.01))
+
+  property("cosineR stays within [-1 - 1e-6, 1]") =
+    forAll(genVec, genVec) { (a, b) =>
+      import spark.implicits._
+      val df = Seq((a.toArray, b.toArray)).toDF("va", "vb")
+      val c = df.select(graft.operators.Similarity.cosineR("va", "vb").as("c"))
+        .collect()(0).getDouble(0)
+      Prop(c >= -1.0 - 1e-6 && c <= 1.0) :| s"cos=$c"
+    }
+
+  // ---- Jaccard differential -------------------------------------------
+
+  private val genDoc: Gen[List[String]] = for {
+    n <- Gen.choose(3, 12)
+    toks <- Gen.listOfN(n, Gen.oneOf((0 until 20).map(i => s"t$i")))
+  } yield toks
+
+  property("jaccardPairs equals an in-memory reference on random corpora") =
+    forAll(Gen.listOfN(6, genDoc)) { docs =>
+      import spark.implicits._
+      val df = docs.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }.toDF("doc_id", "text")
+      val got = TextDedup.jaccardPairs(df, 0.3).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val sets = docs.map(_.toSet)
+      val expected = (for {
+        i <- sets.indices; j <- sets.indices if i < j
+        inter = (sets(i) & sets(j)).size
+        uni = (sets(i) | sets(j)).size
+        jacc = inter.toDouble / uni
+        if jacc >= 0.3
+      } yield (i.toLong, j.toLong) -> jacc).toMap
+      Prop(got == expected) :| s"got=$got expected=$expected"
+    }
+}
