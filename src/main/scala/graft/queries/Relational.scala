@@ -406,4 +406,39 @@ object Relational {
       |  FROM orders GROUP BY o_custkey) o
       |ON c.c_custkey = o.o_custkey
       |ORDER BY c_custkey""".stripMargin
+
+  /** Q31 — MAP scalar functions: per year, a status→count map built with
+    * map_from_entries over sorted entries, then consumed via size /
+    * element_at / map_keys. Maps stay INTERNAL to the plan (entry order is
+    * engine-specific, so a raw map column is not hash-comparable); only
+    * scalar lookups and the sorted key list reach the output. The oracle
+    * computes the same result relationally — the point is that Spark's map
+    * type produces the correct values, checked against map-free SQL. */
+  def q31MapFns(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")).cast(LongType))
+      .groupBy(col("yr"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    per.groupBy(col("yr"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("o_orderstatus"), col("n"))))).as("m"))
+      .select(col("yr"),
+        size(col("m")).cast(LongType).as("n_statuses"),
+        coalesce(element_at(col("m"), "F"), lit(0L)).as("f_cnt"),
+        coalesce(element_at(col("m"), "O"), lit(0L)).as("o_cnt"),
+        coalesce(element_at(col("m"), "P"), lit(0L)).as("p_cnt"),
+        concat_ws(",", map_keys(col("m"))).as("statuses"))
+      .orderBy(col("yr"))
+  }
+
+  val q31Sql: String =
+    """WITH per AS (
+      |  SELECT year(o_orderdate) AS yr, o_orderstatus AS s, count(*) AS n
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT yr, count(*) AS n_statuses,
+      |  CAST(coalesce(sum(n) FILTER (s = 'F'), 0) AS BIGINT) AS f_cnt,
+      |  CAST(coalesce(sum(n) FILTER (s = 'O'), 0) AS BIGINT) AS o_cnt,
+      |  CAST(coalesce(sum(n) FILTER (s = 'P'), 0) AS BIGINT) AS p_cnt,
+      |  string_agg(s, ',' ORDER BY s) AS statuses
+      |FROM per GROUP BY yr ORDER BY yr""".stripMargin
 }
