@@ -64,6 +64,8 @@ object SparkEntry {
     "x29_ngram_jaccard" -> LlmData.x29NgramJaccard _,
     "x30_cosine_neardup" -> LlmData.x30CosineNearDup _,
     "x31_ivf_ann"       -> LlmData.x31IvfAnn _,
+    "x32_curation"      -> LlmData.x32Curation _,
+    "x33_stratified_sample" -> LlmData.x33StratifiedSample _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -115,5 +117,7 @@ object SparkEntry {
     "x29_ngram_jaccard" -> LlmData.x29Sql,
     "x30_cosine_neardup" -> LlmData.x30Sql,
     "x31_ivf_ann"       -> LlmData.x31Sql,
+    "x32_curation"      -> LlmData.x32Sql,
+    "x33_stratified_sample" -> LlmData.x33Sql,
   )
 }

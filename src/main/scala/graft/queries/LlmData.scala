@@ -205,6 +205,73 @@ object LlmData {
        |        row_number() OVER (PARTITION BY p_id ORDER BY cos_r DESC, n_id ASC) AS rn FROM c2)
        |SELECT p_id, rn, n_id, cell, cos_r FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin
 
+  // ---- X32: end-to-end curation pipeline -------------------------------
+
+  /** The composed training-data curation query: exact-dedup survivors
+    * (min-id per sha256) tagged lang='en' that pass quality gates (x25
+    * score ≥ 0.5, ≥ 20 tokens). One declarative plan — the dedup group,
+    * per-row feature expressions, and the gates fuse into two hash
+    * aggregations; no intermediate materialization. The 100 TB form is
+    * identical: every stage is a narrow map or a key-bounded shuffle. */
+  def x32Curation(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("h", sha2(col("text"), 256))
+      .withColumn("n_tok", size(TextFns.tokens(col("text"))).cast(LongType))
+      .withColumn("n_distinct", size(TextFns.tokenSet(col("text"))).cast(LongType))
+      .withColumn("ttr", col("n_distinct").cast(DoubleType) / col("n_tok"))
+      .withColumn("score",
+        lit(0.5) * least(col("n_tok").cast(DoubleType) / 100.0, lit(1.0)) + lit(0.5) * col("ttr"))
+    val survivors = d.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+    d.join(survivors.select(col("doc_id")), "doc_id")
+      .filter(col("lang") === "en" && col("score") >= 0.5 && col("n_tok") >= 20)
+      .select(col("doc_id"), col("n_tok"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x32Sql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    len(string_split(text, ' ')) AS n_tok,
+      |    0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+      |      + 0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |               / len(string_split(text, ' '))) AS score
+      |  FROM documents),
+      |survivors AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text))
+      |SELECT s.doc_id, CAST(s.n_tok AS BIGINT) AS n_tok, s.score
+      |FROM scored s JOIN survivors USING (doc_id)
+      |WHERE s.lang = 'en' AND s.score >= 0.5 AND s.n_tok >= 20
+      |ORDER BY s.doc_id""".stripMargin
+
+  // ---- X33: deterministic stratified sampling --------------------------
+
+  /** Content-hash stratified sampling: per-language rates applied via an
+    * md5-derived hash of doc_id mod 100 — fully deterministic and
+    * engine/partitioning-independent, unlike rand(seed)-based sampleBy
+    * (rand is evaluated per partition). The reproducible-sampling idiom
+    * for training-data pipelines: the same doc always makes the same cut,
+    * so incremental re-runs and replicas agree. */
+  def x33StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = TextFns.h31(concat(lit("sample:"), col("doc_id").cast(StringType))) % 100
+    docs(spark, dir)
+      .withColumn("bucket", bucket)
+      .filter(
+        (col("lang") === "en" && col("bucket") < 10) ||
+        (col("lang") =!= "en" && col("bucket") < 50))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_id"))
+      .orderBy(col("lang"))
+  }
+
+  val x33Sql: String =
+    s"""WITH b AS (
+       |  SELECT lang, doc_id,
+       |    ${TextFns.h31Sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_id
+       |FROM b
+       |WHERE (lang = 'en' AND bucket < 10) OR (lang != 'en' AND bucket < 50)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- X23: SRP-LSH approximate nearest neighbor -----------------------
 
   def x23AnnSrp(spark: SparkSession, dir: String): DataFrame =
