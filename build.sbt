@@ -30,5 +30,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Whole-stage codegen emits one class per plan; a 40+-query battery
   // overflows the default 240m code cache, silently disabling the JIT
   // mid-run (measured: later queries degrade 2-10x).
-  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -13,7 +13,7 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 exec java $OPENS \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
-  -XX:ReservedCodeCacheSize=512m \
+  -XX:ReservedCodeCacheSize=1g \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
