@@ -248,6 +248,69 @@ object TextDedup {
     cross.unionByName(intra) // intra pairs are jacc=1.0 ≥ any valid threshold
   }
 
+  // ---- incremental near-dup mining ------------------------------------
+
+  /** Incremental MinHash near-dup mining: emit only the pairs that involve
+    * at least one NEW document, against an existing corpus plus the new
+    * batch itself. Processing a corpus in arrival order through this
+    * function yields exactly the batch answer — each pair surfaces when
+    * its later member arrives (asserted as a law in TextDedupSpec).
+    *
+    * This is the production dedup-append shape (the LSH analogue of
+    * [[graft.operators.DedupAppend]]): the band self-join degenerates to a
+    * PROBE — only bands of groups containing a new doc sit on the left
+    * side, so join work is proportional to the new batch's collisions, not
+    * the corpus's. At scale the right side (bands, masks, signatures of
+    * the existing corpus) lives in a bucket-keyed store and is never
+    * recomputed — signatures are deterministic, so a stored signature
+    * equals the recomputed one this test-scale form derives from the docs.
+    *
+    * Masks are vocab-dependent, so bitmasks are computed over the union
+    * vocabulary per call; Jaccard is set-based, so values are unaffected
+    * by vocabulary growth across calls. */
+  def minhashNearDupsIncremental(existingDocs: DataFrame, newDocs: DataFrame,
+                                 threshold: Double): DataFrame = {
+    val all = existingDocs.select(col("doc_id"), col("text"))
+      .unionByName(newDocs.select(col("doc_id"), col("text")))
+    val newIds = newDocs.select(col("doc_id"))
+    val members = tokenMasks(all).select(col("doc_id"), col("mask")).localCheckpoint(true)
+    val newMembers = members.join(broadcast(newIds), "doc_id")
+    val newMasks = newMembers.select(col("mask")).distinct()
+    val groups = members.groupBy(col("mask")).agg(min(col("doc_id")).as("rep"))
+    val repDocs = all.join(groups.select(col("rep"), col("mask")), all("doc_id") === col("rep"))
+    val sigs = minhashSignatures(repDocs.select(col("doc_id"), col("text")))
+      .join(broadcast(repDocs.select(col("doc_id"), col("mask"))), "doc_id")
+    val bands = bandKeys(sigs, Seq("mask"))
+    // probe: only new-containing groups on the left; full corpus on the right
+    val l = bands.join(broadcast(newMasks), "mask")
+      .select(col("key"), col("doc_id").as("a_id"), col("mask").as("a_mask"))
+    val r = bands.select(col("key"), col("doc_id").as("b_id"), col("mask").as("b_mask"))
+    val repPairs = l.join(r, Seq("key")).filter(col("a_id") =!= col("b_id"))
+      .withColumn("jacc",
+        bit_count(col("a_mask").bitwiseAND(col("b_mask"))).cast(DoubleType) /
+        bit_count(col("a_mask").bitwiseOR(col("b_mask"))).cast(DoubleType))
+      .filter(col("jacc") >= threshold)
+      // new-new pairs collide in both directions: normalize before distinct
+      .select(least(col("a_mask"), col("b_mask")).as("a_mask"),
+              greatest(col("a_mask"), col("b_mask")).as("b_mask"), col("jacc"))
+      .distinct()
+    val cross = members.select(col("doc_id").as("da"), col("mask").as("a_mask"))
+      .join(broadcast(repPairs), "a_mask")
+      .join(members.select(col("doc_id").as("db"), col("mask").as("b_mask")), "b_mask")
+      .select(least(col("da"), col("db")).as("a_id"),
+              greatest(col("da"), col("db")).as("b_id"), col("jacc"))
+    val intra = members.select(col("doc_id").as("a_id"), col("mask"))
+      .join(newMembers.select(col("doc_id").as("b_id"), col("mask")), "mask")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+              greatest(col("a_id"), col("b_id")).as("b_id"), lit(1.0).as("jacc"))
+    // drop old-old doc pairs (reported when their later member arrived)
+    val pairs = cross.unionByName(intra).distinct()
+    val touchA = pairs.join(broadcast(newIds.withColumnRenamed("doc_id", "a_id")), Seq("a_id"), "left_semi")
+    val touchB = pairs.join(broadcast(newIds.withColumnRenamed("doc_id", "b_id")), Seq("b_id"), "left_semi")
+    touchA.unionByName(touchB).distinct()
+  }
+
   // ---- SimHash + banded LSH -------------------------------------------
 
   val SimBits = 60

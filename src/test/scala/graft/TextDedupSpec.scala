@@ -70,6 +70,27 @@ class TextDedupSpec extends AnyFunSuite {
     assert(lsh == exact) // banding at 32x4 recalls everything at s>=0.9 here
   }
 
+  test("incremental near-dup law: arrival-order batches union to the batch answer, disjointly") {
+    val batchAll = TextDedup.minhashNearDups(docs, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // split the corpus into three arrival batches by doc_id ranges
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val cut1 = ids(ids.length / 3); val cut2 = ids(2 * ids.length / 3)
+    val b1 = docs.filter(col("doc_id") <= cut1)
+    val b2 = docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2)
+    val b3 = docs.filter(col("doc_id") > cut2)
+    val inc1 = TextDedup.minhashNearDupsIncremental(b1.limit(0), b1, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc2 = TextDedup.minhashNearDupsIncremental(b1, b2, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc3 = TextDedup.minhashNearDupsIncremental(b1.unionByName(b2), b3, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // each pair surfaces exactly once — when its later member arrives
+    assert((inc1 & inc2).isEmpty && (inc1 & inc3).isEmpty && (inc2 & inc3).isEmpty)
+    assert((inc1 | inc2 | inc3) == batchAll,
+      s"sizes: inc=${inc1.size}+${inc2.size}+${inc3.size} batch=${batchAll.size}")
+  }
+
   test("simhash: banded pairs equal brute-force pairs (pigeonhole exactness)") {
     // NB: iterate a Seq, not a Map — a for-yield over a Map of tuples
     // collapses pairs by key and silently drops most of them
