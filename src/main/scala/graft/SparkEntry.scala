@@ -49,6 +49,7 @@ object SparkEntry {
     "q29_correlated"    -> Relational.q29Correlated _,
     "q30_outer_join"    -> Relational.q30OuterJoin _,
     "q31_map_fns"       -> Relational.q31MapFns _,
+    "q32_intersect"     -> Relational.q32Intersect _,
     "x17_exact_dedup"   -> LlmData.x17ExactDedup _,
     "x18_neardup_jaccard" -> LlmData.x18NearDupJaccard _,
     "x19_cosine_topk"   -> LlmData.x19CosineTopK _,
@@ -102,6 +103,7 @@ object SparkEntry {
     "q29_correlated"    -> Relational.q29Sql,
     "q30_outer_join"    -> Relational.q30Sql,
     "q31_map_fns"       -> Relational.q31Sql,
+    "q32_intersect"     -> Relational.q32Sql,
     "x17_exact_dedup"   -> LlmData.x17Sql,
     "x18_neardup_jaccard" -> LlmData.x18Sql,
     "x19_cosine_topk"   -> LlmData.x19Sql,

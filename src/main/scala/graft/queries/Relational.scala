@@ -407,6 +407,22 @@ object Relational {
       |ON c.c_custkey = o.o_custkey
       |ORDER BY c_custkey""".stripMargin
 
+  /** Q32 — INTERSECT (set-distinct semantics, completing Q13's EXCEPT):
+    * customers who placed orders in both 1995 and 1996. Planned as a
+    * left-semi aggregate pair — distinct-then-join, shuffle bounded by
+    * distinct key count. */
+  def q32Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    def keysIn(yr: Int) = o.filter(year(col("o_orderdate")) === yr).select(col("o_custkey"))
+    keysIn(1995).intersect(keysIn(1996)).orderBy(col("o_custkey"))
+  }
+
+  val q32Sql: String =
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |ORDER BY o_custkey""".stripMargin
+
   /** Q31 — MAP scalar functions: per year, a status→count map built with
     * map_from_entries over sorted entries, then consumed via size /
     * element_at / map_keys. Maps stay INTERNAL to the plan (entry order is
