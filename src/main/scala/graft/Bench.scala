@@ -35,7 +35,9 @@ object Bench {
     }
     val pass1 = names.map(n => n -> timeOne(n)).toMap
     val results = names.map { n =>
-      val a = pass1(n); val b = timeOne(n)
+      val a = pass1(n)
+      // don't re-run a query that already failed just to discard the result
+      val b = if (a < 0) -1.0 else timeOne(n)
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }

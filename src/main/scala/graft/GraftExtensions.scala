@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cosine_units",
         "cosine_units(a, b) - deterministic integer-unit cosine similarity of two float/double arrays",
         ""),
-      (exprs: Seq[Expression]) => graft.functions.CosineUnits(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"cosine_units requires exactly 2 arguments (two array columns), got ${exprs.length}")
+        graft.functions.CosineUnits(exprs(0), exprs(1))
+      }))
   }
 }

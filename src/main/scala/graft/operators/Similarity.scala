@@ -105,7 +105,8 @@ object Similarity {
     * partition pruning does the work, not a smarter kernel. Assignment is
     * a broadcast of the centroids + a map-side max(struct) — no shuffle;
     * the search is a broadcast of the probes into their cells. */
-  def ivfTopK(embeddings: DataFrame, k: Int, numCentroids: Int = IvfCentroids): DataFrame = {
+  def ivfTopK(embeddings: DataFrame, k: Int, numCentroids: Int = IvfCentroids,
+              probePredicate: Column = col("vec_id") < 10): DataFrame = {
     graft.functions.CosineUnits.register(embeddings.sparkSession)
     val cents = embeddings.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
@@ -117,7 +118,7 @@ object Similarity {
       .agg(max(struct(col("cos_c"), (-col("c_id")).as("negc"))).as("best"))
       .select(col("vec_id"), (-col("best.negc")).cast(LongType).as("cell"))
     val assigned = embeddings.join(cells, "vec_id")
-    val probes = assigned.filter(col("vec_id") < 10)
+    val probes = assigned.filter(probePredicate)
       .select(col("vec_id").as("p_id"), col("embedding").as("pv"), col("cell"))
     val cand = assigned.select(col("cell"), col("vec_id").as("n_id"), col("embedding").as("nv"))
     val w = Window.partitionBy(col("p_id")).orderBy(col("cos_r").desc, col("n_id").asc)

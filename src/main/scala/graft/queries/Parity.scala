@@ -153,13 +153,7 @@ object Parity {
       val read = spark.read.parquet(path)
       val rows = read.collectAsList()
       spark.createDataFrame(rows, read.schema).orderBy(col("flr_id"))
-    } finally deleteTree(tmp)
-  }
-
-  private def deleteTree(f: java.io.File): Unit = {
-    val fs = Option(f.listFiles()).getOrElse(Array.empty)
-    fs.foreach(deleteTree)
-    f.delete(): Unit
+    } finally graft.util.Fs.deleteTree(tmp)
   }
 
   val p2Sql: String = {

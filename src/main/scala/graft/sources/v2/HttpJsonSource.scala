@@ -157,13 +157,16 @@ object HttpJsonRows {
     new GenericInternalRow(vals)
   }
 
+  // Type-mismatched values yield null (PERMISSIVE posture, matching the
+  // missing-key contract) — never Jackson's silent 0/false coercion, which
+  // would fabricate plausible-looking data from e.g. {"count": "N/A"}.
   private def convert(node: JsonNode, dt: DataType): Any = dt match {
     case StringType  => UTF8String.fromString(
       if (node.isTextual) node.asText() else node.toString)
-    case IntegerType => node.asInt()
-    case LongType    => node.asLong()
-    case DoubleType  => node.asDouble()
-    case BooleanType => node.asBoolean()
+    case IntegerType => if (node.canConvertToInt) node.asInt() else null
+    case LongType    => if (node.canConvertToLong) node.asLong() else null
+    case DoubleType  => if (node.isNumber) node.asDouble() else null
+    case BooleanType => if (node.isBoolean) node.asBoolean() else null
     case ArrayType(et, _) =>
       new GenericArrayData(node.elements().asScala.map(e =>
         if (e == null || e.isNull) null else convert(e, et)).toArray): ArrayData

@@ -178,7 +178,9 @@ object EventStreams {
         sorted.foreach { t =>
           cur match {
             case Some(s) if t - s.last <= gapUs =>
-              cur = Some(s.copy(last = t, n = s.n + 1))
+              // a cross-batch late row may precede the stored bounds: never
+              // let it regress them (start/last are min/max of the session)
+              cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
             case Some(s) =>
               closed ::= SessionOut(user, s.start, s.last, s.n)
               cur = Some(SessionState(t, t, 1))
@@ -188,7 +190,10 @@ object EventStreams {
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.last / 1000L + gapMs)
+          // Spark rejects a timeout at-or-before the current watermark
+          // (possible when this batch's rows were all late): clamp forward
+          val wm = state.getCurrentWatermarkMs()
+          state.setTimeoutTimestamp(math.max(s.last / 1000L + gapMs, wm + 1L))
         }
         closed.reverseIterator
       }

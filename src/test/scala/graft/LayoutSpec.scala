@@ -11,7 +11,9 @@ class LayoutSpec extends AnyFunSuite {
   import TestSpark._
 
   test("date-partitioned events: filters become partition pruning, not I/O") {
-    val path = Files.createTempDirectory("graft_layout_").toString + "/events"
+    val root = Files.createTempDirectory("graft_layout_")
+    val path = root.toString + "/events"
+    try {
     TableLayout.writeEventsByDay(Tables.events(spark, sf), path)
 
     // directory-per-day layout on disk
@@ -29,10 +31,12 @@ class LayoutSpec extends AnyFunSuite {
     val expected = Tables.events(spark, sf)
       .filter(to_date(col("ts")) === "2024-01-03").count()
     assert(pruned.count() == expected)
+    } finally graft.util.Fs.deleteTree(root.toFile)
   }
 
   test("bucketed tables: co-located join runs with zero exchanges") {
-    val root = Files.createTempDirectory("graft_bucketed_").toString
+    val rootDir = Files.createTempDirectory("graft_bucketed_")
+    val root = rootDir.toString
     TableLayout.writeBucketed(Tables.t(spark, sf, "orders"),
       "orders_bkt", "o_custkey", 4, s"$root/orders")
     TableLayout.writeBucketed(Tables.t(spark, sf, "customer"),
@@ -53,6 +57,8 @@ class LayoutSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS orders_bkt")
       spark.sql("DROP TABLE IF EXISTS customer_bkt")
+      // DROP TABLE on path-based external tables leaves the files behind
+      graft.util.Fs.deleteTree(rootDir.toFile)
     }
   }
 }

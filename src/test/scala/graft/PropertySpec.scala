@@ -43,12 +43,7 @@ object PropertySpec extends Properties("graft") {
       }
       spark.read.parquet(path).collect()
         .map(r => r.getAs[String]("flr_id") -> r.getAs[String]("class_type")).toMap
-    } finally deleteTree(new java.io.File(path).getParentFile)
-
-  private def deleteTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
-    f.delete(): Unit
-  }
+    } finally graft.util.Fs.deleteTree(new java.io.File(path).getParentFile)
 
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft_prop_").resolve("t").toString
