@@ -71,11 +71,16 @@ object BinaryMedia {
     * trailing frame when len is an exact multiple, no frames for an empty
     * payload (sequence() would go descending for a 0..-1 range, hence the
     * explicit empty-payload branch). */
-  def frameSample(df: DataFrame, frameBytes: Int, maxFrames: Int): DataFrame =
+  def frameSample(df: DataFrame, frameBytes: Int, maxFrames: Int): DataFrame = {
+    // sequence(0, -1) would generate the DESCENDING [0, -1] and emit
+    // garbage frames from negative substring offsets
+    require(frameBytes > 0 && maxFrames > 0,
+      s"frameBytes and maxFrames must be positive, got $frameBytes/$maxFrames")
     df.withColumn("frames", expr(
       s"""case when octet_length(payload) = 0 then cast(array() as array<binary>)
          |else transform(
          |  sequence(0, cast(least((octet_length(payload) + ${frameBytes - 1}) div $frameBytes, $maxFrames) as int) - 1),
          |  i -> substring(payload, i * $frameBytes + 1, $frameBytes))
          |end""".stripMargin))
+  }
 }

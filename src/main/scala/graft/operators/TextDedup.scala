@@ -52,15 +52,19 @@ object TextDedup {
            count(lit(1)).as("n_tokens"))
   }
 
+  /** Exact set-Jaccard of two token bitmasks (two popcounts + a divide). */
+  private def maskJaccard(aMask: org.apache.spark.sql.Column,
+                          bMask: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    bit_count(aMask.bitwiseAND(bMask)).cast(DoubleType) /
+      bit_count(aMask.bitwiseOR(bMask)).cast(DoubleType)
+
   /** All pairs (a<b) with set-Jaccard >= threshold, exact via bitmasks. */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val m = tokenMasks(docs)
     val a = m.select(col("doc_id").as("a_id"), col("mask").as("a_mask"))
     val b = m.select(col("doc_id").as("b_id"), col("mask").as("b_mask"))
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("inter", bit_count(col("a_mask").bitwiseAND(col("b_mask"))).cast(LongType))
-      .withColumn("uni", bit_count(col("a_mask").bitwiseOR(col("b_mask"))).cast(LongType))
-      .withColumn("jacc", col("inter").cast(DoubleType) / col("uni").cast(DoubleType))
+      .withColumn("jacc", maskJaccard(col("a_mask"), col("b_mask")))
       .filter(col("jacc") >= threshold)
       .select(col("a_id"), col("b_id"), col("jacc"))
   }
@@ -94,8 +98,11 @@ object TextDedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     val hashed = docs.select(col("doc_id"), col("text"), sha2(col("text"), 256).as("h"))
     val reps = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("rep_id"))
+    // read by both expansion sides + intra: materialize once (same
+    // reasoning as minhashNearDups.members / the shingle table below)
     val members = hashed.select(col("doc_id"), col("h"))
       .join(broadcast(reps), "h").select(col("doc_id"), col("rep_id"))
+      .localCheckpoint(true)
     val repDocs = hashed.join(broadcast(reps), hashed("doc_id") === reps("rep_id"))
       .select(col("doc_id"), col("text"))
     // the distinct shingle table feeds three consumers (sizes + both join
@@ -207,21 +214,43 @@ object TextDedup {
     * any shuffle, dedup, or follow-up join. Only true pairs reach the
     * distinct() (at band multiplicity), measured 3.4× faster than
     * verify-after-dedup at sf0.1. */
+  /** One representative signature (+ bitmask) per distinct token set. */
+  private def repSignatures(docs: DataFrame, groups: DataFrame): DataFrame = {
+    val repDocs = docs.join(
+      groups.select(col("rep"), col("mask")), docs("doc_id") === col("rep"))
+    minhashSignatures(repDocs.select(col("doc_id"), col("text")))
+      .join(broadcast(repDocs.select(col("doc_id"), col("mask"))), "doc_id")
+  }
+
   /** Band self-join + in-join exact verification over rep signatures that
-    * carry their set bitmask; returns distinct (a_mask, b_mask, jacc). */
-  private[graft] def minhashVerifiedRepPairs(sigsWithMask: DataFrame,
-                                             threshold: Double): DataFrame = {
+    * carry their set bitmask; returns distinct (a_mask, b_mask, jacc).
+    * With `probeMasks` set, only bands of those masks sit on the LEFT side
+    * (the incremental probe); pairs are then mask-normalized because a
+    * probe-probe pair collides in both directions. */
+  private[graft] def minhashVerifiedRepPairs(sigsWithMask: DataFrame, threshold: Double,
+                                             probeMasks: Option[DataFrame] = None): DataFrame = {
     val bands = bandKeys(sigsWithMask, Seq("mask"))
-    val l = bands.select(col("key"), col("doc_id").as("a_id"), col("mask").as("a_mask"))
+    val lBands = probeMasks.fold(bands)(pm => bands.join(broadcast(pm), "mask"))
+    val l = lBands.select(col("key"), col("doc_id").as("a_id"), col("mask").as("a_mask"))
     val r = bands.select(col("key"), col("doc_id").as("b_id"), col("mask").as("b_mask"))
-    l.join(r, Seq("key")).filter(col("a_id") < col("b_id"))
-      .withColumn("jacc",
-        bit_count(col("a_mask").bitwiseAND(col("b_mask"))).cast(DoubleType) /
-        bit_count(col("a_mask").bitwiseOR(col("b_mask"))).cast(DoubleType))
+    val pairFilter =
+      if (probeMasks.isDefined) col("a_id") =!= col("b_id") else col("a_id") < col("b_id")
+    l.join(r, Seq("key")).filter(pairFilter)
+      .withColumn("jacc", maskJaccard(col("a_mask"), col("b_mask")))
       .filter(col("jacc") >= threshold)
-      .select(col("a_mask"), col("b_mask"), col("jacc"))
+      .select(least(col("a_mask"), col("b_mask")).as("a_mask"),
+              greatest(col("a_mask"), col("b_mask")).as("b_mask"), col("jacc"))
       .distinct() // only true pairs left, at band multiplicity
   }
+
+  /** Expand verified rep-level pairs back to doc-level pairs via the
+    * member table (doc_id, mask). */
+  private def expandCross(members: DataFrame, repPairs: DataFrame): DataFrame =
+    members.select(col("doc_id").as("da"), col("mask").as("a_mask"))
+      .join(broadcast(repPairs), "a_mask")
+      .join(members.select(col("doc_id").as("db"), col("mask").as("b_mask")), "b_mask")
+      .select(least(col("da"), col("db")).as("a_id"),
+              greatest(col("da"), col("db")).as("b_id"), col("jacc"))
 
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
     // members is read by 4 downstream branches (grouping, both sides of the
@@ -231,21 +260,13 @@ object TextDedup {
     val members = tokenMasks(docs).select(col("doc_id"), col("mask"))
       .localCheckpoint(true)
     val groups = members.groupBy(col("mask")).agg(min(col("doc_id")).as("rep"))
-    val repDocs = docs.join(
-      groups.select(col("rep"), col("mask")), docs("doc_id") === col("rep"))
-    val sigs = minhashSignatures(repDocs.select(col("doc_id"), col("text")))
-      .join(broadcast(repDocs.select(col("doc_id"), col("mask"))), "doc_id")
-    val repPairs = minhashVerifiedRepPairs(sigs, threshold)
-    val cross = members.select(col("doc_id").as("da"), col("mask").as("a_mask"))
-      .join(broadcast(repPairs), "a_mask")
-      .join(members.select(col("doc_id").as("db"), col("mask").as("b_mask")), "b_mask")
-      .select(least(col("da"), col("db")).as("a_id"),
-              greatest(col("da"), col("db")).as("b_id"), col("jacc"))
+    val repPairs = minhashVerifiedRepPairs(repSignatures(docs, groups), threshold)
     val intra = members.select(col("doc_id").as("a_id"), col("mask"))
       .join(members.select(col("doc_id").as("b_id"), col("mask")), "mask")
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), lit(1.0).as("jacc"))
-    cross.unionByName(intra) // intra pairs are jacc=1.0 ≥ any valid threshold
+    // intra pairs are jacc=1.0 ≥ any valid threshold
+    expandCross(members, repPairs).unionByName(intra)
   }
 
   // ---- incremental near-dup mining ------------------------------------
@@ -275,37 +296,17 @@ object TextDedup {
     val newIds = newDocs.select(col("doc_id"))
     val members = tokenMasks(all).select(col("doc_id"), col("mask")).localCheckpoint(true)
     val newMembers = members.join(broadcast(newIds), "doc_id")
-    val newMasks = newMembers.select(col("mask")).distinct()
     val groups = members.groupBy(col("mask")).agg(min(col("doc_id")).as("rep"))
-    val repDocs = all.join(groups.select(col("rep"), col("mask")), all("doc_id") === col("rep"))
-    val sigs = minhashSignatures(repDocs.select(col("doc_id"), col("text")))
-      .join(broadcast(repDocs.select(col("doc_id"), col("mask"))), "doc_id")
-    val bands = bandKeys(sigs, Seq("mask"))
     // probe: only new-containing groups on the left; full corpus on the right
-    val l = bands.join(broadcast(newMasks), "mask")
-      .select(col("key"), col("doc_id").as("a_id"), col("mask").as("a_mask"))
-    val r = bands.select(col("key"), col("doc_id").as("b_id"), col("mask").as("b_mask"))
-    val repPairs = l.join(r, Seq("key")).filter(col("a_id") =!= col("b_id"))
-      .withColumn("jacc",
-        bit_count(col("a_mask").bitwiseAND(col("b_mask"))).cast(DoubleType) /
-        bit_count(col("a_mask").bitwiseOR(col("b_mask"))).cast(DoubleType))
-      .filter(col("jacc") >= threshold)
-      // new-new pairs collide in both directions: normalize before distinct
-      .select(least(col("a_mask"), col("b_mask")).as("a_mask"),
-              greatest(col("a_mask"), col("b_mask")).as("b_mask"), col("jacc"))
-      .distinct()
-    val cross = members.select(col("doc_id").as("da"), col("mask").as("a_mask"))
-      .join(broadcast(repPairs), "a_mask")
-      .join(members.select(col("doc_id").as("db"), col("mask").as("b_mask")), "b_mask")
-      .select(least(col("da"), col("db")).as("a_id"),
-              greatest(col("da"), col("db")).as("b_id"), col("jacc"))
+    val repPairs = minhashVerifiedRepPairs(repSignatures(all, groups), threshold,
+      probeMasks = Some(newMembers.select(col("mask")).distinct()))
     val intra = members.select(col("doc_id").as("a_id"), col("mask"))
       .join(newMembers.select(col("doc_id").as("b_id"), col("mask")), "mask")
       .filter(col("a_id") =!= col("b_id"))
       .select(least(col("a_id"), col("b_id")).as("a_id"),
               greatest(col("a_id"), col("b_id")).as("b_id"), lit(1.0).as("jacc"))
     // drop old-old doc pairs (reported when their later member arrived)
-    val pairs = cross.unionByName(intra).distinct()
+    val pairs = expandCross(members, repPairs).unionByName(intra).distinct()
     val touchA = pairs.join(broadcast(newIds.withColumnRenamed("doc_id", "a_id")), Seq("a_id"), "left_semi")
     val touchB = pairs.join(broadcast(newIds.withColumnRenamed("doc_id", "b_id")), Seq("b_id"), "left_semi")
     touchA.unionByName(touchB).distinct()

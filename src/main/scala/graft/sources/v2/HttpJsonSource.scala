@@ -138,8 +138,11 @@ object HttpJsonRows {
     * rows of `schema`. Missing keys and JSON nulls → null. */
   def parse(body: String, schema: StructType): Iterator[InternalRow] = {
     val root = new ObjectMapper().readTree(body)
+    // Jackson 2.10+: readTree("") returns MissingNode and readTree("null")
+    // returns NullNode (never java null) — both must mean zero rows, not
+    // one phantom all-null record
     val objs: Iterator[JsonNode] =
-      if (root == null) Iterator.empty
+      if (root == null || root.isMissingNode || root.isNull) Iterator.empty
       else if (root.isArray) root.elements().asScala
       else Iterator.single(root)
     objs.map(o => convertStruct(o, schema))
@@ -158,19 +161,23 @@ object HttpJsonRows {
   }
 
   // Type-mismatched values yield null (PERMISSIVE posture, matching the
-  // missing-key contract) — never Jackson's silent 0/false coercion, which
-  // would fabricate plausible-looking data from e.g. {"count": "N/A"}.
+  // missing-key contract) — never Jackson's silent coercion, which would
+  // fabricate plausible-looking data: asInt truncates 3.7 to 3, a text
+  // node's elements() iterates empty (array-izing scalars), a scalar where
+  // a struct is expected would become an all-null struct. Each case guards
+  // on the node's actual JSON type first.
   private def convert(node: JsonNode, dt: DataType): Any = dt match {
     case StringType  => UTF8String.fromString(
       if (node.isTextual) node.asText() else node.toString)
-    case IntegerType => if (node.canConvertToInt) node.asInt() else null
-    case LongType    => if (node.canConvertToLong) node.asLong() else null
+    case IntegerType => if (node.isIntegralNumber && node.canConvertToInt) node.asInt() else null
+    case LongType    => if (node.isIntegralNumber && node.canConvertToLong) node.asLong() else null
     case DoubleType  => if (node.isNumber) node.asDouble() else null
     case BooleanType => if (node.isBoolean) node.asBoolean() else null
     case ArrayType(et, _) =>
-      new GenericArrayData(node.elements().asScala.map(e =>
+      if (!node.isArray) null
+      else new GenericArrayData(node.elements().asScala.map(e =>
         if (e == null || e.isNull) null else convert(e, et)).toArray): ArrayData
-    case st: StructType => convertStruct(node, st)
+    case st: StructType => if (node.isObject) convertStruct(node, st) else null
     case other => throw new IllegalArgumentException(
       s"graft-http-json: unsupported type $other (parse raw strings and cast in the plan)")
   }
