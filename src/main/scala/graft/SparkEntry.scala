@@ -50,6 +50,7 @@ object SparkEntry {
     "q30_outer_join"    -> Relational.q30OuterJoin _,
     "q31_map_fns"       -> Relational.q31MapFns _,
     "q32_intersect"     -> Relational.q32Intersect _,
+    "q33_histogram"     -> Relational.q33Histogram _,
     "x17_exact_dedup"   -> LlmData.x17ExactDedup _,
     "x18_neardup_jaccard" -> LlmData.x18NearDupJaccard _,
     "x19_cosine_topk"   -> LlmData.x19CosineTopK _,
@@ -67,6 +68,7 @@ object SparkEntry {
     "x31_ivf_ann"       -> LlmData.x31IvfAnn _,
     "x32_curation"      -> LlmData.x32Curation _,
     "x33_stratified_sample" -> LlmData.x33StratifiedSample _,
+    "x34_repetition"    -> LlmData.x34Repetition _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -104,6 +106,7 @@ object SparkEntry {
     "q30_outer_join"    -> Relational.q30Sql,
     "q31_map_fns"       -> Relational.q31Sql,
     "q32_intersect"     -> Relational.q32Sql,
+    "q33_histogram"     -> Relational.q33Sql,
     "x17_exact_dedup"   -> LlmData.x17Sql,
     "x18_neardup_jaccard" -> LlmData.x18Sql,
     "x19_cosine_topk"   -> LlmData.x19Sql,
@@ -121,5 +124,6 @@ object SparkEntry {
     "x31_ivf_ann"       -> LlmData.x31Sql,
     "x32_curation"      -> LlmData.x32Sql,
     "x33_stratified_sample" -> LlmData.x33Sql,
+    "x34_repetition"    -> LlmData.x34Sql,
   )
 }

@@ -272,6 +272,38 @@ object LlmData {
        |WHERE (lang = 'en' AND bucket < 10) OR (lang != 'en' AND bucket < 50)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- X34: repetition ratio (Gopher-style quality heuristic) ----------
+
+  /** Per-doc repetition signal: share of the token stream taken by the
+    * single most frequent token (high ⇒ boilerplate/spam). Two hash
+    * aggregations — (doc, token) counts then per-doc max/sum — both
+    * map-side combinable; the repetitive-doc filter is the standard
+    * quality gate alongside x25's TTR. */
+  def x34Repetition(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("max_tok"), sum(col("n")).as("n_tok"))
+      .select(col("doc_id"),
+        col("max_tok").cast(LongType).as("max_tok"),
+        col("n_tok").cast(LongType).as("n_tok"),
+        (col("max_tok").cast(DoubleType) / col("n_tok")).as("rep_ratio"),
+        (col("max_tok").cast(DoubleType) / col("n_tok") > 0.2).as("is_repetitive"))
+      .orderBy(col("doc_id"))
+
+  val x34Sql: String =
+    """WITH tc AS (
+      |  SELECT doc_id, tok, count(*) AS n
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok)
+      |SELECT doc_id,
+      |  CAST(max(n) AS BIGINT) AS max_tok,
+      |  CAST(sum(n) AS BIGINT) AS n_tok,
+      |  CAST(max(n) AS DOUBLE) / sum(n) AS rep_ratio,
+      |  CAST(max(n) AS DOUBLE) / sum(n) > 0.2 AS is_repetitive
+      |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- X23: SRP-LSH approximate nearest neighbor -----------------------
 
   def x23AnnSrp(spark: SparkSession, dir: String): DataFrame =

@@ -423,6 +423,23 @@ object Relational {
       |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
       |ORDER BY o_custkey""".stripMargin
 
+  /** Q33 — histogram / binned aggregation: order-value distribution in
+    * fixed $25k bins. Binning is a pure projection (floor division), so
+    * the shuffle carries one row per bin — the constant-size-output shape
+    * monitoring queries need at any scale. */
+  def q33Histogram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("bin", (floor(col("o_totalprice") / 25000.0) * 25000).cast(LongType))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sumMoney2(col("o_totalprice")).as("bin_total"))
+      .orderBy(col("bin"))
+
+  val q33Sql: String =
+    """SELECT CAST(floor(o_totalprice / 25000.0) * 25000 AS BIGINT) AS bin,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bin_total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Q31 — MAP scalar functions: per year, a status→count map built with
     * map_from_entries over sorted entries, then consumed via size /
     * element_at / map_keys. Maps stay INTERNAL to the plan (entry order is
