@@ -51,6 +51,7 @@ object SparkEntry {
     "q31_map_fns"       -> Relational.q31MapFns _,
     "q32_intersect"     -> Relational.q32Intersect _,
     "q33_histogram"     -> Relational.q33Histogram _,
+    "q34_session_window" -> EventTime.q34SessionWindow _,
     "x17_exact_dedup"   -> LlmData.x17ExactDedup _,
     "x18_neardup_jaccard" -> LlmData.x18NearDupJaccard _,
     "x19_cosine_topk"   -> LlmData.x19CosineTopK _,
@@ -107,6 +108,7 @@ object SparkEntry {
     "q31_map_fns"       -> Relational.q31Sql,
     "q32_intersect"     -> Relational.q32Sql,
     "q33_histogram"     -> Relational.q33Sql,
+    "q34_session_window" -> EventTime.q34Sql,
     "x17_exact_dedup"   -> LlmData.x17Sql,
     "x18_neardup_jaccard" -> LlmData.x18Sql,
     "x19_cosine_topk"   -> LlmData.x19Sql,

@@ -82,6 +82,40 @@ object EventTime {
       |    FROM events))
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Q34 — Spark's BUILT-IN session_window (gap-based merging inside the
+    * aggregation), cross-checked against the lag+cumsum formulation the
+    * oracle uses (and Q16 scores): one row per session with start, end
+    * (= last event + gap) and event count. Same single shuffle on user_id;
+    * the built-in also works unchanged under Structured Streaming. */
+  def q34SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("w.start").cast("timestamp_ntz").as("session_start"),
+        col("w.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val q34Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM (SELECT user_id, ts, event_id,
+      |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |        FROM events)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL '30 minutes' AS session_end,
+      |  count(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Q17 — semi-structured props: JSON path extraction + typed cast
     * (reference parity for schemaless JSON handling, SURVEY §2.1 S2). */
   def q17JsonExtract(spark: SparkSession, dir: String): DataFrame =
