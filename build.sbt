@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// tools/run.sh runs java -cp target/scala-2.13/classes directly, so the
+// META-INF/services DataSourceRegister file must land there on compile,
+// not only on test/run/package.
+Compile / compile := (Compile / compile).dependsOn(Compile / copyResources).value
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
