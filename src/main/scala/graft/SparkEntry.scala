@@ -70,6 +70,7 @@ object SparkEntry {
     "x32_curation"      -> LlmData.x32Curation _,
     "x33_stratified_sample" -> LlmData.x33StratifiedSample _,
     "x34_repetition"    -> LlmData.x34Repetition _,
+    "x35_dedup_clusters" -> LlmData.x35DedupClusters _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -127,5 +128,6 @@ object SparkEntry {
     "x32_curation"      -> LlmData.x32Sql,
     "x33_stratified_sample" -> LlmData.x33Sql,
     "x34_repetition"    -> LlmData.x34Sql,
+    "x35_dedup_clusters" -> LlmData.x35Sql,
   )
 }

@@ -269,6 +269,45 @@ object TextDedup {
     expandCross(members, repPairs).unionByName(intra)
   }
 
+  // ---- dedup clusters (connected components) ---------------------------
+
+  /** Connected components over near-dup pairs: label propagation to the
+    * minimum doc_id, i.e. every document in a transitively-connected
+    * near-dup cluster maps to the cluster's smallest id (the survivor).
+    * This is the dedup ACTION that pair mining feeds — keep cluster_id ==
+    * doc_id, drop the rest.
+    *
+    * Iterative Pregel-lite on DataFrames: each round joins labels across
+    * symmetrized edges and takes the min; rounds needed = cluster diameter
+    * (near-dup clusters are near-cliques, so 1–3 in practice; `maxIters`
+    * bounds adversarial chains). Each round materializes via
+    * localCheckpoint — an iterative algorithm over unbounded lineage would
+    * otherwise replay all prior rounds and overflow the planner. */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbr = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), "dst")
+        .groupBy(col("src")).agg(min(col("dst_label")).as("nbr_label"))
+      val updated = labels
+        .join(nbr.select(col("src").as("id"), col("nbr_label")), Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("new_label") =!= col("label")).count()
+      labels = updated.select(col("id"), col("new_label").as("label"))
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   // ---- incremental near-dup mining ------------------------------------
 
   /** Incremental MinHash near-dup mining: emit only the pairs that involve

@@ -205,6 +205,36 @@ object LlmData {
        |        row_number() OVER (PARTITION BY p_id ORDER BY cos_r DESC, n_id ASC) AS rn FROM c2)
        |SELECT p_id, rn, n_id, cell, cos_r FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin
 
+  // ---- X35: dedup clusters (connected components over near-dup pairs) --
+
+  /** The dedup ACTION: transitively-connected near-dup clusters (over the
+    * exact jacc≥0.9 pairs), each doc labeled with its cluster's min id —
+    * keep cluster_id == doc_id, drop the rest. Spark side is iterative
+    * min-label propagation; the oracle computes the same components with a
+    * recursive CTE (reachability closure, min label per node). */
+  def x35DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.dedupClusters(TextDedup.jaccardPairs(docs(spark, dir), JaccThreshold))
+      .orderBy(col("doc_id"))
+
+  val x35Sql: String =
+    s"""WITH RECURSIVE
+       |tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+       |vocab AS (SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS bit FROM (SELECT DISTINCT tok FROM tok)),
+       |mask AS (SELECT doc_id, sum(1::BIGINT << bit)::BIGINT AS m
+       |         FROM tok JOIN vocab USING (tok) GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM mask a JOIN mask b ON a.doc_id < b.doc_id
+       |  WHERE CAST(bit_count(a.m & b.m) AS DOUBLE) / CAST(bit_count(a.m | b.m) AS DOUBLE) >= $JaccThreshold),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst)
+       |SELECT id AS doc_id, min(label) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   // ---- X32: end-to-end curation pipeline -------------------------------
 
   /** The composed training-data curation query: exact-dedup survivors

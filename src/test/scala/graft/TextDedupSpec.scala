@@ -95,6 +95,18 @@ class TextDedupSpec extends AnyFunSuite {
       s"sizes: inc=${inc1.size}+${inc2.size}+${inc3.size} batch=${batchAll.size}")
   }
 
+  test("dedup clusters: labels are component minima, chains converge") {
+    import spark.implicits._
+    // a 4-node chain (diameter 3, needs >1 propagation round), a triangle,
+    // and an isolated pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("a_id", "b_id")
+    val got = TextDedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("simhash: banded pairs equal brute-force pairs (pigeonhole exactness)") {
     // NB: iterate a Seq, not a Map — a for-yield over a Map of tuples
     // collapses pairs by key and silently drops most of them
