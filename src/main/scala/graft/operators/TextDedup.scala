@@ -308,6 +308,37 @@ object TextDedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Near-dup clusters over a corpus, collapse-first: components are
+    * computed on the REP graph (one node per distinct token set, edges =
+    * verified rep pairs) and expanded to members afterward — the label
+    * propagation iterates over ~|distinct sets| edges instead of the full
+    * doc-pair blowup (docs in an identical-set group are one component by
+    * construction, label = the group's rep = its min doc_id). Output:
+    * (doc_id, cluster_id) for every doc belonging to some near-dup pair;
+    * cluster_id is the cluster's minimum doc_id (the survivor). Equals
+    * dedupClusters(jaccardPairs(docs, t)) — asserted in TextDedupSpec. */
+  def nearDupClusters(docs: DataFrame, threshold: Double): DataFrame = {
+    val members = tokenMasks(docs).select(col("doc_id"), col("mask")).localCheckpoint(true)
+    val groups = members.groupBy(col("mask"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("grp_n"))
+      .localCheckpoint(true)
+    val m = groups.select(col("rep"), col("mask"))
+    val a = m.select(col("rep").as("a_id"), col("mask").as("a_mask"))
+    val b = m.select(col("rep").as("b_id"), col("mask").as("b_mask"))
+    val repPairs = a.join(b, col("a_id") < col("b_id"))
+      .filter(maskJaccard(col("a_mask"), col("b_mask")) >= threshold)
+      .select(col("a_id"), col("b_id"))
+    val repLabels = dedupClusters(repPairs) // doc_id (= rep), cluster_id
+    // reps with edges carry their propagated label; edge-less groups of
+    // size >= 2 are their own cluster (intra jacc=1 pairs at doc level)
+    val labeled = groups
+      .join(repLabels.select(col("doc_id").as("rep"), col("cluster_id")), Seq("rep"), "left")
+      .filter(col("cluster_id").isNotNull || col("grp_n") >= 2)
+      .select(col("mask"), coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+    members.join(labeled, "mask")
+      .select(col("doc_id"), col("cluster_id"))
+  }
+
   // ---- incremental near-dup mining ------------------------------------
 
   /** Incremental MinHash near-dup mining: emit only the pairs that involve

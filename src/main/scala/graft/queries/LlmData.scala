@@ -213,7 +213,7 @@ object LlmData {
     * min-label propagation; the oracle computes the same components with a
     * recursive CTE (reachability closure, min label per node). */
   def x35DedupClusters(spark: SparkSession, dir: String): DataFrame =
-    TextDedup.dedupClusters(TextDedup.jaccardPairs(docs(spark, dir), JaccThreshold))
+    TextDedup.nearDupClusters(docs(spark, dir), JaccThreshold)
       .orderBy(col("doc_id"))
 
   val x35Sql: String =

@@ -107,6 +107,15 @@ class TextDedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("nearDupClusters (collapse-first) equals components over the full pair set") {
+    val direct = TextDedup.dedupClusters(TextDedup.jaccardPairs(docs, 0.9)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val collapsed = TextDedup.nearDupClusters(docs, 0.9).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(collapsed == direct)
+    assert(direct.nonEmpty)
+  }
+
   test("simhash: banded pairs equal brute-force pairs (pigeonhole exactness)") {
     // NB: iterate a Seq, not a Map — a for-yield over a Map of tuples
     // collapses pairs by key and silently drops most of them
