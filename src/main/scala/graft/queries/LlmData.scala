@@ -178,6 +178,49 @@ object LlmData {
        |SELECT a_id, b_id, cos_r FROM c WHERE cos_r >= $CosineDupThreshold
        |ORDER BY a_id, b_id""".stripMargin
 
+  // ---- X36: banded-SRP cosine near-dup (scale path for X30) ------------
+
+  /** X30's production shape: SRP band prefilter + exact cosine verify.
+    * Sound (⊆ x30 with identical cos_r); the oracle replicates the
+    * banding (x23's pattern) so the hash gate stays exact, and
+    * SimilaritySpec measures recall vs the exact form — 1.0 in the
+    * production regime (planted cos ≥ 0.95 neighbors), deterministic
+    * partial recall on this corpus's 0.40 tail (regime math in the
+    * [[graft.operators.Similarity.srpBandedNearDups]] scaladoc). */
+  def x36CosineNearDupBanded(spark: SparkSession, dir: String): DataFrame =
+    Similarity.srpBandedNearDups(embs(spark, dir), CosineDupThreshold)
+      .orderBy(col("a_id"), col("b_id"))
+
+  val x36Sql: String = {
+    val n = Similarity.BandCount * Similarity.BandRows
+    val unnests = (0 until n).map(j => s"unnest(${Similarity.bandPlaneSqlArray(j)}) AS h$j").mkString(", ")
+    val sums = (0 until n).map(j =>
+      s"CAST(sum(CAST(floor(x*h$j * 1e9) AS BIGINT)) AS BIGINT) AS d$j").mkString(",\n       |  ")
+    val keys = (0 until Similarity.BandCount).map { b =>
+      val bits = (0 until Similarity.BandRows)
+        .map(j => s"CASE WHEN d${b * Similarity.BandRows + j} > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      s"CAST($bits AS BIGINT) AS k$b"
+    }.mkString(",\n       |  ")
+    val ors = (0 until Similarity.BandCount).map(b => s"a.k$b = b.k$b").mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |f AS (SELECT vec_id, unnest(v) AS x, $unnests FROM e),
+       |d AS (SELECT vec_id,
+       |  $sums
+       |  FROM f GROUP BY vec_id),
+       |bk AS (SELECT vec_id,
+       |  $keys
+       |  FROM d),
+       |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |         FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ($ors)),
+       |pf AS (SELECT a_id, b_id, unnest(ea.v) AS x, unnest(eb.v) AS y
+       |       FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id),
+       |s AS (SELECT a_id, b_id, $cosSumCols FROM pf GROUP BY 1, 2),
+       |c AS (SELECT a_id, b_id, $cosRExpr AS cos_r FROM s)
+       |SELECT a_id, b_id, cos_r FROM c WHERE cos_r >= $CosineDupThreshold
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   // ---- X31: IVF-style ANN (fixed centroids, cell-pruned search) --------
 
   def x31IvfAnn(spark: SparkSession, dir: String): DataFrame =
