@@ -91,38 +91,78 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN ----------------------------------------
 
-  /** Number of IVF cells; "training" is deterministic — the numCentroids
-    * lowest vec_ids serve as centroids (a k-means step would slot in here
-    * unchanged; fixed centroids keep the result oracle-replicable). */
+  /** Number of IVF cells, Lloyd iterations, and probed cells per query. */
   val IvfCentroids = 16
+  val IvfIters = 2
+  val IvfNprobe = 2
 
-  /** IVF-style ANN: assign every vector to its nearest centroid (argmax
-    * cosine, centroid-id tie-break), then answer each probe's top-k by
-    * scanning ONLY the probe's own cell (nprobe=1).
-    *
-    * This is the 100 TB similarity-search shape: the cell id is a
-    * partition key, so a probe touches 1/numCentroids of the corpus —
-    * partition pruning does the work, not a smarter kernel. Assignment is
-    * a broadcast of the centroids + a map-side max(struct) — no shuffle;
-    * the search is a broadcast of the probes into their cells. */
-  def ivfTopK(embeddings: DataFrame, k: Int, numCentroids: Int = IvfCentroids,
-              probePredicate: Column = col("vec_id") < 10): DataFrame = {
-    graft.functions.CosineUnits.register(embeddings.sparkSession)
-    val cents = embeddings.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
-    // nearest centroid per vector: max over (cosine, -c_id) — lexicographic
-    // struct-max = highest cosine then lowest centroid id, map-side combined
-    val cells = embeddings.join(broadcast(cents))
+  /** Nearest centroid per vector: max over (cosine, -c_id) — lexicographic
+    * struct-max = highest cosine then lowest centroid id, map-side
+    * combined; broadcast of the centroids, no shuffle on the corpus. */
+  private[graft] def assignCells(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    embeddings.join(broadcast(cents))
       .withColumn("cos_c", cosineR("embedding", "cv"))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("cos_c"), (-col("c_id")).as("negc"))).as("best"))
       .select(col("vec_id"), (-col("best.negc")).cast(LongType).as("cell"))
-    val assigned = embeddings.join(cells, "vec_id")
-    val probes = assigned.filter(probePredicate)
-      .select(col("vec_id").as("p_id"), col("embedding").as("pv"), col("cell"))
+
+  /** Deterministic spherical-ish k-means: seeds = the k lowest vec_ids,
+    * then `iters` Lloyd steps — assign by truncated cosine (tie-break
+    * lower centroid id), recompute each centroid as the element-wise mean
+    * of its members. Means use the engine's exact integer units
+    * (sum(floor(x·1e9)) / count / 1e9 — exact sum, then two IEEE divides
+    * in a fixed order), so the learned centroids are bit-identical across
+    * engines, partitionings, and re-runs; cells that lose every member
+    * drop out. Each step is a centroid broadcast + one map-side-combined
+    * agg + one (cell, dim)-keyed agg — no corpus shuffle, the same cost
+    * shape at 100 TB. */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = IvfCentroids,
+                      iters: Int = IvfIters): DataFrame = {
+    graft.functions.CosineUnits.register(embeddings.sparkSession)
+    var cents = embeddings.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    for (_ <- 0 until iters) {
+      val cells = assignCells(embeddings, cents)
+      val coords = embeddings.join(cells, "vec_id")
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
+      val means = coords.groupBy(col("cell"), col("i"))
+        .agg((sum(expr("cast(floor(cast(x as double) * 1e9) as bigint)"))
+          .cast(DoubleType) / count(lit(1)) / lit(1e9)).as("cx"))
+      // tiny frame (k × dim rows): the interpreted transform lambda is fine
+      cents = means.groupBy(col("cell"))
+        .agg(expr("transform(sort_array(collect_list(struct(i, cx))), s -> s.cx)").as("cv"))
+        .select(col("cell").as("c_id"), col("cv"))
+        .localCheckpoint(true) // consumed by next assign + final probe ranking
+    }
+    cents
+  }
+
+  /** IVF ANN with learned centroids: assign every vector to its nearest
+    * k-means centroid, then answer each probe's top-k by scanning only the
+    * probe's `nprobe` nearest cells.
+    *
+    * This is the 100 TB similarity-search shape: the cell id is a
+    * partition key, so a probe touches nprobe/numCentroids of the corpus —
+    * partition pruning does the work, not a smarter kernel. Assignment is
+    * a broadcast of the centroids + a map-side max(struct) — no shuffle;
+    * the search broadcasts (probe, cell) fan-out rows into the cells. */
+  def ivfTopK(embeddings: DataFrame, k: Int, numCentroids: Int = IvfCentroids,
+              probePredicate: Column = col("vec_id") < 10,
+              iters: Int = IvfIters, nprobe: Int = IvfNprobe): DataFrame = {
+    graft.functions.CosineUnits.register(embeddings.sparkSession)
+    val cents = kmeansCentroids(embeddings, numCentroids, iters)
+    val assigned = embeddings.join(assignCells(embeddings, cents), "vec_id")
+    val probes = embeddings.filter(probePredicate)
+      .select(col("vec_id").as("p_id"), col("embedding").as("pv"))
+    val wp = Window.partitionBy(col("p_id")).orderBy(col("cos_c").desc, col("c_id").asc)
+    val probeCells = probes.join(broadcast(cents))
+      .withColumn("cos_c", cosineR("pv", "cv"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= nprobe)
+      .select(col("p_id"), col("pv"), col("c_id").as("cell"))
     val cand = assigned.select(col("cell"), col("vec_id").as("n_id"), col("embedding").as("nv"))
     val w = Window.partitionBy(col("p_id")).orderBy(col("cos_r").desc, col("n_id").asc)
-    cand.join(broadcast(probes), Seq("cell"))
+    cand.join(broadcast(probeCells), Seq("cell"))
       .filter(col("p_id") =!= col("n_id"))
       .withColumn("cos_r", cosineR("pv", "nv"))
       .withColumn("rn", row_number().over(w).cast(LongType))

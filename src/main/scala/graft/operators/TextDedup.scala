@@ -92,10 +92,17 @@ object TextDedup {
     * Scale shape: the shingle join is a shuffle on shingle — cost
     * Σ_s freq(s)², so hot shingles are the skew risk; identical texts are
     * collapsed first (they alias whole clusters into every shingle), and
-    * at real scale stop-shingle dropping (freq cap) bounds the worst key.
-    * Unrelated docs rarely share a specific n-token sequence, which keeps
-    * the candidate set near-linear where token-level joins explode. */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    * `maxShingleDf` (the stop-shingle frequency cap) bounds the worst key:
+    * shingles with document frequency above the cap are dropped from
+    * CANDIDATE generation only — candidates are then re-verified with an
+    * exact intersection count over the FULL posting lists, so reported
+    * jacc values never change. A true pair is missed only if EVERY shared
+    * shingle is capped: at jacc ≥ t the pair shares ≥ t/(1+t) of its
+    * shingle union (≥ 44% at t=0.8), so a cap above the corpus's
+    * boilerplate band cannot lose it — asserted capped ≡ uncapped in
+    * TextDedupSpec. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                        maxShingleDf: Option[Long] = None): DataFrame = {
     val hashed = docs.select(col("doc_id"), col("text"), sha2(col("text"), 256).as("h"))
     val reps = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("rep_id"))
     // read by both expansion sides + intra: materialize once (same
@@ -109,10 +116,27 @@ object TextDedup {
     // sides): materialize once, same reasoning as minhashNearDups.members
     val sh = shingles(repDocs, n).localCheckpoint(true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val inter = sh.select(col("shingle"), col("doc_id").as("ra"))
-      .join(sh.select(col("shingle"), col("doc_id").as("rb")), "shingle")
-      .filter(col("ra") < col("rb"))
-      .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("c"))
+    val inter = maxShingleDf match {
+      case None =>
+        sh.select(col("shingle"), col("doc_id").as("ra"))
+          .join(sh.select(col("shingle"), col("doc_id").as("rb")), "shingle")
+          .filter(col("ra") < col("rb"))
+          .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("c"))
+      case Some(cap) =>
+        // stop-shingle path: the hot-shingle set is small by definition of
+        // the cap → broadcast anti-join prunes postings before the
+        // quadratic join; exact re-verify restores true intersections
+        val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("shingle"))
+        val cold = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+        val cand = cold.select(col("shingle"), col("doc_id").as("ra"))
+          .join(cold.select(col("shingle"), col("doc_id").as("rb")), "shingle")
+          .filter(col("ra") < col("rb"))
+          .select(col("ra"), col("rb")).distinct()
+        cand.join(sh.select(col("doc_id").as("ra"), col("shingle")), "ra")
+          .join(sh.select(col("doc_id").as("rb"), col("shingle")), Seq("rb", "shingle"))
+          .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("c"))
+    }
     val repPairs = inter
       .join(broadcast(sizes.select(col("doc_id").as("ra"), col("nsh").as("na"))), "ra")
       .join(broadcast(sizes.select(col("doc_id").as("rb"), col("nsh").as("nb"))), "rb")
@@ -433,6 +457,39 @@ object TextDedup {
     val touchA = pairs.join(broadcast(newIds.withColumnRenamed("doc_id", "a_id")), Seq("a_id"), "left_semi")
     val touchB = pairs.join(broadcast(newIds.withColumnRenamed("doc_id", "b_id")), Seq("b_id"), "left_semi")
     touchA.unionByName(touchB).distinct()
+  }
+
+  /** Incremental dedup-cluster maintenance: fold a new batch into existing
+    * (doc_id, cluster_id) labels WITHOUT recomputing old components. New
+    * pairs come from the probe-side-restricted incremental miner (join
+    * work ∝ the batch's collisions); old clusters enter the component
+    * computation as STAR edges (doc → its label), so the contraction input
+    * is O(labeled docs + new pairs), not the historical pair set. Folding
+    * batches in arrival order reproduces the batch answer exactly —
+    * components of star(labels) ∪ newPairs equal components of the full
+    * pair union, and labels stay cluster minima (law in TextDedupSpec).
+    *
+    * This completes the production story next to [[minhashNearDupsIncremental]]:
+    * mining was incremental, now the dedup ACTION is too — a 100 TB corpus
+    * appends a batch, reprices only the touched clusters, and never
+    * re-mines history. */
+  def nearDupClustersIncremental(existingLabels: DataFrame, existingDocs: DataFrame,
+                                 newDocs: DataFrame, threshold: Double): DataFrame = {
+    val newPairs = minhashNearDupsIncremental(existingDocs, newDocs, threshold)
+    val starEdges = existingLabels.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("a_id"), col("cluster_id").as("b_id"))
+    // singleton clusters (label == id) re-enter via self-pair semantics:
+    // dedupClusters keeps every node that appears in some edge, and a
+    // previously-labeled doc always appears in its star edge unless it was
+    // its own cluster AND alone — re-add those as explicit self-identities
+    val singletons = existingLabels.filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"))
+    val propagated = dedupClusters(
+      starEdges.unionByName(newPairs.select(col("a_id"), col("b_id"))))
+    // a self-labeled cluster head not touched by any edge keeps its label
+    val untouchedHeads = singletons
+      .join(propagated.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    propagated.unionByName(untouchedHeads)
   }
 
   // ---- SimHash + banded LSH -------------------------------------------

@@ -221,32 +221,58 @@ object LlmData {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
-  // ---- X31: IVF-style ANN (fixed centroids, cell-pruned search) --------
+  // ---- X31: IVF ANN (deterministic k-means, nprobe cell-pruned search) -
 
   def x31IvfAnn(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(embs(spark, dir), 5).orderBy(col("p_id"), col("rn"))
 
-  val x31Sql: String =
+  /** The oracle replicates the k-means training exactly: integer-unit
+    * centroid means (exact sums, two IEEE divides in a fixed order) make
+    * the learned centroids bit-identical between Spark and DuckDB, so
+    * assignments, probed cells, and the final top-k all hash-match. */
+  val x31Sql: String = {
+    // assignment CTE: every vector of e → nearest centroid in `cent`
+    def assignBlock(cent: String, out: String): String =
+      s"""${out}pr AS (SELECT e.vec_id, c.c_id, unnest(e.v) AS x, unnest(c.cv) AS y FROM e, $cent c),
+         |${out}s AS (SELECT vec_id, c_id, $cosSumCols FROM ${out}pr GROUP BY 1, 2),
+         |${out}c AS (SELECT vec_id, c_id, $cosRExpr AS cos_c FROM ${out}s),
+         |$out AS (SELECT vec_id, c_id AS cell FROM (
+         |  SELECT vec_id, c_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_id ASC) AS rn
+         |  FROM ${out}c) WHERE rn = 1)""".stripMargin
+    // centroid-update CTE: element-wise exact-unit mean per cell
+    def centBlock(asg: String, out: String): String =
+      s"""${out}m AS (SELECT cell, i,
+         |    CAST(sum(CAST(floor(x * 1e9) AS BIGINT)) AS DOUBLE) / count(*) / 1000000000.0 AS cx
+         |  FROM (SELECT $asg.cell AS cell, unnest(e.v) AS x, unnest(range(1, len(e.v) + 1)) AS i
+         |        FROM $asg JOIN e ON e.vec_id = $asg.vec_id)
+         |  GROUP BY cell, i),
+         |$out AS (SELECT cell AS c_id, list(cx ORDER BY i) AS cv FROM ${out}m GROUP BY cell)""".stripMargin
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < ${Similarity.IvfCentroids}),
-       |apr AS (SELECT e.vec_id, cent.c_id, unnest(e.v) AS x, unnest(cent.cv) AS y FROM e, cent),
-       |asum AS (SELECT vec_id, c_id, $cosSumCols FROM apr GROUP BY 1, 2),
-       |ac AS (SELECT vec_id, c_id, $cosRExpr AS cos_c FROM asum),
-       |asg AS (SELECT vec_id, c_id AS cell FROM (
-       |          SELECT vec_id, c_id,
-       |            row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_id ASC) AS rn
-       |          FROM ac) WHERE rn = 1),
-       |p AS (SELECT a.vec_id AS p_id, e.v AS pv, a.cell FROM asg a
-       |      JOIN e ON e.vec_id = a.vec_id WHERE a.vec_id < 10),
-       |cand AS (SELECT p.p_id, p.cell, a.vec_id AS n_id, e2.v AS nv, p.pv FROM p
-       |         JOIN asg a ON a.cell = p.cell JOIN e e2 ON e2.vec_id = a.vec_id
-       |         WHERE a.vec_id != p.p_id),
-       |pf AS (SELECT p_id, cell, n_id, unnest(pv) AS x, unnest(nv) AS y FROM cand),
+       |cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < ${Similarity.IvfCentroids}),
+       |${assignBlock("cent0", "asg0")},
+       |${centBlock("asg0", "cent1")},
+       |${assignBlock("cent1", "asg1")},
+       |${centBlock("asg1", "cent2")},
+       |${assignBlock("cent2", "asg2")},
+       |p0 AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id < 10),
+       |pcpr AS (SELECT p_id, c.c_id, unnest(pv) AS x, unnest(c.cv) AS y FROM p0, cent2 c),
+       |pcs AS (SELECT p_id, c_id, $cosSumCols FROM pcpr GROUP BY 1, 2),
+       |pcc AS (SELECT p_id, c_id, $cosRExpr AS cos_c FROM pcs),
+       |pc AS (SELECT p_id, cell FROM (
+       |  SELECT p_id, c_id AS cell,
+       |    row_number() OVER (PARTITION BY p_id ORDER BY cos_c DESC, c_id ASC) AS rn
+       |  FROM pcc) WHERE rn <= ${Similarity.IvfNprobe}),
+       |cand AS (SELECT pc.p_id, pc.cell, a.vec_id AS n_id FROM pc
+       |         JOIN asg2 a ON a.cell = pc.cell WHERE a.vec_id != pc.p_id),
+       |pf AS (SELECT p_id, cell, n_id, unnest(ep.v) AS x, unnest(en.v) AS y
+       |       FROM cand JOIN e ep ON ep.vec_id = p_id JOIN e en ON en.vec_id = n_id),
        |s2 AS (SELECT p_id, cell, n_id, $cosSumCols FROM pf GROUP BY 1, 2, 3),
        |c2 AS (SELECT p_id, cell, n_id, $cosRExpr AS cos_r FROM s2),
        |r AS (SELECT p_id, cell, n_id, cos_r,
        |        row_number() OVER (PARTITION BY p_id ORDER BY cos_r DESC, n_id ASC) AS rn FROM c2)
        |SELECT p_id, rn, n_id, cell, cos_r FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin
+  }
 
   // ---- X35: dedup clusters (connected components over near-dup pairs) --
 

@@ -59,12 +59,14 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("IVF: cells are centroid ids, probe results stay inside the probe's cell") {
+  test("IVF: k-means cells partition the corpus; results come from the probe's nprobe nearest cells") {
     val out = Similarity.ivfTopK(embs, 5).collect()
     assert(out.nonEmpty)
-    // recompute each vector's cell independently of the operator
-    val cents = embs.filter(col("vec_id") < Similarity.IvfCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    // recompute assignments independently from the learned centroids
+    val cents = Similarity.kmeansCentroids(embs).localCheckpoint(true)
+    val centVecs = cents.collect()
+      .map(r => r.getAs[Long]("c_id") -> r.getAs[Seq[Double]]("cv").toArray).toMap
+    assert(centVecs.size > 1 && centVecs.size <= Similarity.IvfCentroids)
     val cellOf = embs.join(broadcast(cents))
       .withColumn("cos_c", Similarity.cosineR("embedding", "cv"))
       .collect()
@@ -72,10 +74,19 @@ class SimilaritySpec extends AnyFunSuite {
       .map { case (v, rows) =>
         v -> rows.maxBy(r => (r.getAs[Double]("cos_c"), -r.getAs[Long]("c_id"))).getAs[Long]("c_id")
       }
+    // probe's nprobe nearest cells, recomputed independently
+    val probeCells = embs.filter(col("vec_id") < 10).join(broadcast(cents))
+      .withColumn("cos_c", Similarity.cosineR("embedding", "cv"))
+      .collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+      .map { case (v, rows) =>
+        v -> rows.sortBy(r => (-r.getAs[Double]("cos_c"), r.getAs[Long]("c_id")))
+          .take(Similarity.IvfNprobe).map(_.getAs[Long]("c_id")).toSet
+      }
     out.foreach { r =>
       val (p, n, cell) = (r.getAs[Long]("p_id"), r.getAs[Long]("n_id"), r.getAs[Long]("cell"))
-      assert(cell == cellOf(p), s"probe $p cell")
-      assert(cell == cellOf(n), s"neighbor $n must share probe $p's cell")
+      assert(probeCells(p).contains(cell), s"probe $p scanned cell $cell outside its nprobe set")
+      assert(cell == cellOf(n), s"neighbor $n must live in the cell it was found in")
       assert(p != n)
     }
     // ranks dense from 1 within each probe
@@ -83,6 +94,16 @@ class SimilaritySpec extends AnyFunSuite {
       val rns = g.map(_.getAs[Long]("rn")).sorted
       assert(rns.toSeq == (1L to rns.length).toSeq)
     }
+  }
+
+  test("IVF: recall vs brute force at nprobe=2 (deterministic on this corpus)") {
+    val brute = Similarity.bruteForceTopK(embs.filter(col("vec_id") < 10), embs, 5).collect()
+      .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("n_id"))).toSet
+    val ivf = Similarity.ivfTopK(embs, 5).collect()
+      .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    // scanning 2/16 of a near-uniform corpus: partial recall, deterministic
+    assert(recall >= 0.3, s"recall $recall (${(ivf & brute).size}/${brute.size})")
   }
 
   test("banded cosine near-dups: sound subset of exact with identical cos_r; deterministic recall on the 0.40 tail") {

@@ -52,6 +52,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("ngram jaccard: stop-shingle cap preserves pairs and exact values (capped ≡ uncapped)") {
+    // cap 4 drops ~190 of the corpus's 16.5k distinct shingles (df 5–9) from
+    // candidate generation; the exact re-verify restores true intersections,
+    // and no 0.8-pair can lose ALL its ≥44% shared shingles to the cap
+    val uncapped = TextDedup.ngramJaccardPairs(docs, 3, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = TextDedup.ngramJaccardPairs(docs, 3, 0.8, maxShingleDf = Some(4L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(uncapped.nonEmpty)
+    assert(capped == uncapped)
+  }
+
   test("jaccard pairs: values within (0.9, 1], pairs ordered a<b") {
     val rows = TextDedup.jaccardPairs(docs, 0.9).collect()
     assert(rows.nonEmpty)
@@ -93,6 +105,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert((inc1 & inc2).isEmpty && (inc1 & inc3).isEmpty && (inc2 & inc3).isEmpty)
     assert((inc1 | inc2 | inc3) == batchAll,
       s"sizes: inc=${inc1.size}+${inc2.size}+${inc3.size} batch=${batchAll.size}")
+  }
+
+  test("incremental dedup clusters: arrival-order folds equal batch clusters") {
+    val docs = this.docs.filter(col("doc_id") < 150)
+    val batch = TextDedup.nearDupClusters(docs, 0.9).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.nonEmpty)
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val cut1 = ids(ids.length / 3); val cut2 = ids(2 * ids.length / 3)
+    val b1 = docs.filter(col("doc_id") <= cut1)
+    val b2 = docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2)
+    val b3 = docs.filter(col("doc_id") > cut2)
+    val l0 = b1.select(col("doc_id"), col("doc_id").as("cluster_id")).limit(0)
+    val l1 = TextDedup.nearDupClustersIncremental(l0, b1.limit(0), b1, 0.9).localCheckpoint(true)
+    val l2 = TextDedup.nearDupClustersIncremental(l1, b1, b2, 0.9).localCheckpoint(true)
+    val l3 = TextDedup.nearDupClustersIncremental(l2, b1.unionByName(b2), b3, 0.9)
+    val folded = l3.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded == batch,
+      s"sizes: folded=${folded.size} batch=${batch.size}")
   }
 
   test("dedup clusters: labels are component minima, chains converge") {
