@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.Tables._
 import graft.functions.Aggregators
+import graft.operators.TableLayout
 
 /** Coverage for the remaining SURVEY.md §2.2 categories: semi join, as-of
   * (non-equi) join, cube, and a typed custom Aggregator (UDAF). */
@@ -146,4 +147,43 @@ object Extended {
       |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
       |  FROM orders)
       |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  // ---- Q35: partition-pruned scan over a date-partitioned table --------
+
+  /** One-day aggregate over the date-partitioned events layout. The
+    * event_date predicate binds to the DIRECTORY key, so the scan opens
+    * 1/30th of the files (PartitionFilters — asserted on this exact plan
+    * in LayoutSpec); the at-rest layout, not a smarter kernel, does the
+    * pruning, which is the 100 TB point of [[TableLayout]]. */
+  def prunedDayAgg(spark: SparkSession, path: String, day: String): DataFrame =
+    TableLayout.read(spark, path)
+      .filter(col("event_date") === lit(day).cast(DateType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"),
+           sumMoney2(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+
+  /** Q35 — write events date-partitioned, then answer a one-day query off
+    * the partitioned copy. Scored end-to-end: layout write → pruned scan →
+    * aggregate; the oracle computes the same day from the raw table. */
+  def q35PartitionedScan(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q35_").toFile
+    try {
+      val path = new java.io.File(tmp, "events_by_day").getAbsolutePath
+      TableLayout.writeEventsByDay(t(spark, dir, "events"), path)
+      val res = prunedDayAgg(spark, path, "2024-01-15")
+      // materialize the handful of aggregate rows so the temp tree can be
+      // removed eagerly (same reasoning as Parity.p2DedupAppend)
+      val rows = res.collectAsList()
+      spark.createDataFrame(rows, res.schema).orderBy(col("event_type"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  val q35Sql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -31,6 +31,12 @@ class LayoutSpec extends AnyFunSuite {
     val expected = Tables.events(spark, sf)
       .filter(to_date(col("ts")) === "2024-01-03").count()
     assert(pruned.count() == expected)
+
+    // the scored q35 aggregate runs off the same pruned-scan shape
+    val aggPlan = graft.queries.Extended.prunedDayAgg(spark, path, "2024-01-03")
+      .queryExecution.executedPlan.toString
+    assert(aggPlan.contains("PartitionFilters: [isnotnull(event_date"),
+      s"q35's aggregate must scan with partition pruning:\n$aggPlan")
     } finally graft.util.Fs.deleteTree(root.toFile)
   }
 
