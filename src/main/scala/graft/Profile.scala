@@ -78,6 +78,23 @@ object Profile {
         time("x21 persist")(variant(true))
         time("x21 no-persist2")(variant(false))
         time("x21 persist2")(variant(true))
+      case "x37" =>
+        import graft.queries.LlmData
+        LlmData.x37IncrementalClusters(spark, sfDir).count() // warm
+        time("x37 full")(LlmData.x37IncrementalClusters(spark, sfDir).count())
+        val d = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        val batch = d.filter(pmod(col("doc_id"), lit(40)) === 36)
+        val existing = d.filter(pmod(col("doc_id"), lit(40)) =!= 36)
+        var base: org.apache.spark.sql.DataFrame = null
+        time("base clusters") {
+          base = TextDedup.nearDupClusters(existing, 0.9).localCheckpoint(true); base.count()
+        }
+        time("incremental fold") {
+          TextDedup.nearDupClustersIncremental(base, existing, batch, 0.9).count()
+        }
+        time("incremental mining only") {
+          TextDedup.minhashNearDupsIncremental(existing, batch, 0.9).count()
+        }
       case "x35jobs" =>
         import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
         val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()

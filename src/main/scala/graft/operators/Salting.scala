@@ -25,12 +25,18 @@ import org.apache.spark.sql.types._
   */
 object Salting {
 
-  /** count+sum per key with an N-way salt. Deterministic: the salt only
-    * routes rows; the merged result is exact regardless of salt. */
+  /** count+sum per key with an N-way salt. The merged result is exact
+    * regardless of how the salt routes rows; deriving the salt from row
+    * content + partition id (not monotonically_increasing_id, whose
+    * row-index component reshuffles with every scan split change) keeps
+    * the routing deterministic for a given input layout while still
+    * spreading identical hot-key rows from different partitions across
+    * reducers — uniform with the engine's wider determinism story. */
   def saltedSumCount(df: DataFrame, key: Column, value: Column,
                      saltBuckets: Int = 16): DataFrame =
     df.select(key.as("key"), value.as("v"))
-      .withColumn("salt", pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+      .withColumn("salt",
+        pmod(hash(col("key"), col("v"), spark_partition_id()), lit(saltBuckets)))
       .groupBy(col("key"), col("salt"))
       .agg(count(lit(1)).as("pc"),
            sum(col("v").cast(DecimalType(18, 2))).as("ps"))

@@ -321,17 +321,19 @@ object TextDedup {
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    // checkpoint edges FIRST, derive labels from them — the input plan
-    // (often a whole LSH mining pipeline) must execute exactly once
+    // checkpoint edges FIRST — the input plan (often a whole LSH mining
+    // pipeline) must execute exactly once
     var edges = pairs
       .select(least(col("a_id"), col("b_id")).cast(LongType).as("a"),
               greatest(col("a_id"), col("b_id")).cast(LongType).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("a").as("id"))
-      .unionByName(edges.select(col("b").as("id")))
-      .distinct().withColumn("label", col("id"))
-      .localCheckpoint(true)
+    // per-superstep min-root maps; labels are composed ONCE at the end
+    // (updating a labels table every superstep would cost an extra
+    // materialization per round). The first map covers every node — each
+    // edge endpoint enters its partition's union-find — so it doubles as
+    // the initial label table.
+    val maps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var nEdges = edges.count()
     var iter = 0
     while (nEdges > 0 && iter < maxIters) {
@@ -356,10 +358,7 @@ object TextDedup {
       // contraction below re-links whatever this min-merge leaves apart
       val m = local.groupBy(col("id")).agg(min(col("root")).as("root"))
         .localCheckpoint(true)
-      labels = labels
-        .join(m.select(col("id").as("label"), col("root")), Seq("label"), "left")
-        .select(col("id"), coalesce(col("root"), col("label")).as("label"))
-        .localCheckpoint(true)
+      maps += m
       edges = edges
         .join(m.select(col("id").as("a"), col("root").as("ra")), "a")
         .join(m.select(col("id").as("b"), col("root").as("rb")), "b")
@@ -370,7 +369,17 @@ object TextDedup {
       nEdges = edges.count()
       iter += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    maps.headOption match {
+      case None =>
+        pairs.select(col("a_id").as("doc_id"), col("a_id").as("cluster_id")).limit(0)
+      case Some(first) =>
+        var labels = first.select(col("id"), col("root").as("label"))
+        for (m <- maps.drop(1))
+          labels = labels
+            .join(m.select(col("id").as("label"), col("root")), Seq("label"), "left")
+            .select(col("id"), coalesce(col("root"), col("label")).as("label"))
+        labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    }
   }
 
   /** Near-dup clusters over a corpus, collapse-first: components are
@@ -452,11 +461,15 @@ object TextDedup {
       .filter(col("a_id") =!= col("b_id"))
       .select(least(col("a_id"), col("b_id")).as("a_id"),
               greatest(col("a_id"), col("b_id")).as("b_id"), lit(1.0).as("jacc"))
-    // drop old-old doc pairs (reported when their later member arrived)
+    // drop old-old doc pairs (reported when their later member arrived):
+    // one flagged pass — two semi-join branches would execute the whole
+    // expand+verify chain once per branch and need a second distinct
     val pairs = expandCross(members, repPairs).unionByName(intra).distinct()
-    val touchA = pairs.join(broadcast(newIds.withColumnRenamed("doc_id", "a_id")), Seq("a_id"), "left_semi")
-    val touchB = pairs.join(broadcast(newIds.withColumnRenamed("doc_id", "b_id")), Seq("b_id"), "left_semi")
-    touchA.unionByName(touchB).distinct()
+    val aNew = broadcast(newIds.select(col("doc_id").as("a_id"), lit(1).as("a_new")))
+    val bNew = broadcast(newIds.select(col("doc_id").as("b_id"), lit(1).as("b_new")))
+    pairs.join(aNew, Seq("a_id"), "left").join(bNew, Seq("b_id"), "left")
+      .filter(col("a_new").isNotNull || col("b_new").isNotNull)
+      .select(col("a_id"), col("b_id"), col("jacc"))
   }
 
   /** Incremental dedup-cluster maintenance: fold a new batch into existing

@@ -285,9 +285,11 @@ object LlmData {
     TextDedup.nearDupClusters(docs(spark, dir), JaccThreshold)
       .orderBy(col("doc_id"))
 
-  val x35Sql: String =
+  /** Batch dedup-cluster oracle over an arbitrary document source (reused
+    * by x37 with a restricted corpus). */
+  def clustersSqlFor(src: String): String =
     s"""WITH RECURSIVE
-       |tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+       |tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM $src),
        |vocab AS (SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS bit FROM (SELECT DISTINCT tok FROM tok)),
        |mask AS (SELECT doc_id, sum(1::BIGINT << bit)::BIGINT AS m
        |         FROM tok JOIN vocab USING (tok) GROUP BY doc_id),
@@ -303,6 +305,32 @@ object LlmData {
        |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst)
        |SELECT id AS doc_id, min(label) AS cluster_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  val x35Sql: String = clustersSqlFor("documents")
+
+  // ---- X37: incremental dedup clusters (fold law, hash-gated) ----------
+
+  /** The production append scenario, scored end-to-end: an existing store
+    * is bootstrapped with the BATCH clustering, then a ~10% increment
+    * arrives and labels are maintained incrementally — probe-restricted
+    * LSH mining for the new pairs, star-edge label propagation for the
+    * merge. The result must equal clustering the union from scratch, so
+    * the ORACLE IS THE BATCH ANSWER over the same corpus: the hash gate
+    * proves the incremental path reconstructs it. Scored over a quarter
+    * of the documents (doc_id ≡ 0 mod 4) — the battery already pays the
+    * full-corpus mining cost in x21/x35, and the fold LAW is additionally
+    * asserted at full scale in TextDedupSpec. */
+  def x37IncrementalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).filter(pmod(col("doc_id"), lit(4)) === 0)
+    val batch = d.filter(pmod(col("doc_id"), lit(40)) === 36) // 1/10 of the quarter
+    val existing = d.filter(pmod(col("doc_id"), lit(40)) =!= 36)
+    val base = TextDedup.nearDupClusters(existing, JaccThreshold)
+      .localCheckpoint(true) // consumed as both star edges and singleton heads
+    TextDedup.nearDupClustersIncremental(base, existing, batch, JaccThreshold)
+      .orderBy(col("doc_id"))
+  }
+
+  val x37Sql: String = clustersSqlFor("(SELECT * FROM documents WHERE doc_id % 4 = 0)")
 
   // ---- X32: end-to-end curation pipeline -------------------------------
 
