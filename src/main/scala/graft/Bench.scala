@@ -7,8 +7,7 @@ import org.apache.spark.sql.SparkSession
   * untimed (JVM/codegen warmup — first-query JIT cost was ~8s otherwise)
   * and then timed. */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,6 +18,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** One full battery (warmup pass + min of two timed passes per query);
+    * prints the one-line JSON record and returns the per-query seconds
+    * (-1.0 sentinel for a failed query). */
+  def runBattery(spark: SparkSession, sfDir: String): Map[String, Double] = {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // The dedup pipelines localCheckpoint intermediate frames; their RDD
     // blocks outlive the query's action and would accumulate in executor
@@ -57,6 +63,36 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    results.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    runBattery(spark, sfDir)
+    spark.stop()
+  }
+}
+
+/** Robustness harness: the full battery twice in ONE JVM / one SparkSession,
+  * without restarting anything between — the shape under which round 2's
+  * driver battery degraded 2.6×. Prints two JSON lines plus a per-query
+  * second-vs-first ratio summary; a healthy engine keeps pass 2 within the
+  * shared-JVM noise band of pass 1 (no storage-memory creep). */
+object BenchStress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Bench.session()
+    val first = Bench.runBattery(spark, sfDir)
+    val second = Bench.runBattery(spark, sfDir)
+    val ratios = first.keys.toSeq.sorted.collect {
+      case n if first(n) > 0 && second(n) > 0 => n -> second(n) / first(n)
+    }
+    val worst = ratios.sortBy(-_._2).take(5)
+      .map { case (n, r) => f"$n=${r}%.2f" }.mkString(", ")
+    val t1 = first.values.filter(_ >= 0).sum
+    val t2 = second.values.filter(_ >= 0).sum
+    println(f"""{"metric":"stress_ratio","pass1_total":$t1%.2f,"pass2_total":$t2%.2f,"worst_ratios":"$worst"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data curation operators beyond dedup: benchmark decontamination,
+  * boilerplate n-gram mining, sequence packing, and embedding quantization.
+  * All deterministic and DuckDB-oracle-replicable (SURVEY.md §2.4 X38–X41).
+  *
+  * Scale notes are per-operator; the common theme is one associative
+  * shuffle per operator with map-side combine, no driver-side loops, and
+  * broadcast for the only genuinely small side (the benchmark probe set).
+  */
+object Curation {
+
+  // ---- benchmark decontamination ---------------------------------------
+
+  /** Docs that share ≥1 word k-gram with a benchmark ("probe") document —
+    * the standard test-set-decontamination gate (a training doc containing
+    * a verbatim benchmark n-gram is suspect; k=5 throughout the public
+    * decontamination literature's 8–13 token range, scaled to this corpus's
+    * short docs).
+    *
+    * Returns (doc_id, probe_id, n_shared) for every contaminated
+    * (corpus doc, probe doc) pair.
+    *
+    * Scale shape: the probe side is a benchmark suite — bounded and tiny
+    * relative to a 100 TB corpus — so its distinct shingle set is
+    * BROADCAST; the corpus streams through exactly once (no corpus-side
+    * shuffle for the match), and the only exchange is the map-side-combined
+    * count on (doc_id, probe_id). Corpus shingles are produced by a
+    * codegen'd posexplode projection, never materialized.
+    */
+  def decontaminate(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val corpusSh = TextDedup.shingles(corpus, k)
+    val probeSh = TextDedup.shingles(probes, k)
+      .select(col("doc_id").as("probe_id"), col("shingle"))
+    corpusSh
+      .join(broadcast(probeSh), "shingle")
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  // ---- boilerplate n-gram mining ---------------------------------------
+
+  /** Word k-grams appearing in ≥ minDf distinct documents — the mining pass
+    * behind C4-style boilerplate/template removal (navigation chrome, legal
+    * footers, cookie banners repeat verbatim across unrelated pages).
+    *
+    * Returns (shingle, df) with df = distinct-document frequency.
+    *
+    * Scale shape: one shuffle on the shingle string with map-side partial
+    * aggregation; `shingles` already emits distinct (doc, shingle) pairs so
+    * counts are document frequencies directly. Hot shingles are exactly the
+    * answer here (not a skew hazard to avoid): count is fully associative,
+    * so a 10⁹-doc shingle costs one long per partition, not a fanout.
+    */
+  def boilerplateNgrams(docs: DataFrame, k: Int, minDf: Long): DataFrame =
+    TextDedup.shingles(docs, k)
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+
+  // ---- sequence packing (concatenate-and-chunk) ------------------------
+
+  /** GPT-style sequence packing: per language, documents are concatenated
+    * in a deterministic order (token count desc, doc_id asc — longest-first
+    * keeps chunk fill uniform) and the token stream is split into
+    * fixed-capacity chunks. A document may straddle a chunk boundary, as in
+    * real concatenate-and-chunk training pipelines.
+    *
+    * Returns one row per (lang, chunk_id): n_docs contributing tokens to
+    * the chunk and n_tokens in the chunk (== capacity except each lang's
+    * final chunk).
+    *
+    * Determinism: the prefix sum is over a total order (n_tok, doc_id), so
+    * chunk assignment is partitioning-independent.
+    *
+    * Scale shape: the window is partitioned BY LANG — each language packs
+    * independently and in parallel; the per-lang total order is the honest
+    * cost of reproducible packing. At 100 TB a single lang outgrows one
+    * task's sort: the production variant range-partitions each lang by the
+    * same (n_tok, doc_id) key (rangepartition exchange = parallel external
+    * sort) and computes the prefix sum hierarchically (per-range sums, one
+    * tiny cumulative pass over range totals, broadcast back) — same
+    * deterministic answer, no single-task sort. The chunk-span explode is
+    * bounded: a doc spans ⌈n_tok/capacity⌉+1 chunks.
+    */
+  def packChunks(docs: DataFrame, capacity: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_tok").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = docs
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .withColumn("cum_end", sum(col("n_tok")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("n_tok"))
+    // a doc occupies token interval [cum_start, cum_end) → chunks
+    // floor(cum_start/C) .. floor((cum_end-1)/C); tokens inside chunk c are
+    // min(cum_end,(c+1)C) - max(cum_start, cC)
+    val spans = cum
+      .withColumn("c0", floor(col("cum_start") / capacity))
+      .withColumn("c1", floor((col("cum_end") - 1) / capacity))
+      .withColumn("chunk_id", explode(expr("sequence(c0, c1)")))
+      .withColumn("tok_in_chunk",
+        least(col("cum_end"), (col("chunk_id") + 1) * capacity)
+          - greatest(col("cum_start"), col("chunk_id") * capacity))
+    spans.groupBy(col("lang"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok_in_chunk")).as("n_tokens"))
+  }
+
+  // ---- embedding int8 scalar quantization ------------------------------
+
+  /** Symmetric int8 scalar quantization of an embedding column: per vector,
+    * scale = max|x|/127, q_i = floor(x_i/scale + 0.5) ∈ [-127, 127], with a
+    * position-weighted checksum of the quantized codes and the max absolute
+    * reconstruction error in fixed 1e-6 units.
+    *
+    * This is the storage/bandwidth path for ANN at scale (4× smaller than
+    * float32, 8× smaller than the float64 shuffle form): IVF/SRP candidate
+    * generation runs on int8 codes, exact re-rank on the float originals.
+    *
+    * Determinism: all per-element ops (IEEE divide, floor(+0.5) half-up
+    * rounding, multiply-back, abs, max) are elementwise over the same
+    * doubles in any engine; the checksum Σ (i+1)·q_i is an exact Long sum.
+    *
+    * Scale shape: pure projection — zero shuffles, whole-stage codegen,
+    * streams the corpus once.
+    */
+  def quantizeInt8(embs: DataFrame): DataFrame = {
+    val v = "cast(embedding as array<double>)"
+    embs.select(
+      col("vec_id"),
+      expr(s"aggregate($v, cast(0.0 as double), (m, x) -> greatest(m, abs(x))) / 127.0").as("scale"),
+      col("embedding"))
+      .select(
+        col("vec_id"),
+        expr(s"cast(floor(aggregate(zip_with($v, sequence(1, size(embedding)), " +
+          "(x, i) -> i * floor(x / scale + 0.5d)), cast(0.0 as double), (a, e) -> a + e)) as bigint)")
+          .as("checksum"),
+        expr(s"cast(floor(aggregate($v, cast(0.0 as double), " +
+          "(m, x) -> greatest(m, abs(x - floor(x / scale + 0.5d) * scale))) * 1e6) as bigint)")
+          .as("max_err_units"))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.operators.Curation
+
+/** Round-3 training-data curation battery (SURVEY.md §2.4 X38–X41 + Q36):
+  * benchmark decontamination, sequence packing, boilerplate mining,
+  * embedding quantization, and the approx-percentile sketch gate.
+  * Operators live in [[graft.operators.Curation]]; this object binds them
+  * to the test tables and states each DuckDB oracle.
+  */
+object TrainingData {
+
+  private def docs(spark: SparkSession, dir: String) = t(spark, dir, "documents")
+  private def embs(spark: SparkSession, dir: String) = t(spark, dir, "embeddings")
+
+  // ---- X38: benchmark decontamination ----------------------------------
+
+  /** Probe set = docs with doc_id ≡ 0 (mod 97) — a stand-in benchmark
+    * suite (~1% of the corpus). k=3 because this corpus's duplication is
+    * token-set-level (x29: order-preserving near-dups are rare), so longer
+    * verbatim runs barely exist; production uses k in 8–13. */
+  val DecontamK = 3
+
+  def x38Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Curation.decontaminate(
+      d.filter(col("doc_id") % 97 =!= 0),
+      d.filter(col("doc_id") % 97 === 0), DecontamK)
+      .orderBy(col("doc_id"), col("probe_id"))
+  }
+
+  val x38Sql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+       |       FROM tk, unnest(range(1, len(ts) - ${DecontamK - 2})) AS u(i)
+       |       WHERE len(ts) >= $DecontamK)
+       |SELECT c.doc_id AS doc_id, p.probe_id, count(*) AS n_shared
+       |FROM (SELECT * FROM sh WHERE doc_id % 97 <> 0) c
+       |JOIN (SELECT doc_id AS probe_id, s FROM sh WHERE doc_id % 97 = 0) p USING (s)
+       |GROUP BY 1, 2 ORDER BY doc_id, probe_id""".stripMargin
+
+  // ---- X39: sequence packing (concatenate-and-chunk) -------------------
+
+  /** 256-token chunks (docs average ~54 tokens → ~4–5 docs per chunk). */
+  val ChunkCapacity = 256
+
+  def x39SequencePack(spark: SparkSession, dir: String): DataFrame =
+    Curation.packChunks(docs(spark, dir), ChunkCapacity)
+      .orderBy(col("lang"), col("chunk_id"))
+
+  val x39Sql: String =
+    s"""WITH d AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |           FROM documents),
+       |c AS (SELECT lang, n_tok,
+       |        CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY n_tok DESC, doc_id
+       |                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+       |      FROM d),
+       |s AS (SELECT lang, cum_end - n_tok AS cum_start, cum_end FROM c),
+       |sp AS (SELECT lang, cum_start, cum_end,
+       |         unnest(range(cum_start // $ChunkCapacity, (cum_end - 1) // $ChunkCapacity + 1)) AS chunk_id
+       |       FROM s)
+       |SELECT lang, chunk_id, count(*) AS n_docs,
+       |  CAST(sum(least(cum_end, (chunk_id + 1) * $ChunkCapacity)
+       |         - greatest(cum_start, chunk_id * $ChunkCapacity)) AS BIGINT) AS n_tokens
+       |FROM sp GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin
+
+  // ---- X40: boilerplate n-gram mining ----------------------------------
+
+  val BoilerplateK = 3
+  val BoilerplateMinDf = 5L
+
+  def x40Boilerplate(spark: SparkSession, dir: String): DataFrame =
+    Curation.boilerplateNgrams(docs(spark, dir), BoilerplateK, BoilerplateMinDf)
+      .orderBy(col("shingle"))
+
+  val x40Sql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+       |       FROM tk, unnest(range(1, len(ts) - ${BoilerplateK - 2})) AS u(i)
+       |       WHERE len(ts) >= $BoilerplateK)
+       |SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+       |HAVING count(*) >= $BoilerplateMinDf ORDER BY shingle""".stripMargin
+
+  // ---- X41: int8 scalar quantization of embeddings ---------------------
+
+  def x41QuantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    Curation.quantizeInt8(embs(spark, dir)).orderBy(col("vec_id"))
+
+  /** Every intermediate is either an exact-in-double integer (the codes,
+    * the position-weighted checksum) or an elementwise IEEE op computed
+    * identically by both engines — see Curation.quantizeInt8. */
+  val x41Sql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale, v FROM e),
+      |u AS (SELECT vec_id, scale, v[i] AS x, i FROM s, unnest(range(1, len(v) + 1)) AS t(i)),
+      |q AS (SELECT vec_id, i, x, scale, floor(x / scale + 0.5) AS q FROM u)
+      |SELECT vec_id,
+      |  CAST(floor(sum(i * q)) AS BIGINT) AS checksum,
+      |  CAST(floor(max(abs(x - q * scale)) * 1e6) AS BIGINT) AS max_err_units
+      |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  // ---- Q36: approx-percentile sketch gate ------------------------------
+
+  /** Scores the quantile SKETCH (Spark's Greenwald-Khanna
+    * approx_percentile) the way q11 scores HLL: the hashed output is the
+    * boolean "sketch within 1% of exact", not the float itself. At
+    * accuracy 10000 the rank error ≤ 0.01%, so the gate holds at any SF. */
+  def q36ApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("approx_percentile(cast(o_totalprice as double), 0.5, 10000)").as("approx_p50"),
+        expr("percentile(cast(o_totalprice as double), 0.5)").as("exact_p50"))
+      .select(col("o_orderpriority"),
+        (abs(col("approx_p50") - col("exact_p50")) / col("exact_p50") < 0.01).as("within_pct"))
+      .orderBy(col("o_orderpriority"))
+
+  val q36Sql: String =
+    """SELECT o_orderpriority, true AS within_pct
+      |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+}

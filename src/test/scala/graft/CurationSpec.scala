@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+import graft.queries.TrainingData
+
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def mkDocs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "lang", "text")
+
+  // ---- decontaminate ----------------------------------------------------
+
+  test("decontaminate: flags docs sharing a verbatim k-gram with a probe") {
+    val corpus = mkDocs(
+      (1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "completely unrelated words here nothing shared at all"),
+      (3L, "en", "prefix quick brown fox suffix tokens"))
+    val probes = mkDocs((100L, "en", "a quick brown fox appears"))
+    val got = Curation.decontaminate(corpus, probes, 3)
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    // "quick brown fox" is the only shared 3-gram
+    assert(got == Seq((1L, 100L, 1L), (3L, 100L, 1L)))
+  }
+
+  test("decontaminate: probe side is broadcast (corpus never shuffles to match)") {
+    val d = Tables.t(spark, sf, "documents")
+    val plan = Curation.decontaminate(
+      d.filter($"doc_id" % 97 =!= 0), d.filter($"doc_id" % 97 === 0), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  // ---- packChunks -------------------------------------------------------
+
+  test("packChunks: token conservation, full chunks, partitioning independence") {
+    val docs = Tables.t(spark, sf, "documents")
+    val cap = TrainingData.ChunkCapacity
+    val packed = Curation.packChunks(docs, cap)
+      .orderBy($"lang", $"chunk_id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+
+    // conservation: per lang, chunk tokens sum to the lang's total tokens
+    val totals = docs.select($"lang", size(split($"text", " ")).cast("long").as("n"))
+      .groupBy($"lang").agg(sum($"n").as("t")).as[(String, Long)].collect().toMap
+    val packedTotals = packed.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(packedTotals == totals)
+
+    // every chunk but each lang's last holds exactly `cap` tokens
+    packed.groupBy(_._1).foreach { case (_, chunks) =>
+      val last = chunks.map(_._2).max
+      chunks.filter(_._2 != last).foreach { c => assert(c._4 == cap, s"chunk $c") }
+      // chunk ids are dense from 0
+      assert(chunks.map(_._2).sorted == (0L to last))
+    }
+
+    // deterministic under a different physical partitioning
+    val re = Curation.packChunks(docs.repartition(7), cap)
+      .orderBy($"lang", $"chunk_id").as[(String, Long, Long, Long)].collect().toSeq
+    assert(re == packed)
+  }
+
+  test("packChunks: a doc longer than capacity spans multiple chunks") {
+    val docs = mkDocs((1L, "en", Seq.fill(10)("w").mkString(" ")))
+    val got = Curation.packChunks(docs, 4)
+      .orderBy($"chunk_id").as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("en", 0L, 1L, 4L), ("en", 1L, 1L, 4L), ("en", 2L, 1L, 2L)))
+  }
+
+  // ---- boilerplateNgrams ------------------------------------------------
+
+  test("boilerplateNgrams: counts distinct-document frequency of k-grams") {
+    val docs = mkDocs(
+      (1L, "en", "all rights reserved footer text"),
+      (2L, "en", "other content all rights reserved"),
+      (3L, "en", "all rights reserved all rights reserved"), // repeat inside one doc counts once
+      (4L, "en", "no shared trigrams in here"))
+    val got = Curation.boilerplateNgrams(docs, 3, 3L)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("all rights reserved" -> 3L))
+  }
+
+  // ---- quantizeInt8 -----------------------------------------------------
+
+  test("quantizeInt8: codes bounded, reconstruction error within half a step") {
+    val e = Tables.t(spark, sf, "embeddings")
+    val q = Curation.quantizeInt8(e)
+    // max reconstruction error of symmetric half-up rounding is scale/2;
+    // in 1e-6 units: floor(maxAbs/127/2 * 1e6). Verify against per-vector scale.
+    val joined = q.join(
+      e.select($"vec_id",
+        expr("aggregate(cast(embedding as array<double>), cast(0.0 as double)," +
+          " (m, x) -> greatest(m, abs(x))) / 127.0").as("scale")), "vec_id")
+      .select($"vec_id", $"max_err_units", (expr("floor(scale / 2 * 1e6)") + 1).as("bound"))
+      .as[(Long, Long, Long)].collect()
+    joined.foreach { case (id, err, bound) => assert(err <= bound, s"vec $id") }
+    assert(joined.length == e.count())
+  }
+
+  test("quantizeInt8: exact on a hand-computed vector") {
+    val df = Seq((1L, Array(1.0f, -0.5f, 0.25f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Curation.quantizeInt8(df).as[(Long, Long, Long)].collect().head
+    // scale = 1/127; q = [127, -63 (floor(-63.5+0.5)), 32 (floor(31.75+0.5)), 0]
+    // checksum = 1*127 + 2*(-63) + 3*32 + 4*0 = 97
+    assert(r._1 == 1L && r._2 == 97L)
+    // max err is the -0.5 element, exactly at the half step: scale/2 =
+    // 1/254 = 0.003937007..., units = 3937
+    assert(r._3 == 3937L)
+  }
+}
