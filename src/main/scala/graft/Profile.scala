@@ -28,6 +28,16 @@ object Profile {
     import graft.queries.Extended
 
     which match {
+      case "clusters" =>
+        import graft.queries.LlmData
+        def drop(): Unit =
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        LlmData.x35DedupClusters(spark, sfDir).count(); drop() // warm
+        time("x35 clusters")(LlmData.x35DedupClusters(spark, sfDir).count()); drop()
+        time("x35 clusters2")(LlmData.x35DedupClusters(spark, sfDir).count()); drop()
+        LlmData.x37IncrementalClusters(spark, sfDir).count(); drop() // warm
+        time("x37 incr")(LlmData.x37IncrementalClusters(spark, sfDir).count()); drop()
+        time("x37 incr2")(LlmData.x37IncrementalClusters(spark, sfDir).count()); drop()
       case "simhash" =>
         TextDedup.simhashNearDups(docs, 3).count() // warm
         time("simhash sigs")(TextDedup.simhashSignatures(docs).count())

@@ -336,9 +336,23 @@ object TextDedup {
     val maps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var nEdges = edges.count()
     var iter = 0
+    // Partition budget for the union-find: ~1M edges per task (a HashMap of
+    // ≤2M nodes, bounded memory). Sizing partitions to the LIVE edge count
+    // matters doubly: a graph that fits one task resolves in a single
+    // superstep (the whole graph is in one union-find), and later
+    // supersteps — where contraction has shrunk the graph by orders of
+    // magnitude — stop paying 32 near-empty tasks plus their scheduling.
+    // Results are partitioning-independent (exact component minima), so
+    // this is purely a physical choice; coalesce is narrow (no shuffle).
+    val EdgesPerTask = 1000000L
+    def sized(df: DataFrame, n: Long): DataFrame = {
+      val want = math.max(1L, math.min(df.rdd.getNumPartitions.toLong,
+        (n + EdgesPerTask - 1) / EdgesPerTask)).toInt
+      if (want < df.rdd.getNumPartitions) df.coalesce(want) else df
+    }
     while (nEdges > 0 && iter < maxIters) {
       // union-find within each partition: node -> min id of its local set
-      val local = edges.as[(Long, Long)].mapPartitions { it =>
+      val local = sized(edges, nEdges).as[(Long, Long)].mapPartitions { it =>
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x
