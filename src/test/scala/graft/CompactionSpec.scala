@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Compaction
+import graft.util.Fs
+
+class CompactionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("compact: many small files become few, content preserved exactly") {
+    val tmp = Files.createTempDirectory("graft-compact").toFile.getAbsolutePath
+    try {
+      val docs = Tables.t(spark, sf, "documents")
+      docs.repartition(37).write.parquet(s"$tmp/small")
+      assert(Compaction.dataFileCount(spark, s"$tmp/small") == 37)
+
+      val bytes = Compaction.dataBytes(spark, s"$tmp/small")
+      // target half the table per file → expect 2 output files
+      val n = Compaction.compact(spark, s"$tmp/small", s"$tmp/big", bytes / 2 + 1)
+      assert(n == 2)
+
+      val before = docs.orderBy(col("doc_id")).collect().toSeq
+      val after = spark.read.parquet(s"$tmp/big").orderBy(col("doc_id")).collect().toSeq
+      assert(after == before)
+    } finally Fs.deleteTree(new java.io.File(tmp))
+  }
+
+  test("compact: sortCols restores clustering inside each output file") {
+    val tmp = Files.createTempDirectory("graft-compact-sort").toFile.getAbsolutePath
+    try {
+      val docs = Tables.t(spark, sf, "documents")
+      docs.repartition(11).write.parquet(s"$tmp/small")
+      Compaction.compact(spark, s"$tmp/small", s"$tmp/big", Long.MaxValue, Seq("doc_id"))
+      // single output file, rows sorted by doc_id within it
+      val ids = spark.read.parquet(s"$tmp/big").select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted)
+    } finally Fs.deleteTree(new java.io.File(tmp))
+  }
+
+  test("compactPartitioned: preserves partCol=value layout and contents") {
+    val tmp = Files.createTempDirectory("graft-compact-part").toFile.getAbsolutePath
+    try {
+      val docs = Tables.t(spark, sf, "documents")
+        .withColumn("bucket", pmod(col("doc_id"), lit(3)))
+      docs.repartition(13).write.partitionBy("bucket").parquet(s"$tmp/small")
+      val before = Compaction.dataFileCount(spark, s"$tmp/small")
+
+      Compaction.compactPartitioned(spark, s"$tmp/small", s"$tmp/big", "bucket", Long.MaxValue)
+      // one file per partition value
+      assert(Compaction.dataFileCount(spark, s"$tmp/big") == 3)
+      assert(before > 3)
+
+      // layout preserved: a bucket filter on the compacted copy partition-prunes
+      val one = spark.read.parquet(s"$tmp/big").filter(col("bucket") === 1)
+      val plan = one.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(bucket"), plan)
+
+      val a = spark.read.parquet(s"$tmp/small").orderBy(col("doc_id"))
+        .select(col("doc_id"), col("bucket").cast("long")).collect().toSeq
+      val b = spark.read.parquet(s"$tmp/big").orderBy(col("doc_id"))
+        .select(col("doc_id"), col("bucket").cast("long")).collect().toSeq
+      assert(a == b)
+    } finally Fs.deleteTree(new java.io.File(tmp))
+  }
+}
