@@ -84,6 +84,20 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map("all rights reserved" -> 3L))
   }
 
+  // ---- fuzzyPairs -------------------------------------------------------
+
+  test("fuzzyPairs: finds typo-level dupes inside a block, respects the cap") {
+    val docs = mkDocs(
+      (1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "the quick brown fox jumps ovre the lzay dog"), // 4 edits, same block
+      (3L, "en", "the quick brown cat sits on a warm mat today"), // same block, too far
+      (4L, "en", "a different opening entirely fox jumps over")) // different block
+      .select($"doc_id", $"text")
+    val got = Curation.fuzzyPairs(docs, 3, 0.2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 4L)))
+  }
+
   // ---- quantizeInt8 -----------------------------------------------------
 
   test("quantizeInt8: codes bounded, reconstruction error within half a step") {

@@ -79,4 +79,33 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size <= 4, // partial+final, one layer
       s"pivot with explicit values must not add extra agg layers:\n$plan")
   }
+
+  test("runtime bloom filter: a selective dim filter is pushed to the fact side as a bloom probe") {
+    // The 100 TB shuffle-join shape: when the dim side is too big to
+    // broadcast, Spark can still build a bloom filter from the filtered dim
+    // keys and apply it on the fact scan, cutting the fact side's shuffle
+    // volume before the exchange. Thresholds here only simulate "fact is
+    // huge, dim is filtered" at test scale — the optimization itself is
+    // what this pins down.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1B")
+    try {
+      val o = Tables.t(spark, sf, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      val li = Tables.t(spark, sf, "lineitem")
+      val q = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+        s"expected an injected runtime bloom filter:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }
