@@ -327,7 +327,7 @@ object TextDedup {
       .select(least(col("a_id"), col("b_id")).cast(LongType).as("a"),
               greatest(col("a_id"), col("b_id")).cast(LongType).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: the count() below materializes it (one job, not two)
     // per-superstep min-root maps; labels are composed ONCE at the end
     // (updating a labels table every superstep would cost an extra
     // materialization per round). The first map covers every node — each
@@ -371,7 +371,7 @@ object TextDedup {
       // a node split across partitions gets the min of its local roots;
       // contraction below re-links whatever this min-merge leaves apart
       val m = local.groupBy(col("id")).agg(min(col("root")).as("root"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: the contraction join materializes it
       maps += m
       edges = edges
         .join(m.select(col("id").as("a"), col("root").as("ra")), "a")
@@ -379,7 +379,7 @@ object TextDedup {
         .filter(col("ra") =!= col("rb"))
         .select(least(col("ra"), col("rb")).as("a"), greatest(col("ra"), col("rb")).as("b"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: the count() below materializes it
       nEdges = edges.count()
       iter += 1
     }
