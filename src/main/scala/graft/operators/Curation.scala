@@ -111,6 +111,46 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("tok_in_chunk")).as("n_tokens"))
   }
 
+  // ---- winnowing fingerprints ------------------------------------------
+
+  /** Winnowing (the MOSS local-fingerprinting scheme): hash every word
+    * k-gram in POSITION order, slide a window of `window` consecutive
+    * hashes, keep each window's minimum — the selected fingerprints are
+    * guaranteed to include at least one hash from every `window`-length
+    * run, so any shared substring of ≥ k+window-1 tokens between two docs
+    * shares a fingerprint REGARDLESS of where it sits. That positional
+    * robustness is what whole-doc schemes (x27's fingerprint, x21's
+    * set-level MinHash) can't give: partial overlap (quotes, stitched
+    * documents, plagiarized passages) still collides.
+    *
+    * Returns distinct (doc_id, fp). Docs shorter than k+window-1 tokens
+    * select nothing (no full window exists — standard winnowing domain).
+    *
+    * Scale shape: posexplode + codegen'd hash, then ONE window (partition
+    * by doc — parallel across docs, each doc's frame is its own token
+    * stream) and a distinct on (doc, fp). Fingerprint density is ~2/(w+1),
+    * so the index is a fixed fraction of the corpus independent of doc
+    * sizes; the downstream use (join docs on fp) is the same inverted-
+    * index shuffle as x29 with the df cap available for hot fingerprints.
+    *
+    * Determinism: h31 hashes (md5-derived, oracle-replicable) and integer
+    * window minima over a total per-doc order. */
+  def winnow(docs: DataFrame, k: Int, window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(col("doc_id"), col("ts"), (size(col("ts")) - (k - 1)).as("m"),
+        explode(expr(s"sequence(1, size(ts) - ${k - 1})")).as("i"))
+      .select(col("doc_id"), col("m"), col("i"),
+        graft.functions.TextFns.h31(
+          concat_ws(" ", (0 until k).map(j => expr(s"element_at(ts, i + $j)")): _*)).as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, window - 1)
+    pos.withColumn("fp", min(col("h")).over(w))
+      .filter(col("i") <= col("m") - (window - 1))
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
   // ---- blocked fuzzy near-dup (edit distance) --------------------------
 
   /** Typo-level near-dup pairs: docs sharing a block key (their first

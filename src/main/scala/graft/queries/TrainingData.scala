@@ -103,6 +103,29 @@ object TrainingData {
       |  CAST(floor(max(abs(x - q * scale)) * 1e6) AS BIGINT) AS max_err_units
       |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ---- X43: winnowing fingerprints -------------------------------------
+
+  val WinnowK = 3
+  val WinnowWindow = 4
+
+  def x43Winnow(spark: SparkSession, dir: String): DataFrame =
+    Curation.winnow(docs(spark, dir), WinnowK, WinnowWindow)
+      .orderBy(col("doc_id"), col("fp"))
+
+  val x43Sql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |sh AS (SELECT doc_id, i, CAST(len(ts) - ${WinnowK - 1} AS BIGINT) AS m,
+       |         ('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15))::BIGINT
+       |           % 2147483647 AS h
+       |       FROM tk, unnest(range(1, len(ts) - ${WinnowK - 2})) AS u(i)
+       |       WHERE len(ts) >= $WinnowK),
+       |w AS (SELECT doc_id, i, m,
+       |        min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                     ROWS BETWEEN CURRENT ROW AND ${WinnowWindow - 1} FOLLOWING) AS fp
+       |      FROM sh)
+       |SELECT DISTINCT doc_id, fp FROM w WHERE i <= m - ${WinnowWindow - 1}
+       |ORDER BY doc_id, fp""".stripMargin
+
   // ---- X42: blocked fuzzy near-dup pairs (edit distance) ---------------
 
   val FuzzyBlockTokens = 3

@@ -98,6 +98,43 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, 4L)))
   }
 
+  // ---- winnow -----------------------------------------------------------
+
+  test("winnow: docs sharing a long run share a fingerprint, wherever it sits") {
+    val run = "alpha beta gamma delta epsilon zeta" // 6 tokens = k+window-1
+    val docs = mkDocs(
+      (1L, "en", s"$run completely different tail content here"),
+      (2L, "en", s"unrelated front matter words $run"),
+      (3L, "en", "no overlap with anything else at all whatsoever"))
+      .select($"doc_id", $"text")
+    val fps = Curation.winnow(docs, 3, 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    // guarantee: any shared >= k+window-1 token run yields a shared fp
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty)
+  }
+
+  test("winnow: too-short docs select nothing; duplicates collapse") {
+    val docs = mkDocs(
+      (1L, "en", "just five small tokens here"), // 5 < k+window-1 = 6
+      (2L, "en", "same same same same same same same same")) // one distinct fp
+      .select($"doc_id", $"text")
+    val fps = Curation.winnow(docs, 3, 4).as[(Long, Long)].collect().toSeq
+    assert(!fps.exists(_._1 == 1L))
+    assert(fps.count(_._1 == 2L) == 1)
+  }
+
+  // ---- edge cases -------------------------------------------------------
+
+  test("edge cases: empty inputs flow through every curation operator") {
+    val empty = mkDocs().select($"doc_id", $"lang", $"text")
+    assert(Curation.decontaminate(empty, empty, 3).count() == 0)
+    assert(Curation.boilerplateNgrams(empty, 3, 1L).count() == 0)
+    assert(Curation.packChunks(empty, 16).count() == 0)
+    assert(Curation.fuzzyPairs(empty.select($"doc_id", $"text"), 3, 0.2).count() == 0)
+    assert(Curation.winnow(empty.select($"doc_id", $"text"), 3, 4).count() == 0)
+  }
+
   // ---- quantizeInt8 -----------------------------------------------------
 
   test("quantizeInt8: codes bounded, reconstruction error within half a step") {
