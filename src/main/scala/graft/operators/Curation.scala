@@ -164,18 +164,30 @@ object Curation {
     * cross. The prefix block rides the standard shuffle-on-key path;
     * verification runs inside the join's codegen (built-in `levenshtein`),
     * so failing candidates die before any further shuffle. Skew = a hot
-    * prefix (boilerplate openings) — the same stop-key df cap as x29
-    * applies; at the chosen block width this corpus is flat.
+    * prefix (boilerplate openings): `maxBlockDf` drops blocks whose
+    * document frequency exceeds the cap (x29's stop-shingle shape — the
+    * hot-block set is tiny by definition, so it broadcasts into an
+    * anti-join). Unlike the shingle cap, dropping a block CAN lose pairs
+    * (a block is each doc's only key), so the cap is opt-in and the
+    * honest semantics are "fuzzy dedup outside boilerplate openings";
+    * production pipelines route capped blocks to x21's set-level LSH,
+    * where identical openings collapse instead of exploding.
     *
     * Determinism: unit-cost edit distance and integer thresholds —
     * `floor(maxRelDist * longerLen)` is the same IEEE product in any
     * engine. */
-  def fuzzyPairs(docs: DataFrame, blockTokens: Int, maxRelDist: Double): DataFrame = {
-    val blocked = docs
+  def fuzzyPairs(docs: DataFrame, blockTokens: Int, maxRelDist: Double,
+                 maxBlockDf: Option[Long] = None): DataFrame = {
+    val blocked0 = docs
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= blockTokens)
       .select(col("doc_id"), col("text"),
         concat_ws(" ", (1 to blockTokens).map(i => expr(s"element_at(ts, $i)")): _*).as("blk"))
+    val blocked = maxBlockDf.fold(blocked0) { cap =>
+      val hot = blocked0.groupBy(col("blk")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select(col("blk"))
+      blocked0.join(broadcast(hot), Seq("blk"), "left_anti")
+    }
     val a = blocked.select(col("blk"), col("doc_id").as("a_id"), col("text").as("a_text"))
     val b = blocked.select(col("blk"), col("doc_id").as("b_id"), col("text").as("b_text"))
     a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))

@@ -98,6 +98,23 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, 4L)))
   }
 
+  test("fuzzyPairs: maxBlockDf drops hot blocks, keeps the rest") {
+    val docs = mkDocs(
+      (1L, "en", "common intro here then something unique alpha beta"),
+      (2L, "en", "common intro here then something unique alpha betb"),
+      (3L, "en", "common intro here then anything else some words"),
+      (4L, "en", "rare opening block with matching tail content x"),
+      (5L, "en", "rare opening block with matching tail content y"))
+      .select($"doc_id", $"text")
+    val uncapped = Curation.fuzzyPairs(docs, 3, 0.2)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2)).toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((4L, 5L)))
+    // cap 2: the 3-doc "common intro here" block is dropped, rare block kept
+    val capped = Curation.fuzzyPairs(docs, 3, 0.2, maxBlockDf = Some(2L))
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2)).toSet
+    assert(capped == Set((4L, 5L)))
+  }
+
   // ---- winnow -----------------------------------------------------------
 
   test("winnow: docs sharing a long run share a fingerprint, wherever it sits") {
