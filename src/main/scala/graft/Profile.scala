@@ -88,6 +88,17 @@ object Profile {
         time("x21 persist")(variant(true))
         time("x21 no-persist2")(variant(false))
         time("x21 persist2")(variant(true))
+      case "explain-new" =>
+        import graft.queries.TrainingData
+        for ((n, q) <- Seq(
+          "x38" -> TrainingData.x38Decontaminate _,
+          "x39" -> TrainingData.x39SequencePack _,
+          "x40" -> TrainingData.x40Boilerplate _,
+          "x42" -> TrainingData.x42FuzzyPairs _,
+          "x43" -> TrainingData.x43Winnow _)) {
+          println(s"==== $n ====")
+          println(q(spark, sfDir).queryExecution.executedPlan.toString.take(4000))
+        }
       case "x37" =>
         import graft.queries.LlmData
         LlmData.x37IncrementalClusters(spark, sfDir).count() // warm

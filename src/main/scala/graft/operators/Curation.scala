@@ -27,19 +27,27 @@ object Curation {
     *
     * Scale shape: the probe side is a benchmark suite — bounded and tiny
     * relative to a 100 TB corpus — so its distinct shingle set is
-    * BROADCAST; the corpus streams through exactly once (no corpus-side
-    * shuffle for the match), and the only exchange is the map-side-combined
-    * count on (doc_id, probe_id). Corpus shingles are produced by a
-    * codegen'd posexplode projection, never materialized.
+    * BROADCAST; the corpus streams through exactly once with NO
+    * corpus-side shuffle before the match. Corpus shingles deliberately
+    * skip the per-doc distinct (that would shuffle every corpus shingle);
+    * instead the count is `count_distinct(shingle)` AFTER the broadcast
+    * match, so the only exchange carries matches — vanishingly rare at
+    * contamination-audit scale — not the corpus.
     */
   def decontaminate(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val corpusSh = TextDedup.shingles(corpus, k)
+    // positional shingles WITHOUT the distinct (see scale note above)
+    val corpusSh = corpus.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(col("doc_id"), col("ts"),
+        explode(expr(s"sequence(1, size(ts) - ${k - 1})")).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until k).map(j => expr(s"element_at(ts, i + $j)")): _*).as("shingle"))
     val probeSh = TextDedup.shingles(probes, k)
       .select(col("doc_id").as("probe_id"), col("shingle"))
     corpusSh
       .join(broadcast(probeSh), "shingle")
       .groupBy(col("doc_id"), col("probe_id"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(countDistinct(col("shingle")).as("n_shared"))
   }
 
   // ---- boilerplate n-gram mining ---------------------------------------
