@@ -116,4 +116,51 @@ object PropertySpec extends Properties("graft") {
       } yield (i.toLong, j.toLong) -> jacc).toMap
       Prop(got == expected) :| s"got=$got expected=$expected"
     }
+
+  // ---- curation laws ---------------------------------------------------
+
+  private val genCorpus: Gen[List[(Long, String, String)]] = for {
+    n <- Gen.choose(1, 10)
+    docs <- Gen.listOfN(n, for {
+      lang <- Gen.oneOf("en", "de")
+      toks <- Gen.choose(1, 30).flatMap(m =>
+        Gen.listOfN(m, Gen.oneOf((0 until 15).map(i => s"w$i"))))
+    } yield (lang, toks.mkString(" ")))
+  } yield docs.zipWithIndex.map { case ((lang, text), i) => (i.toLong, lang, text) }
+
+  property("packChunks conserves tokens and fills every non-final chunk exactly") =
+    forAll(genCorpus, Gen.choose(4, 64)) { (docs, cap) =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "lang", "text")
+      val packed = graft.operators.Curation.packChunks(df, cap)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val totals = docs.groupBy(_._2).view
+        .mapValues(_.map(_._3.split(" ").length.toLong).sum).toMap
+      val packedTotals = packed.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+      val fullExceptLast = packed.groupBy(_._1).forall { case (_, cs) =>
+        val last = cs.map(_._2).max
+        cs.filter(_._2 != last).forall(_._4 == cap)
+      }
+      Prop(packedTotals == totals && fullExceptLast) :|
+        s"cap=$cap totals=$totals packed=${packed.toSeq}"
+    }
+
+  property("winnow fingerprints of a doc are a subset of its shingle hashes") =
+    forAll(genCorpus) { docs =>
+      import spark.implicits._
+      val df = docs.map(d => (d._1, d._3)).toDF("doc_id", "text")
+      val fps = graft.operators.Curation.winnow(df, 3, 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // reference: per doc, k-gram h31 hashes
+      val P = graft.functions.TextFns.P31
+      def h31(s: String): Long =
+        java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+            .take(8).map("%02x".format(_)).mkString.take(15), 16) % P
+      val ok = fps.forall { case (id, fp) =>
+        val toks = docs.find(_._1 == id).get._3.split(" ")
+        toks.sliding(3).exists(g => g.length == 3 && h31(g.mkString(" ")) == fp)
+      }
+      Prop(ok) :| s"fps=$fps"
+    }
 }
