@@ -198,10 +198,14 @@ object Curation {
     }
     val a = blocked.select(col("blk"), col("doc_id").as("a_id"), col("text").as("a_text"))
     val b = blocked.select(col("blk"), col("doc_id").as("b_id"), col("text").as("b_text"))
+    // thresholded levenshtein: O(len·bound) banded DP with early exit,
+    // returning -1 past the bound — vs O(len²) for the unbounded form
     a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
-      .withColumn("dist", levenshtein(col("a_text"), col("b_text")).cast(LongType))
-      .filter(col("dist") <=
-        floor(lit(maxRelDist) * greatest(length(col("a_text")), length(col("b_text")))))
+      .withColumn("bound",
+        floor(lit(maxRelDist) * greatest(length(col("a_text")), length(col("b_text"))))
+          .cast(IntegerType))
+      .withColumn("dist", expr("levenshtein(a_text, b_text, bound)").cast(LongType))
+      .filter(col("dist") >= 0)
       .select(col("a_id"), col("b_id"), col("dist"))
   }
 
