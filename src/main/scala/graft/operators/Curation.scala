@@ -119,6 +119,23 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("tok_in_chunk")).as("n_tokens"))
   }
 
+  // ---- quality scoring (streaming-safe projection) ---------------------
+
+  /** Per-doc quality features: token count, type-token ratio, and the
+    * composite score 0.5·min(n_tok/100, 1) + 0.5·ttr. A pure stateless
+    * projection — the same plan runs unchanged over a batch table or a
+    * structured stream (no shuffle, no state; asserted batch ≡ stream in
+    * StreamingSpec), which is exactly how a curation gate deploys against
+    * a live ingest at scale. */
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tok", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("n_distinct", size(array_distinct(split(col("text"), " "))).cast(LongType))
+      .withColumn("ttr", col("n_distinct").cast(DoubleType) / col("n_tok"))
+      .withColumn("score",
+        lit(0.5) * least(col("n_tok").cast(DoubleType) / 100.0, lit(1.0)) + lit(0.5) * col("ttr"))
+      .select(col("doc_id"), col("n_tok"), col("ttr"), col("score"))
+
   // ---- winnowing fingerprints ------------------------------------------
 
   /** Winnowing (the MOSS local-fingerprinting scheme): hash every word

@@ -502,14 +502,7 @@ object LlmData {
   // ---- X25: quality scoring --------------------------------------------
 
   def x25QualityScore(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .withColumn("n_tok", size(TextFns.tokens(col("text"))).cast(LongType))
-      .withColumn("n_distinct", size(TextFns.tokenSet(col("text"))).cast(LongType))
-      .withColumn("ttr", col("n_distinct").cast(DoubleType) / col("n_tok"))
-      .withColumn("score",
-        lit(0.5) * least(col("n_tok").cast(DoubleType) / 100.0, lit(1.0)) + lit(0.5) * col("ttr"))
-      .select(col("doc_id"), col("n_tok"), col("ttr"), col("score"))
-      .orderBy(col("doc_id"))
+    graft.operators.Curation.qualityScore(docs(spark, dir)).orderBy(col("doc_id"))
 
   val x25Sql: String =
     """SELECT doc_id,

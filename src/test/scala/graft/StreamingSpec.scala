@@ -38,6 +38,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("curation gate runs unchanged over a stream: quality scores match batch") {
+    val batchDocs = Tables.t(spark, sf, "documents")
+    val streamDocs = spark.readStream.schema(batchDocs.schema)
+      .option("pathGlobFilter", "documents.parquet") // the file source wants a dir
+      .parquet(sf)
+    val q = graft.operators.Curation.qualityScore(streamDocs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_quality")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_quality").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val batch = graft.operators.Curation.qualityScore(batchDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+  }
+
   test("stream-stream join: pairs match the static self-join") {
     import org.apache.spark.sql.functions._
     val q = EventStreams.pairWithin(EventStreams.readEvents(spark, sf))
