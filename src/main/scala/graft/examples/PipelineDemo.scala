@@ -48,6 +48,22 @@ object PipelineDemo {
     println(s"[demo] streaming windows: ${windows.count()}")
     windows.orderBy("window_start", "event_type").show(5)
 
+    // 3. curation: the training-data path — near-dup clusters → survivors →
+    //    quality gate → packed chunks, one declarative flow over `documents`.
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    val clusters = graft.operators.TextDedup.nearDupClusters(docs, 0.9)
+    val survivors = docs.join(
+      clusters.filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val gated = survivors.join(
+      graft.operators.Curation.qualityScore(survivors).filter(col("score") >= 0.5)
+        .select(col("doc_id")), "doc_id")
+    val chunks = graft.operators.Curation.packChunks(gated, 256)
+    println(s"[demo] curation: ${docs.count()} docs -> ${survivors.count()} dedup survivors" +
+      s" -> ${gated.count()} quality-gated -> ${chunks.count()} packed chunks" +
+      s" (${chunks.agg(sum(col("n_tokens"))).first().getLong(0)} tokens)")
+
     spark.stop()
   }
 }
