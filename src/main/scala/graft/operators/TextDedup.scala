@@ -295,6 +295,68 @@ object TextDedup {
     expandCross(members, repPairs).unionByName(intra)
   }
 
+  /** MinHash-LSH near-dup mining with NO vocabulary bound — the form that
+    * runs when the dictionary outgrows [[tokenMasks]]' 63-bit bitmask
+    * (i.e., every real corpus; the mask form stays the test-scale fast
+    * path whose in-join popcount verify is cheapest, and the oracle
+    * cross-checks them equal on corpora where both apply).
+    *
+    * Differences from [[minhashNearDups]]:
+    *   - set identity = sha256 of the sorted distinct-token list
+    *     (unbounded, collision-free for practical purposes) instead of the
+    *     vocab bitmask;
+    *   - verification happens AFTER candidate dedup, by fetching the two
+    *     reps' token arrays and intersecting (`array_intersect` in
+    *     codegen) — candidates can't be verified in-join without carrying
+    *     token arrays through the ×NumBands explode, so the trade is: the
+    *     band join shuffles only (key, id) pairs, and exact verification
+    *     touches each DISTINCT candidate pair once. Same
+    *     candidates-then-verify shape, linear in distinct content.
+    */
+  def minhashNearDupsUnbounded(docs: DataFrame, threshold: Double): DataFrame = {
+    val members = docs
+      .select(col("doc_id"), array_sort(tokenSet(col("text"))).as("toks"))
+      .withColumn("setid", sha2(concat_ws(" ", col("toks")), 256))
+      .select(col("doc_id"), col("setid"), col("toks"))
+      .localCheckpoint(true)
+    val groups = members.groupBy(col("setid")).agg(min(col("doc_id")).as("rep"))
+    val repToks = members.join(
+      groups.select(col("rep")), members("doc_id") === col("rep"))
+      .select(col("doc_id"), col("toks"))
+    val sigs = minhashSignatures(
+      docs.join(groups.select(col("rep")), docs("doc_id") === col("rep"))
+        .select(col("doc_id"), col("text")))
+    val bands = bandKeys(sigs, Nil).localCheckpoint(true)
+    val cand = bands.select(col("key"), col("doc_id").as("ra"))
+      .join(bands.select(col("key"), col("doc_id").as("rb")), Seq("key"))
+      .filter(col("ra") < col("rb"))
+      .select(col("ra"), col("rb")).distinct()
+    val verified = cand
+      .join(repToks.select(col("doc_id").as("ra"), col("toks").as("a_toks")), "ra")
+      .join(repToks.select(col("doc_id").as("rb"), col("toks").as("b_toks")), "rb")
+      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))).cast(DoubleType))
+      .withColumn("jacc", col("inter") /
+        (size(col("a_toks")) + size(col("b_toks")) - col("inter")))
+      .filter(col("jacc") >= threshold)
+    // rep pair -> setid pair -> doc-level expansion (+ intra jacc=1 pairs)
+    val m = members.select(col("doc_id"), col("setid"))
+    val g = groups.select(col("rep"), col("setid"))
+    val repPairs = verified
+      .join(broadcast(g.select(col("rep").as("ra"), col("setid").as("a_set"))), "ra")
+      .join(broadcast(g.select(col("rep").as("rb"), col("setid").as("b_set"))), "rb")
+      .select(col("a_set"), col("b_set"), col("jacc"))
+    val cross = m.select(col("doc_id").as("da"), col("setid").as("a_set"))
+      .join(broadcast(repPairs), "a_set")
+      .join(m.select(col("doc_id").as("db"), col("setid").as("b_set")), "b_set")
+      .select(least(col("da"), col("db")).as("a_id"),
+              greatest(col("da"), col("db")).as("b_id"), col("jacc"))
+    val intra = m.select(col("doc_id").as("a_id"), col("setid"))
+      .join(m.select(col("doc_id").as("b_id"), col("setid")), "setid")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("jacc"))
+    cross.unionByName(intra)
+  }
+
   // ---- dedup clusters (connected components) ---------------------------
 
   /** Connected components over near-dup pairs: every document in a

@@ -82,6 +82,27 @@ class TextDedupSpec extends AnyFunSuite {
     assert(lsh == exact) // banding at 32x4 recalls everything at s>=0.9 here
   }
 
+  test("unbounded-vocab LSH mining equals the bitmask form (and survives vocab > 63)") {
+    import org.apache.spark.sql.functions._
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val masked = canon(TextDedup.minhashNearDups(docs, 0.9).collect())
+    val unbounded = canon(TextDedup.minhashNearDupsUnbounded(docs, 0.9).collect())
+    assert(unbounded == masked)
+    // a corpus the bitmask form REJECTS (vocab > 63) still mines correctly:
+    // two near-identical 80-token docs + 80 distinct-token noise docs
+    import spark.implicits._
+    val base = (0 until 80).map(i => s"tok$i")
+    val wide = (Seq(
+      (0L, base.mkString(" ")),
+      (1L, (base.drop(1) :+ "tok0").mkString(" "))) ++ // same set, reordered
+      (2L to 10L).map(i => (i, (0 until 80).map(j => s"n${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    intercept[Exception] { TextDedup.minhashNearDups(wide, 0.9).collect() }
+    val got = canon(TextDedup.minhashNearDupsUnbounded(wide, 0.9).collect())
+    assert(got == Set((0L, 1L, 1.0)))
+  }
+
   test("incremental near-dup law: arrival-order batches union to the batch answer, disjointly") {
     // a 150-doc slice keeps the law's strength (it still contains dup
     // clusters) while keeping 4 full mining pipelines under a minute
