@@ -104,6 +104,14 @@ object LlmData {
 
   val x21Sql: String = x18Sql
 
+  // ---- X44: unbounded-vocab MinHash-LSH (same oracle as X18/X21) -------
+
+  def x44MinhashUnbounded(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashNearDupsUnbounded(docs(spark, dir), JaccThreshold)
+      .orderBy(col("a_id"), col("b_id"))
+
+  val x44Sql: String = x18Sql
+
   // ---- X22: SimHash near-dups (hamming <= 3) ---------------------------
 
   def x22Simhash(spark: SparkSession, dir: String): DataFrame =
