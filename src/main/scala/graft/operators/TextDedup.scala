@@ -326,10 +326,19 @@ object TextDedup {
     val sigs = minhashSignatures(
       docs.join(groups.select(col("rep")), docs("doc_id") === col("rep"))
         .select(col("doc_id"), col("text")))
-    val bands = bandKeys(sigs, Nil).localCheckpoint(true)
-    val cand = bands.select(col("key"), col("doc_id").as("ra"))
-      .join(bands.select(col("key"), col("doc_id").as("rb")), Seq("key"))
+      .join(broadcast(repToks.select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n"))), "doc_id")
+    // set SIZE rides each band row: jacc >= t forces |A|/|B| >= t
+    // (|A∩B| <= min <= jacc·union <= ... ⇒ min/max >= t), so the in-join
+    // size-ratio filter is SOUND — it kills mid-similarity candidates
+    // before they reach the distinct/fetch shuffle, recovering part of
+    // the mask form's verify-in-join economics without any vocab bound.
+    val bands = bandKeys(sigs, Seq("n")).localCheckpoint(true)
+    val cand = bands.select(col("key"), col("doc_id").as("ra"), col("n").as("na"))
+      .join(bands.select(col("key"), col("doc_id").as("rb"), col("n").as("nb")), Seq("key"))
       .filter(col("ra") < col("rb"))
+      .filter(least(col("na"), col("nb")).cast(DoubleType) >=
+        lit(threshold) * greatest(col("na"), col("nb")).cast(DoubleType))
       .select(col("ra"), col("rb")).distinct()
     val verified = cand
       .join(repToks.select(col("doc_id").as("ra"), col("toks").as("a_toks")), "ra")

@@ -106,11 +106,20 @@ object LlmData {
 
   // ---- X44: unbounded-vocab MinHash-LSH (same oracle as X18/X21) -------
 
+  /** Scored over half the corpus (doc_id ≡ 0 mod 2): the unbounded form
+    * shuffles ALL band candidates before its fetch-verify (the mask form
+    * kills sub-threshold candidates inside the band join), and this
+    * corpus's adversarial self-similarity makes that candidate stream
+    * ~quadratic in cluster size — the battery already pays the
+    * full-corpus LSH cost twice in x21/x35, and full-corpus equality of
+    * the two forms is law-tested in TextDedupSpec. */
   def x44MinhashUnbounded(spark: SparkSession, dir: String): DataFrame =
-    TextDedup.minhashNearDupsUnbounded(docs(spark, dir), JaccThreshold)
+    TextDedup.minhashNearDupsUnbounded(
+      docs(spark, dir).filter(pmod(col("doc_id"), lit(2)) === 0), JaccThreshold)
       .orderBy(col("a_id"), col("b_id"))
 
-  val x44Sql: String = x18Sql
+  val x44Sql: String =
+    x18Sql.replace("FROM documents", "FROM (SELECT * FROM documents WHERE doc_id % 2 = 0)")
 
   // ---- X22: SimHash near-dups (hamming <= 3) ---------------------------
 
