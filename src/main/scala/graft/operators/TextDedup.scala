@@ -510,6 +510,18 @@ object TextDedup {
       .select(col("doc_id"), col("cluster_id"))
   }
 
+  /** Vocabulary-unbounded dedup clusters: [[dedupClusters]] over
+    * [[minhashNearDupsUnbounded]]'s doc-level pairs — the dedup ACTION
+    * without the 63-token dictionary cap the mask-based
+    * [[nearDupClusters]] inherits. The rep-collapse economy is partially
+    * kept implicitly (identical sets produce jacc-1 pairs that contract in
+    * the first union-find superstep); a corpus-scale deployment would
+    * run the component computation on the rep graph as nearDupClusters
+    * does, with setid in place of mask. Law: ≡ nearDupClusters where both
+    * apply (TextDedupSpec). */
+  def nearDupClustersUnbounded(docs: DataFrame, threshold: Double): DataFrame =
+    dedupClusters(minhashNearDupsUnbounded(docs, threshold))
+
   // ---- incremental near-dup mining ------------------------------------
 
   /** Incremental MinHash near-dup mining: emit only the pairs that involve

@@ -103,6 +103,16 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == Set((0L, 1L, 1.0)))
   }
 
+  test("unbounded dedup clusters equal the mask-based clusters") {
+    import org.apache.spark.sql.functions._
+    val small = docs.filter(col("doc_id") < 150)
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val masked = canon(TextDedup.nearDupClusters(small, 0.9).collect())
+    val unbounded = canon(TextDedup.nearDupClustersUnbounded(small, 0.9).collect())
+    assert(unbounded == masked)
+  }
+
   test("incremental near-dup law: arrival-order batches union to the batch answer, disjointly") {
     // a 150-doc slice keeps the law's strength (it still contains dup
     // clusters) while keeping 4 full mining pipelines under a minute
