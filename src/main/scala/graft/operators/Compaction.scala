@@ -59,8 +59,11 @@ object Compaction {
     * file (min-max stats → row-group skipping on those columns). */
   def compact(spark: SparkSession, src: String, dest: String,
               targetFileBytes: Long, sortCols: Seq[String] = Nil): Long = {
+    require(targetFileBytes > 0, s"targetFileBytes must be > 0, got $targetFileBytes")
     val bytes = dataBytes(spark, src)
-    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // clamp before .toInt: bytes/target can exceed Int range for tiny targets
+    val nOut = math.min(Int.MaxValue.toLong,
+      math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)).toInt
     val df = spark.read.parquet(src)
     val re = df.repartition(nOut)
     val shaped = if (sortCols.nonEmpty) re.sortWithinPartitions(sortCols.map(col): _*) else re

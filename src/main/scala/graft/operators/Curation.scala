@@ -85,17 +85,57 @@ object Curation {
     * Determinism: the prefix sum is over a total order (n_tok, doc_id), so
     * chunk assignment is partitioning-independent.
     *
-    * Scale shape: the window is partitioned BY LANG — each language packs
-    * independently and in parallel; the per-lang total order is the honest
-    * cost of reproducible packing. At 100 TB a single lang outgrows one
-    * task's sort: the production variant range-partitions each lang by the
-    * same (n_tok, doc_id) key (rangepartition exchange = parallel external
-    * sort) and computes the prefix sum hierarchically (per-range sums, one
-    * tiny cumulative pass over range totals, broadcast back) — same
-    * deterministic answer, no single-task sort. The chunk-span explode is
-    * bounded: a doc spans ⌈n_tok/capacity⌉+1 chunks.
+    * Scale shape — hierarchical (range-partitioned) prefix sum: a naive
+    * `Window.partitionBy(lang)` serializes each language into ONE task, and
+    * at 100 TB the head language is most of the corpus. Instead the corpus
+    * is range-partitioned on the packing order itself (lang, n_tok desc,
+    * doc_id) — a parallel external sort, every range a bounded task — then:
+    * per-range local prefix sums (window keyed by (range, lang), never by
+    * lang alone), one tiny cumulative pass over the per-range totals
+    * (|ranges|·|langs| rows), and the resulting offsets broadcast back.
+    * offset + local sum = the global prefix sum, for any range boundaries,
+    * so the answer is identical to the single-task window form
+    * ([[packChunksWindowed]], kept as the law-test reference) while the
+    * largest task is one range partition, not one language. The chunk-span
+    * explode is bounded: a doc spans ⌈n_tok/capacity⌉+1 chunks.
     */
   def packChunks(docs: DataFrame, capacity: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+    // parallel external sort: range exchange on the full packing order.
+    // Range i's keys all precede range i+1's, so for same-lang rows the
+    // range id is monotone in (n_tok desc, doc_id) — offsets compose.
+    val ranged = toks
+      .repartitionByRange(col("lang"), col("n_tok").desc, col("doc_id"))
+      .withColumn("rng", spark_partition_id())
+    // local prefix sums: each (rng, lang) group is at most ONE range
+    // partition — the worst task is bounded by the range size, independent
+    // of how skewed the language distribution is
+    val wLocal = Window.partitionBy(col("rng"), col("lang"))
+      .orderBy(col("n_tok").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("local_end", sum(col("n_tok")).over(wLocal))
+    // per-(range, lang) totals: a tiny frame (|ranges|·|langs| rows), so
+    // the cumulative pass over range totals is one trivial task per lang
+    // and the offsets broadcast back into the corpus-sized side
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("rng"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("rng"), col("lang"))
+      .agg(sum(col("n_tok")).as("range_total"))
+      .withColumn("offset", coalesce(sum(col("range_total")).over(wOff), lit(0L)))
+      .select(col("rng"), col("lang"), col("offset"))
+    val cum = local.join(broadcast(offsets), Seq("rng", "lang"))
+      .withColumn("cum_end", col("local_end") + col("offset"))
+      .withColumn("cum_start", col("cum_end") - col("n_tok"))
+    chunkSpans(cum, capacity)
+  }
+
+  /** The single-task-per-language window form of [[packChunks]] — kept as
+    * the reference implementation for the hierarchical ≡ windowed law
+    * (PropertySpec); not a production path (one task sorts and prefix-sums
+    * each whole language). */
+  private[graft] def packChunksWindowed(docs: DataFrame, capacity: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("n_tok").desc, col("doc_id"))
@@ -105,19 +145,22 @@ object Curation {
         size(split(col("text"), " ")).cast(LongType).as("n_tok"))
       .withColumn("cum_end", sum(col("n_tok")).over(w))
       .withColumn("cum_start", col("cum_end") - col("n_tok"))
-    // a doc occupies token interval [cum_start, cum_end) → chunks
-    // floor(cum_start/C) .. floor((cum_end-1)/C); tokens inside chunk c are
-    // min(cum_end,(c+1)C) - max(cum_start, cC)
-    val spans = cum
+    chunkSpans(cum, capacity)
+  }
+
+  /** Shared chunking tail: a doc occupies token interval
+    * [cum_start, cum_end) → chunks floor(cum_start/C) .. floor((cum_end-1)/C);
+    * tokens inside chunk c are min(cum_end,(c+1)C) - max(cum_start, cC). */
+  private def chunkSpans(cum: DataFrame, capacity: Int): DataFrame =
+    cum
       .withColumn("c0", floor(col("cum_start") / capacity))
       .withColumn("c1", floor((col("cum_end") - 1) / capacity))
       .withColumn("chunk_id", explode(expr("sequence(c0, c1)")))
       .withColumn("tok_in_chunk",
         least(col("cum_end"), (col("chunk_id") + 1) * capacity)
           - greatest(col("cum_start"), col("chunk_id") * capacity))
-    spans.groupBy(col("lang"), col("chunk_id"))
+      .groupBy(col("lang"), col("chunk_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok_in_chunk")).as("n_tokens"))
-  }
 
   // ---- quality scoring (streaming-safe projection) ---------------------
 
@@ -240,6 +283,12 @@ object Curation {
     * Determinism: all per-element ops (IEEE divide, floor(+0.5) half-up
     * rounding, multiply-back, abs, max) are elementwise over the same
     * doubles in any engine; the checksum Σ (i+1)·q_i is an exact Long sum.
+    * Degenerate case: an all-zero (or empty) vector has scale = 0, where
+    * x/scale is NaN in IEEE and engines diverge on NaN handling — but
+    * scale = 0 forces every element to 0, so checksum = 0 and
+    * max_err_units = 0 ARE the exact answers; both are short-circuited
+    * explicitly (here and in the oracle SQL) instead of relying on either
+    * engine's NaN semantics.
     *
     * Scale shape: pure projection — zero shuffles, whole-stage codegen,
     * streams the corpus once.
@@ -252,11 +301,13 @@ object Curation {
       col("embedding"))
       .select(
         col("vec_id"),
-        expr(s"cast(floor(aggregate(zip_with($v, sequence(1, size(embedding)), " +
-          "(x, i) -> i * floor(x / scale + 0.5d)), cast(0.0 as double), (a, e) -> a + e)) as bigint)")
+        when(col("scale") === 0.0, lit(0L)).otherwise(
+          expr(s"cast(floor(aggregate(zip_with($v, sequence(1, size(embedding)), " +
+            "(x, i) -> i * floor(x / scale + 0.5d)), cast(0.0 as double), (a, e) -> a + e)) as bigint)"))
           .as("checksum"),
-        expr(s"cast(floor(aggregate($v, cast(0.0 as double), " +
-          "(m, x) -> greatest(m, abs(x - floor(x / scale + 0.5d) * scale))) * 1e6) as bigint)")
+        when(col("scale") === 0.0, lit(0L)).otherwise(
+          expr(s"cast(floor(aggregate($v, cast(0.0 as double), " +
+            "(m, x) -> greatest(m, abs(x - floor(x / scale + 0.5d) * scale))) * 1e6) as bigint)"))
           .as("max_err_units"))
   }
 }

@@ -76,9 +76,18 @@ object Similarity {
     * precision probe × quantized corpus) is the standard ADC layout: at
     * 100 TB the scan streams codes, and only ~k·factor rows per probe ever
     * touch full-precision vectors. candidateFactor buys recall headroom
-    * against quantization noise (~1e-2 cosine error at int8): equality
-    * with the exact top-k on the test corpus is asserted in
-    * SimilaritySpec at the default factor. */
+    * against quantization noise (~1e-2 cosine error at int8).
+    *
+    * Recall is NOT guaranteed in general: a true top-k neighbor whose
+    * quantized rank falls below k·candidateFactor is lost, and no factor
+    * short of N closes that for an adversarial corpus (many neighbors
+    * packed within the quantization error band). SimilaritySpec asserts
+    * equality with the exact top-k ON THIS CORPUS at the default factor —
+    * that is corpus-tested evidence, not a contract. Tune candidateFactor
+    * to the corpus's cosine-gap statistics: it must exceed the number of
+    * candidates within ~2·maxAbs/127·√dim cosine error of the true k-th
+    * neighbor; raise it (or fall back to exact) when the top of the
+    * similarity distribution is flat. */
   def bruteForceTopKQuantized(probes: DataFrame, corpus: DataFrame, k: Int,
                               candidateFactor: Int = 8): DataFrame = {
     graft.functions.CosineUnits.register(probes.sparkSession)

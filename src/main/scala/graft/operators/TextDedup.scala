@@ -314,20 +314,60 @@ object TextDedup {
     *     candidates-then-verify shape, linear in distinct content.
     */
   def minhashNearDupsUnbounded(docs: DataFrame, threshold: Double): DataFrame = {
+    val (members, groups, verified) = unboundedRepPairs(docs, threshold)
+    // rep pair -> setid pair -> doc-level expansion (+ intra jacc=1 pairs).
+    // The rep→setid lookups and the expansion's member joins are SHUFFLE
+    // joins on purpose: groups/members are O(distinct corpus) — at the
+    // 100 TB scale this operator exists for, they are not broadcast-small.
+    // Only the verified pair set (the answer at rep level) broadcasts.
+    val m = members.select(col("doc_id"), col("setid"))
+    val g = groups.select(col("rep"), col("setid"))
+    val repPairs = verified
+      .join(g.select(col("rep").as("ra"), col("setid").as("a_set")), "ra")
+      .join(g.select(col("rep").as("rb"), col("setid").as("b_set")), "rb")
+      .select(col("a_set"), col("b_set"), col("jacc"))
+    val cross = m.select(col("doc_id").as("da"), col("setid").as("a_set"))
+      .join(broadcast(repPairs), "a_set")
+      .join(m.select(col("doc_id").as("db"), col("setid").as("b_set")), "b_set")
+      .select(least(col("da"), col("db")).as("a_id"),
+              greatest(col("da"), col("db")).as("b_id"), col("jacc"))
+    val intra = m.select(col("doc_id").as("a_id"), col("setid"))
+      .join(m.select(col("doc_id").as("b_id"), col("setid")), "setid")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("jacc"))
+    cross.unionByName(intra)
+  }
+
+  /** Shared machinery of the unbounded-vocab family: identical-set collapse
+    * (sha256 set identity), signatures + banding over reps only, and the
+    * band join with the sound in-join size-ratio prefilter, then exact
+    * verification once per distinct candidate pair.
+    *
+    * Returns (members(doc_id, setid, toks) — checkpointed,
+    *          groups(setid, rep, grp_n) — checkpointed,
+    *          verified(ra, rb, jacc) rep-level pairs with ra < rb).
+    * The size lookup joined into the signatures is a plain (shuffle) join:
+    * it is O(distinct corpus), deliberately never broadcast. */
+  private def unboundedRepPairs(docs: DataFrame,
+                                threshold: Double): (DataFrame, DataFrame, DataFrame) = {
     val members = docs
       .select(col("doc_id"), array_sort(tokenSet(col("text"))).as("toks"))
       .withColumn("setid", sha2(concat_ws(" ", col("toks")), 256))
       .select(col("doc_id"), col("setid"), col("toks"))
       .localCheckpoint(true)
-    val groups = members.groupBy(col("setid")).agg(min(col("doc_id")).as("rep"))
+    // read by the rep-doc join, the rep→setid mapping, and (clusters path)
+    // the label expansion: materialize once
+    val groups = members.groupBy(col("setid"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("grp_n"))
+      .localCheckpoint(true)
     val repToks = members.join(
       groups.select(col("rep")), members("doc_id") === col("rep"))
       .select(col("doc_id"), col("toks"))
     val sigs = minhashSignatures(
       docs.join(groups.select(col("rep")), docs("doc_id") === col("rep"))
         .select(col("doc_id"), col("text")))
-      .join(broadcast(repToks.select(col("doc_id"),
-        size(col("toks")).cast(LongType).as("n"))), "doc_id")
+      .join(repToks.select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n")), "doc_id")
     // set SIZE rides each band row: jacc >= t forces |A|/|B| >= t
     // (|A∩B| <= min <= jacc·union <= ... ⇒ min/max >= t), so the in-join
     // size-ratio filter is SOUND — it kills mid-similarity candidates
@@ -347,23 +387,8 @@ object TextDedup {
       .withColumn("jacc", col("inter") /
         (size(col("a_toks")) + size(col("b_toks")) - col("inter")))
       .filter(col("jacc") >= threshold)
-    // rep pair -> setid pair -> doc-level expansion (+ intra jacc=1 pairs)
-    val m = members.select(col("doc_id"), col("setid"))
-    val g = groups.select(col("rep"), col("setid"))
-    val repPairs = verified
-      .join(broadcast(g.select(col("rep").as("ra"), col("setid").as("a_set"))), "ra")
-      .join(broadcast(g.select(col("rep").as("rb"), col("setid").as("b_set"))), "rb")
-      .select(col("a_set"), col("b_set"), col("jacc"))
-    val cross = m.select(col("doc_id").as("da"), col("setid").as("a_set"))
-      .join(broadcast(repPairs), "a_set")
-      .join(m.select(col("doc_id").as("db"), col("setid").as("b_set")), "b_set")
-      .select(least(col("da"), col("db")).as("a_id"),
-              greatest(col("da"), col("db")).as("b_id"), col("jacc"))
-    val intra = m.select(col("doc_id").as("a_id"), col("setid"))
-      .join(m.select(col("doc_id").as("b_id"), col("setid")), "setid")
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), lit(1.0).as("jacc"))
-    cross.unionByName(intra)
+      .select(col("ra"), col("rb"), col("jacc"))
+    (members, groups, verified)
   }
 
   // ---- dedup clusters (connected components) ---------------------------
@@ -510,17 +535,31 @@ object TextDedup {
       .select(col("doc_id"), col("cluster_id"))
   }
 
-  /** Vocabulary-unbounded dedup clusters: [[dedupClusters]] over
-    * [[minhashNearDupsUnbounded]]'s doc-level pairs — the dedup ACTION
-    * without the 63-token dictionary cap the mask-based
-    * [[nearDupClusters]] inherits. The rep-collapse economy is partially
-    * kept implicitly (identical sets produce jacc-1 pairs that contract in
-    * the first union-find superstep); a corpus-scale deployment would
-    * run the component computation on the rep graph as nearDupClusters
-    * does, with setid in place of mask. Law: ≡ nearDupClusters where both
-    * apply (TextDedupSpec). */
-  def nearDupClustersUnbounded(docs: DataFrame, threshold: Double): DataFrame =
-    dedupClusters(minhashNearDupsUnbounded(docs, threshold))
+  /** Vocabulary-unbounded dedup clusters: connected components over the
+    * REP graph — one node per distinct token set (sha256 identity, no
+    * dictionary bound), edges = the unbounded miner's verified rep pairs —
+    * expanded to members afterward, exactly mirroring [[nearDupClusters]]
+    * with setid in place of mask. The union-find input is ~|distinct sets|
+    * edges, never the doc-pair blowup: on a heavily-duplicated corpus the
+    * doc-level pair set is quadratic in cluster sizes while the rep graph
+    * stays linear in distinct content (identical-set groups are one
+    * component by construction — label = the group's rep = its min
+    * doc_id). Laws: ≡ [[nearDupClusters]] where both apply, and ≡
+    * dedupClusters over the doc-level pairs (TextDedupSpec). */
+  def nearDupClustersUnbounded(docs: DataFrame, threshold: Double): DataFrame = {
+    val (members, groups, verified) = unboundedRepPairs(docs, threshold)
+    // verified pairs already carry rep doc_ids (sigs run over reps), so
+    // they ARE the rep-graph edges; checkpointed inside dedupClusters
+    val repLabels = dedupClusters(verified.select(col("ra").as("a_id"), col("rb").as("b_id")))
+    // reps with edges carry their propagated label; edge-less groups of
+    // size >= 2 are their own cluster (intra jacc=1 pairs at doc level)
+    val labeled = groups
+      .join(repLabels.select(col("doc_id").as("rep"), col("cluster_id")), Seq("rep"), "left")
+      .filter(col("cluster_id").isNotNull || col("grp_n") >= 2)
+      .select(col("setid"), coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+    members.select(col("doc_id"), col("setid")).join(labeled, "setid")
+      .select(col("doc_id"), col("cluster_id"))
+  }
 
   // ---- incremental near-dup mining ------------------------------------
 

@@ -92,12 +92,15 @@ object TrainingData {
 
   /** Every intermediate is either an exact-in-double integer (the codes,
     * the position-weighted checksum) or an elementwise IEEE op computed
-    * identically by both engines — see Curation.quantizeInt8. */
+    * identically by both engines — see Curation.quantizeInt8. The scale = 0
+    * degenerate case (all-zero vector) is short-circuited to q = 0 in both
+    * engines rather than relying on either's x/0 semantics. */
   val x41Sql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |s AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale, v FROM e),
       |u AS (SELECT vec_id, scale, v[i] AS x, i FROM s, unnest(range(1, len(v) + 1)) AS t(i)),
-      |q AS (SELECT vec_id, i, x, scale, floor(x / scale + 0.5) AS q FROM u)
+      |q AS (SELECT vec_id, i, x, scale,
+      |        CASE WHEN scale = 0 THEN 0 ELSE floor(x / scale + 0.5) END AS q FROM u)
       |SELECT vec_id,
       |  CAST(floor(sum(i * q)) AS BIGINT) AS checksum,
       |  CAST(floor(max(abs(x - q * scale)) * 1e6) AS BIGINT) AS max_err_units

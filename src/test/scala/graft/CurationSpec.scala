@@ -169,6 +169,15 @@ class CurationSpec extends AnyFunSuite {
     assert(joined.length == e.count())
   }
 
+  test("quantizeInt8: all-zero vector short-circuits (scale 0 never divides)") {
+    val df = Seq((1L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+                 (2L, Array(0.5f, -0.25f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Curation.quantizeInt8(df).orderBy($"vec_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r.head == ((1L, 0L, 0L))) // zero vector: exact answer, no NaN
+    assert(r(1)._1 == 2L && r(1)._2 != 0L) // non-degenerate rows unaffected
+  }
+
   test("quantizeInt8: exact on a hand-computed vector") {
     val df = Seq((1L, Array(1.0f, -0.5f, 0.25f, 0.0f))).toDF("vec_id", "embedding")
     val r = Curation.quantizeInt8(df).as[(Long, Long, Long)].collect().head

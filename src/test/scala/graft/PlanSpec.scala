@@ -80,6 +80,22 @@ class PlanSpec extends AnyFunSuite {
       s"pivot with explicit values must not add extra agg layers:\n$plan")
   }
 
+  test("x39 packChunks: prefix sum is hierarchical — range exchange, no per-language single-task window") {
+    val plan = planOf(
+      graft.operators.Curation.packChunks(Tables.t(spark, sf, "documents"), 256))
+    // the parallel external sort: a range exchange on the packing order
+    assert(plan.contains("rangepartitioning(lang"),
+      s"expected a range exchange on (lang, n_tok desc, doc_id):\n$plan")
+    // every window that sorts by the packing order (n_tok DESC) must also be
+    // partitioned by the range id — a window partitioned by lang alone would
+    // serialize each language into one task at scale
+    val windows = "windowspecdefinition\\([^)]*\\)".r.findAllIn(plan).toList
+    val packing = windows.filter(w => w.contains("n_tok") && w.contains("DESC"))
+    assert(packing.nonEmpty, s"expected the local prefix-sum window:\n$plan")
+    assert(packing.forall(_.contains("rng")),
+      s"prefix-sum window must be keyed by (rng, lang), never lang alone:\n$packing")
+  }
+
   test("runtime bloom filter: a selective dim filter is pushed to the fact side as a bloom probe") {
     // The 100 TB shuffle-join shape: when the dim side is too big to
     // broadcast, Spark can still build a bloom filter from the filtered dim

@@ -145,6 +145,17 @@ object PropertySpec extends Properties("graft") {
         s"cap=$cap totals=$totals packed=${packed.toSeq}"
     }
 
+  property("packChunks hierarchical prefix sum equals the single-task window form") =
+    forAll(genCorpus, Gen.choose(4, 64)) { (docs, cap) =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "lang", "text")
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val hier = canon(graft.operators.Curation.packChunks(df, cap))
+      val win = canon(graft.operators.Curation.packChunksWindowed(df, cap))
+      Prop(hier == win) :| s"cap=$cap hier=$hier win=$win"
+    }
+
   property("winnow fingerprints of a doc are a subset of its shingle hashes") =
     forAll(genCorpus) { docs =>
       import spark.implicits._
