@@ -269,6 +269,60 @@ object Curation {
       .select(col("a_id"), col("b_id"), col("dist"))
   }
 
+  /** [[fuzzyPairs]] with winnowing-fingerprint blocking unioned in: a
+    * candidate pair shares the `blockTokens`-token prefix block OR at
+    * least one winnow fingerprint ([[winnow]] over word k-grams with the
+    * given window); every candidate is verified once with the same
+    * thresholded Levenshtein. Why: a single prefix key misses any pair
+    * whose corruption touches the FIRST tokens — exactly the OCR/head
+    * noise fuzzy dedup exists to catch. Winnow fingerprints are the
+    * positional-robust second key set: any shared run of ≥ k+window-1
+    * tokens collides regardless of where it sits, so a head-corrupted
+    * near-dup still blocks together via its intact tail.
+    *
+    * Scale shape: both key families ride ONE equi-join shuffle — prefix
+    * keys and fingerprint keys are tagged into a single key space, so
+    * candidate generation stays a self-join on one key column; the
+    * distinct pair set then pays the banded-DP Levenshtein once per
+    * candidate. Hot keys (boilerplate openings, boilerplate runs) are the
+    * skew risk, capped by `maxKeyDf` exactly as in [[fuzzyPairs]]:
+    * candidate generation only, verification untouched. Dropping a hot
+    * key CAN lose pairs whose only collision it was; unlike the
+    * prefix-only form, a pair usually holds several fingerprint keys, so
+    * the cap's recall cost shrinks as overlap grows. */
+  def fuzzyPairsWinnowed(docs: DataFrame, blockTokens: Int, maxRelDist: Double,
+                         k: Int, window: Int,
+                         maxKeyDf: Option[Long] = None): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"))
+    val bkeys = d.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= blockTokens)
+      .select(col("doc_id"), concat(lit("b:"),
+        concat_ws(" ", (1 to blockTokens).map(i => expr(s"element_at(ts, $i)")): _*)).as("key"))
+    val wkeys = winnow(d, k, window)
+      .select(col("doc_id"), concat(lit("w:"), col("fp").cast(StringType)).as("key"))
+    // both self-join sides read the key table (and winnow is a pipeline of
+    // its own): materialize once
+    val keyed0 = bkeys.unionByName(wkeys)
+    val keyed = maxKeyDf.fold(keyed0) { cap =>
+      val hot = keyed0.groupBy(col("key")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select(col("key"))
+      keyed0.join(broadcast(hot), Seq("key"), "left_anti")
+    }.localCheckpoint(true)
+    val cand = keyed.select(col("key"), col("doc_id").as("a_id"))
+      .join(keyed.select(col("key"), col("doc_id").as("b_id")), Seq("key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(d.select(col("doc_id").as("a_id"), col("text").as("a_text")), "a_id")
+      .join(d.select(col("doc_id").as("b_id"), col("text").as("b_text")), "b_id")
+      .withColumn("bound",
+        floor(lit(maxRelDist) * greatest(length(col("a_text")), length(col("b_text"))))
+          .cast(IntegerType))
+      .withColumn("dist", expr("levenshtein(a_text, b_text, bound)").cast(LongType))
+      .filter(col("dist") >= 0)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
   // ---- embedding int8 scalar quantization ------------------------------
 
   /** Symmetric int8 scalar quantization of an embedding column: per vector,

@@ -92,13 +92,7 @@ object Similarity {
                               candidateFactor: Int = 8): DataFrame = {
     graft.functions.CosineUnits.register(probes.sparkSession)
     val p = probes.select(col("vec_id").as("p_id"), col("embedding").as("pv"))
-    val c = corpus
-      .select(col("vec_id").as("n_id"), col("embedding").as("nv"),
-        expr("aggregate(cast(embedding as array<double>), cast(0.0 as double), " +
-          "(m, x) -> greatest(m, abs(x))) / 127.0").as("scale"))
-      .select(col("n_id"), col("nv"),
-        expr("transform(cast(nv as array<double>), x -> floor(x / scale + 0.5d) * scale)")
-          .as("nq"))
+    val c = withQuantized(corpus.select(col("vec_id").as("n_id"), col("embedding").as("nv")))
     val wq = Window.partitionBy(col("p_id")).orderBy(col("cos_q").desc, col("n_id").asc)
     val w = Window.partitionBy(col("p_id")).orderBy(col("cos_r").desc, col("n_id").asc)
     c.join(broadcast(p), col("p_id") =!= col("n_id"))
@@ -110,6 +104,21 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("p_id"), col("rn"), col("n_id"), col("cos_r"))
   }
+
+  /** Adds `nq`: the int8-dequantized reconstruction of `nv` under
+    * Curation.quantizeInt8's symmetric scheme (scale = max|x|/127, half-up
+    * codes, multiply back). Candidate ranking runs against `nq`; the
+    * production layout stores the codes themselves (array<tinyint> +
+    * scale: dim + 8 bytes/vector vs 8·dim for the float64 join width) and
+    * dequantizes in the scan — arithmetic identical either way. */
+  private def withQuantized(c: DataFrame): DataFrame =
+    c.withColumn("scale",
+        expr("aggregate(cast(nv as array<double>), cast(0.0 as double), " +
+          "(m, x) -> greatest(m, abs(x))) / 127.0"))
+      .withColumn("nq", // scale = 0 (all-zero vector) short-circuits, as quantizeInt8 does
+        expr("transform(cast(nv as array<double>), " +
+          "x -> if(scale = 0.0d, 0.0d, floor(x / scale + 0.5d) * scale))"))
+      .drop("scale")
 
   /** Embedding-cosine near-dup mining: all pairs (a<b) with truncated
     * cosine >= threshold — the EXACT baseline/verifier for semantic dedup.
@@ -208,6 +217,51 @@ object Similarity {
     cand.join(broadcast(probeCells), Seq("cell"))
       .filter(col("p_id") =!= col("n_id"))
       .withColumn("cos_r", cosineR("pv", "nv"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("p_id"), col("rn"), col("n_id"), col("cell"), col("cos_r"))
+  }
+
+  /** Production ADC composition: [[ivfTopK]]'s cell-pruned scan ranking
+    * candidates against int8-quantized codes, with exact float re-rank of
+    * the top k·candidateFactor survivors — [[bruteForceTopKQuantized]]'s
+    * two-stage shape folded into the IVF cell pruning. At 100 TB this is
+    * the similarity-search layout you'd deploy: cell id prunes the corpus
+    * to nprobe/numCentroids, the pruned scan streams CODES (dim + 8
+    * bytes/vector instead of 8·dim for the float64 join width — 7.1× less
+    * candidate bandwidth at dim 64), and only ~k·factor rows per probe
+    * touch full-precision vectors.
+    *
+    * Recall caveats compose: IVF's (a true neighbor outside the probed
+    * cells is lost — same as ivfTopK) and quantization's (see
+    * [[bruteForceTopKQuantized]] — corpus-tested, not guaranteed).
+    * SimilaritySpec asserts equality with ivfTopK at the default factor
+    * on the test corpus. */
+  def ivfTopKQuantized(embeddings: DataFrame, k: Int, numCentroids: Int = IvfCentroids,
+                       probePredicate: Column = col("vec_id") < 10,
+                       iters: Int = IvfIters, nprobe: Int = IvfNprobe,
+                       candidateFactor: Int = 8): DataFrame = {
+    graft.functions.CosineUnits.register(embeddings.sparkSession)
+    val cents = kmeansCentroids(embeddings, numCentroids, iters)
+    val assigned = embeddings.join(assignCells(embeddings, cents), "vec_id")
+    val probes = embeddings.filter(probePredicate)
+      .select(col("vec_id").as("p_id"), col("embedding").as("pv"))
+    val wp = Window.partitionBy(col("p_id")).orderBy(col("cos_c").desc, col("c_id").asc)
+    val probeCells = probes.join(broadcast(cents))
+      .withColumn("cos_c", cosineR("pv", "cv"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= nprobe)
+      .select(col("p_id"), col("pv"), col("c_id").as("cell"))
+    val cand = withQuantized(
+      assigned.select(col("cell"), col("vec_id").as("n_id"), col("embedding").as("nv")))
+    val wq = Window.partitionBy(col("p_id")).orderBy(col("cos_q").desc, col("n_id").asc)
+    val w = Window.partitionBy(col("p_id")).orderBy(col("cos_r").desc, col("n_id").asc)
+    cand.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("p_id") =!= col("n_id"))
+      .withColumn("cos_q", cosineR("pv", "nq")) // ranked on codes
+      .withColumn("rq", row_number().over(wq))
+      .filter(col("rq") <= k * candidateFactor)
+      .withColumn("cos_r", cosineR("pv", "nv")) // exact re-rank, floats touched here only
       .withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= k)
       .select(col("p_id"), col("rn"), col("n_id"), col("cell"), col("cos_r"))

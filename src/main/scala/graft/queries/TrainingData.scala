@@ -149,6 +149,44 @@ object TrainingData {
        |      floor($FuzzyMaxRelDist * greatest(len(a.text), len(b.text)))
        |ORDER BY a_id, b_id""".stripMargin
 
+  // ---- X45: winnow-blocked fuzzy near-dup pairs ------------------------
+
+  /** X42's recall fix, scored: candidates = prefix blocks ∪ shared winnow
+    * fingerprints, so near-dups whose corruption hits the FIRST tokens
+    * (different prefix block) are still recalled via their intact runs.
+    * Same thresholded-Levenshtein verification; x45 ⊇ x42 by
+    * construction, asserted in CurationSpec with a head-corrupted
+    * fixture. */
+  def x45FuzzyWinnowed(spark: SparkSession, dir: String): DataFrame =
+    Curation.fuzzyPairsWinnowed(docs(spark, dir), FuzzyBlockTokens, FuzzyMaxRelDist,
+      WinnowK, WinnowWindow)
+      .orderBy(col("a_id"), col("b_id"))
+
+  val x45Sql: String =
+    s"""WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+       |bk AS (SELECT doc_id, 'b:' || ts[1] || ' ' || ts[2] || ' ' || ts[3] AS key
+       |       FROM tk WHERE len(ts) >= $FuzzyBlockTokens),
+       |sh AS (SELECT doc_id, i, CAST(len(ts) - ${WinnowK - 1} AS BIGINT) AS m,
+       |         ('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15))::BIGINT
+       |           % 2147483647 AS h
+       |       FROM tk, unnest(range(1, len(ts) - ${WinnowK - 2})) AS u(i)
+       |       WHERE len(ts) >= $WinnowK),
+       |w AS (SELECT doc_id, i, m,
+       |        min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                     ROWS BETWEEN CURRENT ROW AND ${WinnowWindow - 1} FOLLOWING) AS fp
+       |      FROM sh),
+       |wk AS (SELECT DISTINCT doc_id, 'w:' || CAST(fp AS VARCHAR) AS key
+       |       FROM w WHERE i <= m - ${WinnowWindow - 1}),
+       |keys AS (SELECT * FROM bk UNION ALL SELECT * FROM wk),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM keys a JOIN keys b ON a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
+       |FROM cand JOIN documents ta ON ta.doc_id = a_id
+       |          JOIN documents tb ON tb.doc_id = b_id
+       |WHERE levenshtein(ta.text, tb.text) <=
+       |      floor($FuzzyMaxRelDist * greatest(len(ta.text), len(tb.text)))
+       |ORDER BY a_id, b_id""".stripMargin
+
   // ---- Q36: approx-percentile sketch gate ------------------------------
 
   /** Scores the quantile SKETCH (Spark's Greenwald-Khanna

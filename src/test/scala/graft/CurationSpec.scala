@@ -115,6 +115,34 @@ class CurationSpec extends AnyFunSuite {
     assert(capped == Set((4L, 5L)))
   }
 
+  test("fuzzyPairsWinnowed: recalls head-corrupted near-dups the prefix block misses") {
+    val tail = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = mkDocs(
+      (1L, "en", s"one two three $tail"),
+      (2L, "en", s"uno dos tres $tail"), // head corrupted: different prefix block
+      (3L, "en", "pfx pfy pfz abc"),     // prefix-only pair: too short for winnow
+      (4L, "en", "pfx pfy pfz xyz"),     // 3 edits <= floor(0.2*15)
+      (5L, "en", "totally unrelated content with nothing shared anywhere at all"))
+      .select($"doc_id", $"text")
+    val prefixOnly = Curation.fuzzyPairs(docs, 3, 0.2)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2)).toSet
+    val winnowed = Curation.fuzzyPairsWinnowed(docs, 3, 0.2, 3, 4)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2)).toSet
+    // the head-corrupted pair shares a 10-token run -> a winnow fp, but not
+    // the 3-token prefix: prefix blocking recall < 1, winnowed recall = 1
+    assert(prefixOnly == Set((3L, 4L)))
+    assert(winnowed == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("fuzzyPairsWinnowed: superset of fuzzyPairs on the corpus, same dist values") {
+    val d = Tables.t(spark, sf, "documents")
+    val prefix = Curation.fuzzyPairs(d, 3, 0.2)
+      .as[(Long, Long, Long)].collect().toSet
+    val winnowed = Curation.fuzzyPairsWinnowed(d, 3, 0.2, 3, 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(prefix.subsetOf(winnowed), s"missing: ${prefix.diff(winnowed)}")
+  }
+
   // ---- winnow -----------------------------------------------------------
 
   test("winnow: docs sharing a long run share a fingerprint, wherever it sits") {

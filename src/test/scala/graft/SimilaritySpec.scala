@@ -105,6 +105,18 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF over int8 codes (ADC): equals float ivfTopK at the default factor") {
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    val exact = canon(Similarity.ivfTopK(embs, 5).collect())
+    val adc = canon(Similarity.ivfTopKQuantized(embs, 5).collect())
+    // corpus-tested equality (see bruteForceTopKQuantized's recall caveat):
+    // the exact re-rank of k·factor code-ranked survivors reconstructs the
+    // float result, including cell ids and cos_r values
+    assert(adc == exact)
+    assert(adc.nonEmpty)
+  }
+
   test("IVF: recall vs brute force at nprobe=2 (deterministic on this corpus)") {
     val brute = Similarity.bruteForceTopK(embs.filter(col("vec_id") < 10), embs, 5).collect()
       .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("n_id"))).toSet
