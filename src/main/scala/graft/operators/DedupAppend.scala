@@ -44,7 +44,7 @@ object DedupAppend {
     fresh.write.mode("append").parquet(path)
   }
 
-  private def exists(spark: SparkSession, path: String): Boolean = {
+  private[graft] def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))

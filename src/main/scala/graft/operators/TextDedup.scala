@@ -441,11 +441,14 @@ object TextDedup {
     // Results are partitioning-independent (exact component minima), so
     // this is purely a physical choice; coalesce is narrow (no shuffle).
     val EdgesPerTask = 1000000L
-    def sized(df: DataFrame, n: Long): DataFrame = {
-      val want = math.max(1L, math.min(df.rdd.getNumPartitions.toLong,
-        (n + EdgesPerTask - 1) / EdgesPerTask)).toInt
-      if (want < df.rdd.getNumPartitions) df.coalesce(want) else df
-    }
+    // cap at the cluster's parallelism rather than the frame's current
+    // partition count: reading the latter (.rdd.getNumPartitions) forces a
+    // plan conversion every superstep. coalesce above the current count is
+    // a no-op, so the cap only ever narrows; coalesce is narrow (no shuffle).
+    val maxPar = math.max(1L, spark.sparkContext.defaultParallelism.toLong)
+    def sized(df: DataFrame, n: Long): DataFrame =
+      df.coalesce(math.max(1L,
+        math.min(maxPar, (n + EdgesPerTask - 1) / EdgesPerTask)).toInt)
     while (nEdges > 0 && iter < maxIters) {
       // union-find within each partition: node -> min id of its local set
       val local = sized(edges, nEdges).as[(Long, Long)].mapPartitions { it =>

@@ -132,6 +132,54 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Streaming NEAR-DUP gate — the LSH analogue of [[ingestFlares]]: each
+    * micro-batch of landed documents is mined against the already-ingested
+    * corpus with the probe-restricted incremental miner
+    * ([[graft.operators.TextDedup.minhashNearDupsIncremental]] — join work
+    * ∝ the batch's band collisions, never the corpus's), then BOTH outputs
+    * go through the idempotent [[graft.operators.DedupAppend]]: mined
+    * pairs on (a_id, b_id), the batch itself on doc_id. A re-delivered or
+    * replayed micro-batch therefore never duplicates pairs or documents,
+    * and a crash between the two appends recovers cleanly (the anti-join
+    * below keeps a replayed batch out of its own "existing" side, so
+    * masks/signatures never double-count). Folding batches in arrival
+    * order reproduces batch mining exactly — StreamingIngestSpec asserts
+    * streamed ≡ [[graft.operators.TextDedup.minhashNearDups]].
+    *
+    * At scale the existing side's bands/signatures live in a bucket-keyed
+    * store rather than being derived per batch (signatures are
+    * deterministic — see the incremental miner's scaladoc); this is the
+    * orchestration shape: AvailableNow + checkpoint = exactly-once per
+    * landed file, idempotent sinks = at-least-once safe. */
+  def mineNearDupsStream(spark: SparkSession, landingDir: String, corpusPath: String,
+                         pairsPath: String, checkpointDir: String,
+                         threshold: Double): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = spark.readStream.schema(docSchema).json(landingDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        // consumed by mining (probe + corpus union) and the corpus append
+        val newDocs = batch.toDF().localCheckpoint(true)
+        val existing =
+          if (!graft.operators.DedupAppend.exists(s, corpusPath)) newDocs.limit(0)
+          else s.read.parquet(corpusPath) // replay safety: exclude this batch's ids
+            .join(broadcast(newDocs.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+        val pairs = graft.operators.TextDedup
+          .minhashNearDupsIncremental(existing, newDocs, threshold)
+        graft.operators.DedupAppend.append(s, pairs, pairsPath,
+          keys = Seq("a_id", "b_id"), tieBreak = Nil)
+        graft.operators.DedupAppend.append(s, newDocs, corpusPath,
+          keys = Seq("doc_id"), tieBreak = Nil)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Event-time sessionization with explicit per-user state
     * (flatMapGroupsWithState + EventTimeTimeout): emits one row per CLOSED
     * session. A session closes two ways:

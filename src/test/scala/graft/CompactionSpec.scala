@@ -42,6 +42,35 @@ class CompactionSpec extends AnyFunSuite {
     } finally Fs.deleteTree(new java.io.File(tmp))
   }
 
+  test("maintenance composition: DedupAppend batches accumulate small files, compact rewrites them") {
+    // the table-maintenance loop a long-lived ingest runs: N dedup-append
+    // micro-batches -> N small file sets -> one compaction pass -> swap
+    val tmp = Files.createTempDirectory("graft-append-compact").toFile.getAbsolutePath
+    try {
+      val docs = Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
+      val table = s"$tmp/table"
+      // 5 arrival batches, each its own append (with an overlap re-delivery:
+      // batch 2 re-appends batch 1's rows — the conflict skip drops them)
+      (0 until 5).foreach { i =>
+        val b = docs.filter(pmod(col("doc_id"), lit(5)) === i)
+        graft.operators.DedupAppend.append(spark, b, table,
+          keys = Seq("doc_id"), tieBreak = Nil)
+        if (i == 1) graft.operators.DedupAppend.append(spark,
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0), table,
+          keys = Seq("doc_id"), tieBreak = Nil)
+      }
+      val beforeFiles = Compaction.dataFileCount(spark, table)
+      assert(beforeFiles >= 5, s"expected per-batch file accumulation, saw $beforeFiles")
+      val n = Compaction.compact(spark, table, s"$tmp/compacted", Long.MaxValue, Seq("doc_id"))
+      assert(n == 1)
+      // rewrite-then-swap: contents identical, exactly one row per doc
+      val before = spark.read.parquet(table).orderBy(col("doc_id")).collect().toSeq
+      val after = spark.read.parquet(s"$tmp/compacted").orderBy(col("doc_id")).collect().toSeq
+      assert(after == before)
+      assert(after.length == docs.count())
+    } finally Fs.deleteTree(new java.io.File(tmp))
+  }
+
   test("compactPartitioned: preserves partCol=value layout and contents") {
     val tmp = Files.createTempDirectory("graft-compact-part").toFile.getAbsolutePath
     try {

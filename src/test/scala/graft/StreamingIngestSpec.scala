@@ -29,6 +29,42 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(byKey("2025-05-29T19:46:00-FLR-001") == "M3.1") // batch A won the conflict
   }
 
+  test("streaming near-dup gate: streamed batches reproduce batch mining exactly") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_neardup_stream_")
+    val landing = root.resolve("landing"); Files.createDirectories(landing)
+    val corpus = root.resolve("corpus").toString
+    val pairs = root.resolve("pairs").toString
+    val ckpt = root.resolve("ckpt").toString
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 150)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut1 = ids(ids.length / 3); val cut2 = ids(2 * ids.length / 3)
+    def land(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      Files.writeString(landing.resolve(name), df.toJSON.collect().mkString("\n"))
+    // three arrival batches, each drained by its own AvailableNow run
+    // (checkpoint resumes: only the newly landed file is processed)
+    land("b1.json", docs.filter(col("doc_id") <= cut1))
+    graft.streaming.EventStreams.mineNearDupsStream(
+      spark, landing.toString, corpus, pairs, ckpt, 0.9)
+    land("b2.json", docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2))
+    graft.streaming.EventStreams.mineNearDupsStream(
+      spark, landing.toString, corpus, pairs, ckpt, 0.9)
+    land("b3.json", docs.filter(col("doc_id") > cut2))
+    graft.streaming.EventStreams.mineNearDupsStream(
+      spark, landing.toString, corpus, pairs, ckpt, 0.9)
+    val streamed = spark.read.parquet(pairs).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val batch = graft.operators.TextDedup.minhashNearDups(docs, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size}; " +
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    assert(batch.nonEmpty)
+    // the corpus table holds every doc exactly once
+    assert(spark.read.parquet(corpus).count() == docs.count())
+  }
+
   test("stateful sessionization: closed sessions consistent with batch query") {
     val gapUs = 30L * 60L * 1000000L
     val streamed = EventStreams.sessionizeStateful(spark, sf, "sessions_out")

@@ -103,6 +103,41 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == Set((0L, 1L, 1.0)))
   }
 
+  test("adversarial hot band buckets: mass collisions of distinct-but-similar sets stay bounded") {
+    import spark.implicits._
+    // 500 distinct 33-token sets sharing a 30-token core: a band whose 8
+    // minhash rows all land in the core (prob (30/33)^8 ≈ 0.47) hashes to
+    // the SAME bucket, so each band carries a hot bucket of ~235 docs.
+    // Every cross pair sits at jacc 30/36 ≈ 0.83 < 0.9 — the candidate
+    // stream is ~quadratic in the bucket while the true answer is 2 pairs.
+    // Worst-task bound, documented: the band index is hashed INTO the band
+    // key (xxhash64(band, slice)), so the 32 hot buckets are 32 DIFFERENT
+    // shuffle keys spread across reducers by construction — no single task
+    // owns all hot pairs; the sound in-join size-ratio filter and the
+    // once-per-distinct-pair exact verify keep everything downstream of
+    // the band join linear in true pairs. (Identical-set collapse — the
+    // other skew defense — deliberately can't help here: all sets are
+    // distinct.)
+    val core = (0 until 30).map(i => s"core$i")
+    val noise = (0 until 500).map { i =>
+      (i.toLong, (core ++ Seq(s"u${i}_a", s"u${i}_b", s"u${i}_c")).mkString(" "))
+    }
+    // planted true pairs: 32 of 34 shared distinct tokens -> jacc ≈ 0.941
+    val planted = Seq(
+      (1000L, (core ++ Seq("p1", "p2", "p3")).mkString(" ")),
+      (1001L, (core ++ Seq("p1", "p2", "p4")).mkString(" ")),
+      (1002L, (core ++ Seq("q1", "q2", "q3")).mkString(" ")),
+      (1003L, (core ++ Seq("q1", "q2", "q4")).mkString(" ")))
+    val docs = (noise ++ planted).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val got = TextDedup.minhashNearDupsUnbounded(docs, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got == Set((1000L, 1001L), (1002L, 1003L)))
+    // generous ceiling: the point is "bounded", not a timing benchmark
+    assert(secs < 90.0, s"hot-bucket mining took ${secs}s")
+  }
+
   test("unbounded dedup clusters equal the mask-based clusters") {
     import org.apache.spark.sql.functions._
     val small = docs.filter(col("doc_id") < 150)
