@@ -154,12 +154,26 @@ object TrainingData {
   /** X42's recall fix, scored: candidates = prefix blocks ∪ shared winnow
     * fingerprints, so near-dups whose corruption hits the FIRST tokens
     * (different prefix block) are still recalled via their intact runs.
-    * Same thresholded-Levenshtein verification; x45 ⊇ x42 by
+    * Same thresholded-Levenshtein verification; uncapped x45 ⊇ x42 by
     * construction, asserted in CurationSpec with a head-corrupted
-    * fixture. */
+    * fixture.
+    *
+    * Scored WITH the hot-key df cap (the production form): on this
+    * deliberately self-similar corpus, near-dup clusters share most of
+    * their fingerprints, so uncapped candidate generation is ~Σ df² ≈
+    * quadratic in cluster sizes (336k candidates at sf0.1, 18× the
+    * capped count) and the per-candidate Levenshtein — ~1.5 ms each, the
+    * most expensive verify in the engine — dominates. The cap bounds
+    * candidates by df·|keys| while a true pair is lost only if EVERY
+    * shared key is hot; measured on this corpus the cap is lossless
+    * (sf0.1: 256/256 true pairs, identical at sf0.01) because fuzzy dups
+    * share many keys and corruption zones produce low-df fingerprints.
+    * The oracle replicates the cap, keeping the hash gate exact. */
+  val FuzzyMaxKeyDf = 4L
+
   def x45FuzzyWinnowed(spark: SparkSession, dir: String): DataFrame =
     Curation.fuzzyPairsWinnowed(docs(spark, dir), FuzzyBlockTokens, FuzzyMaxRelDist,
-      WinnowK, WinnowWindow)
+      WinnowK, WinnowWindow, maxKeyDf = Some(FuzzyMaxKeyDf))
       .orderBy(col("a_id"), col("b_id"))
 
   val x45Sql: String =
@@ -178,8 +192,11 @@ object TrainingData {
        |wk AS (SELECT DISTINCT doc_id, 'w:' || CAST(fp AS VARCHAR) AS key
        |       FROM w WHERE i <= m - ${WinnowWindow - 1}),
        |keys AS (SELECT * FROM bk UNION ALL SELECT * FROM wk),
+       |kdf AS (SELECT key, count(*) AS df FROM keys GROUP BY key),
+       |cold AS (SELECT k.doc_id, k.key FROM keys k JOIN kdf USING (key)
+       |         WHERE df <= $FuzzyMaxKeyDf),
        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |         FROM keys a JOIN keys b ON a.key = b.key AND a.doc_id < b.doc_id)
+       |         FROM cold a JOIN cold b ON a.key = b.key AND a.doc_id < b.doc_id)
        |SELECT a_id, b_id, CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
        |FROM cand JOIN documents ta ON ta.doc_id = a_id
        |          JOIN documents tb ON tb.doc_id = b_id

@@ -141,6 +141,12 @@ class CurationSpec extends AnyFunSuite {
     val winnowed = Curation.fuzzyPairsWinnowed(d, 3, 0.2, 3, 4)
       .as[(Long, Long, Long)].collect().toSet
     assert(prefix.subsetOf(winnowed), s"missing: ${prefix.diff(winnowed)}")
+    // the scored form's hot-key cap: lossless on this corpus (a true pair
+    // is lost only if EVERY shared key is hot — fuzzy dups share many)
+    val capped = Curation.fuzzyPairsWinnowed(d, 3, 0.2, 3, 4,
+      maxKeyDf = Some(TrainingData.FuzzyMaxKeyDf))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == winnowed)
   }
 
   // ---- winnow -----------------------------------------------------------
