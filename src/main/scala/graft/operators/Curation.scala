@@ -323,6 +323,146 @@ object Curation {
       .select(col("a_id"), col("b_id"), col("dist"))
   }
 
+  // ---- segment-level exact dedup (C4-style span dedup) -----------------
+
+  /** Exact dedup at SEGMENT granularity: each document is cut into
+    * consecutive `segTokens`-token spans (the last span may be shorter) and
+    * a span instance survives only if it is the corpus-wide FIRST
+    * occurrence of its text (min (doc_id, seg_id) lexicographically) — the
+    * C4/MassiveText "remove repeated spans, keep the first" policy, which
+    * catches the sub-document duplication (quoted passages, syndicated
+    * paragraphs, templated sections) that whole-doc dedup (x17) cannot see
+    * and near-dup pair mining (x21/x29) only flags, never excises.
+    *
+    * Returns one row per doc: n_segs, n_dup_segs (instances whose text
+    * appeared earlier), n_tokens_kept (tokens surviving span removal).
+    *
+    * Scale shape: spans are keyed by sha256(span_text) so the shuffle key
+    * is fixed-width regardless of span length. Two exchanges on that key:
+    * (1) min-struct first-occurrence agg — map-side combinable, so a
+    * billion-fold duplicated span costs one struct per map partition, not
+    * a fanout; (2) the instances⋈firsts equi join — the firsts side holds
+    * exactly ONE row per distinct span, so join fanout equals the instance
+    * count (no hot-key blowup possible). The final per-doc agg is again
+    * map-side combinable. Instance rows carry only (hash, doc, seg, len) —
+    * span text never crosses an exchange.
+    */
+  def segmentDedup(docs: DataFrame, segTokens: Int): DataFrame = {
+    val spans = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(expr(s"sequence(0, ((size(ts) + ${segTokens - 1}) div $segTokens) - 1)")).as("s"))
+      .select(col("doc_id"), col("s"),
+        least(lit(segTokens), size(col("ts")) - col("s") * segTokens).cast(LongType).as("seg_len"),
+        sha2(concat_ws(" ", expr(s"slice(ts, s * $segTokens + 1, $segTokens)")), 256).as("h"))
+    val firsts = spans.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("s"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("f_doc"), col("f.s").as("f_seg"))
+    spans.join(firsts, "h")
+      .withColumn("kept", col("doc_id") === col("f_doc") && col("s") === col("f_seg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+           sum(when(col("kept"), 0L).otherwise(1L)).as("n_dup_segs"),
+           sum(when(col("kept"), col("seg_len")).otherwise(0L)).as("n_tokens_kept"))
+  }
+
+  // ---- temperature rebalancing (inverse-sqrt language sampler) ---------
+
+  /** Deterministic α=0.5 temperature rebalancing across languages: a doc in
+    * language l is kept with rate min(1, k/√n_l) — head languages are
+    * downsampled ∝ n_l^(−1/2) (exactly the multilingual temperature-
+    * sampling family with α = 1/2, up to the global normalizer), tail
+    * languages pass through whole. The per-language-independent form is
+    * deliberate: no cross-language float summation (whose order would
+    * differ between engines) ever enters the decision, so the gate is
+    * bit-reproducible — √, ÷ and ×1e6 are all single correctly-rounded
+    * IEEE ops, and the selection compares integer hash buckets against
+    * floor(rate·1e6), the same content-hash scheme as x33 (reproducible
+    * across engines, partitionings, and re-runs, unlike rand(seed)).
+    *
+    * Returns one row per lang: n_docs, rate_units (floor(rate·1e6)),
+    * n_selected.
+    *
+    * Scale shape: ZERO corpus shuffles — the per-lang count is one
+    * map-side-combined agg producing a |langs|-row frame that broadcasts
+    * back; selection is a pure codegen projection; the final count
+    * map-side-combines again. The corpus streams exactly twice (count,
+    * select) and at 100 TB the count pass is typically already available
+    * from catalog/statistics. */
+  def rebalanceByLang(docs: DataFrame, k: Double): DataFrame = {
+    val rates = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("rate_units",
+        least(lit(1000000L),
+          floor(lit(k) / sqrt(col("n_docs").cast(DoubleType)) * 1e6).cast(LongType)))
+    docs.join(broadcast(rates), "lang")
+      .withColumn("bucket",
+        graft.functions.TextFns.h31(concat(lit("rebal:"), col("doc_id").cast(StringType))) % 1000000L)
+      .groupBy(col("lang"), col("n_docs"), col("rate_units"))
+      .agg(sum(when(col("bucket") < col("rate_units"), 1L).otherwise(0L)).as("n_selected"))
+      .select(col("lang"), col("n_docs"), col("rate_units"), col("n_selected"))
+  }
+
+  // ---- df-weighted token-overlap retrieval (BM25-shaped top-k) ---------
+
+  /** Sparse lexical retrieval: score corpus docs against each query doc by
+    * Σ_t tf(t, doc) · w(t) over shared terms, w(t) = floor(1e12/(df_t+1))
+    * — the BM25/tf-idf weighting family (monotone-decreasing in document
+    * frequency, so rare shared terms dominate) restated in exact integer
+    * arithmetic: ln-based idf is only 1-ulp-reproducible across engines,
+    * while floor of one IEEE divide is bit-exact, keeping the whole score
+    * (an exact Long sum — tf ≤ doc length, w ≤ 1e12, far inside Long)
+    * hash-checkable. Terms are word `termK`-grams (positional, so tf
+    * counts repeated phrases): k > 1 is the shingle-retrieval form that
+    * stays discriminative on small-vocabulary corpora where every unigram
+    * is a stopword. Terms with df > maxDfFrac·N are excluded from scoring
+    * — standard stopword pruning, part of the declared semantics (a term
+    * in a fifth of the corpus carries no retrieval signal) and replicated
+    * by the oracle.
+    *
+    * Returns (q_id, rn, doc_id, score): the top-k corpus docs per query,
+    * ties broken by doc_id.
+    *
+    * Scale shape: the query side is a probe workload — tiny vs a 100 TB
+    * corpus — so its distinct term vocabulary BROADCASTS and the corpus
+    * term stream is filtered to query-vocabulary matches BEFORE any
+    * exchange (x38's decontamination shape): tf, df, and scoring shuffles
+    * all carry only matched postings. df is counted per distinct
+    * (doc, term) — one map-side-combined agg — and the df/weight frame
+    * (query-vocabulary-sized) broadcasts into the scoring join. Final
+    * top-k is a per-query window over candidate docs only. */
+  def retrieveTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                   maxDfFrac: Double, termK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def terms(d: DataFrame): DataFrame =
+      d.select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= termK)
+        .select(col("doc_id"), col("ts"),
+          explode(expr(s"sequence(1, size(ts) - ${termK - 1})")).as("i"))
+        .select(col("doc_id"),
+          concat_ws(" ", (0 until termK).map(j => expr(s"element_at(ts, i + $j)")): _*).as("tok"))
+    val qTok = terms(queries.select(col("doc_id"), col("text")))
+      .select(col("doc_id").as("q_id"), col("tok")).distinct()
+    val qVocab = qTok.select(col("tok")).distinct()
+    // corpus streams once; only query-vocab terms survive to the shuffle
+    val matched = terms(corpus.select(col("doc_id"), col("text")))
+      .join(broadcast(qVocab), "tok")
+    val tf = matched.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val nCorpus = corpus.agg(count(lit(1)).as("n_corpus"))
+    val weights = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nCorpus))
+      .filter(col("df") <= floor(lit(maxDfFrac) * col("n_corpus")))
+      .withColumn("w", floor(lit(1e12) / (col("df") + 1).cast(DoubleType)).cast(LongType))
+      .select(col("tok"), col("w"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id").asc)
+    tf.join(broadcast(weights), "tok")
+      .join(broadcast(qTok), "tok")
+      .filter(col("q_id") =!= col("doc_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("tf") * col("w")).as("score"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("doc_id"), col("score"))
+  }
+
   // ---- embedding int8 scalar quantization ------------------------------
 
   /** Symmetric int8 scalar quantization of an embedding column: per vector,

@@ -222,6 +222,47 @@ object Similarity {
       .select(col("p_id"), col("rn"), col("n_id"), col("cell"), col("cos_r"))
   }
 
+  /** Semantic dedup (the SemDeDup policy): vectors are clustered by the
+    * deterministic k-means of [[kmeansCentroids]], and WITHIN each cell a
+    * vector is a duplicate if some lower-id cell-mate sits at cosine ≥
+    * `threshold` — keep the min-id representative of every ε-ball, drop
+    * the rest. This is dedup in EMBEDDING space: paraphrases, translations
+    * and re-renderings that share no tokens (invisible to x17/x21/x29)
+    * still collapse, which is exactly the redundancy-pruning step
+    * ("SemDeDup", Abbas et al. 2023) LLM pipelines run after lexical
+    * dedup.
+    *
+    * Returns one row per vector: (vec_id, cell, dup_of, kept) — dup_of is
+    * the min lower-id in-cell neighbor above threshold, −1 when kept.
+    *
+    * Scale shape: clustering confines the quadratic pair search to cells —
+    * the corpus shuffles ONCE on the cell id (assignment itself is a
+    * centroid broadcast + map-side argmax, no shuffle), and with k ∝ √N
+    * cells the in-cell pair work is O(N) per cell on average, the same
+    * bucket-bounded mining shape as the LSH band joins. The in-join
+    * threshold filter kills non-duplicate pairs before the min-agg, so the
+    * only post-join exchange carries actual duplicates. Known limitation
+    * (inherent to SemDeDup, documented not hidden): a duplicate pair
+    * straddling a cell boundary is missed; production pipelines raise
+    * nprobe-style multi-assignment or accept the recall trade. */
+  def semanticDedup(embeddings: DataFrame, threshold: Double,
+                    numCentroids: Int = IvfCentroids, iters: Int = IvfIters): DataFrame = {
+    graft.functions.CosineUnits.register(embeddings.sparkSession)
+    val cents = kmeansCentroids(embeddings, numCentroids, iters)
+    val cells = assignCells(embeddings, cents)
+    val e = embeddings.join(cells, "vec_id")
+    val a = e.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("av"))
+    val b = e.select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("bv"))
+    val dups = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos_r", cosineR("av", "bv"))
+      .filter(col("cos_r") >= threshold)
+      .groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of"))
+    cells.join(dups, cells("vec_id") === dups("b_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("dup_of").isNull.as("kept"))
+  }
+
   /** Production ADC composition: [[ivfTopK]]'s cell-pruned scan ranking
     * candidates against int8-quantized codes, with exact float re-rank of
     * the top k·candidateFactor survivors — [[bruteForceTopKQuantized]]'s

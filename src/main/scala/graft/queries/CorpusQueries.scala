@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.TextFns
+import graft.operators.Curation
+
+/** Round-4 corpus-curation battery (SURVEY.md §2.4 X46/X48/X49): segment-
+  * level exact dedup, temperature rebalancing, and df-weighted lexical
+  * retrieval. Operators live in [[graft.operators.Curation]]; this object
+  * binds them to the test tables and states each DuckDB oracle. (X47,
+  * semantic dedup, lives in [[LlmData]] with the k-means oracle CTEs it
+  * shares with x31.)
+  */
+object CorpusQueries {
+
+  private def docs(spark: SparkSession, dir: String) = t(spark, dir, "documents")
+
+  // ---- X46: segment-level exact dedup (C4-style span removal) ----------
+
+  /** 8-token spans: long enough to not fire on natural recurring phrases,
+    * short enough that this corpus's near-dup clusters (which share long
+    * token runs) produce real span duplication. */
+  val SegTokens = 8
+
+  def x46SegmentDedup(spark: SparkSession, dir: String): DataFrame =
+    Curation.segmentDedup(docs(spark, dir), SegTokens).orderBy(col("doc_id"))
+
+  /** The oracle groups on the span text itself; the engine groups on
+    * sha256(span) — identical partitions (the hash is injective on this
+    * corpus and 2⁻¹²⁸-collision-bounded in general). */
+  val x46Sql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |sg AS (SELECT doc_id, s,
+       |         array_to_string(list_slice(ts, s * $SegTokens + 1,
+       |                                    least((s + 1) * $SegTokens, len(ts))), ' ') AS seg,
+       |         least($SegTokens, len(ts) - s * $SegTokens) AS sl
+       |       FROM tk, unnest(range(0, (len(ts) + ${SegTokens - 1}) // $SegTokens)) AS u(s)),
+       |m AS (SELECT doc_id, s, sl,
+       |        row_number() OVER (PARTITION BY seg ORDER BY doc_id, s) AS rn FROM sg)
+       |SELECT doc_id, count(*) AS n_segs,
+       |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+       |  CAST(sum(CASE WHEN rn = 1 THEN sl ELSE 0 END) AS BIGINT) AS n_tokens_kept
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- X48: temperature rebalancing (inverse-sqrt language sampler) ----
+
+  /** rate_l = min(1, 8/√n_l): at sf0.01 the head language (en, ~44% of
+    * docs) samples at ~0.54 while the tail languages keep ~0.96–1.0; at
+    * sf0.1 every language downsamples, head hardest — the α=0.5
+    * temperature-flattening shape. */
+  val RebalanceK = 8.0
+
+  def x48RebalanceSample(spark: SparkSession, dir: String): DataFrame =
+    Curation.rebalanceByLang(docs(spark, dir), RebalanceK).orderBy(col("lang"))
+
+  val x48Sql: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+       |r AS (SELECT lang, n_docs,
+       |        least(CAST(1000000 AS BIGINT),
+       |              CAST(floor($RebalanceK / sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT))
+       |          AS rate_units
+       |      FROM c),
+       |b AS (SELECT lang,
+       |        ${TextFns.h31Sql("'rebal:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket
+       |      FROM documents)
+       |SELECT r.lang AS lang, r.n_docs AS n_docs, r.rate_units AS rate_units,
+       |  CAST(sum(CASE WHEN b.bucket < r.rate_units THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+       |FROM b JOIN r USING (lang) GROUP BY r.lang, r.n_docs, r.rate_units ORDER BY 1""".stripMargin
+
+  // ---- X49: df-weighted token-overlap retrieval (BM25-shaped top-k) ----
+
+  /** Probe set = docs with doc_id ≡ 0 (mod 97), corpus = the rest — the
+    * same probe/corpus split as x38 (retrieval and decontamination are the
+    * same broadcast-probe shape at different aggregation grain). Terms are
+    * word 3-grams: this corpus's unigram vocabulary is deliberately tiny
+    * (≤ 63 tokens for x18's bitmask), so every unigram is a stopword —
+    * shingle terms are the discriminative unit, as in near-dup retrieval
+    * practice. */
+  val RetrievalK = 5
+  val RetrievalMaxDfFrac = 0.2
+  val RetrievalTermK = 3
+
+  def x49RetrievalTopK(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Curation.retrieveTopK(
+      d.filter(col("doc_id") % 97 =!= 0),
+      d.filter(col("doc_id") % 97 === 0),
+      RetrievalK, RetrievalMaxDfFrac, RetrievalTermK)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  val x49Sql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |tg AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS tok
+       |       FROM tk, unnest(range(1, len(ts) - ${RetrievalTermK - 2})) AS u(i)
+       |       WHERE len(ts) >= $RetrievalTermK),
+       |q AS (SELECT DISTINCT doc_id AS q_id, tok FROM tg WHERE doc_id % 97 = 0),
+       |ct AS (SELECT doc_id, tok FROM tg WHERE doc_id % 97 <> 0),
+       |corpus AS (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0),
+       |mt AS (SELECT ct.doc_id, ct.tok FROM ct
+       |       JOIN (SELECT DISTINCT tok FROM q) qv USING (tok)),
+       |tfs AS (SELECT doc_id, tok, count(*) AS tf FROM mt GROUP BY 1, 2),
+       |n AS (SELECT count(*) AS n_corpus FROM corpus),
+       |wt AS (SELECT tok, CAST(floor(1e12 / (count(*) + 1)) AS BIGINT) AS w
+       |       FROM tfs GROUP BY tok
+       |       HAVING count(*) <= (SELECT floor($RetrievalMaxDfFrac * n_corpus) FROM n)),
+       |sc AS (SELECT q.q_id, tfs.doc_id, CAST(sum(tfs.tf * wt.w) AS BIGINT) AS score
+       |       FROM tfs JOIN wt USING (tok) JOIN q USING (tok)
+       |       WHERE q.q_id <> tfs.doc_id GROUP BY 1, 2),
+       |r AS (SELECT q_id, doc_id, score,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rn
+       |      FROM sc)
+       |SELECT q_id, rn, doc_id, score FROM r WHERE rn <= $RetrievalK
+       |ORDER BY q_id, rn""".stripMargin
+}

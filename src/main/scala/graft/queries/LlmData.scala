@@ -247,31 +247,38 @@ object LlmData {
     * centroid means (exact sums, two IEEE divides in a fixed order) make
     * the learned centroids bit-identical between Spark and DuckDB, so
     * assignments, probed cells, and the final top-k all hash-match. */
-  val x31Sql: String = {
-    // assignment CTE: every vector of e → nearest centroid in `cent`
-    def assignBlock(cent: String, out: String): String =
-      s"""${out}pr AS (SELECT e.vec_id, c.c_id, unnest(e.v) AS x, unnest(c.cv) AS y FROM e, $cent c),
-         |${out}s AS (SELECT vec_id, c_id, $cosSumCols FROM ${out}pr GROUP BY 1, 2),
-         |${out}c AS (SELECT vec_id, c_id, $cosRExpr AS cos_c FROM ${out}s),
-         |$out AS (SELECT vec_id, c_id AS cell FROM (
-         |  SELECT vec_id, c_id,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_id ASC) AS rn
-         |  FROM ${out}c) WHERE rn = 1)""".stripMargin
-    // centroid-update CTE: element-wise exact-unit mean per cell
-    def centBlock(asg: String, out: String): String =
-      s"""${out}m AS (SELECT cell, i,
-         |    CAST(sum(CAST(floor(x * 1e9) AS BIGINT)) AS DOUBLE) / count(*) / 1000000000.0 AS cx
-         |  FROM (SELECT $asg.cell AS cell, unnest(e.v) AS x, unnest(range(1, len(e.v) + 1)) AS i
-         |        FROM $asg JOIN e ON e.vec_id = $asg.vec_id)
-         |  GROUP BY cell, i),
-         |$out AS (SELECT cell AS c_id, list(cx ORDER BY i) AS cv FROM ${out}m GROUP BY cell)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  // k-means oracle CTE builders, shared by x31 (IVF ANN) and x47 (semantic
+  // dedup) — both replicate Similarity.kmeansCentroids bit-exactly in SQL.
+  /** Assignment CTE: every vector of e → nearest centroid in `cent`. */
+  private def assignBlock(cent: String, out: String): String =
+    s"""${out}pr AS (SELECT e.vec_id, c.c_id, unnest(e.v) AS x, unnest(c.cv) AS y FROM e, $cent c),
+       |${out}s AS (SELECT vec_id, c_id, $cosSumCols FROM ${out}pr GROUP BY 1, 2),
+       |${out}c AS (SELECT vec_id, c_id, $cosRExpr AS cos_c FROM ${out}s),
+       |$out AS (SELECT vec_id, c_id AS cell FROM (
+       |  SELECT vec_id, c_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_id ASC) AS rn
+       |  FROM ${out}c) WHERE rn = 1)""".stripMargin
+  /** Centroid-update CTE: element-wise exact-unit mean per cell. */
+  private def centBlock(asg: String, out: String): String =
+    s"""${out}m AS (SELECT cell, i,
+       |    CAST(sum(CAST(floor(x * 1e9) AS BIGINT)) AS DOUBLE) / count(*) / 1000000000.0 AS cx
+       |  FROM (SELECT $asg.cell AS cell, unnest(e.v) AS x, unnest(range(1, len(e.v) + 1)) AS i
+       |        FROM $asg JOIN e ON e.vec_id = $asg.vec_id)
+       |  GROUP BY cell, i),
+       |$out AS (SELECT cell AS c_id, list(cx ORDER BY i) AS cv FROM ${out}m GROUP BY cell)""".stripMargin
+  /** The trained-assignment prefix (e → cent0 → … → asg2), ending with
+    * final assignments in `asg2`. */
+  private def kmeansCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < ${Similarity.IvfCentroids}),
        |${assignBlock("cent0", "asg0")},
        |${centBlock("asg0", "cent1")},
        |${assignBlock("cent1", "asg1")},
        |${centBlock("asg1", "cent2")},
-       |${assignBlock("cent2", "asg2")},
+       |${assignBlock("cent2", "asg2")}""".stripMargin
+
+  val x31Sql: String = {
+    s"""WITH $kmeansCtes,
        |p0 AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id < 10),
        |pcpr AS (SELECT p_id, c.c_id, unnest(pv) AS x, unnest(c.cv) AS y FROM p0, cent2 c),
        |pcs AS (SELECT p_id, c_id, $cosSumCols FROM pcpr GROUP BY 1, 2),
@@ -290,6 +297,31 @@ object LlmData {
        |        row_number() OVER (PARTITION BY p_id ORDER BY cos_r DESC, n_id ASC) AS rn FROM c2)
        |SELECT p_id, rn, n_id, cell, cos_r FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin
   }
+
+  // ---- X47: semantic dedup (SemDeDup: in-cell cosine ε-balls) ----------
+
+  /** Embedding-space dedup: within each deterministic k-means cell, keep
+    * the min-id representative of every cosine-≥-τ ball (see
+    * [[graft.operators.Similarity.semanticDedup]]). The oracle replays the
+    * identical k-means (x31's CTEs) then the in-cell lower-id-neighbor
+    * rule, so cells, dup links, and keep decisions all hash-match. */
+  def x47SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(embs(spark, dir), CosineDupThreshold)
+      .orderBy(col("vec_id"))
+
+  val x47Sql: String =
+    s"""WITH $kmeansCtes,
+       |pr2 AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |          unnest(ea.v) AS x, unnest(eb.v) AS y
+       |        FROM asg2 a JOIN asg2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |        JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id),
+       |s2 AS (SELECT a_id, b_id, $cosSumCols FROM pr2 GROUP BY 1, 2),
+       |c2 AS (SELECT a_id, b_id, $cosRExpr AS cos_r FROM s2),
+       |d AS (SELECT b_id, min(a_id) AS dup_of FROM c2
+       |      WHERE cos_r >= $CosineDupThreshold GROUP BY b_id)
+       |SELECT g.vec_id, g.cell, coalesce(d.dup_of, -1) AS dup_of,
+       |       d.b_id IS NULL AS kept
+       |FROM asg2 g LEFT JOIN d ON d.b_id = g.vec_id ORDER BY vec_id""".stripMargin
 
   // ---- X35: dedup clusters (connected components over near-dup pairs) --
 

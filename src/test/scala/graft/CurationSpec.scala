@@ -186,6 +186,101 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.winnow(empty.select($"doc_id", $"text"), 3, 4).count() == 0)
   }
 
+  // ---- segmentDedup -----------------------------------------------------
+
+  test("segmentDedup: first occurrence survives, later copies counted as dups") {
+    // doc 1 owns the span; doc 2 repeats it as its FIRST segment and adds
+    // a distinct tail; doc 3 is entirely distinct
+    val shared = "a b c d e f g h" // exactly one 8-token segment
+    val d = mkDocs(
+      (1L, "en", shared),
+      (2L, "en", s"$shared i j k l m n o p"),
+      (3L, "en", "q r s t u v w x"))
+      .select($"doc_id", $"text")
+    val got = Curation.segmentDedup(d, 8).orderBy($"doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 0L, 8L),   // keeps its only segment
+      (2L, 2L, 1L, 8L),   // first segment is a dup of doc 1's; tail kept
+      (3L, 1L, 0L, 8L)))
+  }
+
+  test("segmentDedup: token bookkeeping and partitioning independence on the corpus") {
+    val d = Tables.t(spark, sf, "documents")
+    val k = graft.queries.CorpusQueries.SegTokens
+    val out = Curation.segmentDedup(d, k).orderBy($"doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // every doc appears once; n_segs = ceil(n_tok / k); kept + dropped
+    // tokens never exceed the doc's tokens, kept > 0 only if some segment
+    // is globally first (at least one doc keeps everything)
+    val toks = d.select($"doc_id", size(split($"text", " ")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(out.map(_._1) == out.map(_._1).distinct && out.size == toks.size)
+    out.foreach { case (id, nSegs, nDup, kept) =>
+      assert(nSegs == (toks(id) + k - 1) / k)
+      assert(nDup <= nSegs && kept <= toks(id))
+    }
+    assert(out.exists { case (id, _, nDup, kept) => nDup == 0 && kept == toks(id) })
+    // identical under a different partitioning (first-occurrence rule is a
+    // total order, not an arrival order)
+    val re = Curation.segmentDedup(d.repartition(13), k).orderBy($"doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(re == out)
+  }
+
+  // ---- rebalanceByLang --------------------------------------------------
+
+  test("rebalanceByLang: head language downsampled, tail kept, deterministic") {
+    val d = Tables.t(spark, sf, "documents")
+    val out = Curation.rebalanceByLang(d, 8.0).orderBy($"lang")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val counts = d.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    out.foreach { case (lang, n, rateU, sel) =>
+      assert(n == counts(lang))
+      assert(rateU == math.min(1000000L, math.floor(8.0 / math.sqrt(n.toDouble) * 1e6).toLong))
+      assert(sel <= n)
+      // selection rate lands near the declared rate (hash-uniformity)
+      if (rateU < 1000000L) assert(math.abs(sel.toDouble / n - rateU / 1e6) < 0.15)
+      else assert(sel == n)
+    }
+    // the head language's realized rate is strictly below the smallest tail rate
+    val byN = out.sortBy(-_._2)
+    assert(byN.head._3 <= byN.last._3)
+    // content-hash selection: independent of partitioning
+    val re = Curation.rebalanceByLang(d.repartition(7), 8.0).orderBy($"lang")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(re == out)
+  }
+
+  // ---- retrieveTopK -----------------------------------------------------
+
+  test("retrieveTopK: near-copy of the query ranks first; k respected; stopword terms ignored") {
+    val corpus = mkDocs(
+      (1L, "en", "alpha beta gamma delta epsilon zeta eta theta"), // near-copy of q
+      (2L, "en", "alpha beta gamma completely different tail here now"), // shares prefix
+      (3L, "en", "nothing in common with the query at all"),
+      (4L, "en", "stop stop stop stop stop stop stop stop")) // no shared terms
+      .select($"doc_id", $"text")
+    val q = mkDocs((100L, "en", "alpha beta gamma delta epsilon zeta eta iota"))
+      .select($"doc_id", $"text")
+    val got = Curation.retrieveTopK(corpus, q, 2, 1.0, termK = 3)
+      .orderBy($"rn").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.size == 2)
+    assert(got.head._3 == 1L) // most shared 3-grams, rarest terms
+    assert(got(1)._3 == 2L)
+    assert(got.head._4 > got(1)._4)
+    // df cap: with maxDfFrac tiny every term is a stopword -> empty result
+    assert(Curation.retrieveTopK(corpus, q, 2, 0.0, termK = 3).count() == 0)
+  }
+
+  test("retrieveTopK: probe vocabulary is broadcast (corpus never shuffles to match)") {
+    val d = Tables.t(spark, sf, "documents")
+    val plan = Curation.retrieveTopK(
+      d.filter($"doc_id" % 97 =!= 0), d.filter($"doc_id" % 97 === 0), 5, 0.2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   // ---- quantizeInt8 -----------------------------------------------------
 
   test("quantizeInt8: codes bounded, reconstruction error within half a step") {

@@ -174,4 +174,81 @@ object PropertySpec extends Properties("graft") {
       }
       Prop(ok) :| s"fps=$fps"
     }
+
+  // shared md5-derived 31-bit hash reference (TextFns.h31 in plain JVM)
+  private def refH31(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15), 16) % graft.functions.TextFns.P31
+
+  property("segmentDedup equals an in-memory first-occurrence reference") =
+    forAll(genCorpus, Gen.choose(2, 8)) { (docs, segK) =>
+      import spark.implicits._
+      val df = docs.map(d => (d._1, d._3)).toDF("doc_id", "text")
+      val got = graft.operators.Curation.segmentDedup(df, segK).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      // reference: cut every doc into segK-token spans, first (doc, seg) wins
+      val spans = docs.flatMap { case (id, _, text) =>
+        text.split(" ").grouped(segK).zipWithIndex
+          .map { case (seg, s) => (id, s.toLong, seg.mkString(" "), seg.length.toLong) }
+      }
+      val firsts = spans.groupBy(_._3).view.mapValues(_.map(t => (t._1, t._2)).min).toMap
+      val expected = spans.groupBy(_._1).view.mapValues { ss =>
+        val dups = ss.count(t => firsts(t._3) != ((t._1, t._2)))
+        val kept = ss.collect { case t if firsts(t._3) == ((t._1, t._2)) => t._4 }.sum
+        (ss.size.toLong, dups.toLong, kept)
+      }.toMap
+      Prop(got == expected) :| s"segK=$segK got=$got expected=$expected"
+    }
+
+  property("rebalanceByLang equals the per-doc hash rule") =
+    forAll(genCorpus, Gen.choose(1.0, 6.0)) { (docs, k) =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "lang", "text")
+      val got = graft.operators.Curation.rebalanceByLang(df, k).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val expected = docs.groupBy(_._2).view.mapValues { ds =>
+        val n = ds.size.toLong
+        val rateU = math.min(1000000L, math.floor(k / math.sqrt(n.toDouble) * 1e6).toLong)
+        val sel = ds.count(d => refH31(s"rebal:${d._1}") % 1000000L < rateU).toLong
+        (n, rateU, sel)
+      }.toMap
+      Prop(got == expected) :| s"k=$k got=$got expected=$expected"
+    }
+
+  property("retrieveTopK equals an in-memory tf/df-weighted reference") =
+    forAll(genCorpus) { docs =>
+      (docs.size >= 2) ==> {
+        import spark.implicits._
+        val (qs, corpus) = docs.partition(_._1 % 3 == 0)
+        (qs.nonEmpty && corpus.nonEmpty) ==> {
+          val cdf = corpus.map(d => (d._1, d._3)).toDF("doc_id", "text")
+          val qdf = qs.map(d => (d._1, d._3)).toDF("doc_id", "text")
+          val k = 3
+          val got = graft.operators.Curation.retrieveTopK(cdf, qdf, k, 0.5, termK = 2)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+          // reference
+          def grams(t: String) = t.split(" ").sliding(2).filter(_.length == 2)
+            .map(_.mkString(" ")).toSeq
+          val tf = corpus.flatMap(d => grams(d._3).map(g => (d._1, g)))
+            .groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val df_ = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+          val cap = math.floor(0.5 * corpus.size).toLong
+          val expected = (for {
+            q <- qs
+            qg = grams(q._3).toSet
+            c <- corpus if c._1 != q._1
+            score = qg.toSeq.collect {
+              case g if df_.getOrElse(g, 0L) <= cap && tf.contains((c._1, g)) =>
+                tf((c._1, g)) * math.floor(1e12 / (df_(g) + 1)).toLong
+            }.sum
+            if score > 0
+          } yield (q._1, c._1, score)).groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+            rows.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex
+              .map { case ((_, cid, sc), i) => (qid, (i + 1).toLong, cid, sc) }
+          }.sorted
+          Prop(got == expected) :| s"got=$got expected=$expected"
+        }
+      }
+    }
 }

@@ -164,6 +164,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(banded == exact, s"missed ${(exact -- banded).size} of ${exact.size}")
   }
 
+  test("semanticDedup: dup links are sound, in-cell, lower-id, and minimal") {
+    val tau = 0.40
+    val out = Similarity.semanticDedup(embs, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == embs.count())
+    val cells = out.map(t => t._1 -> t._2).toMap
+    // the exact cosine pair set (x30's oracle form) is ground truth
+    val exact = Similarity.cosineNearDups(embs, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dups = out.filter(!_._4)
+    assert(dups.nonEmpty && out.exists(_._4))
+    dups.foreach { case (id, cell, dupOf, _) =>
+      assert(dupOf >= 0 && dupOf < id)            // points at a lower id
+      assert(cells(dupOf) == cell)                // same cell
+      assert(exact.contains((dupOf, id)))         // genuinely cosine >= tau
+      // minimality: no smaller in-cell id also qualifies
+      val better = exact.collect { case (a, b) if b == id && a < dupOf && cells(a) == cell => a }
+      assert(better.isEmpty, s"vec $id: $better beat $dupOf")
+    }
+    // kept rows carry the -1 sentinel; each cell's min id is always kept
+    out.filter(_._4).foreach { case (_, _, dupOf, _) => assert(dupOf == -1L) }
+    out.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.minBy(_._1)._4, "cell minimum must be kept")
+    }
+  }
+
   test("SRP buckets: every vector gets a bucket in [0, 16); ANN neighbor shares the bucket") {
     val bucketed = embs.select(col("vec_id"),
       Similarity.bucketCol("embedding").as("bucket")).collect()
