@@ -445,7 +445,10 @@ object Curation {
     // corpus streams once; only query-vocab terms survive to the shuffle
     val matched = terms(corpus.select(col("doc_id"), col("text")))
       .join(broadcast(qVocab), "tok")
+    // two consumers (df/weights + scoring) — materialize the matched
+    // postings once so the corpus match pass runs once, not twice
     val tf = matched.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val nCorpus = corpus.agg(count(lit(1)).as("n_corpus"))
     val weights = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nCorpus))

@@ -249,7 +249,9 @@ object Similarity {
                     numCentroids: Int = IvfCentroids, iters: Int = IvfIters): DataFrame = {
     graft.functions.CosineUnits.register(embeddings.sparkSession)
     val cents = kmeansCentroids(embeddings, numCentroids, iters)
-    val cells = assignCells(embeddings, cents)
+    // three consumers (both self-join sides + the final left join) — the
+    // assignment pass (corpus × centroids argmax) must run once, not 3×
+    val cells = assignCells(embeddings, cents).localCheckpoint(true)
     val e = embeddings.join(cells, "vec_id")
     val a = e.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("av"))
     val b = e.select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("bv"))
