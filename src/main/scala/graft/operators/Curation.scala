@@ -347,18 +347,56 @@ object Curation {
     * map-side combinable. Instance rows carry only (hash, doc, seg, len) —
     * span text never crosses an exchange.
     */
-  def segmentDedup(docs: DataFrame, segTokens: Int): DataFrame = {
-    val spans = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+  /** Span instances of every doc: (doc_id, s, seg_len, h) with h =
+    * sha256 of the `segTokens`-token span starting at position s·segTokens. */
+  private def spans(docs: DataFrame, segTokens: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
       .select(col("doc_id"), col("ts"),
         explode(expr(s"sequence(0, ((size(ts) + ${segTokens - 1}) div $segTokens) - 1)")).as("s"))
       .select(col("doc_id"), col("s"),
         least(lit(segTokens), size(col("ts")) - col("s") * segTokens).cast(LongType).as("seg_len"),
         sha2(concat_ws(" ", expr(s"slice(ts, s * $segTokens + 1, $segTokens)")), 256).as("h"))
-    val firsts = spans.groupBy(col("h"))
+
+  def segmentDedup(docs: DataFrame, segTokens: Int): DataFrame = {
+    val sp = spans(docs, segTokens)
+    val firsts = sp.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("s"))).as("f"))
       .select(col("h"), col("f.doc_id").as("f_doc"), col("f.s").as("f_seg"))
-    spans.join(firsts, "h")
+    sp.join(firsts, "h")
       .withColumn("kept", col("doc_id") === col("f_doc") && col("s") === col("f_seg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+           sum(when(col("kept"), 0L).otherwise(1L)).as("n_dup_segs"),
+           sum(when(col("kept"), col("seg_len")).otherwise(0L)).as("n_tokens_kept"))
+  }
+
+  /** Incremental [[segmentDedup]]: per-doc stats for the NEW batch only,
+    * with first-occurrence judged against existing corpus ∪ batch. Folding
+    * doc_id-ordered batches through this function and unioning the outputs
+    * reproduces the batch answer exactly (law in CurationSpec): the global
+    * first occurrence of a span lives in the earliest batch containing it,
+    * where it is also the batch-internal minimum.
+    *
+    * This is the dedup-append shape at span granularity (the x37 pattern
+    * one level down): at scale the existing side is a stored span-hash
+    * index — the batch's distinct hashes BROADCAST into a probe of that
+    * store, so lookup work is proportional to the batch's spans, and
+    * history is never re-segmented (test-scale form derives the store from
+    * existingDocs; the stored hash equals the recomputed one because
+    * sha256 is deterministic). */
+  def segmentDedupIncremental(existingDocs: DataFrame, newDocs: DataFrame,
+                              segTokens: Int): DataFrame = {
+    val newSpans = spans(newDocs, segTokens)
+    val probe = newSpans.select(col("h")).distinct()
+    // store lookup: probe-restricted BEFORE any exchange on the store side
+    val seen = spans(existingDocs, segTokens).join(broadcast(probe), "h")
+      .select(col("h")).distinct().withColumn("seen", lit(true))
+    val firsts = newSpans.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("s"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("f_doc"), col("f.s").as("f_seg"))
+    newSpans.join(firsts, "h").join(seen, Seq("h"), "left")
+      .withColumn("kept",
+        col("seen").isNull && col("doc_id") === col("f_doc") && col("s") === col("f_seg"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_segs"),
            sum(when(col("kept"), 0L).otherwise(1L)).as("n_dup_segs"),

@@ -440,6 +440,34 @@ object Relational {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bin_total
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Q37 — distribution ranking functions: ntile / percent_rank /
+    * cume_dist per customer (completes the window battery next to q9's
+    * row_number/rank and q26's frames/lag). All three are deterministic
+    * here: the window orders by the unique o_orderkey, and both ratio
+    * functions are ONE IEEE divide of exact integers ((rank-1)/(n-1),
+    * rows≤current/n) — bit-identical across engines. The window is
+    * partitioned by customer (never a global single-partition sort), so
+    * the plan is one shuffle on o_custkey at any scale. */
+  def q37RankFns(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q37Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS prank,
+      |  cume_dist() OVER w AS cdist
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Q31 — MAP scalar functions: per year, a status→count map built with
     * map_from_entries over sorted entries, then consumed via size /
     * element_at / map_keys. Maps stay INTERNAL to the plan (entry order is

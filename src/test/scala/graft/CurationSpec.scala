@@ -228,6 +228,28 @@ class CurationSpec extends AnyFunSuite {
     assert(re == out)
   }
 
+  test("segmentDedupIncremental: doc_id-ordered folds reproduce the batch answer") {
+    val d = Tables.t(spark, sf, "documents").select($"doc_id", $"text")
+    val k = graft.queries.CorpusQueries.SegTokens
+    val batch = Curation.segmentDedup(d, k).orderBy($"doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // three arrival-order batches by doc_id range
+    val cuts = Seq(0L, 160L, 330L, Long.MaxValue)
+    val folded = (0 until 3).flatMap { i =>
+      val existing = d.filter($"doc_id" < cuts(i))
+      val batchDocs = d.filter($"doc_id" >= cuts(i) && $"doc_id" < cuts(i + 1))
+      Curation.segmentDedupIncremental(existing, batchDocs, k)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    }.sortBy(_._1)
+    assert(folded == batch)
+    // and a span first seen in batch 1 is a dup when re-seen in batch 2
+    val a = mkDocs((1L, "en", "a b c d e f g h")).select($"doc_id", $"text")
+    val b = mkDocs((2L, "en", "a b c d e f g h")).select($"doc_id", $"text")
+    val inc = Curation.segmentDedupIncremental(a, b, 8)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(inc == Seq((2L, 1L, 1L, 0L)))
+  }
+
   // ---- rebalanceByLang --------------------------------------------------
 
   test("rebalanceByLang: head language downsampled, tail kept, deterministic") {
