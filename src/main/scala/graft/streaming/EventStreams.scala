@@ -180,6 +180,46 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Streaming SEGMENT-DEDUP gate — [[mineNearDupsStream]]'s shape one
+    * level down (span granularity): each micro-batch of landed documents
+    * is judged against the already-ingested corpus with
+    * [[graft.operators.Curation.segmentDedupIncremental]] (the batch's
+    * distinct span hashes broadcast-probe the stored corpus — lookup work
+    * ∝ the batch, history never re-segmented), then per-doc span stats
+    * and the batch itself go through the idempotent
+    * [[graft.operators.DedupAppend]] (stats on doc_id, corpus on doc_id) —
+    * replay-safe the same way (the anti-join keeps a replayed batch out
+    * of its own "existing" side). Folding doc_id-ordered batches
+    * reproduces batch [[graft.operators.Curation.segmentDedup]] exactly
+    * (CurationSpec law; streamed form asserted in StreamingIngestSpec). */
+  def segmentGateStream(spark: SparkSession, landingDir: String, corpusPath: String,
+                        statsPath: String, checkpointDir: String,
+                        segTokens: Int): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = spark.readStream.schema(docSchema).json(landingDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val newDocs = batch.toDF().localCheckpoint(true)
+        val existing =
+          if (!graft.operators.DedupAppend.exists(s, corpusPath)) newDocs.limit(0)
+          else s.read.parquet(corpusPath)
+            .join(broadcast(newDocs.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+        val stats = graft.operators.Curation
+          .segmentDedupIncremental(existing, newDocs, segTokens)
+        graft.operators.DedupAppend.append(s, stats, statsPath,
+          keys = Seq("doc_id"), tieBreak = Nil)
+        graft.operators.DedupAppend.append(s, newDocs, corpusPath,
+          keys = Seq("doc_id"), tieBreak = Nil)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Event-time sessionization with explicit per-user state
     * (flatMapGroupsWithState + EventTimeTimeout): emits one row per CLOSED
     * session. A session closes two ways:

@@ -179,11 +179,21 @@ class CurationSpec extends AnyFunSuite {
 
   test("edge cases: empty inputs flow through every curation operator") {
     val empty = mkDocs().select($"doc_id", $"lang", $"text")
+    val emptyDt = empty.select($"doc_id", $"text")
     assert(Curation.decontaminate(empty, empty, 3).count() == 0)
     assert(Curation.boilerplateNgrams(empty, 3, 1L).count() == 0)
     assert(Curation.packChunks(empty, 16).count() == 0)
-    assert(Curation.fuzzyPairs(empty.select($"doc_id", $"text"), 3, 0.2).count() == 0)
-    assert(Curation.winnow(empty.select($"doc_id", $"text"), 3, 4).count() == 0)
+    assert(Curation.fuzzyPairs(emptyDt, 3, 0.2).count() == 0)
+    assert(Curation.winnow(emptyDt, 3, 4).count() == 0)
+    assert(Curation.segmentDedup(emptyDt, 8).count() == 0)
+    assert(Curation.segmentDedupIncremental(emptyDt, emptyDt, 8).count() == 0)
+    assert(Curation.rebalanceByLang(empty, 8.0).count() == 0)
+    assert(Curation.retrieveTopK(emptyDt, emptyDt, 5, 0.2).count() == 0)
+    // empty on ONE side only
+    val one = mkDocs((1L, "en", "a b c d e f g h")).select($"doc_id", $"text")
+    assert(Curation.segmentDedupIncremental(emptyDt, one, 8).count() == 1)
+    assert(Curation.retrieveTopK(one, emptyDt, 5, 1.0).count() == 0)
+    assert(Curation.retrieveTopK(emptyDt, one, 5, 1.0).count() == 0)
   }
 
   // ---- segmentDedup -----------------------------------------------------

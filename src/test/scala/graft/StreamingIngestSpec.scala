@@ -65,6 +65,39 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(corpus).count() == docs.count())
   }
 
+  test("streaming segment gate: streamed batches reproduce batch segment dedup") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_seg_stream_")
+    val landing = root.resolve("landing"); Files.createDirectories(landing)
+    val corpus = root.resolve("corpus").toString
+    val stats = root.resolve("stats").toString
+    val ckpt = root.resolve("ckpt").toString
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 150)
+    def land(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      Files.writeString(landing.resolve(name), df.toJSON.collect().mkString("\n"))
+    // doc_id-ordered arrival (the fold-law precondition), three batches
+    land("b1.json", docs.filter(col("doc_id") < 50))
+    graft.streaming.EventStreams.segmentGateStream(
+      spark, landing.toString, corpus, stats, ckpt, 8)
+    land("b2.json", docs.filter(col("doc_id") >= 50 && col("doc_id") < 100))
+    graft.streaming.EventStreams.segmentGateStream(
+      spark, landing.toString, corpus, stats, ckpt, 8)
+    land("b3.json", docs.filter(col("doc_id") >= 100))
+    graft.streaming.EventStreams.segmentGateStream(
+      spark, landing.toString, corpus, stats, ckpt, 8)
+    val streamed = spark.read.parquet(stats).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_segs"),
+                 r.getAs[Long]("n_dup_segs"), r.getAs[Long]("n_tokens_kept"))).toSet
+    val batch = graft.operators.Curation.segmentDedup(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size}; " +
+        s"diff=${((batch -- streamed) ++ (streamed -- batch)).take(3)}")
+    assert(batch.exists(_._3 > 0)) // the corpus genuinely has span dups
+    assert(spark.read.parquet(corpus).count() == docs.count())
+  }
+
   test("stateful sessionization: closed sessions consistent with batch query") {
     val gapUs = 30L * 60L * 1000000L
     val streamed = EventStreams.sessionizeStateful(spark, sf, "sessions_out")
