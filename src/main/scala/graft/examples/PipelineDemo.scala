@@ -49,20 +49,36 @@ object PipelineDemo {
     windows.orderBy("window_start", "event_type").show(5)
 
     // 3. curation: the training-data path — near-dup clusters → survivors →
-    //    quality gate → packed chunks, one declarative flow over `documents`.
+    //    segment-level span dedup stats → quality gate → temperature
+    //    rebalance → packed chunks, one declarative flow over `documents`.
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.t(spark, sfDir, "documents")
     val clusters = graft.operators.TextDedup.nearDupClusters(docs, 0.9)
     val survivors = docs.join(
       clusters.filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
+    val spanStats = graft.operators.Curation.segmentDedup(survivors, 8)
     val gated = survivors.join(
       graft.operators.Curation.qualityScore(survivors).filter(col("score") >= 0.5)
         .select(col("doc_id")), "doc_id")
+    val rebal = graft.operators.Curation.rebalanceByLang(gated, 8.0)
     val chunks = graft.operators.Curation.packChunks(gated, 256)
+    val dupSpans = spanStats.agg(sum(col("n_dup_segs"))).first().getLong(0)
+    val nSel = rebal.agg(sum(col("n_selected"))).first().getLong(0)
     println(s"[demo] curation: ${docs.count()} docs -> ${survivors.count()} dedup survivors" +
-      s" -> ${gated.count()} quality-gated -> ${chunks.count()} packed chunks" +
+      s" ($dupSpans duplicated spans flagged) -> ${gated.count()} quality-gated" +
+      s" (temperature rebalance would keep $nSel) -> ${chunks.count()} packed chunks" +
       s" (${chunks.agg(sum(col("n_tokens"))).first().getLong(0)} tokens)")
+
+    // 4. retrieval + semantic dedup over the embedding/3-gram surfaces
+    val embs = graft.Tables.t(spark, sfDir, "embeddings")
+    val sem = graft.operators.Similarity.semanticDedup(embs, 0.40)
+    val hits = graft.operators.Curation.retrieveTopK(
+      docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0),
+      k = 3, maxDfFrac = 0.2)
+    println(s"[demo] semantic dedup keeps ${sem.filter(col("kept")).count()}" +
+      s"/${sem.count()} vectors; retrieval returned ${hits.count()} hits" +
+      s" for ${hits.select(col("q_id")).distinct().count()} probes")
 
     spark.stop()
   }
