@@ -250,16 +250,19 @@ object Similarity {
     graft.functions.CosineUnits.register(embeddings.sparkSession)
     val cents = kmeansCentroids(embeddings, numCentroids, iters)
     // three consumers (both self-join sides + the final left join) — the
-    // assignment pass (corpus × centroids argmax) must run once, not 3×
-    val cells = assignCells(embeddings, cents).localCheckpoint(true)
-    val e = embeddings.join(cells, "vec_id")
+    // assignment pass (corpus × centroids argmax) and the cells join must
+    // run once, not 3×, and the corpus parquet is scanned exactly once
+    val e = embeddings.join(assignCells(embeddings, cents), "vec_id")
+      .select(col("cell"), col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
     val a = e.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("av"))
     val b = e.select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("bv"))
     val dups = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
       .withColumn("cos_r", cosineR("av", "bv"))
       .filter(col("cos_r") >= threshold)
       .groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of"))
-    cells.join(dups, cells("vec_id") === dups("b_id"), "left")
+    e.select(col("vec_id"), col("cell"))
+      .join(dups, col("vec_id") === col("b_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
         col("dup_of").isNull.as("kept"))

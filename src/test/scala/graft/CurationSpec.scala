@@ -260,6 +260,20 @@ class CurationSpec extends AnyFunSuite {
     assert(inc == Seq((2L, 1L, 1L, 0L)))
   }
 
+  test("segmentDedup: a pathologically hot span (5k copies) has no join fanout") {
+    // 5,000 identical docs: every span hash is shared by all of them. The
+    // firsts side still holds ONE row per distinct span, so the join's
+    // output equals its input instance count — completes in suite time
+    // with the right answer (structurally no hot-key blowup).
+    val hot = spark.range(5000)
+      .selectExpr("id AS doc_id", "'a b c d e f g h i j' AS text")
+    val out = Curation.segmentDedup(hot, 8)
+    assert(out.count() == 5000)
+    val agg = out.agg(sum($"n_dup_segs"), sum($"n_tokens_kept")).first()
+    // 2 spans/doc × 5000 docs; only doc 0's two spans survive
+    assert(agg.getLong(0) == 9998L && agg.getLong(1) == 10L)
+  }
+
   // ---- rebalanceByLang --------------------------------------------------
 
   test("rebalanceByLang: head language downsampled, tail kept, deterministic") {
