@@ -403,6 +403,40 @@ object Curation {
            sum(when(col("kept"), col("seg_len")).otherwise(0L)).as("n_tokens_kept"))
   }
 
+  // ---- leakage-free train/test split -----------------------------------
+
+  /** Contamination-safe evaluation split: documents are split train/test
+    * at the NEAR-DUP-CLUSTER level, not the document level — every member
+    * of a transitive near-dup cluster (x35's components over
+    * Jaccard-≥-threshold pairs) follows its cluster, so no near-duplicate
+    * pair ever straddles the split. Splitting per-document leaks: a test
+    * doc's near-copy in train is memorization the eval can't see, the
+    * exact failure benchmark decontamination (x38) exists to audit.
+    * testPermille/1000 of CLUSTERS (not docs) land in test, selected by
+    * the same content-hash bucketing as x33 — reproducible across
+    * engines, partitionings, and re-runs. Docs in no cluster are their
+    * own singleton (coalesce to doc_id).
+    *
+    * Returns (doc_id, cluster_id, split) for every input doc.
+    *
+    * Scale shape: the cluster computation is [[TextDedup.nearDupClusters]]
+    * (LSH pair mining + union-find contraction — the scale-adjudicated
+    * path); on top of it this adds one left join of docs against labels
+    * (equi, key-bounded) and a pure codegen hash projection. Production
+    * pipelines reuse the already-materialized x35 labels instead of
+    * re-mining — the split is then shuffle-free on the corpus. */
+  def leakFreeSplit(docs: DataFrame, threshold: Double,
+                    testPermille: Int): DataFrame = {
+    val labels = TextDedup.nearDupClusters(docs, threshold)
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(graft.functions.TextFns.h31(
+          concat(lit("split:"), col("cluster_id").cast(StringType))) % 1000 < testPermille,
+          "test").otherwise("train"))
+  }
+
   // ---- temperature rebalancing (inverse-sqrt language sampler) ---------
 
   /** Deterministic α=0.5 temperature rebalancing across languages: a doc in

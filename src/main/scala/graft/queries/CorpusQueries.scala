@@ -70,6 +70,34 @@ object CorpusQueries {
        |  CAST(sum(CASE WHEN b.bucket < r.rate_units THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
        |FROM b JOIN r USING (lang) GROUP BY r.lang, r.n_docs, r.rate_units ORDER BY 1""".stripMargin
 
+  // ---- X50: leakage-free train/test split ------------------------------
+
+  /** 20% of clusters to test. Scored on the half corpus (doc_id ≡ 0
+    * mod 2, x44's subset): the battery already pays full-corpus cluster
+    * mining in x35, and the property that matters — no near-dup pair
+    * straddles the split — is law-tested on the FULL corpus in
+    * CurationSpec every `sbt test` run. */
+  val SplitTestPermille = 200
+
+  def x50LeakSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.leakFreeSplit(
+      docs(spark, dir).filter(pmod(col("doc_id"), lit(2)) === 0),
+      LlmData.JaccThreshold, SplitTestPermille)
+      .orderBy(col("doc_id"))
+
+  val x50Sql: String =
+    s"""WITH RECURSIVE
+       |${LlmData.clustersCtesFor("(SELECT * FROM documents WHERE doc_id % 2 = 0)")},
+       |labeled AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+       |alldocs AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+       |            FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d
+       |            LEFT JOIN labeled l USING (doc_id))
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN ${TextFns.h31Sql("'split:' || CAST(cluster_id AS VARCHAR)")} % 1000
+       |            < $SplitTestPermille
+       |       THEN 'test' ELSE 'train' END AS split
+       |FROM alldocs ORDER BY doc_id""".stripMargin
+
   // ---- X49: df-weighted token-overlap retrieval (BM25-shaped top-k) ----
 
   /** Probe set = docs with doc_id ≡ 0 (mod 97), corpus = the rest — the

@@ -336,9 +336,11 @@ object LlmData {
 
   /** Batch dedup-cluster oracle over an arbitrary document source (reused
     * by x37 with a restricted corpus). */
-  def clustersSqlFor(src: String): String =
-    s"""WITH RECURSIVE
-       |tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM $src),
+  /** The recursive-CTE body only (everything after WITH RECURSIVE, ending
+    * with `reach`) — reusable by queries that post-process the labels
+    * (x50's leak-free split). */
+  def clustersCtesFor(src: String): String =
+    s"""tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM $src),
        |vocab AS (SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS bit FROM (SELECT DISTINCT tok FROM tok)),
        |mask AS (SELECT doc_id, sum(1::BIGINT << bit)::BIGINT AS m
        |         FROM tok JOIN vocab USING (tok) GROUP BY doc_id),
@@ -351,7 +353,11 @@ object LlmData {
        |reach(id, label) AS (
        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
        |  UNION
-       |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst)
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst)""".stripMargin
+
+  def clustersSqlFor(src: String): String =
+    s"""WITH RECURSIVE
+       |${clustersCtesFor(src)}
        |SELECT id AS doc_id, min(label) AS cluster_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 

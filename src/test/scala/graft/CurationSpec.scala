@@ -327,6 +327,35 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  // ---- leakFreeSplit ----------------------------------------------------
+
+  test("leakFreeSplit: no near-dup pair straddles the split (full corpus)") {
+    val d = Tables.t(spark, sf, "documents")
+    val split = Curation.leakFreeSplit(d, 0.9, 200)
+      .as[(Long, Long, String)].collect().toSeq
+    // total: one row per doc, split in {train, test}, both sides populated
+    assert(split.size == d.count())
+    assert(split.forall(s => s._3 == "train" || s._3 == "test"))
+    assert(split.exists(_._3 == "test") && split.exists(_._3 == "train"))
+    val side = split.map(s => s._1 -> s._3).toMap
+    // the law: every exact Jaccard >= 0.9 pair lands on ONE side
+    val pairs = graft.operators.TextDedup.jaccardPairs(d, 0.9)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(side(a) == side(b), s"pair ($a,$b) straddles: ${side(a)} vs ${side(b)}")
+    }
+    // cluster-level selection: every member carries its cluster's split
+    val byCluster = split.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      assert(members.map(_._3).distinct.size == 1, s"cluster $c mixed")
+    }
+    // deterministic across partitionings
+    val re = Curation.leakFreeSplit(d.repartition(11), 0.9, 200)
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(re == split.sortBy(_._1))
+  }
+
   // ---- quantizeInt8 -----------------------------------------------------
 
   test("quantizeInt8: codes bounded, reconstruction error within half a step") {
