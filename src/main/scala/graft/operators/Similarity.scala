@@ -243,8 +243,13 @@ object Similarity {
     * threshold filter kills non-duplicate pairs before the min-agg, so the
     * only post-join exchange carries actual duplicates. Known limitation
     * (inherent to SemDeDup, documented not hidden): a duplicate pair
-    * straddling a cell boundary is missed; production pipelines raise
-    * nprobe-style multi-assignment or accept the recall trade. */
+    * straddling a cell boundary is missed. Regime math, measured in
+    * SimilaritySpec: TRUE near-duplicates (planted cos ≈ 0.999) quantize
+    * into the same cell — recall 1.0, original kept, duplicate dropped —
+    * while weakly-correlated pairs (the 0.40 tail) split freely across
+    * cells (17/66 in-cell on the test corpus). The operating regime is
+    * high-τ near-duplication; production pipelines wanting the weak tail
+    * raise nprobe-style multi-assignment or accept the trade. */
   def semanticDedup(embeddings: DataFrame, threshold: Double,
                     numCentroids: Int = IvfCentroids, iters: Int = IvfIters): DataFrame = {
     graft.functions.CosineUnits.register(embeddings.sparkSession)

@@ -38,6 +38,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), s"expected semi join:\n$plan")
   }
 
+  test("x48: rebalance exchanges carry only aggregated frames (corpus never shuffles)") {
+    val plan = planOf(graft.queries.CorpusQueries.x48RebalanceSample(spark, sf))
+    // every hash exchange sits above a partial aggregate (map-side
+    // combine), so the data crossing any exchange is |langs|-sized; the
+    // corpus itself reaches the selection via the broadcast of the rates
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected only the two agg exchanges:\n$plan")
+    assert("partial_".r.findAllIn(plan).size >= 2,
+      s"both aggs must have map-side partials:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the per-lang rates must broadcast back:\n$plan")
+  }
+
   test("cosine_units participates in whole-stage codegen") {
     graft.functions.CosineUnits.register(spark)
     val df = Tables.t(spark, sf, "embeddings").limit(10)

@@ -190,6 +190,41 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup: measured recall — 26% on the weak 0.40 tail, 100% in the production regime") {
+    import spark.implicits._
+    // The documented SemDeDup trade: pairs straddling a cell boundary are
+    // missed. Deterministic corpus + fixed-seed k-means make both regime
+    // measurements REPRODUCIBLE numbers, pinned here so a refactor that
+    // shifts them fails loudly (x36's two-regime pattern).
+    // Regime 1 — the weak tail: exact cos >= 0.40 pairs are NOT near-dups
+    // (they're merely correlated), and k=16 cells split them freely. On
+    // this corpus exactly 17 of 66 such pairs share a cell. This is why
+    // semantic dedup's operating threshold is high-τ near-duplication,
+    // and why the weak-tail recall is a stated trade, not a defect.
+    val cells = Similarity.semanticDedup(embs, 0.40).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val tail = Similarity.cosineNearDups(embs, 0.40).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(tail.length == 66 && tail.count { case (a, b) => cells(a) == cells(b) } == 17)
+    // Regime 2 — production: planted cos ~0.999 duplicates. A true
+    // near-duplicate quantizes into its original's cell, so every planted
+    // pair is caught and exactly one of each pair is dropped.
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(Similarity.Dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val rows = (0 until 40).flatMap { i =>
+      val v = vec()
+      val dup = v.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat)
+      Seq((i.toLong * 2, v.toSeq), (i.toLong * 2 + 1, dup.toSeq))
+    } ++ (100 until 160).map(i => (i.toLong, vec().toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val sem = Similarity.semanticDedup(df, 0.95).collect()
+      .map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    (0 until 40).foreach { i =>
+      assert(sem(i.toLong * 2) && !sem(i.toLong * 2 + 1),
+        s"planted pair $i: keep the original, drop the duplicate")
+    }
+  }
+
   test("SRP buckets: every vector gets a bucket in [0, 16); ANN neighbor shares the bucket") {
     val bucketed = embs.select(col("vec_id"),
       Similarity.bucketCol("embedding").as("bucket")).collect()
