@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level vocabulary and provenance statistics for training-data
+  * pipelines: tokenizer-vocabulary coverage (OOV rate) and cross-source
+  * duplication structure. Both deterministic and DuckDB-oracle-replicable
+  * (SURVEY.md §2.4 X51/X52).
+  */
+object CorpusStats {
+
+  // ---- vocabulary coverage / OOV rate ----------------------------------
+
+  /** Top-`vocabSize` unigram vocabulary by corpus frequency (ties broken by
+    * token asc — a total order, so the vocabulary is unique) and per-doc
+    * coverage against it: token count, out-of-vocabulary token count, and
+    * the OOV rate in ppm. The tokenizer-coverage audit run before training:
+    * a corpus slice with a high OOV rate against the planned vocabulary is
+    * either noise or a language/domain the tokenizer will shred into
+    * bytes — and token-budget forecasts made on whitespace counts (x26)
+    * silently break there.
+    *
+    * Returns (doc_id, n_tok, n_oov, oov_ppm); oov_ppm is the exact integer
+    * floor(n_oov·10⁶ / n_tok) — Long `div`, engine-independent.
+    *
+    * Scale shape: the frequency pass is one map-side-combined agg on the
+    * token string (hot tokens cost one long per partition — associative
+    * count, same argument as x40); the top-N is a TakeOrderedAndProject
+    * over the counted frame (never a global sort of the corpus). The
+    * vocabulary is `vocabSize` rows — bounded by construction — so it
+    * BROADCASTS into the coverage join and the corpus token stream is
+    * never shuffled for the lookup; the per-doc agg map-side-combines.
+    * Corpus streams twice (count pass, coverage pass), both scan-shaped.
+    */
+  def vocabOov(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(vocabSize)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tok"))
+  }
+
+  // ---- cross-source overlap matrix -------------------------------------
+
+  /** Pairwise source-level shingle-set Jaccard: for every pair of sources
+    * sharing at least one word `k`-gram, the shared-shingle count and the
+    * Jaccard similarity of their shingle SETS in ppm. The dataset-mixing
+    * audit: two crawls/dumps with high source-level overlap double-count
+    * their shared content in any mixture weighting, and the overlap matrix
+    * is what decides which source is the canonical holder (doc-level dedup
+    * x17/x21 removes the copies; this measures WHERE they came from).
+    *
+    * Returns (src_a, src_b, n_shared, jacc_ppm) for src_a < src_b; pairs
+    * with zero shared shingles are absent (declared semantics — the oracle
+    * inner-joins identically). jacc_ppm = floor(shared·10⁶ / union) in
+    * exact Long arithmetic.
+    *
+    * Scale shape: the unit of work is the distinct (source, shingle) pair
+    * set — one exchange to build (distinct), after which every posting
+    * list is bounded by |sources|, so the shingle self-join fans out at
+    * most |sources|² rows per shingle into an associative count (map-side
+    * combined). Per-source set sizes are a |sources|-row frame →
+    * broadcast into the final ratio. Nothing in the plan scales with doc
+    * count except the initial distinct; boilerplate shingles shared by
+    * every source are the answer here, not a hazard (x40's argument).
+    */
+  def sourceOverlap(docs: DataFrame, k: Int): DataFrame = {
+    // shingles() distincts (doc_id, shingle); passing source as the id
+    // yields exactly the distinct (source, shingle) set
+    val ss = TextDedup.shingles(
+        docs.select(col("source").as("doc_id"), col("text")), k)
+      .select(col("doc_id").as("source"), col("shingle"))
+      .localCheckpoint(true) // read by sizes + both self-join sides
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    ss.select(col("source").as("src_a"), col("shingle"))
+      .join(ss.select(col("source").as("src_b"), col("shingle")), Seq("shingle"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      .withColumn("jacc_ppm", expr("n_shared * 1000000 div (na + nb - n_shared)"))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("jacc_ppm"))
+  }
+}

@@ -98,6 +98,51 @@ object CorpusQueries {
        |       THEN 'test' ELSE 'train' END AS split
        |FROM alldocs ORDER BY doc_id""".stripMargin
 
+  // ---- X51: vocabulary coverage / OOV rate -----------------------------
+
+  /** 32 of this corpus's ~64 distinct tokens: the head half of the
+    * vocabulary covers most of the token mass (the corpus is Zipf-shaped
+    * by construction), so per-doc OOV rates land in a discriminative
+    * mid-range instead of collapsing to 0 or 1. */
+  val VocabSize = 32
+
+  def x51VocabOov(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.vocabOov(docs(spark, dir), VocabSize)
+      .orderBy(col("doc_id"))
+
+  val x51Sql: String =
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |v AS (SELECT tok FROM tk GROUP BY tok ORDER BY count(*) DESC, tok ASC LIMIT $VocabSize),
+       |j AS (SELECT tk.doc_id, v.tok AS vt FROM tk LEFT JOIN v ON tk.tok = v.tok)
+       |SELECT doc_id, count(*) AS n_tok,
+       |  CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  (CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*)
+       |    AS oov_ppm
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- X52: cross-source overlap matrix --------------------------------
+
+  /** Word 3-grams — the same discriminative unit as x49 (unigrams are all
+    * stopwords on this small-vocabulary corpus). */
+  val OverlapK = 3
+
+  def x52SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.sourceOverlap(docs(spark, dir), OverlapK)
+      .orderBy(col("src_a"), col("src_b"))
+
+  val x52Sql: String =
+    s"""WITH tk AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
+       |sh AS (SELECT DISTINCT source, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+       |       FROM tk, unnest(range(1, len(ts) - ${OverlapK - 2})) AS u(i)
+       |       WHERE len(ts) >= $OverlapK),
+       |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+       |pr AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+       |       FROM sh a JOIN sh b USING (shingle) WHERE a.source < b.source GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_shared,
+       |  (n_shared * 1000000) // (za.n + zb.n - n_shared) AS jacc_ppm
+       |FROM pr JOIN sz za ON za.source = pr.src_a JOIN sz zb ON zb.source = pr.src_b
+       |ORDER BY src_a, src_b""".stripMargin
+
   // ---- X49: df-weighted token-overlap retrieval (BM25-shaped top-k) ----
 
   /** Probe set = docs with doc_id ≡ 0 (mod 97), corpus = the rest — the

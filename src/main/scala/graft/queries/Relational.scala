@@ -468,6 +468,24 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Q38 — salted two-phase aggregation, oracle-scored: the engine's skew
+    * machinery ([[graft.operators.Salting.saltedSumCount]]) producing the
+    * same answer as a plain GROUP BY. The plan is the point: shuffle on
+    * (key, salt) spreads any hot key over `saltBuckets` reducers, then a
+    * second tiny exchange on key merges partials — exact for the algebraic
+    * (count, decimal-sum) pair regardless of salt routing. The oracle is
+    * the unsalted SQL, so correctness-under-salting is hash-gated, not
+    * just law-tested (SaltingSpec keeps the Spark-vs-Spark equality law). */
+  def q38SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Salting.saltedSumCount(
+        t(spark, dir, "events"), col("event_type"), col("value"))
+      .orderBy(col("key"))
+
+  val q38Sql: String =
+    """SELECT event_type AS key, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Q31 — MAP scalar functions: per year, a status→count map built with
     * map_from_entries over sorted entries, then consumed via size /
     * element_at / map_keys. Maps stay INTERNAL to the plan (entry order is

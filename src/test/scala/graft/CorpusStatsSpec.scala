@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CorpusStats
+
+class CorpusStatsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def mkDocs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "source", "text")
+
+  // ---- vocabOov ---------------------------------------------------------
+
+  test("vocabOov: counts OOV tokens against the top-N frequency vocabulary") {
+    // freqs: a=4, b=3, c=2, rare=1, odd=1 → vocab(3) = {a, b, c}
+    val docs = mkDocs(
+      (1L, "s", "a a b c"),
+      (2L, "s", "a b rare"),
+      (3L, "s", "a b c odd"))
+    val got = CorpusStats.vocabOov(docs, 3)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 0L, 0L),
+      (2L, 3L, 1L, 333333L),
+      (3L, 4L, 1L, 250000L)))
+  }
+
+  test("vocabOov: frequency ties break by token asc, vocab covering all tokens → zero OOV") {
+    // x=1, y=1: vocab(1) takes "x" (tie → token asc); "y" is OOV
+    val docs = mkDocs((1L, "s", "x y"))
+    val tie = CorpusStats.vocabOov(docs, 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(tie == Seq((1L, 2L, 1L, 500000L)))
+    val full = CorpusStats.vocabOov(docs, 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(full == Seq((1L, 2L, 0L, 0L)))
+  }
+
+  test("vocabOov: vocabulary lookup is broadcast, top-N is TakeOrdered — no corpus sort") {
+    val plan = CorpusStats.vocabOov(
+      Tables.t(spark, sf, "documents"), 32)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"vocab join should broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N vocab should be TakeOrdered, not a global sort:\n$plan")
+  }
+
+  // ---- sourceOverlap ----------------------------------------------------
+
+  test("sourceOverlap: shared shingle counts and exact Jaccard ppm per source pair") {
+    // srcA shingles: {a b c, b c d} ; srcB: {b c d, c d e} ; srcC: {x y z}
+    val docs = mkDocs(
+      (1L, "srcA", "a b c d"),
+      (2L, "srcB", "b c d e"),
+      (3L, "srcC", "x y z"))
+    val got = CorpusStats.sourceOverlap(docs, 3)
+      .orderBy($"src_a", $"src_b").as[(String, String, Long, Long)].collect().toSeq
+    // A∩B = {b c d} → 1 shared, union 3 → 333333 ppm; C overlaps nothing
+    assert(got == Seq(("srcA", "srcB", 1L, 333333L)))
+  }
+
+  test("sourceOverlap: duplicate shingles within a source count once (set semantics)") {
+    val docs = mkDocs(
+      (1L, "srcA", "a b c"),
+      (2L, "srcA", "a b c"), // same shingle again, same source
+      (3L, "srcB", "a b c"))
+    val got = CorpusStats.sourceOverlap(docs, 3)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("srcA", "srcB", 1L, 1000000L)))
+  }
+}
