@@ -486,6 +486,36 @@ object Relational {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Q39 — FULL OUTER join: per-customer order counts in the corpus's
+    * first (1995) vs last (2001) year, keeping customers active in only
+    * one of them (both null branches are real at every SF: hundreds of
+    * rows unmatched on each side). Completes the join matrix next to
+    * inner (q6), left outer (q30), semi (q18) and anti (q8). With
+    * `Seq("custkey")` the join key coalesces to one non-null column, so
+    * the null semantics under test are the PAYLOAD columns of the
+    * unmatched sides — the classic full-outer hazard. Plan: both sides
+    * are same-key aggregates, so the join reuses the aggregation's
+    * hash-partitioning — shuffle on custkey twice (agg), zero extra
+    * exchanges for the join itself at any scale. */
+  def q39FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    def perCust(yr: Int, as: String) =
+      o.filter(year(col("o_orderdate")) === yr)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as(as))
+    perCust(1995, "n_first").join(perCust(2001, "n_last"), Seq("custkey"), "full_outer")
+      .orderBy(col("custkey"))
+  }
+
+  val q39Sql: String =
+    """WITH a AS (SELECT o_custkey AS custkey, count(*) AS n_first
+      |           FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+      |b AS (SELECT o_custkey AS custkey, count(*) AS n_last
+      |      FROM orders WHERE year(o_orderdate) = 2001 GROUP BY 1)
+      |SELECT coalesce(a.custkey, b.custkey) AS custkey, n_first, n_last
+      |FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
+      |ORDER BY custkey""".stripMargin
+
   /** Q31 — MAP scalar functions: per year, a status→count map built with
     * map_from_entries over sorted entries, then consumed via size /
     * element_at / map_keys. Maps stay INTERNAL to the plan (entry order is

@@ -33,6 +33,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
   }
 
+  test("q39: full outer join reuses the aggregates' partitioning (no extra exchange)") {
+    val plan = planOf(Relational.q39FullOuter(spark, sf))
+    assert(plan.contains("FullOuter"), s"expected full outer join:\n$plan")
+    // two aggregation exchanges on o_custkey; the join itself must add none
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"join should ride the aggs' custkey partitioning, found $exchanges exchanges:\n$plan")
+  }
+
   test("q18: semi join stays a join (no row explosion)") {
     val plan = planOf(Extended.q18SemiJoin(spark, sf))
     assert(plan.contains("LeftSemi"), s"expected semi join:\n$plan")
