@@ -70,6 +70,14 @@ object PipelineDemo {
       s" (temperature rebalance would keep $nSel) -> ${chunks.count()} packed chunks" +
       s" (${chunks.agg(sum(col("n_tokens"))).first().getLong(0)} tokens)")
 
+    // 3b. corpus audits: tokenizer-vocabulary coverage and the
+    //     cross-source overlap matrix (the mixing-decision inputs)
+    val oov = graft.operators.CorpusStats.vocabOov(gated, 32)
+    val overlap = graft.operators.CorpusStats.sourceOverlap(docs, 3)
+    println(s"[demo] audits: worst OOV rate ${oov.agg(max(col("oov_ppm"))).first().getLong(0)} ppm;" +
+      s" ${overlap.count()} source pairs share 3-grams, max Jaccard " +
+      s"${overlap.agg(max(col("jacc_ppm"))).first().getLong(0)} ppm")
+
     // 4. retrieval + semantic dedup over the embedding/3-gram surfaces
     val embs = graft.Tables.t(spark, sfDir, "embeddings")
     val sem = graft.operators.Similarity.semanticDedup(embs, 0.40)
