@@ -516,6 +516,34 @@ object Relational {
       |FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
       |ORDER BY custkey""".stripMargin
 
+  /** Q40 — higher-order array functions as a unit: lambda transform /
+    * filter / aggregate / exists over each doc's token array, computed
+    * WITHOUT exploding (q25 is the explode path; here the array never
+    * leaves the row, so there is no fan-out shuffle at all — the whole
+    * query is one codegen projection + a scan). The same lambda surface
+    * DuckDB exposes as list_transform/list_filter/list_sum, so the
+    * semantics are hash-gated cross-engine. All outputs are exact
+    * integers/booleans. */
+  def q40HigherOrder(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(
+        col("doc_id"),
+        size(col("ts")).cast(LongType).as("n_tok"),
+        expr("cast(size(filter(ts, x -> length(x) >= 5)) as bigint)").as("n_long"),
+        expr("cast(aggregate(transform(ts, x -> length(x)), 0, (a, x) -> a + x) as bigint)")
+          .as("total_chars"),
+        expr("exists(ts, x -> x = 'spark')").as("has_spark"))
+      .orderBy(col("doc_id"))
+
+  val q40Sql: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+      |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
+      |  CAST(len(list_filter(ts, x -> length(x) >= 5)) AS BIGINT) AS n_long,
+      |  CAST(list_sum(list_transform(ts, x -> length(x))) AS BIGINT) AS total_chars,
+      |  len(list_filter(ts, x -> x = 'spark')) > 0 AS has_spark
+      |FROM tk ORDER BY doc_id""".stripMargin
+
   /** Q31 — MAP scalar functions: per year, a status→count map built with
     * map_from_entries over sorted entries, then consumed via size /
     * element_at / map_keys. Maps stay INTERNAL to the plan (entry order is

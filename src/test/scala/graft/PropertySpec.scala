@@ -251,4 +251,60 @@ object PropertySpec extends Properties("graft") {
         }
       }
     }
+
+  // ---- corpus-stats laws (x51/x52) -------------------------------------
+
+  property("vocabOov equals the in-memory reference (top-N by count desc, token asc)") =
+    forAll(genCorpus, Gen.choose(1, 12)) { (docs, n) =>
+      docs.nonEmpty ==> {
+        import spark.implicits._
+        val df = docs.map(d => (d._1, d._3)).toDF("doc_id", "text")
+        val got = graft.operators.CorpusStats.vocabOov(df, n)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+        val freq = docs.flatMap(_._3.split(" ")).groupBy(identity).view.mapValues(_.size).toMap
+        val vocab = freq.toSeq.sortBy { case (t, c) => (-c, t) }.take(n).map(_._1).toSet
+        val expected = docs.map { d =>
+          val ts = d._3.split(" ")
+          val oov = ts.count(!vocab.contains(_)).toLong
+          (d._1, ts.length.toLong, oov, oov * 1000000L / ts.length)
+        }.sorted
+        Prop(got == expected) :| s"n=$n got=$got expected=$expected"
+      }
+    }
+
+  property("sourceOverlap equals the in-memory shingle-set reference") =
+    forAll(genCorpus) { docs =>
+      import spark.implicits._
+      // reuse lang as the source column
+      val df = docs.toDF("doc_id", "source", "text")
+      val got = graft.operators.CorpusStats.sourceOverlap(df, 3)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+      def grams(t: String) = t.split(" ").sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+      val sets = docs.groupBy(_._2).view.mapValues(_.flatMap(d => grams(d._3)).toSet).toMap
+      val expected = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        shared = (sets(a) intersect sets(b)).size.toLong if shared > 0
+        union = (sets(a) union sets(b)).size.toLong
+      } yield (a, b, shared, shared * 1000000L / union)).toSeq.sorted
+      Prop(got == expected) :| s"got=$got expected=$expected"
+    }
+
+  property("saltedSumCount equals the direct aggregation for any salt count") =
+    forAll(
+      Gen.nonEmptyListOf(for {
+        k <- Gen.oneOf("a", "b", "c", "hot")
+        v <- Gen.choose(0, 1000000).map(_ / 100.0)
+      } yield (k, v)),
+      Gen.choose(1, 8)) { (rows, buckets) =>
+      import spark.implicits._
+      val df = rows.toDF("k", "v")
+      val got = graft.operators.Salting.saltedSumCount(df, col("k"), col("v"), buckets)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+      val expected = df.groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("v").cast("decimal(18,2)")).cast("double").as("total"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+      Prop(got == expected) :| s"buckets=$buckets got=$got expected=$expected"
+    }
 }
