@@ -30,4 +30,37 @@ class SaltingSpec extends AnyFunSuite {
     assert(exchanges.exists(e => e.contains("key") && !e.contains("salt")),
       s"expected the final merge exchange on key alone:\n$plan")
   }
+
+  test("join skew: AQE's skew-join split engages on a hot key (the documented join-side defense)") {
+    // Salting.scala deliberately does NOT salt joins: AQE's OptimizeSkewedJoin
+    // handles skewed sort-merge joins at runtime. Prove that here — one hot
+    // key carrying ~99% of the fact side, thresholds scaled to suite size.
+    import spark.implicits._
+    val prev = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val fact = (1 to 60000).map(i => (if (i % 100 == 0) i.toLong else 1L, i.toLong))
+        .toDF("k", "v")
+      val dim = (1L to 60000L by 100).map(k => (k, s"d$k")).toDF("k", "name")
+      val joined = fact.join(dim, Seq("k"))
+      // execute THIS frame (not a derived count) so AQE re-plans it; the
+      // final adaptive plan is only visible after execution
+      // 59,400 hot-key rows match dim key 1; the sparse keys (multiples of
+      // 100) miss dim's 1-mod-100 key set
+      assert(joined.collect().length === 59400)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to split the hot partition:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
