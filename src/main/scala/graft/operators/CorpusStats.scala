@@ -46,6 +46,77 @@ object CorpusStats {
       .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tok"))
   }
 
+  // ---- bigram repetition (Gopher-style top-2-gram share) ---------------
+
+  /** Per-doc word-bigram repetition signals: total bigram occurrences, the
+    * most frequent bigram's count, its share in ppm, and the fraction of
+    * bigram occurrences belonging to ANY repeated bigram (dup_ppm). The
+    * order-2 companion to x34's unigram most-frequent-token share — the
+    * Gopher/MassiveText repetition family: high top-2-gram share is the
+    * signature of templated boilerplate and degenerate generation loops
+    * that unigram stats under-detect (alternating-token loops have a flat
+    * unigram histogram but one dominant bigram).
+    *
+    * Returns (doc_id, n_bigrams, top_cnt, top_share_ppm, dup_ppm); docs
+    * with fewer than 2 tokens have no bigrams and are absent (declared
+    * semantics — the oracle drops them identically). Ratios are exact
+    * integer floor(x·10⁶ / n) — Long `div`, engine-independent.
+    *
+    * Scale shape: two shuffles, both map-side-combined — (doc_id, bigram)
+    * count then per-doc rollup — and both keys carry doc_id, so a bigram
+    * hot across the corpus never concentrates on one reducer (per-doc
+    * repetition is a per-doc question; corpus-hot n-grams are x40's job).
+    */
+  def bigramRepetition(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), " +
+          "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+           max(col("cnt")).as("top_cnt"),
+           sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_cnt"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_cnt"),
+        expr("top_cnt * 1000000 div n_bigrams").as("top_share_ppm"),
+        expr("dup_cnt * 1000000 div n_bigrams").as("dup_ppm"))
+
+  // ---- rarity score (integer-exact unigram-LM quality proxy) -----------
+
+  /** Per-doc rare-token density: each distinct token weighted by the
+    * integer idf surrogate w = floor(10¹²/(df+1)) (x49's weight — exact
+    * Long, unlike ln which is only 1-ulp reproducible), rarity = Σ tf·w,
+    * normalized per token as exact Long division. The unigram-LM quality
+    * proxy run where no language model is available: gibberish and
+    * OCR-shredded text is dense in corpus-rare tokens (high rarity), while
+    * boilerplate is all head tokens (low rarity) — the two tails a quality
+    * gate cuts. Returns (doc_id, n_tok, rarity, rarity_per_tok).
+    *
+    * Scale shape: tf is one map-side-combined agg on (doc_id, token); the
+    * weight table is one row per DISTINCT token — vocabulary-sized, far
+    * smaller than the corpus but not bounded by construction, so it joins
+    * by shuffle on the token key (x51's broadcast argument does not apply;
+    * a hot token's fanout is its tf posting list feeding a map-side-combined
+    * per-doc sum). tf is checkpointed once — it feeds both the df count and
+    * the scoring join (at cluster scale this is a persisted stage output,
+    * same shape). Degenerate bound: w ≥ 0 always; df beyond 10¹² floors to
+    * w = 0, harmless (a token in every doc of a 10¹²-doc corpus carries no
+    * rarity signal).
+    */
+  def rarityScore(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // read by the df count AND the scoring join
+    val w = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .select(col("tok"), expr("cast(floor(1e12 / (df + 1)) as bigint)").as("w"))
+    tf.join(w, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tok"),
+           sum(col("tf") * col("w")).as("rarity"))
+      .withColumn("rarity_per_tok", expr("rarity div n_tok"))
+  }
+
   // ---- cross-source overlap matrix -------------------------------------
 
   /** Pairwise source-level shingle-set Jaccard: for every pair of sources

@@ -68,6 +68,42 @@ object Similarity {
       .select(col("p_id"), col("rn"), col("n_id"), col("cos_r"))
   }
 
+  /** k-NN majority-vote labeling: each probe takes the majority label of
+    * its k nearest corpus neighbors by cosine (ties: votes desc, label
+    * asc — a total order, so the prediction is unique). The shape of
+    * model-free quality/taxonomy tagging in curation pipelines: a small
+    * labeled seed set classifies the corpus by neighborhood, the poor
+    * man's fastText gate when no classifier is trainable in-pipeline.
+    *
+    * Returns (p_id, pred_label, n_votes) with both label and votes as
+    * exact Longs. Determinism: the neighbor ranking inherits cosineR's
+    * integer-unit contract plus an id tie-break, and the vote count is an
+    * integer — every step is total-ordered, so the prediction is stable
+    * across engines, partitionings, and re-runs.
+    *
+    * Scale shape: probes broadcast (bruteForceTopK's argument — the
+    * labeled seed set is small by construction); the corpus streams once
+    * with no pre-join exchange; after the per-probe top-k only k rows per
+    * probe reach the vote aggregation. For corpus-scale probe sets, swap
+    * the neighbor source for the banded/IVF candidate generators
+    * ([[srpBandedNearDups]]/[[ivfTopK]]) — the vote stage is unchanged. */
+  def knnClassify(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    graft.functions.CosineUnits.register(probes.sparkSession)
+    val p = probes.select(col("vec_id").as("p_id"), col("embedding").as("pv"))
+    val c = corpus.select(col("vec_id").as("n_id"),
+      col("label").cast(LongType).as("n_label"), col("embedding").as("nv"))
+    val wn = Window.partitionBy(col("p_id")).orderBy(col("cos_r").desc, col("n_id").asc)
+    val wv = Window.partitionBy(col("p_id")).orderBy(col("n_votes").desc, col("n_label").asc)
+    c.join(broadcast(p), col("p_id") =!= col("n_id"))
+      .withColumn("cos_r", cosineR("pv", "nv"))
+      .withColumn("rn", row_number().over(wn))
+      .filter(col("rn") <= k)
+      .groupBy(col("p_id"), col("n_label")).agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(wv))
+      .filter(col("vr") === 1)
+      .select(col("p_id"), col("n_label").as("pred_label"), col("n_votes"))
+  }
+
   /** Two-stage top-k over QUANTIZED codes: candidates ranked by cosine
     * against the corpus's int8 scalar quantization (Curation.quantizeInt8's
     * scheme — 4× smaller than float32, 8× smaller than the float64 join

@@ -143,6 +143,41 @@ object CorpusQueries {
        |FROM pr JOIN sz za ON za.source = pr.src_a JOIN sz zb ON zb.source = pr.src_b
        |ORDER BY src_a, src_b""".stripMargin
 
+  // ---- X53: bigram repetition (Gopher-style top-2-gram share) ----------
+
+  def x53BigramRepetition(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.bigramRepetition(docs(spark, dir))
+      .orderBy(col("doc_id"))
+
+  val x53Sql: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |bg AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram
+      |       FROM tk, unnest(range(1, len(ts))) AS u(i) WHERE len(ts) >= 2),
+      |c AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+      |  CAST(max(cnt) AS BIGINT) AS top_cnt,
+      |  (CAST(max(cnt) AS BIGINT) * 1000000) // CAST(sum(cnt) AS BIGINT)
+      |    AS top_share_ppm,
+      |  (CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) * 1000000)
+      |    // CAST(sum(cnt) AS BIGINT) AS dup_ppm
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- X54: rarity score (integer-exact unigram-LM quality proxy) ------
+
+  def x54RarityScore(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.rarityScore(docs(spark, dir))
+      .orderBy(col("doc_id"))
+
+  val x54Sql: String =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |w AS (SELECT tok, CAST(floor(1e12 / (df + 1)) AS BIGINT) AS w FROM df)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+      |  CAST(sum(tf * w) AS BIGINT) AS rarity,
+      |  CAST(sum(tf * w) AS BIGINT) // CAST(sum(tf) AS BIGINT) AS rarity_per_tok
+      |FROM tf JOIN w USING (tok) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- X49: df-weighted token-overlap retrieval (BM25-shaped top-k) ----
 
   /** Probe set = docs with doc_id ≡ 0 (mod 97), corpus = the rest — the

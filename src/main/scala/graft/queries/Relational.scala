@@ -544,6 +544,40 @@ object Relational {
       |  len(list_filter(ts, x -> x = 'spark')) > 0 AS has_spark
       |FROM tk ORDER BY doc_id""".stripMargin
 
+  /** Q41 — UNPIVOT (wide→long melt), the inverse of q27's pivot: per-
+    * customer order counts for 1995–1997 as three aggregate columns,
+    * melted back to (customer, year-name, count) rows, zero cells dropped
+    * so the long form states facts, not absences. Spark lowers `unpivot`
+    * to Expand — a narrow per-row fan-out of 3 with NO exchange of its
+    * own, so the whole query carries exactly the aggregation's one
+    * shuffle (asserted in PlanSpec). Hash-gated against DuckDB's
+    * `UNPIVOT … INTO NAME … VALUE …` surface; the variable column takes
+    * the source COLUMN NAMES as values in both engines. */
+  def q41Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    def yCount(yr: Int) =
+      sum(when(year(col("o_orderdate")) === yr, 1L).otherwise(0L)).as(s"y$yr")
+    t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(yCount(1995), yCount(1996), yCount(1997))
+      .unpivot(
+        Array(col("o_custkey")),
+        Array(col("y1995"), col("y1996"), col("y1997")),
+        "yr", "n_orders")
+      .filter(col("n_orders") > 0)
+      .orderBy(col("o_custkey"), col("yr"))
+  }
+
+  val q41Sql: String =
+    """WITH wide AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CASE WHEN year(o_orderdate)=1995 THEN 1 ELSE 0 END) AS BIGINT) AS y1995,
+      |    CAST(sum(CASE WHEN year(o_orderdate)=1996 THEN 1 ELSE 0 END) AS BIGINT) AS y1996,
+      |    CAST(sum(CASE WHEN year(o_orderdate)=1997 THEN 1 ELSE 0 END) AS BIGINT) AS y1997
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o_custkey, yr, n_orders
+      |FROM (UNPIVOT wide ON y1995, y1996, y1997 INTO NAME yr VALUE n_orders)
+      |WHERE n_orders > 0 ORDER BY o_custkey, yr""".stripMargin
+
   /** Q31 — MAP scalar functions: per year, a status→count map built with
     * map_from_entries over sorted entries, then consumed via size /
     * element_at / map_keys. Maps stay INTERNAL to the plan (entry order is

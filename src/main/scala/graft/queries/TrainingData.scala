@@ -106,6 +106,50 @@ object TrainingData {
       |  CAST(floor(max(abs(x - q * scale)) * 1e6) AS BIGINT) AS max_err_units
       |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ---- X55: k-NN majority-vote labeling --------------------------------
+
+  /** Probe set = vec_id ≡ 0 (mod 23) (~4% of vectors — a labeled seed
+    * set's scale), corpus = the rest; k = 10 so ties are possible and the
+    * deterministic tie-break is actually exercised (this corpus has 10
+    * labels, and most probes win with 2–3 of 10 votes). */
+  val KnnK = 10
+
+  def x55KnnLabel(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    graft.operators.Similarity.knnClassify(
+      e.filter(col("vec_id") % 23 === 0),
+      e.filter(col("vec_id") % 23 =!= 0), KnnK)
+      .orderBy(col("p_id"))
+  }
+
+  /** The neighbor ranking replicates x19's integer-unit cosine CTEs; the
+    * vote/tie-break stages are pure integer window logic. */
+  val x55Sql: String = {
+    val cosSum =
+      """CAST(sum(CAST(floor(x*y * 1e9) AS BIGINT)) AS BIGINT) AS dot,
+        |  CAST(sum(CAST(floor(x*x * 1e9) AS BIGINT)) AS BIGINT) AS na,
+        |  CAST(sum(CAST(floor(y*y * 1e9) AS BIGINT)) AS BIGINT) AS nb""".stripMargin
+    val cosR = "CAST(floor((CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * " +
+      "CAST(nb AS DOUBLE))) * 1000000.0) AS DOUBLE) / 1000000.0"
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id % 23 = 0),
+       |c AS (SELECT vec_id AS n_id, CAST(label AS BIGINT) AS n_label, v AS nv
+       |      FROM e WHERE vec_id % 23 <> 0),
+       |pr AS (SELECT p_id, n_id, n_label, unnest(pv) AS x, unnest(nv) AS y FROM p, c),
+       |s AS (SELECT p_id, n_id, n_label, $cosSum FROM pr GROUP BY 1, 2, 3),
+       |cc AS (SELECT p_id, n_id, n_label, $cosR AS cos_r FROM s),
+       |r AS (SELECT p_id, n_label,
+       |        row_number() OVER (PARTITION BY p_id ORDER BY cos_r DESC, n_id ASC) AS rn
+       |      FROM cc),
+       |v AS (SELECT p_id, n_label, count(*) AS n_votes FROM r WHERE rn <= $KnnK
+       |      GROUP BY 1, 2),
+       |t AS (SELECT p_id, n_label, n_votes,
+       |        row_number() OVER (PARTITION BY p_id ORDER BY n_votes DESC, n_label ASC) AS vr
+       |      FROM v)
+       |SELECT p_id, n_label AS pred_label, n_votes FROM t WHERE vr = 1
+       |ORDER BY p_id""".stripMargin
+  }
+
   // ---- X43: winnowing fingerprints -------------------------------------
 
   val WinnowK = 3

@@ -49,6 +49,42 @@ class CorpusStatsSpec extends AnyFunSuite {
       s"top-N vocab should be TakeOrdered, not a global sort:\n$plan")
   }
 
+  // ---- bigramRepetition -------------------------------------------------
+
+  test("bigramRepetition: counts, top share, dup share; <2-token docs absent") {
+    val docs = mkDocs(
+      (1L, "s", "a b a b a"), // bigrams ab,ba,ab,ba → top 2/4, all repeated
+      (2L, "s", "x y z"),     // xy,yz → all distinct
+      (3L, "s", "solo"))      // no bigrams → absent
+    val got = CorpusStats.bigramRepetition(docs.select($"doc_id", $"text"))
+      .orderBy($"doc_id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L, 500000L, 1000000L),
+      (2L, 2L, 1L, 500000L, 0L)))
+  }
+
+  test("bigramRepetition: partitioning-independent on the corpus") {
+    val d = Tables.t(spark, sf, "documents")
+    val a = CorpusStats.bigramRepetition(d).orderBy($"doc_id").collect().toSeq
+    val b = CorpusStats.bigramRepetition(d.repartition(7)).orderBy($"doc_id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  // ---- rarityScore ------------------------------------------------------
+
+  test("rarityScore: exact integer weights and normalization") {
+    // df: a=2 docs, b=1, c=1 → w(a)=floor(1e12/3), w(b)=w(c)=floor(1e12/2)
+    val docs = mkDocs((1L, "s", "a a b"), (2L, "s", "a c"))
+    val wa = 333333333333L; val wb = 500000000000L
+    val got = CorpusStats.rarityScore(docs.select($"doc_id", $"text"))
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 2 * wa + wb, (2 * wa + wb) / 3),
+      (2L, 2L, wa + wb, (wa + wb) / 2)))
+    // the doc with the rarer token mix scores higher per token
+    assert(got(1)._4 > got(0)._4)
+  }
+
   // ---- sourceOverlap ----------------------------------------------------
 
   test("sourceOverlap: shared shingle counts and exact Jaccard ppm per source pair") {

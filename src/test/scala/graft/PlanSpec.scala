@@ -33,6 +33,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
   }
 
+  test("q41: unpivot lowers to Expand — no exchange beyond the aggregation's") {
+    val plan = planOf(Relational.q41Unpivot(spark, sf))
+    assert(plan.contains("Expand"), s"unpivot should plan as Expand:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1,
+      s"expected only the groupBy's exchange, found $hashEx:\n$plan")
+  }
+
   test("q39: full outer join reuses the aggregates' partitioning (no extra exchange)") {
     val plan = planOf(Relational.q39FullOuter(spark, sf))
     assert(plan.contains("FullOuter"), s"expected full outer join:\n$plan")

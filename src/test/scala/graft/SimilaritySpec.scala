@@ -47,6 +47,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaCodes == exact)
   }
 
+  test("knnClassify: majority label wins; vote ties break to the smaller label") {
+    import spark.implicits._
+    // probe 0 at (1,0); neighbors by descending cosine: 1,2 (label 7) then
+    // 3,4 (label 3), then 5 (label 9, outside k=4)
+    val probe = Seq((0L, Array(1f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), 7), (2L, Array(0.9f, 0.1f), 7),
+      (3L, Array(0.8f, 0.2f), 3), (4L, Array(0.7f, 0.3f), 3),
+      (5L, Array(0.0f, 1.0f), 9)).toDF("vec_id", "embedding", "label")
+    // k=3: labels {7,7,3} → clear majority 7 with 2 votes
+    val maj = Similarity.knnClassify(probe, corpus, 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(maj == Seq((0L, 7L, 2L)))
+    // k=4: labels {7,7,3,3} → 2-2 tie → smaller label 3 wins deterministically
+    val tie = Similarity.knnClassify(probe, corpus, 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(tie == Seq((0L, 3L, 2L)))
+  }
+
+  test("knnClassify: probe set broadcasts — corpus never shuffles before the top-k") {
+    val plan = Similarity.knnClassify(
+      embs.filter(col("vec_id") % 23 === 0),
+      embs.filter(col("vec_id") % 23 =!= 0), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"probe side must broadcast:\n$plan")
+  }
+
   test("cosine near-dups: threshold respected, pairs ordered, values match pointwise cosine") {
     val out = Similarity.cosineNearDups(embs, 0.3).collect()
     assert(out.nonEmpty)
