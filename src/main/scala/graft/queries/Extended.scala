@@ -167,6 +167,56 @@ object Extended {
   /** Q35 — write events date-partitioned, then answer a one-day query off
     * the partitioned copy. Scored end-to-end: layout write → pruned scan →
     * aggregate; the oracle computes the same day from the raw table. */
+  /** Q43 — bucketed co-located join, SCORED end-to-end (q35's write→read
+    * pattern for the bucketing layout): orders and customer are written
+    * bucketed+sorted on the customer key, read back as catalog tables,
+    * and joined with broadcast disabled — the plan must contain ZERO
+    * exchanges (asserted inline via require, the same write-side shuffle
+    * amortization LayoutSpec proves; here the RESULT is also hash-gated
+    * against a DuckDB oracle that never sees the layout). At 100 TB this
+    * is the repeated-join optimization: the fact table's shuffle is paid
+    * once at write, every later join on the key is exchange-free. */
+  def q43BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q43_").toFile
+    val prevThreshold =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      TableLayout.writeBucketed(t(spark, dir, "orders"), "graft_q43_orders",
+        "o_custkey", 4, new java.io.File(tmp, "orders").getAbsolutePath)
+      TableLayout.writeBucketed(t(spark, dir, "customer"), "graft_q43_customer",
+        "c_custkey", 4, new java.io.File(tmp, "customer").getAbsolutePath)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_q43_orders")
+        .join(spark.table("graft_q43_customer"),
+          col("o_custkey") === col("c_custkey"))
+      require(!joined.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucketed-bucketed join must be exchange-free")
+      val res = joined
+        .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+             countDistinct(col("o_custkey")).as("n_customers"),
+             sumMoney2(col("o_totalprice")).as("revenue"))
+      // aggregate is segments × statuses rows — materialize so the temp
+      // catalog tables and files can be dropped eagerly (q35's reasoning)
+      val rows = res.collectAsList()
+      spark.createDataFrame(rows, res.schema)
+        .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_q43_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_q43_customer")
+      graft.util.Fs.deleteTree(tmp)
+    }
+  }
+
+  val q43Sql: String =
+    """SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+      |  count(DISTINCT o_custkey) AS n_customers,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment, o_orderstatus
+      |ORDER BY c_mktsegment, o_orderstatus""".stripMargin
+
   def q35PartitionedScan(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_q35_").toFile
     try {

@@ -578,6 +578,52 @@ object Relational {
       |FROM (UNPIVOT wide ON y1995, y1996, y1997 INTO NAME yr VALUE n_orders)
       |WHERE n_orders > 0 ORDER BY o_custkey, yr""".stripMargin
 
+  /** Q42 — RECURSIVE CTE (Spark 4's iterative UnionLoop execution): an
+    * 80-month calendar spine generated by recursion (1995-01..2001-08,
+    * the orders table's full date range at every SF), left-joined against
+    * per-month order counts so ZERO-ORDER months surface as explicit
+    * rows — the dense-calendar-spine shape reporting queries need and
+    * plain GROUP BY cannot produce (it has no row to group where no
+    * order exists). All spine arithmetic is integer (yr = 1995 + i div
+    * 12), no date-function drift between engines; revenue is the exact
+    * decimal sum cast back to double. The recursion is driver-free: the
+    * loop runs inside Catalyst as UnionLoop, and the join is a broadcast
+    * hash join between two ≤ 80-row frames (PlanSpec asserts both) — at
+    * any corpus scale the only real work is the one orders aggregation. */
+  def q42RecursiveSpine(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("graft_q42_orders")
+    spark.sql(
+      """WITH RECURSIVE m(i) AS (
+        |  SELECT 0 UNION ALL SELECT i + 1 FROM m WHERE i < 79),
+        |mm AS (SELECT cast(1995 + (i div 12) AS bigint) AS yr,
+        |              cast(1 + (i % 12) AS bigint) AS mo FROM m),
+        |oc AS (SELECT cast(year(o_orderdate) AS bigint) AS yr,
+        |              cast(month(o_orderdate) AS bigint) AS mo,
+        |              count(*) AS n,
+        |              cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS rev
+        |       FROM graft_q42_orders GROUP BY 1, 2)
+        |SELECT mm.yr, mm.mo,
+        |  coalesce(oc.n, cast(0 AS bigint)) AS n_orders,
+        |  coalesce(oc.rev, cast(0.0 AS double)) AS revenue
+        |FROM mm LEFT JOIN oc ON mm.yr = oc.yr AND mm.mo = oc.mo
+        |ORDER BY mm.yr, mm.mo""".stripMargin)
+  }
+
+  val q42Sql: String =
+    """WITH RECURSIVE m(i) AS (
+      |  SELECT 0 UNION ALL SELECT i + 1 FROM m WHERE i < 79),
+      |mm AS (SELECT CAST(1995 + i // 12 AS BIGINT) AS yr,
+      |              CAST(1 + i % 12 AS BIGINT) AS mo FROM m),
+      |oc AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |              CAST(month(o_orderdate) AS BIGINT) AS mo,
+      |              count(*) AS n,
+      |              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      |       FROM orders GROUP BY 1, 2)
+      |SELECT mm.yr, mm.mo,
+      |  coalesce(oc.n, 0) AS n_orders, coalesce(oc.rev, 0.0) AS revenue
+      |FROM mm LEFT JOIN oc ON mm.yr = oc.yr AND mm.mo = oc.mo
+      |ORDER BY mm.yr, mm.mo""".stripMargin
+
   /** Q31 — MAP scalar functions: per year, a status→count map built with
     * map_from_entries over sorted entries, then consumed via size /
     * element_at / map_keys. Maps stay INTERNAL to the plan (entry order is

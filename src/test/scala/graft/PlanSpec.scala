@@ -41,6 +41,14 @@ class PlanSpec extends AnyFunSuite {
       s"expected only the groupBy's exchange, found $hashEx:\n$plan")
   }
 
+  test("q42: recursion executes as UnionLoop inside the engine; spine join broadcasts") {
+    val plan = planOf(Relational.q42RecursiveSpine(spark, sf))
+    assert(plan.contains("UnionLoop"),
+      s"recursive CTE should run as the engine's UnionLoop, not driver code:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the <=80-row spine/aggregate join must broadcast:\n$plan")
+  }
+
   test("q39: full outer join reuses the aggregates' partitioning (no extra exchange)") {
     val plan = planOf(Relational.q39FullOuter(spark, sf))
     assert(plan.contains("FullOuter"), s"expected full outer join:\n$plan")
