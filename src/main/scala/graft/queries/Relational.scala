@@ -307,6 +307,42 @@ object Relational {
       |    o_orderdate) AS BIGINT) AS gap_days
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Q44 — value-based RANGE window frame (q26 covers ROWS frames; RANGE
+    * is distinct semantics: the frame is bounded by ORDER-KEY VALUE
+    * distance, and all peers of the current value are always included —
+    * with same-day orders the frame is identical for every peer
+    * regardless of row position, which a ROWS frame cannot express).
+    * Trailing-30-day order count and exact-decimal revenue per customer,
+    * ordered by an integer day number so the frame bound is pure integer
+    * arithmetic in both engines (Spark's calendar-interval range bounds
+    * are not needed and date-fn drift is impossible). One shuffle on
+    * o_custkey serves both window aggregates. */
+  def q44RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_num"))
+      .rangeBetween(-30, Window.currentRow)
+    t(spark, dir, "orders")
+      .withColumn("day_num",
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast(LongType))
+      .select(col("o_custkey"), col("o_orderkey"), col("day_num"), col("o_totalprice"))
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .withColumn("rev_30d", sum(dec2(col("o_totalprice"))).over(w).cast(DoubleType))
+      .select(col("o_custkey"), col("o_orderkey"), col("day_num"),
+        col("n_30d"), col("rev_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q44Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+      |    AS day_num,
+      |  count(*) OVER w AS n_30d,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rev_30d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+      |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Q27 — pivot: order counts per year × status, statuses as columns.
     * Explicit pivot value list keeps the plan a single pass (no value
     * discovery job); the oracle is the equivalent FILTERed aggregate. */

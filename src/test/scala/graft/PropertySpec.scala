@@ -290,6 +290,86 @@ object PropertySpec extends Properties("graft") {
       Prop(got == expected) :| s"got=$got expected=$expected"
     }
 
+  property("bigramRepetition equals the in-memory reference") =
+    forAll(genCorpus) { docs =>
+      import spark.implicits._
+      val df = docs.map(d => (d._1, d._3)).toDF("doc_id", "text")
+      val got = graft.operators.CorpusStats.bigramRepetition(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq.sorted
+      val expected = docs.flatMap { d =>
+        val bgs = d._3.split(" ").sliding(2).filter(_.length == 2)
+          .map(_.mkString(" ")).toSeq
+        if (bgs.isEmpty) None else {
+          val counts = bgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val n = bgs.size.toLong
+          val top = counts.values.max
+          val dup = counts.values.filter(_ > 1).sum
+          Some((d._1, n, top, top * 1000000L / n, dup * 1000000L / n))
+        }
+      }.sorted
+      Prop(got == expected) :| s"got=$got expected=$expected"
+    }
+
+  property("rarityScore equals the in-memory reference") =
+    forAll(genCorpus) { docs =>
+      import spark.implicits._
+      val df = docs.map(d => (d._1, d._3)).toDF("doc_id", "text")
+      val got = graft.operators.CorpusStats.rarityScore(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+      val tf = docs.flatMap(d => d._3.split(" ").map(t => (d._1, t)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val dfc = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val w = dfc.map { case (t, c) => t -> math.floor(1e12 / (c + 1)).toLong }
+      val expected = docs.map { d =>
+        val ts = d._3.split(" ")
+        val rarity = ts.toSeq.distinct.map(t => tf((d._1, t)) * w(t)).sum
+        (d._1, ts.length.toLong, rarity, rarity / ts.length)
+      }.sorted
+      Prop(got == expected) :| s"got=$got expected=$expected"
+    }
+
+  property("knnClassify equals the in-memory reference (integer-unit cosine, vote tie-breaks)") =
+    forAll(
+      Gen.choose(4, 12).flatMap(n => Gen.listOfN(n, for {
+        lbl <- Gen.choose(0, 2)
+        v <- Gen.listOfN(4, Gen.choose(-100, 100).map(_ / 100.0f))
+      } yield (lbl, v.toArray))).map(_.zipWithIndex.map {
+        case ((l, v), i) => (i.toLong, v, l)
+      }),
+      Gen.choose(1, 5)) { (vecs, k) =>
+      // vectors must have a nonzero norm for cosine to be defined
+      val rows = vecs.filter(_._2.exists(_ != 0f))
+      (rows.size >= 3) ==> {
+        import spark.implicits._
+        val df = rows.toDF("vec_id", "embedding", "label")
+        val probes = df.filter(col("vec_id") % 3 === 0)
+        val corpus = df.filter(col("vec_id") % 3 =!= 0)
+        val got = graft.operators.Similarity.knnClassify(probes, corpus, k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+        def cosR(a: Array[Float], b: Array[Float]): Double = {
+          val dot = a.zip(b).map { case (x, y) =>
+            math.floor(x.toDouble * y.toDouble * 1e9).toLong }.sum
+          val na = a.map(x => math.floor(x.toDouble * x.toDouble * 1e9).toLong).sum
+          val nb = b.map(y => math.floor(y.toDouble * y.toDouble * 1e9).toLong).sum
+          math.floor(dot.toDouble / math.sqrt(na.toDouble * nb.toDouble) * 1e6) / 1e6
+        }
+        val cor = rows.filter(_._1 % 3 != 0)
+        val expected = rows.filter(_._1 % 3 == 0).flatMap { case (pid, pv, _) =>
+          val nn = cor.filter(_._1 != pid)
+            .map { case (nid, nv, nl) => (nid, nl.toLong, cosR(pv, nv)) }
+            .sortBy { case (nid, _, c) => (-c, nid) }.take(k)
+          if (nn.isEmpty) None else {
+            val votes = nn.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+              .sortBy { case (l, v) => (-v, l) }
+            Some((pid, votes.head._1, votes.head._2))
+          }
+        }.sorted
+        Prop(got == expected) :| s"k=$k got=$got expected=$expected"
+      }
+    }
+
   property("saltedSumCount equals the direct aggregation for any salt count") =
     forAll(
       Gen.nonEmptyListOf(for {
