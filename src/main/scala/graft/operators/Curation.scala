@@ -538,6 +538,50 @@ object Curation {
       .select(col("q_id"), col("rn"), col("doc_id"), col("score"))
   }
 
+  // ---- importance weighting toward a target domain (DSIR-shaped) -------
+
+  /** Per-doc importance toward a TARGET distribution: for each of the
+    * doc's distinct word `k`-gram features, the integer ratio surrogate
+    * w = (t_df+1)·10¹² div (c_df+1) of the target/corpus document-
+    * frequency ratio (add-one smoothed), summed and normalized per
+    * feature as exact Long arithmetic. The DSIR-family data-selection
+    * shape: given a small target/domain sample, upweight corpus docs
+    * whose feature mass looks like the target — the domain-targeting
+    * gate x54's corpus-only rarity cannot express (rarity says "unusual",
+    * importance says "unusual LIKE THE TARGET"). The ratio surrogate is
+    * strictly monotone in the true likelihood ratio per feature, so
+    * threshold selection on it orders docs identically; it avoids ln
+    * (only 1-ulp reproducible) entirely.
+    *
+    * Returns (doc_id, n_sh, importance, importance_per_sh) for corpus
+    * docs with ≥ k tokens. Overflow bound: per-feature w ≤
+    * (|target docs|+1)·10¹², so the Long sum is safe while the target
+    * sample stays under ~9·10⁶ docs — the intended regime (a domain
+    * sample, not a second corpus); scale the 10¹² constant down if a
+    * larger target is ever used.
+    *
+    * Scale shape: the target's df table is bounded by the target sample
+    * size → BROADCASTS into the scoring join (x38's probe argument); the
+    * corpus df table is vocabulary-sized → joins by shuffle on the
+    * feature key (x54's argument). The corpus shingle set is built once
+    * and checkpointed for its two readers (df count + scoring join); the
+    * per-doc sum map-side-combines.
+    */
+  def importanceWeights(corpus: DataFrame, target: DataFrame, k: Int): DataFrame = {
+    val cSh = TextDedup.shingles(corpus.select(col("doc_id"), col("text")), k)
+      .localCheckpoint(true) // read by the corpus df count AND the scoring join
+    val tDf = TextDedup.shingles(target.select(col("doc_id"), col("text")), k)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("t_df"))
+    val cDf = cSh.groupBy(col("shingle")).agg(count(lit(1)).as("c_df"))
+    cSh.join(cDf, "shingle")
+      .join(broadcast(tDf), Seq("shingle"), "left")
+      .withColumn("w", expr(
+        "(coalesce(t_df, cast(0 as bigint)) + 1) * 1000000000000 div (c_df + 1)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), sum(col("w")).as("importance"))
+      .withColumn("importance_per_sh", expr("importance div n_sh"))
+  }
+
   // ---- embedding int8 scalar quantization ------------------------------
 
   /** Symmetric int8 scalar quantization of an embedding column: per vector,

@@ -178,6 +178,37 @@ object CorpusQueries {
       |  CAST(sum(tf * w) AS BIGINT) // CAST(sum(tf) AS BIGINT) AS rarity_per_tok
       |FROM tf JOIN w USING (tok) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- X56: DSIR-shaped importance weighting toward a target domain ----
+
+  /** Target sample = doc_id ≡ 0 (mod 97) (x38/x49's probe split — the
+    * "domain I want more of" sample), corpus = the rest; word 3-gram
+    * features (the discriminative unit on this corpus, x49's note). */
+  val ImportanceK = 3
+
+  def x56ImportanceSelect(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Curation.importanceWeights(
+      d.filter(col("doc_id") % 97 =!= 0),
+      d.filter(col("doc_id") % 97 === 0), ImportanceK)
+      .orderBy(col("doc_id"))
+  }
+
+  val x56Sql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+       |       FROM tk, unnest(range(1, len(ts) - ${ImportanceK - 2})) AS u(i)
+       |       WHERE len(ts) >= $ImportanceK),
+       |csh AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+       |tdf AS (SELECT shingle, count(*) AS t_df FROM sh WHERE doc_id % 97 = 0 GROUP BY 1),
+       |cdf AS (SELECT shingle, count(*) AS c_df FROM csh GROUP BY 1)
+       |SELECT csh.doc_id, count(*) AS n_sh,
+       |  CAST(sum((coalesce(t_df, 0) + 1) * 1000000000000 // (c_df + 1)) AS BIGINT)
+       |    AS importance,
+       |  CAST(sum((coalesce(t_df, 0) + 1) * 1000000000000 // (c_df + 1)) AS BIGINT)
+       |    // count(*) AS importance_per_sh
+       |FROM csh JOIN cdf USING (shingle) LEFT JOIN tdf USING (shingle)
+       |GROUP BY csh.doc_id ORDER BY csh.doc_id""".stripMargin
+
   // ---- X49: df-weighted token-overlap retrieval (BM25-shaped top-k) ----
 
   /** Probe set = docs with doc_id ≡ 0 (mod 97), corpus = the rest — the

@@ -370,6 +370,30 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("importanceWeights equals the in-memory add-one ratio reference") =
+    forAll(genCorpus) { docs =>
+      import spark.implicits._
+      val df = docs.map(d => (d._1, d._3)).toDF("doc_id", "text")
+      val corpus = df.filter(col("doc_id") % 3 =!= 0)
+      val target = df.filter(col("doc_id") % 3 === 0)
+      val got = graft.operators.Curation.importanceWeights(corpus, target, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+      def grams(t: String) = t.split(" ").sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+      val cDocs = docs.filter(_._1 % 3 != 0).map(d => (d._1, grams(d._3)))
+        .filter(_._2.nonEmpty)
+      val tDf = docs.filter(_._1 % 3 == 0).flatMap(d => grams(d._3))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cDf = cDocs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expected = cDocs.map { case (id, gs) =>
+        val imp = gs.toSeq.map(g =>
+          (tDf.getOrElse(g, 0L) + 1) * 1000000000000L / (cDf(g) + 1)).sum
+        (id, gs.size.toLong, imp, imp / gs.size)
+      }.sorted
+      Prop(got == expected) :| s"got=$got expected=$expected"
+    }
+
   property("saltedSumCount equals the direct aggregation for any salt count") =
     forAll(
       Gen.nonEmptyListOf(for {
