@@ -65,6 +65,56 @@ object BinaryMedia {
     }
   }
 
+  /** Adaptive average-pool resize of a feature vector to `targetLen`
+    * (the "resize" verb of the multimodal surface: image thumbnails /
+    * audio downsampling operate on decoded features exactly this way).
+    * Bucket i covers source indices [floor(i·n/m), ceil((i+1)·n/m)) — the
+    * standard adaptive-pooling bounds: every bucket is non-empty for n ≥ 1,
+    * and the op handles both down- and up-sampling. Pure column ops
+    * (codegen'd higher-order functions), zero shuffles, deterministic:
+    * the fold order over each slice is the array order. */
+  def resizeFeatures(df: DataFrame, featCol: String, targetLen: Int,
+                     outCol: String = "resized"): DataFrame = {
+    require(targetLen > 0, s"targetLen must be positive, got $targetLen")
+    val n = s"size($featCol)"
+    df.withColumn(outCol, expr(
+      s"""case when $n = 0 then cast(array() as array<float>)
+         |else transform(sequence(0, ${targetLen - 1}), i ->
+         |  cast(aggregate(
+         |    slice($featCol, i * $n div $targetLen + 1,
+         |          ((i + 1) * $n + ${targetLen - 1}) div $targetLen - i * $n div $targetLen),
+         |    cast(0.0 as double), (acc, x) -> acc + cast(x as double))
+         |  / (((i + 1) * $n + ${targetLen - 1}) div $targetLen - i * $n div $targetLen)
+         |  as float))
+         |end""".stripMargin))
+  }
+
+  /** Oracle-exact integer-unit sibling of [[resizeFeatures]] (the x41
+    * pattern): elements → floor(x·10⁶) unit integers, bucket value =
+    * floor(unit_sum / bucket_len). Every intermediate is an exact-in-double
+    * integer or a correctly-rounded IEEE op both engines compute
+    * identically, so the result is hash-comparable against a DuckDB
+    * replica — unlike the float path, whose per-slice fold order no
+    * SQL oracle can promise to reproduce. Same bucket bounds as the
+    * float path by construction. */
+  def resizePoolUnits(df: DataFrame, featCol: String, targetLen: Int,
+                      outCol: String = "resized_units"): DataFrame = {
+    require(targetLen > 0, s"targetLen must be positive, got $targetLen")
+    val n = s"size($featCol)"
+    val units = s"transform($featCol, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))"
+    df.withColumn(outCol, expr(
+      s"""case when $n = 0 then cast(array() as array<bigint>)
+         |else transform(sequence(0, ${targetLen - 1}), i ->
+         |  cast(floor(
+         |    cast(aggregate(
+         |      slice($units, i * $n div $targetLen + 1,
+         |            ((i + 1) * $n + ${targetLen - 1}) div $targetLen - i * $n div $targetLen),
+         |      0L, (acc, x) -> acc + x) as double)
+         |    / (((i + 1) * $n + ${targetLen - 1}) div $targetLen - i * $n div $targetLen))
+         |  as bigint))
+         |end""".stripMargin))
+  }
+
   /** "Frame sampling": fixed-stride byte-range slices of the payload —
     * the access pattern of video frame extraction, as pure column ops.
     * Emits exactly min(ceil(len/frameBytes), maxFrames) frames: no empty

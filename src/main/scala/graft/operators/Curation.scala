@@ -162,6 +162,86 @@ object Curation {
       .groupBy(col("lang"), col("chunk_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok_in_chunk")).as("n_tokens"))
 
+  // ---- overlapping sliding-window chunking (RAG / context windows) ----
+
+  /** Fixed-size overlapping chunks of each document's token stream:
+    * chunk i covers tokens [i·stride, i·stride + chunkTokens), for
+    * i = 0 .. ceil(max(n − chunkTokens, 0) / stride) — every token is
+    * covered, consecutive chunks overlap by (chunkTokens − stride), and
+    * the last chunk is the only one that may run short. This is the
+    * retrieval / context-window shape (split long docs for embedding or
+    * attention windows with overlap so no span is cut at a boundary) —
+    * a different animal from [[packChunks]], which concatenates SHORT
+    * docs to fill windows; this splits LONG ones.
+    *
+    * Emits (doc_id, chunk_idx, n_in_chunk, fp) where fp is the
+    * oracle-replicable h31 of the chunk's joined tokens — the handle a
+    * downstream chunk-level dedup or retrieval index joins on.
+    *
+    * Scale shape: explode + codegen'd projection, zero shuffles, no
+    * window function — each doc expands independently, so parallelism is
+    * per-row and a 100 TB corpus chunks in one map stage. */
+  def overlapChunks(docs: DataFrame, chunkTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkTokens >= stride,
+      s"need 0 < stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).cast(LongType).as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("chunk_idx", explode(expr(
+        s"sequence(cast(0 as bigint), (greatest(n_tok - $chunkTokens, cast(0 as bigint)) + ${stride - 1}) div $stride)")))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(chunkTokens).cast(LongType), col("n_tok") - col("chunk_idx") * stride)
+          .as("n_in_chunk"),
+        graft.functions.TextFns.h31(
+          expr(s"array_join(slice(ts, cast(chunk_idx * $stride + 1 as int), $chunkTokens), ' ')"))
+          .as("fp"))
+  }
+
+  // ---- number/PII scrubbing (normalizing projection) -------------------
+
+  /** Mask every digit run in `textCol` with the `<num>` placeholder and
+    * count the masked runs — the normalization staple of text curation
+    * (phone numbers, IDs, timestamps, version strings all collapse to the
+    * same token so downstream dedup/n-gram stats see structure, not
+    * serial numbers; the same shape handles PII classes with richer
+    * patterns). `[0-9]+` is deliberately dialect-neutral: Java regex and
+    * RE2-family engines agree on it exactly, so the op stays
+    * oracle-replicable.
+    *
+    * Pure stateless projection — zero shuffles, codegen'd, streaming-safe
+    * (same plan over a batch table or a structured stream). */
+  def scrubNumbers(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("masked", regexp_replace(col(textCol), "[0-9]+", "<num>"))
+      .withColumn("n_masked", regexp_count(col(textCol), lit("[0-9]+")).cast(LongType))
+
+  // ---- Bloom-filter decontamination membership -------------------------
+
+  /** Probe-set membership via a Bloom filter: flags every corpus row whose
+    * `keyCol` is in the probe set, plus possible false positives at rate
+    * ~`fpp` — NEVER a false negative (the sketch's one-sided contract).
+    *
+    * This is [[decontaminate]]'s scale escape hatch for the probe side:
+    * x38 broadcasts the probe SHINGLE SET (fine for benchmark suites, but
+    * O(probe tokens)); the Bloom bitmap is O(expectedItems · ln(1/fpp))
+    * BITS regardless of key sizes — a 1M-key suite at fpp 0.03 is ~0.9 MB
+    * broadcast against 100 TB. Flagged rows route to exact verification
+    * (a join against the real probe set — tiny input by construction).
+    *
+    * Determinism: the bitmap ORs per-key bit positions, so the built
+    * filter — and every mightContain answer — is independent of
+    * partitioning and insertion order.
+    *
+    * The probe scan happens eagerly at call time (sketch build = one
+    * collect-to-driver of a fixed-size bitmap, the same shape as
+    * `freqItems`/`bloomFilter` everywhere); the returned frame is lazy. */
+  def bloomDecontaminate(corpus: DataFrame, probes: DataFrame, keyCol: String,
+                         expectedItems: Long, fpp: Double): DataFrame = {
+    val bf = probes.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val bcast = corpus.sparkSession.sparkContext.broadcast(bf)
+    val hit = udf((s: String) => s != null && bcast.value.mightContainString(s))
+    corpus.withColumn("bloom_hit", hit(col(keyCol)))
+  }
+
   // ---- quality scoring (streaming-safe projection) ---------------------
 
   /** Per-doc quality features: token count, type-token ratio, and the

@@ -694,4 +694,133 @@ object Relational {
       |  CAST(coalesce(sum(n) FILTER (s = 'P'), 0) AS BIGINT) AS p_cnt,
       |  string_agg(s, ',' ORDER BY s) AS statuses
       |FROM per GROUP BY yr ORDER BY yr""".stripMargin
+
+  /** Q45 — frequent-items sketch gate (Karp/Misra-Gries family via
+    * `df.stat.freqItems`). Scored the way q11 scores HLL and q36 scores the
+    * GK sketch: on the sketch's CONTRACT, not its raw output. freqItems
+    * guarantees every item with frequency > support·n is returned (false
+    * positives allowed); intersecting the returned candidates with the
+    * exact counts at the same threshold therefore yields EXACTLY the true
+    * heavy-hitter set — hash-gateable against plain SQL. documents.lang is
+    * the discriminating column: 'en' ≈ 44% of the corpus, every other
+    * language ≤ 15%, so support 0.25 separates cleanly at every SF. The
+    * single-pass sketch is the 100 TB path: one scan, no shuffle, a
+    * bounded-size map per partition merged on the driver. */
+  val FreqSupport = 0.25
+
+  def q45FreqItems(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val candidates = d.stat.freqItems(Array("lang"), FreqSupport)
+      .select(explode(col("lang_freqItems")).as("item"))
+    val total = d.agg(count(lit(1)).as("n_total"))
+    d.groupBy(col("lang").as("item")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(candidates), "item") // sketch survivors only
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") > col("n_total") * lit(FreqSupport))
+      .select(col("item"), col("cnt"))
+      .orderBy(col("item"))
+  }
+
+  val q45Sql: String =
+    s"""SELECT lang AS item, count(*) AS cnt FROM documents GROUP BY lang
+       |HAVING count(*) > $FreqSupport * (SELECT count(*) FROM documents)
+       |ORDER BY item""".stripMargin
+
+  /** Q46 — ordered string aggregation: LISTAGG ... WITHIN GROUP (the SQL:2016
+    * form, new in Spark 4). The explicit in-group ORDER BY is what makes a
+    * concatenation aggregate deterministic — without it the result depends
+    * on partitioning. Joined through the broadcast region dim so the agg
+    * input is itself a join product, not a bare scan. */
+  def q46Listagg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(expr("listagg(n_name, ',') within group (order by n_name)").as("nations"),
+           count(lit(1)).cast(LongType).as("n_nations"))
+      .orderBy(col("r_name"))
+
+  val q46Sql: String =
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |  count(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** Q48 — statistical aggregates, exactly: Pearson correlation and the
+    * least-squares line per return flag, computed from DECIMAL-EXACT
+    * algebraic sums (n, Σx, Σy, Σx², Σy², Σxy — each map-side-combinable,
+    * one shuffle total) with the closed-form formulas applied in double
+    * only at the very end. Built-in corr/regr_* accumulate doubles in
+    * partition order and are therefore not bit-reproducible across
+    * engines OR across partitionings; the algebraic form is — same
+    * numbers, hash-gateable, and the scale shape (partial aggregation of
+    * six exact sums) is what the built-ins do anyway. */
+  def q48StatsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(col("l_returnflag"),
+      dec2(col("l_quantity")).as("x"), dec2(col("l_extendedprice")).as("y"))
+    val s = li.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast(DoubleType).as("sx"),
+        sum(col("y")).cast(DoubleType).as("sy"),
+        sum(col("x") * col("x")).cast(DoubleType).as("sxx"),
+        sum(col("y") * col("y")).cast(DoubleType).as("syy"),
+        sum(col("x") * col("y")).cast(DoubleType).as("sxy"))
+      .withColumn("nd", col("n").cast(DoubleType))
+    val num = col("nd") * col("sxy") - col("sx") * col("sy")
+    val dx  = col("nd") * col("sxx") - col("sx") * col("sx")
+    val dy  = col("nd") * col("syy") - col("sy") * col("sy")
+    s.select(col("l_returnflag"), col("n"),
+        (num / sqrt(dx * dy)).as("corr"),
+        (num / dx).as("slope"),
+        ((col("sy") - num / dx * col("sx")) / col("nd")).as("icept"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q48Sql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+      |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(y*y) AS DOUBLE) AS syy,
+      |    CAST(sum(x*y) AS DOUBLE) AS sxy
+      |  FROM (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,2)) AS x,
+      |               CAST(l_extendedprice AS DECIMAL(18,2)) AS y FROM lineitem)
+      |  GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  (nd*sxy - sx*sy) / sqrt((nd*sxx - sx*sx) * (nd*syy - sy*sy)) AS corr,
+      |  (nd*sxy - sx*sy) / (nd*sxx - sx*sx) AS slope,
+      |  (sy - (nd*sxy - sx*sy) / (nd*sxx - sx*sx) * sx) / nd AS icept
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
+  /** Q47 — null-skipping window navigation: lag(..., ignoreNulls) and
+    * fill-forward last(..., ignoreNulls) — the gap-filling idiom (carry the
+    * last observed value across missing rows) that plain lag/last cannot
+    * express. Only finished ('F') orders carry a price; open orders see the
+    * most recent finished price before them. Decimal-exact until the final
+    * double cast; one o_custkey shuffle serves both window functions. */
+  def q47IgnoreNulls(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        when(col("o_orderstatus") === "F", dec2(col("o_totalprice"))).as("f_price"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("f_price"), 1, null, ignoreNulls = true).over(w)
+          .cast(DoubleType).as("prev_f"),
+        last(col("f_price"), ignoreNulls = true).over(wf)
+          .cast(DoubleType).as("fill_f"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q47Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(lag(f_price IGNORE NULLS) OVER w AS DOUBLE) AS prev_f,
+      |  CAST(last_value(f_price IGNORE NULLS) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS fill_f
+      |FROM (SELECT o_custkey, o_orderkey,
+      |        CASE WHEN o_orderstatus = 'F'
+      |             THEN CAST(o_totalprice AS DECIMAL(18,2)) END AS f_price
+      |      FROM orders)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
 }

@@ -248,6 +248,131 @@ object TrainingData {
        |      floor($FuzzyMaxRelDist * greatest(len(ta.text), len(tb.text)))
        |ORDER BY a_id, b_id""".stripMargin
 
+  // ---- X57: feature resize (adaptive average-pool) ---------------------
+
+  /** 64-dim embeddings pooled to 12 buckets — 12 ∤ 64, so the adaptive
+    * bounds produce mixed 5/6-element buckets and the uneven-boundary
+    * arithmetic is actually exercised. Scored via the integer-unit
+    * sibling (resizePoolUnits) for the same reason x41 scores a
+    * checksum: the float path's per-slice fold order is not something a
+    * SQL oracle can promise to reproduce bit-for-bit. */
+  val ResizeLen = 12
+
+  def x57ResizePool(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.BinaryMedia.resizePoolUnits(
+        embs(spark, dir).select(col("vec_id"), col("embedding"))
+          .filter(size(col("embedding")) > 0),
+        "embedding", ResizeLen)
+      .select(col("vec_id"),
+        expr("""aggregate(zip_with(resized_units, sequence(1, size(resized_units)),
+               |(u, i) -> u * cast(i as bigint)), cast(0 as bigint),
+               |(a, x) -> a + x)""".stripMargin).as("checksum"))
+      .orderBy(col("vec_id"))
+
+  /** DuckDB list slices are 1-based and end-inclusive, so 0-based bucket
+    * [s, e) becomes uv[s+1 : e]. `//` floors, but every operand here is
+    * non-negative; the one signed division (unit_sum / len) uses explicit
+    * floor() in BOTH engines so negative sums round identically. */
+  val x57Sql: String = {
+    val m = ResizeLen
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |u AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS uv,
+       |             len(v) AS n FROM e),
+       |b AS (SELECT vec_id, n, uv, unnest(range(0, $m)) AS i FROM u WHERE n > 0),
+       |p AS (SELECT vec_id, i,
+       |        CAST(floor(CAST(list_sum(uv[(i*n//$m)+1 : ((i+1)*n+${m - 1})//$m]) AS DOUBLE)
+       |             / (((i+1)*n+${m - 1})//$m - i*n//$m)) AS BIGINT) AS pu
+       |      FROM b)
+       |SELECT vec_id, CAST(sum((i+1) * pu) AS BIGINT) AS checksum
+       |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  // ---- X58: overlapping sliding-window chunking ------------------------
+
+  /** 32-token chunks at stride 24 (8-token overlap): this corpus's docs
+    * average ~54 tokens, so most docs emit exactly 2 overlapping chunks
+    * and the short-tail / single-chunk / exact-boundary branches all
+    * occur. The fp column is the chunk-level dedup/retrieval handle. */
+  val ChunkTok = 32
+  val ChunkStride = 24
+
+  def x58OverlapChunks(spark: SparkSession, dir: String): DataFrame =
+    Curation.overlapChunks(docs(spark, dir), ChunkTok, ChunkStride)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val x58Sql: String = {
+    val fp = graft.functions.TextFns.h31Sql(
+      s"array_to_string(ts[i*$ChunkStride+1 : least(n, i*$ChunkStride+$ChunkTok)], ' ')")
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts,
+       |                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+       |c AS (SELECT doc_id, ts, n,
+       |        unnest(range(0, (greatest(n - $ChunkTok, 0) + ${ChunkStride - 1})//$ChunkStride + 1)) AS i
+       |      FROM tk WHERE n > 0)
+       |SELECT doc_id, i AS chunk_idx, least($ChunkTok, n - i*$ChunkStride) AS n_in_chunk,
+       |  $fp AS fp
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  // ---- X59: Bloom-filter decontamination gate --------------------------
+
+  /** Same probe split as x38 (doc_id ≡ 0 mod 97 = the "benchmark suite").
+    * Scored q36-style on the sketch's one-sided CONTRACT: every true
+    * probe-text match must be flagged (no false negatives — exact by
+    * construction), and false positives stay under 5× the nominal-fpp
+    * expectation (the filter is sized for 10k keys but holds only the
+    * probe set, so its live fp rate is far below nominal; the slack means
+    * the gate catches a broken hash or saturated bitmap, not rate noise). */
+  val BloomExpected = 10000L
+  val BloomFpp = 0.03
+
+  def x59BloomDecon(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val probes = d.filter(col("doc_id") % 97 === 0)
+    val corpus = d.filter(col("doc_id") % 97 =!= 0)
+    val flagged = Curation.bloomDecontaminate(corpus, probes, "text",
+      BloomExpected, BloomFpp)
+    val truth = probes.select(col("text")).distinct().withColumn("is_probe", lit(true))
+    flagged.join(truth, Seq("text"), "left")
+      .agg(
+        count(lit(1)).as("n_corpus"),
+        sum(when(col("is_probe"), 1L).otherwise(0L)).as("n_true_hits"),
+        sum(when(col("is_probe") && col("bloom_hit"), 1L).otherwise(0L)).as("n_true_flagged"),
+        sum(when(col("bloom_hit") && col("is_probe").isNull, 1L).otherwise(0L)).as("n_fp"))
+      .select(col("n_corpus"), col("n_true_hits"),
+        (col("n_true_flagged") === col("n_true_hits")).as("no_false_neg"),
+        (col("n_fp") <= greatest(lit(10.0), lit(5 * BloomFpp) * col("n_corpus")))
+          .as("fp_bounded"))
+  }
+
+  val x59Sql: String =
+    """WITH c AS (SELECT text FROM documents WHERE doc_id % 97 <> 0),
+      |p AS (SELECT DISTINCT text FROM documents WHERE doc_id % 97 = 0)
+      |SELECT (SELECT count(*) FROM c) AS n_corpus,
+      |  (SELECT count(*) FROM c JOIN p USING (text)) AS n_true_hits,
+      |  true AS no_false_neg, true AS fp_bounded""".stripMargin
+
+  // ---- X60: number scrubbing (PII-class masking) -----------------------
+
+  /** Scored on events.props (the one table whose strings actually carry
+    * digits — documents is digit-free): mask digit runs, count them, and
+    * fingerprint the normalized string. The fp column is what a post-scrub
+    * dedup would key on: events differing only in their numeric payload
+    * collapse to the same fingerprint. */
+  def x60ScrubNumbers(spark: SparkSession, dir: String): DataFrame =
+    Curation.scrubNumbers(
+        t(spark, dir, "events").select(col("event_id"), col("props")), "props")
+      .select(col("event_id"), col("masked"), col("n_masked"),
+        graft.functions.TextFns.h31(col("masked")).as("fp"))
+      .orderBy(col("event_id"))
+
+  val x60Sql: String = {
+    val fp = graft.functions.TextFns.h31Sql("regexp_replace(props, '[0-9]+', '<num>', 'g')")
+    s"""SELECT event_id, regexp_replace(props, '[0-9]+', '<num>', 'g') AS masked,
+       |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_masked,
+       |  $fp AS fp
+       |FROM events ORDER BY event_id""".stripMargin
+  }
+
   // ---- Q36: approx-percentile sketch gate ------------------------------
 
   /** Scores the quantile SKETCH (Spark's Greenwald-Khanna

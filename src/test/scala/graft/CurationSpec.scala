@@ -13,6 +13,58 @@ class CurationSpec extends AnyFunSuite {
   private def mkDocs(rows: (Long, String, String)*) =
     rows.toDF("doc_id", "lang", "text")
 
+  // ---- overlapChunks ----------------------------------------------------
+
+  test("overlapChunks: full coverage, fixed overlap, short-tail and 1-chunk docs") {
+    val docs = mkDocs(
+      (1L, "en", (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tok
+      (2L, "en", (1 to 4).map(i => s"u$i").mkString(" ")),  // 4 tok = C → 1 chunk
+      (3L, "en", "solo"),                                    // 1 tok
+      (4L, "en", (1 to 9).map(i => s"v$i").mkString(" ")))   // 9 tok: last start=4 covers to 9
+    val got = Curation.overlapChunks(docs, chunkTokens = 4, stride = 2)
+      .orderBy($"doc_id", $"chunk_idx")
+      .select($"doc_id", $"chunk_idx", $"n_in_chunk")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 1 (n=10): starts 0,2,4,6 → ceil((10-4)/2)=3 → idx 0..3, last covers 6..10
+    assert(got.filter(_._1 == 1L) == Seq((1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 4L), (1L, 3L, 4L)))
+    assert(got.filter(_._1 == 2L) == Seq((2L, 0L, 4L)))
+    assert(got.filter(_._1 == 3L) == Seq((3L, 0L, 1L)))
+    // doc 4 (n=9): ceil((9-4)/2)=3 → idx 0..3, last starts at 6 → 3 tokens
+    assert(got.filter(_._1 == 4L) == Seq((4L, 0L, 4L), (4L, 1L, 4L), (4L, 2L, 4L), (4L, 3L, 3L)))
+    // coverage: union of [i·s, i·s + n_in_chunk) tiles [0, n) for every doc
+    got.groupBy(_._1).foreach { case (_, cs) =>
+      val covered = cs.flatMap { case (_, i, len) => (i * 2) until (i * 2 + len) }.toSet
+      val n = cs.map { case (_, i, len) => i * 2 + len }.max
+      assert(covered == (0L until n).toSet)
+    }
+  }
+
+  test("overlapChunks: identical chunks share fp; chunk fp differs across content") {
+    val docs = mkDocs(
+      (1L, "en", "a b c d e f"),
+      (2L, "en", "a b c d x y")) // first chunk (4 tok @ stride 4) identical? no — same
+    val got = Curation.overlapChunks(docs, chunkTokens = 4, stride = 4)
+      .select($"doc_id", $"chunk_idx", $"fp").as[(Long, Long, Long)].collect()
+    val byDoc = got.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    assert(byDoc(1L).head == byDoc(2L).head)  // both start "a b c d"
+    assert(byDoc(1L)(1) != byDoc(2L)(1))      // "e f" vs "x y"
+  }
+
+  // ---- bloomDecontaminate -----------------------------------------------
+
+  test("bloomDecontaminate: no false negatives, deterministic under repartition") {
+    val corpus = mkDocs((1 to 200).map(i => (i.toLong, "en", s"doc number $i")): _*)
+    val probes = mkDocs((1 to 50).map(i => (1000L + i, "en", s"doc number ${i * 4}")): _*)
+    val flagged = Curation.bloomDecontaminate(corpus, probes, "text", 1000L, 0.03)
+      .select($"doc_id", $"bloom_hit").as[(Long, Boolean)].collect().toMap
+    // every true member (texts "doc number 4k", k=1..50) must be flagged
+    (1 to 50).map(_ * 4).filter(_ <= 200).foreach(i => assert(flagged(i.toLong)))
+    val flagged2 = Curation.bloomDecontaminate(corpus.repartition(7),
+        probes.repartition(5), "text", 1000L, 0.03)
+      .select($"doc_id", $"bloom_hit").as[(Long, Boolean)].collect().toMap
+    assert(flagged == flagged2) // bitmap is order/partitioning-independent
+  }
+
   // ---- decontaminate ----------------------------------------------------
 
   test("decontaminate: flags docs sharing a verbatim k-gram with a probe") {

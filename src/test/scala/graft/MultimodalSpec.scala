@@ -40,6 +40,65 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize: adaptive average-pool downsamples to pairwise means") {
+    import spark.implicits._
+    val df = Seq((1L, Array(2.0f, 4.0f, 6.0f, 8.0f, 1.0f, 3.0f, 5.0f, 7.0f)))
+      .toDF("id", "f")
+    val got = BinaryMedia.resizeFeatures(df, "f", 4)
+      .select("resized").head.getSeq[Float](0)
+    assert(got == Seq(3.0f, 7.0f, 2.0f, 6.0f)) // 8→4: means of adjacent pairs
+  }
+
+  test("resize: n→n is identity; upsample replicates; empty stays empty") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.5f, -2.5f, 3.5f)),
+      (2L, Array(9.0f, 11.0f)),
+      (3L, Array.empty[Float])).toDF("id", "f")
+    val same = BinaryMedia.resizeFeatures(df.filter($"id" === 1), "f", 3)
+      .select("resized").head.getSeq[Float](0)
+    assert(same == Seq(1.5f, -2.5f, 3.5f))
+    val up = BinaryMedia.resizeFeatures(df.filter($"id" === 2), "f", 4)
+      .select("resized").head.getSeq[Float](0)
+    assert(up == Seq(9.0f, 9.0f, 11.0f, 11.0f)) // 2→4: each source covers 2 buckets
+    val empty = BinaryMedia.resizeFeatures(df.filter($"id" === 3), "f", 4)
+      .select("resized").head.getSeq[Float](0)
+    assert(empty.isEmpty)
+  }
+
+  test("resize units sibling: same buckets, floor-div pooling, negative-safe") {
+    import spark.implicits._
+    // -0.35 → floor(-350000.5)... units are floor(x·1e6): exact halves chosen
+    val df = Seq((1L, Array(0.25f, 0.75f, -0.25f, -0.75f))).toDF("id", "f")
+    val got = BinaryMedia.resizePoolUnits(df, "f", 2)
+      .select("resized_units").head.getSeq[Long](0)
+    // bucket sums: (250000+750000)=1000000, (-250000+-750000)=-1000000
+    assert(got == Seq(500000L, -500000L))
+    // floor-div on a NEGATIVE odd sum rounds toward -inf in both engines
+    val odd = Seq((1L, Array(-0.25f, -0.75f, -0.25f))).toDF("id", "f")
+    val g2 = BinaryMedia.resizePoolUnits(odd, "f", 1)
+      .select("resized_units").head.getSeq[Long](0)
+    assert(g2 == Seq(-416667L)) // floor(-1250000/3) = -416667, not -416666
+  }
+
+  test("resize: uneven 64→12 buckets partition the source exactly") {
+    import spark.implicits._
+    // With ones everywhere, every bucket mean is 1 regardless of length —
+    // but the UNITS sibling exposes bucket lengths via a ramp input.
+    val ramp = (0 until 64).map(_.toFloat).toArray
+    val df = Seq((1L, ramp)).toDF("id", "f")
+    val got = BinaryMedia.resizeFeatures(df, "f", 12)
+      .select("resized").head.getSeq[Float](0)
+    assert(got.length == 12)
+    // bucket i covers [floor(i*64/12), ceil((i+1)*64/12)): verify directly
+    val expect = (0 until 12).map { i =>
+      val s = i * 64 / 12
+      val e = ((i + 1) * 64 + 11) / 12
+      (s until e).map(_.toDouble).sum / (e - s)
+    }
+    got.zip(expect).foreach { case (g, x) => assert(math.abs(g - x) < 1e-4) }
+  }
+
   test("frame count is ceil(len/frameBytes): exact multiples and empty payloads") {
     import spark.implicits._
     val df = Seq(("a" * 32, 1L), ("b" * 33, 2L), ("c" * 31, 3L), ("", 4L), ("d" * 100, 5L))

@@ -394,6 +394,68 @@ object PropertySpec extends Properties("graft") {
       Prop(got == expected) :| s"got=$got expected=$expected"
     }
 
+  private val genTokenDoc: Gen[(Long, String)] = for {
+    id <- Gen.choose(1L, 1000L)
+    n <- Gen.choose(1, 40)
+    toks <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "x9", "q"))
+  } yield (id, toks.mkString(" "))
+
+  property("overlapChunks matches the in-memory reference on random docs") =
+    forAll(Gen.nonEmptyListOf(genTokenDoc), Gen.choose(2, 6), Gen.choose(1, 6)) {
+      (docs0, c, s0) =>
+      val s = math.min(s0, c) // stride <= chunk
+      val docs = docs0.distinctBy(_._1)
+      import spark.implicits._
+      val df = docs.map { case (id, t) => (id, "en", t) }.toDF("doc_id", "lang", "text")
+      val got = graft.operators.Curation.overlapChunks(df, c, s)
+        .select(col("doc_id"), col("chunk_idx"), col("n_in_chunk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      val expected = docs.flatMap { case (id, t) =>
+        val n = t.split(" ").length
+        val last = (math.max(n - c, 0) + s - 1) / s
+        (0 to last).map(i => (id, i.toLong, math.min(c, n - i * s).toLong))
+      }.sorted
+      Prop(got == expected) :| s"c=$c s=$s got=${got.take(8)} expected=${expected.take(8)}"
+    }
+
+  property("resizePoolUnits matches the in-memory reference; n→n float resize is identity") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.choose(-1000000, 1000000).map(_ / 1000.0f)).map(_.toArray),
+      Gen.choose(1, 10)) { (v, m) =>
+      import spark.implicits._
+      val df = Seq((1L, v)).toDF("id", "f")
+      val gotUnits = graft.multimodal.BinaryMedia.resizePoolUnits(df, "f", m)
+        .select(col("resized_units")).head.getSeq[Long](0).toSeq
+      val n = v.length
+      val units = v.map(x => math.floor(x.toDouble * 1000000.0).toLong)
+      val expected = (0 until m).map { i =>
+        val s = i * n / m; val e = ((i + 1) * n + m - 1) / m
+        math.floor(units.slice(s, e).sum.toDouble / (e - s)).toLong
+      }
+      val ident = graft.multimodal.BinaryMedia.resizeFeatures(df, "f", n)
+        .select(col("resized")).head.getSeq[Float](0).toSeq
+      Prop(gotUnits == expected && ident == v.toSeq) :|
+        s"m=$m gotUnits=$gotUnits expected=$expected"
+    }
+
+  property("scrubNumbers: masked strings are digit-free, counts match reference") =
+    forAll(Gen.nonEmptyListOf(for {
+      id <- Gen.choose(1L, 500L)
+      parts <- Gen.listOfN(6, Gen.oneOf("ab", "12", "7", "x", "905", ".", ""))
+    } yield (id, parts.mkString("")))) { rows0 =>
+      val rows = rows0.distinctBy(_._1)
+      import spark.implicits._
+      val df = rows.toDF("event_id", "props")
+      val got = graft.operators.Curation.scrubNumbers(df, "props")
+        .select(col("event_id"), col("masked"), col("n_masked"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+      val expected = rows.map { case (id, t) =>
+        (id, t.replaceAll("[0-9]+", "<num>"), "[0-9]+".r.findAllIn(t).size.toLong)
+      }.sorted
+      Prop(got == expected && got.forall(!_._2.exists(_.isDigit))) :|
+        s"got=${got.take(5)} expected=${expected.take(5)}"
+    }
+
   property("saltedSumCount equals the direct aggregation for any salt count") =
     forAll(
       Gen.nonEmptyListOf(for {
