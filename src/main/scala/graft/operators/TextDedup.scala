@@ -155,6 +155,72 @@ object TextDedup {
     cross.unionByName(intra) // identical texts are Jaccard-1 by definition
   }
 
+  // ---- asymmetric containment (sub-document duplication) ---------------
+
+  /** Directed containment pairs: C(a→b) = |Sₐ ∩ S_b| / |Sₐ| over word
+    * n-gram shingle sets — "most of doc A's shingles appear in doc B".
+    * The asymmetric measure catches SUB-document duplication (a short doc
+    * quoted/embedded inside a long one) that symmetric Jaccard
+    * structurally cannot: a 20-shingle doc fully contained in a
+    * 2000-shingle doc has Jaccard 0.01 but containment 1.0. Emits BOTH
+    * directions (a_id, b_id, cont) with cont ≥ threshold, a_id ≠ b_id.
+    *
+    * Same scale scaffolding as [[ngramJaccardPairs]]: identical texts
+    * collapse to a representative before the quadratic stage (the
+    * intersection join runs on distinct content only), intersections are
+    * computed once per unordered rep pair and projected into both
+    * directions, and `maxShingleDf` offers the same stop-shingle
+    * candidate cap (candidates from cold shingles, exact re-verify over
+    * full posting lists — reported containments are exact; only pairs
+    * sharing NOTHING but hot shingles are missed). */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
+                       maxShingleDf: Option[Long] = None): DataFrame = {
+    val hashed = docs.select(col("doc_id"), col("text"), sha2(col("text"), 256).as("h"))
+    val reps = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("rep_id"))
+    val members = hashed.select(col("doc_id"), col("h"))
+      .join(broadcast(reps), "h").select(col("doc_id"), col("rep_id"))
+      .localCheckpoint(true)
+    val repDocs = hashed.join(broadcast(reps), hashed("doc_id") === reps("rep_id"))
+      .select(col("doc_id"), col("text"))
+    val sh = shingles(repDocs, n).localCheckpoint(true)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val interHalf = maxShingleDf match {
+      case None =>
+        sh.select(col("shingle"), col("doc_id").as("ra"))
+          .join(sh.select(col("shingle"), col("doc_id").as("rb")), "shingle")
+          .filter(col("ra") < col("rb"))
+          .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("c"))
+      case Some(cap) =>
+        val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("shingle"))
+        val cold = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+        val cand = cold.select(col("shingle"), col("doc_id").as("ra"))
+          .join(cold.select(col("shingle"), col("doc_id").as("rb")), "shingle")
+          .filter(col("ra") < col("rb"))
+          .select(col("ra"), col("rb")).distinct()
+        cand.join(sh.select(col("doc_id").as("ra"), col("shingle")), "ra")
+          .join(sh.select(col("doc_id").as("rb"), col("shingle")), Seq("rb", "shingle"))
+          .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("c"))
+    }
+    val both = interHalf
+      .join(broadcast(sizes.select(col("doc_id").as("ra"), col("nsh").as("na"))), "ra")
+      .join(broadcast(sizes.select(col("doc_id").as("rb"), col("nsh").as("nb"))), "rb")
+    val repPairs = both
+      .select(col("ra"), col("rb"), (col("c").cast(DoubleType) / col("na")).as("cont"))
+      .unionByName(both.select(col("rb").as("ra"), col("ra").as("rb"),
+        (col("c").cast(DoubleType) / col("nb")).as("cont")))
+      .filter(col("cont") >= threshold)
+    val cross = members.select(col("doc_id").as("a_id"), col("rep_id").as("ra"))
+      .join(broadcast(repPairs), "ra")
+      .join(members.select(col("doc_id").as("b_id"), col("rep_id").as("rb")), "rb")
+      .select(col("a_id"), col("b_id"), col("cont"))
+    val intra = members.select(col("doc_id").as("a_id"), col("rep_id"))
+      .join(members.select(col("doc_id").as("b_id"), col("rep_id")), "rep_id")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("cont"))
+    cross.unionByName(intra) // identical texts contain each other fully
+  }
+
   // ---- MinHash + banded LSH -------------------------------------------
 
   /** Fixed permutation family (a_i*h + b_i) mod P31, deterministically

@@ -236,4 +236,79 @@ object Extended {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Q49 — iterative graph computation: weighted PageRank over the
+    * customer-nation → supplier-nation trade graph (edge weight = lineitem
+    * count between the two nations), 3 unrolled iterations in exact
+    * integer units so the fixpoint arithmetic is hash-gateable (rank in
+    * 10⁻¹² units, damping 85/100, per-edge contribution
+    * (rank·85·w) div (100·w_out) — non-negative throughout, so Spark's
+    * truncating div and DuckDB's flooring // agree). Dangling nodes keep
+    * the base rank; their mass is not redistributed (documented
+    * simplification, same in the oracle).
+    *
+    * The shape IS the scale story: each iteration = one join of the rank
+    * vector to the edge list on src + one aggregation by dst — the
+    * standard edge-partitioned Pregel-as-joins round, no driver loop over
+    * rows, iterations unrolled into a single declarative plan. The edge
+    * build reuses the q7 multi-join path (suppliers broadcast; the
+    * orders⋈customer join shuffles on the orderkey/custkey). At 100 TB
+    * the rank⋈edges join co-partitions on src across rounds. */
+  val PrIters = 3
+  val PrUnit = 1000000000000L  // 1.0 in rank units
+  val PrBase = 150000000000L   // 0.15 · unit
+
+  def q49GraphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast(LongType).as("src"),
+               col("s_nationkey").cast(LongType).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val e = edges.join(
+      edges.groupBy(col("src")).agg(sum(col("w")).as("wout")), "src")
+    val nodes = t(spark, dir, "nation")
+      .select(col("n_nationkey").cast(LongType).as("node"))
+    var rank = nodes.withColumn("pr", lit(PrUnit))
+    for (_ <- 1 to PrIters) {
+      val contrib = e.join(rank, e("src") === rank("node"))
+        .select(col("dst").as("node"),
+          expr(s"pr * 85 * w div (100 * wout)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("insum"))
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(PrBase) + coalesce(col("insum"), lit(0L))).as("pr"))
+    }
+    rank.orderBy(col("node"))
+  }
+
+  val q49Sql: String = {
+    def round(prev: String, out: String): String =
+      s"""c$out AS (SELECT e.dst AS node,
+         |    CAST(sum((r.pr * 85 * e.w) // (100 * e.wout)) AS BIGINT) AS insum
+         |  FROM e JOIN $prev r ON e.src = r.node GROUP BY 1),
+         |$out AS (SELECT n.node,
+         |    CAST($PrBase + coalesce(c$out.insum, 0) AS BIGINT) AS pr
+         |  FROM n LEFT JOIN c$out USING (node))""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+       |         CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |e AS (SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS wout FROM e0),
+       |n AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+       |r0 AS (SELECT node, CAST($PrUnit AS BIGINT) AS pr FROM n),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")}
+       |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
+  }
 }

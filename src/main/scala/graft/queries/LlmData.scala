@@ -626,4 +626,40 @@ object LlmData {
       |  lower(hex(substr(text, 1, 8)::BLOB)) AS thumb,
       |  (len(string_split(text, ' ')) + 7) // 8 AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- X61: asymmetric containment pairs -------------------------------
+
+  /** Sub-document duplication: C(a→b) = |Sₐ∩S_b|/|Sₐ| ≥ 0.8 over word
+    * 3-gram shingles, both directions — the measure that catches a short
+    * doc embedded in a long one where symmetric Jaccard (x18/x29) reads
+    * near zero. Same rep-collapse + inverted-index machinery as x29. */
+  val ContainThreshold = 0.8
+
+  def x61Containment(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.containmentPairs(docs(spark, dir), 3, ContainThreshold)
+      .orderBy(col("a_id"), col("b_id"))
+
+  val x61Sql: String =
+    s"""WITH rep AS (SELECT text, min(doc_id) AS rep_id FROM documents GROUP BY text),
+       |mem AS (SELECT d.doc_id, r.rep_id FROM documents d JOIN rep r ON d.text = r.text),
+       |rd AS (SELECT rep_id AS doc_id, text FROM rep),
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM rd),
+       |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+       |       FROM tk, unnest(range(1, len(ts) - 1)) AS u(i) WHERE len(ts) >= 3),
+       |sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+       |itr AS (SELECT a.doc_id AS ra, b.doc_id AS rb, count(*) AS c
+       |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |d AS (SELECT ra, rb, c, sa.nsh AS na, sb.nsh AS nb
+       |      FROM itr JOIN sz sa ON sa.doc_id = ra JOIN sz sb ON sb.doc_id = rb),
+       |rp AS (SELECT ra, rb, CAST(c AS DOUBLE) / na AS cont FROM d
+       |       WHERE CAST(c AS DOUBLE) / na >= $ContainThreshold
+       |       UNION ALL
+       |       SELECT rb AS ra, ra AS rb, CAST(c AS DOUBLE) / nb AS cont FROM d
+       |       WHERE CAST(c AS DOUBLE) / nb >= $ContainThreshold),
+       |crossp AS (SELECT m1.doc_id AS a_id, m2.doc_id AS b_id, cont
+       |           FROM rp JOIN mem m1 ON m1.rep_id = ra JOIN mem m2 ON m2.rep_id = rb),
+       |intra AS (SELECT m1.doc_id AS a_id, m2.doc_id AS b_id, CAST(1.0 AS DOUBLE) AS cont
+       |          FROM mem m1 JOIN mem m2 ON m1.rep_id = m2.rep_id AND m1.doc_id <> m2.doc_id)
+       |SELECT a_id, b_id, cont FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra)
+       |ORDER BY a_id, b_id""".stripMargin
 }

@@ -56,6 +56,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("number scrubbing runs unchanged over a stream: masks match batch") {
+    val batchDocs = Tables.t(spark, sf, "documents")
+    val streamDocs = spark.readStream.schema(batchDocs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sf)
+    val q = graft.operators.Curation.scrubNumbers(
+        streamDocs.select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")), "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_scrub")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_scrub").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("masked"), r.getAs[Long]("n_masked"))).toSet
+    val batch = graft.operators.Curation.scrubNumbers(
+        batchDocs.select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")), "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[String]("masked"), r.getAs[Long]("n_masked"))).toSet
+    assert(streamed == batch)
+  }
+
   test("stream-stream join: pairs match the static self-join") {
     import org.apache.spark.sql.functions._
     val q = EventStreams.pairWithin(EventStreams.readEvents(spark, sf))

@@ -64,6 +64,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(capped == uncapped)
   }
 
+  test("containment: short doc inside long doc scores 1.0 forward, low backward") {
+    import spark.implicits._
+    val short_ = "the quick brown fox jumps over dogs"        // 5 shingles
+    val long_ = ("prefix words here and there again lots of filler tokens " * 3) +
+      short_ + " suffix run of extra trailing context material"
+    val df = Seq((1L, short_), (2L, long_), (3L, "completely different content"),
+      (4L, short_)).toDF("doc_id", "text")
+    val got = TextDedup.containmentPairs(df, 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // doc1 ⊂ doc2: forward containment 1.0; backward (long in short) far below 0.8
+    assert(got.contains((1L, 2L, 1.0)))
+    assert(!got.exists(p => p._1 == 2L && p._2 == 1L))
+    // identical texts (1,4) contain each other fully, both directions
+    assert(got.contains((1L, 4L, 1.0)) && got.contains((4L, 1L, 1.0)))
+    // the duplicate of doc1 inherits doc1's cross pairs
+    assert(got.contains((4L, 2L, 1.0)))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("containment: cap path re-verifies exactly (capped ≡ uncapped on the corpus)") {
+    val full = TextDedup.containmentPairs(docs.limit(200), 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = TextDedup.containmentPairs(docs.limit(200), 3, 0.8,
+        maxShingleDf = Some(50L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == full)
+  }
+
   test("jaccard pairs: values within (0.9, 1], pairs ordered a<b") {
     val rows = TextDedup.jaccardPairs(docs, 0.9).collect()
     assert(rows.nonEmpty)
