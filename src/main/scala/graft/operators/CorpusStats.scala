@@ -117,6 +117,60 @@ object CorpusStats {
       .withColumn("rarity_per_tok", expr("rarity div n_tok"))
   }
 
+  // ---- bigram-LM score (order-2 conditional-probability proxy) ---------
+
+  /** Per-doc bigram language-model score: each consecutive token pair
+    * (u, v) is weighted by the corpus-wide conditional-probability
+    * surrogate w(u,v) = floor(c₂(u,v)·10¹² / c₁(u)) where c₂ counts the
+    * bigram's occurrences and c₁(u) counts u's occurrences AS A PREFIX
+    * (Σ_v c₂(u,v) — so Σ_v w ≈ 10¹² and every w ∈ [0, 10¹²], an exact-Long
+    * probability in 10⁻¹² units). Per doc: the occurrence-weighted mean
+    * (lm_mean_e12) and the single most surprising transition (lm_min_e12).
+    *
+    * The order-2 LM quality proxy on the x54 axis: x54's unigram rarity
+    * scores WHICH words a doc uses; this scores whether consecutive words
+    * ever FOLLOW each other elsewhere in the corpus — shuffled/garbled
+    * text keeps its unigram profile but its transitions crater, which is
+    * exactly the KenLM-perplexity signal used to gate crawl text, in
+    * ln-free integer arithmetic (ln is only 1-ulp reproducible across
+    * engines; the floor-div surrogate is bit-exact and rank-equivalent
+    * per prefix). Docs with < 2 tokens have no transitions and are absent
+    * (declared semantics — the oracle drops them identically).
+    *
+    * Scale shape: per-doc bigram tf is one map-side-combined agg keyed by
+    * (doc_id, bigram); c₂/c₁ reduce the tf frame (vocabulary²-bounded —
+    * far smaller than the corpus but unbounded by construction, so the
+    * weight table joins by SHUFFLE on the bigram key, x54's argument); the
+    * per-doc sum map-side-combines. tf is checkpointed once for its two
+    * readers (counts + scoring join) — at cluster scale a persisted stage
+    * output. Overflow bound: c₂·10¹² stays in a Long while the corpus has
+    * < ~9.2M bigram occurrences of any one bigram; past that, the same
+    * expression in DECIMAL(38,0) (HUGEINT on the oracle side) is the
+    * documented escape hatch — w itself always fits (≤ 10¹²).
+    */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), " +
+          "i -> struct(element_at(ts, i) AS u, " +
+          "concat(element_at(ts, i), ' ', element_at(ts, i + 1)) AS b))")).as("p"))
+      .select(col("doc_id"), col("p.u").as("u"), col("p.b").as("b"))
+      .groupBy(col("doc_id"), col("u"), col("b")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // read by the corpus counts AND the scoring join
+    val c2 = tf.groupBy(col("u"), col("b")).agg(sum(col("tf")).as("c2"))
+    val c1 = tf.groupBy(col("u")).agg(sum(col("tf")).as("c1"))
+    val w = c2.join(c1, "u")
+      .select(col("b"), expr("c2 * 1000000000000L div c1").as("w"))
+    tf.join(w, "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+           sum(col("tf") * col("w")).as("wsum"),
+           min(col("w")).as("lm_min_e12"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("wsum div n_bigrams").as("lm_mean_e12"), col("lm_min_e12"))
+  }
+
   // ---- cross-source overlap matrix -------------------------------------
 
   /** Pairwise source-level shingle-set Jaccard: for every pair of sources

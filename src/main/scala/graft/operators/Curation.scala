@@ -517,6 +517,89 @@ object Curation {
           "test").otherwise("train"))
   }
 
+  // ---- duplication-aware sampling weights ------------------------------
+
+  /** Count-aware reweighting over near-dup clusters: every document gets
+    * weight_ppm = floor(10⁶ / |its cluster|), so each transitive near-dup
+    * CLUSTER contributes total weight ~1 regardless of how many times its
+    * content was crawled — the soft alternative to hard dedup (keep one,
+    * drop the rest) when downstream training wants the full corpus with
+    * duplication-corrected sampling probabilities. Docs in no cluster are
+    * their own singleton (weight exactly 10⁶); `labels` is the x35 frame
+    * (doc_id, cluster_id) — pass the already-materialized production
+    * labels rather than re-mining.
+    *
+    * Returns (doc_id, cluster_id, cluster_size, weight_ppm) for every
+    * input doc.
+    *
+    * Scale shape: one left equi-join of docs against labels (labels hold
+    * only docs that appear in some near-dup pair — much smaller than the
+    * corpus, but O(dups) so it joins by shuffle, never broadcast), one
+    * map-side-combined count keyed by cluster_id, and one shuffle join of
+    * the size frame back on cluster_id. A pathological mega-cluster makes
+    * its size row hot on the final join — that join fans out one row per
+    * MEMBER (linear, no pair blowup), and AQE's skew split handles the
+    * residual imbalance. */
+  def duplicationWeights(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val all = docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = all.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    all.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        expr("1000000 div cluster_size").as("weight_ppm"))
+  }
+
+  // ---- per-source quota cap (two-phase windowed top-k) -----------------
+
+  /** Per-source quota sampling: keep at most `k` documents per source,
+    * chosen by deterministic content-hash priority (h31 of the doc id,
+    * ties by doc_id) — the C4/CommonCrawl-style per-domain cap that stops
+    * any single domain from dominating a training mix, with x33's
+    * reproducibility (same doc always makes the same cut).
+    *
+    * Computed in TWO window phases so no source ever serializes into a
+    * single task (the x39 lesson, applied to selection): phase 1 takes the
+    * top-k within each (source, salt) group — `salts`-way parallel per
+    * source, worst task = one salt's share — and phase 2 re-ranks the
+    * ≤ salts·k survivors per source. Exact by the top-k union property:
+    * every global top-k row is in its own salt's top-k, so phase 1 never
+    * discards a winner. CurationSpec asserts two-phase ≡ single-window.
+    *
+    * Returns (source, rn, doc_id) for kept docs, rn ∈ [1, k] the global
+    * per-source rank.
+    *
+    * Scale shape: phase 1 shuffles once on (source, salt) — 100 TB of one
+    * domain spreads over `salts` reducers, each sorting only its share;
+    * phase 2's input is ≤ salts·k rows per source (bounded by
+    * construction, independent of corpus size). Salt is content-derived,
+    * not random — deterministic under retries and re-runs. */
+  def sourceQuota(docs: DataFrame, k: Int, salts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pri = graft.functions.TextFns.h31(concat(lit("quota:"), col("doc_id").cast(StringType)))
+    val base = docs.select(col("source"), col("doc_id"), pri.as("pri"),
+      pmod(graft.functions.TextFns.h31(concat(lit("qsalt:"), col("doc_id").cast(StringType))),
+        lit(salts.toLong)).as("salt"))
+    val w1 = Window.partitionBy(col("source"), col("salt")).orderBy(col("pri"), col("doc_id"))
+    val survivors = base.withColumn("rn1", row_number().over(w1))
+      .filter(col("rn1") <= k).drop("rn1", "salt")
+    val w2 = Window.partitionBy(col("source")).orderBy(col("pri"), col("doc_id"))
+    survivors.withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("rn").cast("long").as("rn"), col("doc_id"))
+  }
+
+  /** Single-window form of [[sourceQuota]] — the law oracle for the
+    * two-phase computation (CurationSpec); never the production path. */
+  private[graft] def sourceQuotaWindowed(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pri = graft.functions.TextFns.h31(concat(lit("quota:"), col("doc_id").cast(StringType)))
+    val w = Window.partitionBy(col("source")).orderBy(col("pri"), col("doc_id"))
+    docs.select(col("source"), col("doc_id"), pri.as("pri"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("source"), col("rn").cast("long").as("rn"), col("doc_id"))
+  }
+
   // ---- temperature rebalancing (inverse-sqrt language sampler) ---------
 
   /** Deterministic α=0.5 temperature rebalancing across languages: a doc in

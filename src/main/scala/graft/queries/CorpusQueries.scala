@@ -98,6 +98,32 @@ object CorpusQueries {
        |       THEN 'test' ELSE 'train' END AS split
        |FROM alldocs ORDER BY doc_id""".stripMargin
 
+  // ---- X63: duplication-aware sampling weights -------------------------
+
+  /** Scored on the quarter corpus (doc_id ≡ 0 mod 4, x37's subset): the
+    * battery already pays full-corpus cluster mining in x35, and the
+    * invariants that matter — Σ weight_ppm over a cluster ∈ (10⁶ −
+    * |cluster|, 10⁶], singletons exactly 10⁶, every doc covered — are
+    * law-tested on full fixtures in CurationSpec every `sbt test` run. */
+  def x63DupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).filter(pmod(col("doc_id"), lit(4)) === 0)
+    val labels = graft.operators.TextDedup.nearDupClusters(d, LlmData.JaccThreshold)
+    graft.operators.Curation.duplicationWeights(d, labels)
+      .orderBy(col("doc_id"))
+  }
+
+  val x63Sql: String =
+    s"""WITH RECURSIVE
+       |${LlmData.clustersCtesFor("(SELECT * FROM documents WHERE doc_id % 4 = 0)")},
+       |labeled AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+       |alldocs AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+       |            FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+       |            LEFT JOIN labeled l USING (doc_id)),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM alldocs GROUP BY 1)
+       |SELECT a.doc_id, a.cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  1000000 // CAST(cluster_size AS BIGINT) AS weight_ppm
+       |FROM alldocs a JOIN sz USING (cluster_id) ORDER BY a.doc_id""".stripMargin
+
   // ---- X51: vocabulary coverage / OOV rate -----------------------------
 
   /** 32 of this corpus's ~64 distinct tokens: the head half of the
@@ -208,6 +234,48 @@ object CorpusQueries {
        |    // count(*) AS importance_per_sh
        |FROM csh JOIN cdf USING (shingle) LEFT JOIN tdf USING (shingle)
        |GROUP BY csh.doc_id ORDER BY csh.doc_id""".stripMargin
+
+  // ---- X62: bigram-LM score (order-2 conditional-probability proxy) ----
+
+  def x62BigramLm(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.bigramLmScore(docs(spark, dir))
+      .orderBy(col("doc_id"))
+
+  val x62Sql: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |bg AS (SELECT doc_id, ts[i] AS u, ts[i] || ' ' || ts[i+1] AS b
+      |       FROM tk, unnest(range(1, len(ts))) AS r(i) WHERE len(ts) >= 2),
+      |tf AS (SELECT doc_id, u, b, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+      |c2 AS (SELECT u, b, CAST(sum(tf) AS BIGINT) AS c2 FROM tf GROUP BY 1, 2),
+      |c1 AS (SELECT u, CAST(sum(tf) AS BIGINT) AS c1 FROM tf GROUP BY 1),
+      |w AS (SELECT b, (c2 * 1000000000000) // c1 AS w
+      |      FROM c2 JOIN c1 USING (u))
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(tf * w) AS BIGINT) // CAST(sum(tf) AS BIGINT) AS lm_mean_e12,
+      |  CAST(min(w) AS BIGINT) AS lm_min_e12
+      |FROM tf JOIN w USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- X64: per-source quota cap (two-phase windowed top-k) ------------
+
+  /** k = 60: at sf0.01 each of the 5 sources holds ~100 docs (the cap
+    * bites everywhere), at sf0.1 ~1000 (bites hard) — while sf0.001's
+    * ~10-doc sources pass through whole, exercising the under-quota
+    * branch. */
+  val QuotaK = 60
+
+  def x64SourceQuota(spark: SparkSession, dir: String): DataFrame =
+    Curation.sourceQuota(docs(spark, dir), QuotaK)
+      .orderBy(col("source"), col("rn"))
+
+  val x64Sql: String = {
+    val pri = graft.functions.TextFns.h31Sql("'quota:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH p AS (SELECT source, doc_id, $pri AS pri FROM documents),
+       |r AS (SELECT source, doc_id,
+       |        row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn
+       |      FROM p)
+       |SELECT source, rn, doc_id FROM r WHERE rn <= $QuotaK
+       |ORDER BY source, rn""".stripMargin
+  }
 
   // ---- X49: df-weighted token-overlap retrieval (BM25-shaped top-k) ----
 

@@ -823,4 +823,148 @@ object Relational {
       |      FROM orders)
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Q50 — LATERAL correlated subquery with per-row ORDER BY + LIMIT: the
+    * top-3 customers by account balance FOR EACH nation, written as the
+    * SQL:2016 lateral join (the "top-N per group as a join" idiom ORMs and
+    * BI tools emit). Catalyst DECORRELATES the limit — the executed plan
+    * is one customer-side window ranked per nationkey joined back to
+    * nation, not |nation| correlated executions; that rewrite is the
+    * entire scale story (per-probe re-execution would be a driver loop in
+    * disguise). Balance goes through DECIMAL(18,2) before the double cast
+    * and ties break on c_custkey, so the top-3 sets are engine-exact. */
+  def q50LateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "nation").createOrReplaceTempView("graft_q50_nation")
+    t(spark, dir, "customer").createOrReplaceTempView("graft_q50_customer")
+    spark.sql(
+      """SELECT n.n_name, t.c_custkey, CAST(t.bal AS DOUBLE) AS acctbal
+        |FROM graft_q50_nation n,
+        |LATERAL (SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |         FROM graft_q50_customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY bal DESC, c_custkey LIMIT 3) t
+        |ORDER BY n.n_name, acctbal DESC, t.c_custkey""".stripMargin)
+  }
+
+  val q50Sql: String =
+    """SELECT n.n_name, t.c_custkey, CAST(t.bal AS DOUBLE) AS acctbal
+      |FROM nation n,
+      |LATERAL (SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      |         FROM customer c
+      |         WHERE c.c_nationkey = n.n_nationkey
+      |         ORDER BY bal DESC, c_custkey LIMIT 3) t
+      |ORDER BY n.n_name, acctbal DESC, t.c_custkey""".stripMargin
+
+  /** Q51 — mode() scored on its contract (q45's pattern for an
+    * underdetermined built-in): per market segment, the modal order
+    * priority. Tie CHOICE is engine-defined (Spark's deterministic mode
+    * picks the lowest value, DuckDB's picks arbitrarily), so what's
+    * hash-gated is the part both engines must agree on — the canonical
+    * modal value under an explicit (count desc, value asc) total order,
+    * its count, and the boolean that the built-in mode's frequency equals
+    * that maximal count (true in any conforming engine, tie or no tie).
+    * One (segment, priority) count feeds everything; the per-segment
+    * frames are tiny and broadcast. */
+  def q51ModeContract(spark: SparkSession, dir: String): DataFrame = {
+    val joined = t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("prio"))
+    val counts = joined.groupBy(col("seg"), col("prio")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // read by the max, the tie-break, and the gate
+    val maxes = counts.groupBy(col("seg")).agg(max(col("cnt")).as("modal_cnt"))
+    val manual = counts.join(broadcast(maxes), "seg")
+      .filter(col("cnt") === col("modal_cnt"))
+      .groupBy(col("seg"), col("modal_cnt")).agg(min(col("prio")).as("modal_prio"))
+    val builtin = joined.groupBy(col("seg"))
+      .agg(expr("mode(prio)").as("builtin_mode"))
+    val gate = builtin
+      .join(counts.select(col("seg"), col("prio").as("builtin_mode"), col("cnt").as("bcnt")),
+        Seq("seg", "builtin_mode"))
+    manual.join(gate.select(col("seg"), col("bcnt")), "seg")
+      .select(col("seg"), col("modal_prio"), col("modal_cnt"),
+        (col("bcnt") === col("modal_cnt")).as("builtin_is_modal"))
+      .orderBy(col("seg"))
+  }
+
+  val q51Sql: String =
+    """WITH j AS (SELECT c_mktsegment AS seg, o_orderpriority AS prio
+      |           FROM orders JOIN customer ON o_custkey = c_custkey),
+      |counts AS (SELECT seg, prio, count(*) AS cnt FROM j GROUP BY 1, 2),
+      |maxes AS (SELECT seg, max(cnt) AS modal_cnt FROM counts GROUP BY seg),
+      |manual AS (SELECT c.seg, m.modal_cnt, min(c.prio) AS modal_prio
+      |           FROM counts c JOIN maxes m ON c.seg = m.seg AND c.cnt = m.modal_cnt
+      |           GROUP BY 1, 2),
+      |b AS (SELECT seg, mode(prio) AS builtin_mode FROM j GROUP BY seg),
+      |gate AS (SELECT b.seg, c.cnt AS bcnt FROM b
+      |         JOIN counts c ON c.seg = b.seg AND c.prio = b.builtin_mode)
+      |SELECT m.seg, m.modal_prio, m.modal_cnt,
+      |  g.bcnt = m.modal_cnt AS builtin_is_modal
+      |FROM manual m JOIN gate g ON g.seg = m.seg
+      |ORDER BY m.seg""".stripMargin
+
+  /** Q52 — count-min sketch, exactly replicated: depth-3 × width-64
+    * counters over the document token stream, every cell defined by the
+    * oracle-replicable h31 hash family (md5-derived — TextFns), so the
+    * whole sketch, not just its contract, is hash-gateable. Probes are the
+    * top-20 tokens by true count; for each, est = min over rows of its
+    * cell, and the one-sided guarantee est ≥ true (a cell sums a SUPERSET
+    * of the token's occurrences) is emitted as a per-probe boolean — the
+    * law that makes count-min usable for threshold filters at 100 TB.
+    *
+    * Scale shape: the sketch is the point — the cell build is one
+    * map-side-combined aggregation to depth·width = 192 rows (bounded
+    * state regardless of corpus size) which then BROADCASTS to estimate
+    * any probe set; true counts ride the token-count agg the probe
+    * selection needs anyway, with top-20 as TakeOrderedAndProject (never
+    * a full sort). */
+  val CmDepth = 3
+  val CmWidth = 64
+  val CmProbes = 20
+
+  def q52CountMin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns
+    val tf = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // read by the cell build AND the probe top-k
+    val cells = tf.select(col("tok"), col("cnt"),
+        explode(expr(s"sequence(0, ${CmDepth - 1})")).as("j"))
+      .select(col("j"),
+        pmod(TextFns.h31(concat(lit("cm"), col("j").cast(StringType), lit(":"), col("tok"))),
+          lit(CmWidth.toLong)).as("bucket"),
+        col("cnt"))
+      .groupBy(col("j"), col("bucket")).agg(sum(col("cnt")).as("cell"))
+    val probes = tf.orderBy(col("cnt").desc, col("tok")).limit(CmProbes)
+    probes.select(col("tok"), col("cnt").as("true_cnt"), explode(expr(
+        s"sequence(0, ${CmDepth - 1})")).as("j"))
+      .withColumn("bucket",
+        pmod(TextFns.h31(concat(lit("cm"), col("j").cast(StringType), lit(":"), col("tok"))),
+          lit(CmWidth.toLong)))
+      .join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy(col("tok"), col("true_cnt")).agg(min(col("cell")).as("est_cnt"))
+      .select(col("tok"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") >= col("true_cnt")).as("one_sided_ok"))
+      .orderBy(col("tok"))
+  }
+
+  val q52Sql: String = {
+    import graft.functions.TextFns
+    val h = TextFns.h31Sql("'cm' || CAST(j AS VARCHAR) || ':' || tok")
+    s"""WITH tf AS (SELECT tok, count(*) AS cnt
+       |            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |            GROUP BY tok),
+       |cells AS (SELECT j, $h % $CmWidth AS bucket, CAST(sum(cnt) AS BIGINT) AS cell
+       |          FROM tf, unnest(range(0, $CmDepth)) AS r(j) GROUP BY 1, 2),
+       |probes AS (SELECT tok, cnt FROM tf ORDER BY cnt DESC, tok LIMIT $CmProbes),
+       |est AS (SELECT p.tok, p.cnt AS true_cnt, min(c.cell) AS est_cnt
+       |        FROM probes p, unnest(range(0, $CmDepth)) AS r(j), cells c
+       |        WHERE c.j = r.j
+       |          AND c.bucket = ${TextFns.h31Sql("'cm' || CAST(r.j AS VARCHAR) || ':' || p.tok")} % $CmWidth
+       |        GROUP BY 1, 2)
+       |SELECT tok, CAST(true_cnt AS BIGINT) AS true_cnt, est_cnt,
+       |  est_cnt >= true_cnt AS one_sided_ok
+       |FROM est ORDER BY tok""".stripMargin
+  }
 }

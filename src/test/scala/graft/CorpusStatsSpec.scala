@@ -12,6 +12,48 @@ class CorpusStatsSpec extends AnyFunSuite {
   private def mkDocs(rows: (Long, String, String)*) =
     rows.toDF("doc_id", "source", "text")
 
+  // ---- bigramLmScore ----------------------------------------------------
+
+  test("bigramLmScore: exact weights on a hand-computed corpus") {
+    // bigrams: "a b" ×2 (doc1, doc2), "b a" ×1, "a c" ×1
+    //   c1(a)=3 (a as prefix: a b, a b, a c), c1(b)=1
+    //   w(a b)=floor(2e12/3)=666666666666, w(b a)=1e12, w(a c)=floor(1e12/3)
+    val docs = mkDocs(
+      (1L, "s", "a b a c"),   // bigrams: a b | b a | a c
+      (2L, "s", "a b"))       // bigram:  a b
+    val got = CorpusStats.bigramLmScore(docs)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    val wab = 2L * 1000000000000L / 3L
+    val wba = 1000000000000L
+    val wac = 1000000000000L / 3L
+    assert(got == Seq(
+      (1L, 3L, (wab + wba + wac) / 3L, wac),
+      (2L, 1L, wab, wab)))
+  }
+
+  test("bigramLmScore: weights are probabilities ≤ 1e12; a shuffled doc craters below the fluent ones") {
+    val d = Tables.t(spark, sf, "documents")
+    val scored = CorpusStats.bigramLmScore(d)
+    val bad = scored.filter($"lm_mean_e12" > 1000000000000L ||
+      $"lm_min_e12" > $"lm_mean_e12" || $"lm_min_e12" < 0L).count()
+    assert(bad == 0L)
+    // 50 fluent copies of "the cat sat" + one shuffled doc reusing the
+    // same words: its "cat the" transition occurs once against c1(cat)=51,
+    // so its min weight is floor(1e12/51) and its mean sits far below the
+    // fluent docs' — the LM-perplexity signal, exactly
+    val fluent = (1L to 50L).map(i => (i, "s", "the cat sat"))
+    val docs = mkDocs(fluent :+ ((99L, "s", "sat cat the")): _*)
+    val got = CorpusStats.bigramLmScore(docs)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect()
+    val fluentMean = got.head._3
+    val shuffled = got.last
+    assert(shuffled._1 == 99L)
+    assert(shuffled._4 == 1000000000000L / 51L)        // cat→the, once in 51
+    // shuffled mean = (1e12 + 1e12/51)/2 ≈ 0.51e12 vs fluent ≈ 0.99e12
+    assert(shuffled._3 < fluentMean * 3 / 5,
+      s"shuffled doc should crater: ${shuffled._3} vs fluent $fluentMean")
+  }
+
   // ---- vocabOov ---------------------------------------------------------
 
   test("vocabOov: counts OOV tokens against the top-N frequency vocabulary") {

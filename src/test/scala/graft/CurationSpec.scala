@@ -444,4 +444,59 @@ class CurationSpec extends AnyFunSuite {
     // 1/254 = 0.003937007..., units = 3937
     assert(r._3 == 3937L)
   }
+
+  // ---- duplicationWeights ----------------------------------------------
+
+  test("duplicationWeights: singletons weigh 1e6, clusters split theirs, every doc covered") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    // cluster {1,2,3} labeled 1; cluster {5,6} labeled 5; 4 and 7 singleton
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val got = Curation.duplicationWeights(docs, labels)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L, 333333L), (2L, 1L, 3L, 333333L), (3L, 1L, 3L, 333333L),
+      (4L, 4L, 1L, 1000000L), (5L, 5L, 2L, 500000L), (6L, 5L, 2L, 500000L),
+      (7L, 7L, 1L, 1000000L)))
+    // cluster-sum law: Σ weight_ppm over a cluster ∈ (1e6 − |cluster|, 1e6]
+    got.groupBy(_._2).foreach { case (_, ms) =>
+      val s = ms.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - ms.length, s"cluster sum $s")
+    }
+  }
+
+  test("duplicationWeights: corpus run — coverage and bounds on real near-dup labels") {
+    val d = Tables.t(spark, sf, "documents")
+    val labels = graft.operators.TextDedup.nearDupClusters(d, 0.9)
+    val w = Curation.duplicationWeights(d, labels)
+    assert(w.count() == d.count()) // every doc weighted exactly once
+    assert(w.filter($"weight_ppm" < 1L || $"weight_ppm" > 1000000L).count() == 0L)
+    // singletons (docs in no pair) keep full weight
+    assert(w.filter($"cluster_size" === 1L && $"weight_ppm" =!= 1000000L).count() == 0L)
+  }
+
+  // ---- sourceQuota ------------------------------------------------------
+
+  test("sourceQuota: two-phase ≡ single-window; cap respected; under-quota sources pass whole") {
+    val rows = (1L to 300L).map(i => (i, s"src${i % 3}", s"text $i")) ++
+      Seq((1000L, "tiny", "a"), (1001L, "tiny", "b"))
+    val docs = rows.toDF("doc_id", "source", "text")
+    val two = Curation.sourceQuota(docs, 20, salts = 4)
+    val one = Curation.sourceQuotaWindowed(docs, 20)
+    assert(two.exceptAll(one).count() == 0L && one.exceptAll(two).count() == 0L)
+    val perSrc = two.groupBy($"source").agg(count(lit(1)).as("n"), max($"rn").as("mx"))
+      .as[(String, Long, Long)].collect().map { case (s, n, m) => (s, (n, m)) }.toMap
+    assert(perSrc("src0") == ((20L, 20L)) && perSrc("src1") == ((20L, 20L)))
+    assert(perSrc("tiny") == ((2L, 2L))) // under quota: all kept
+  }
+
+  test("sourceQuota: exact under adversarial salts (k > salt-group sizes both ways)") {
+    // salts=8 over 10 docs in one source: many salt groups tiny; k=5 must
+    // still return the global 5 best by (pri, doc_id)
+    val docs = (1L to 10L).map(i => (i, "s", "x")).toDF("doc_id", "source", "text")
+    val two = Curation.sourceQuota(docs, 5, salts = 8)
+    val one = Curation.sourceQuotaWindowed(docs, 5)
+    assert(two.exceptAll(one).count() == 0L && one.exceptAll(two).count() == 0L)
+    assert(two.count() == 5L)
+  }
 }
