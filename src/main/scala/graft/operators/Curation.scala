@@ -50,6 +50,38 @@ object Curation {
       .agg(countDistinct(col("shingle")).as("n_shared"))
   }
 
+  /** Multi-resolution decontamination: for each corpus doc sharing at least
+    * one `levels.head`-gram with the probe set, the LONGEST level whose
+    * n-gram it shares — distinguishing incidental phrase overlap (short
+    * span only) from verbatim benchmark inclusion (long span), the signal
+    * contamination audits act on.
+    *
+    * Scale shape: n-gram containment is monotone — a shared k-gram implies
+    * shared j-grams for every j < k — so each level above the first scans
+    * ONLY the docs matched at the previous level (vanishingly rare at
+    * audit scale), never the full corpus; probe shingle sets broadcast at
+    * every level (benchmark suites are bounded). Each level's match list is
+    * localCheckpoint'ed because it feeds both the answer and the next
+    * level's pruning filter.
+    */
+  def deconSpanLadder(corpus: DataFrame, probes: DataFrame, levels: Seq[Int]): DataFrame = {
+    require(levels.nonEmpty && levels == levels.sorted && levels == levels.distinct,
+      s"levels must be strictly increasing, got $levels")
+    var candidates = corpus
+    var acc: Option[DataFrame] = None
+    for (k <- levels) {
+      val probeSh = TextDedup.shingles(probes, k).select(col("shingle")).distinct()
+      val matched = TextDedup.shingles(candidates, k)
+        .join(broadcast(probeSh), "shingle")
+        .select(col("doc_id")).distinct()
+        .withColumn("span", lit(k.toLong))
+        .localCheckpoint(true)
+      candidates = candidates.join(matched.select(col("doc_id")), "doc_id")
+      acc = Some(acc.fold(matched)(_.unionByName(matched)))
+    }
+    acc.get.groupBy(col("doc_id")).agg(max(col("span")).as("span_max"))
+  }
+
   // ---- boilerplate n-gram mining ---------------------------------------
 
   /** Word k-grams appearing in ≥ minDf distinct documents — the mining pass

@@ -322,4 +322,33 @@ object CorpusQueries {
        |      FROM sc)
        |SELECT q_id, rn, doc_id, score FROM r WHERE rn <= $RetrievalK
        |ORDER BY q_id, rn""".stripMargin
+
+  // ---- X66: BPE pair mining (tokenizer-training inner loop) ------------
+
+  /** The first iteration of BPE merge training, scored exactly: corpus →
+    * word-frequency table (the ONLY corpus-sized pass) → frequency-weighted
+    * adjacent-character pair counts → top-[[BpePairK]] merge candidates.
+    * The full iterative trainer is [[graft.operators.Bpe.train]] (law-tested
+    * against a driver-side reference in BpeSpec); each of its rounds is this
+    * same vocab-sized count with only the one winning pair collected. */
+  val BpePairK = 20
+
+  def x66BpePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.pairCounts(
+        graft.operators.Bpe.initSymbols(
+          graft.operators.Bpe.wordFreqs(docs(spark, dir))))
+      .select(concat(col("a"), col("b")).as("pair"), col("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(BpePairK)
+
+  val x66Sql: String =
+    s"""WITH wf AS (SELECT tok, count(*) AS f
+       |            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |            WHERE length(tok) > 0 GROUP BY tok),
+       |p AS (SELECT substr(tok, CAST(i AS BIGINT), 2) AS pair, f
+       |      FROM wf, unnest(range(1, length(tok))) AS u(i)
+       |      WHERE length(tok) >= 2)
+       |SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+       |FROM p GROUP BY pair
+       |ORDER BY cnt DESC, pair LIMIT $BpePairK""".stripMargin
 }

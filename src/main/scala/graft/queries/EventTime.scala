@@ -130,4 +130,78 @@ object EventTime {
     """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k, event_type
       |FROM events WHERE CAST(props->>'$.k' AS BIGINT) % 10 = 0
       |ORDER BY event_id""".stripMargin
+
+  // ---- Q55: time-series gap fill with linear interpolation ---------------
+
+  /** Hourly spine per event type (bounded by observed min/max hour) with
+    * missing hours linearly interpolated between the neighboring observed
+    * hours — the standard sensor/metrics densification ETL. All arithmetic
+    * is exact integer cents and hour indexes, with every operand
+    * non-negative so truncating and flooring division agree across
+    * engines (the q49 rule): interp = (next·Δprev + prev·Δnext) div Δ.
+    *
+    * Scale shape: the aggregation is one partial+final shuffle; the spine
+    * and window partitions are bounded by CALENDAR HOURS × types, not by
+    * data volume — at 100 TB the per-type window holds ~10⁵ rows (a decade
+    * of hours) regardless of corpus size, so the per-partition sort never
+    * inherits the corpus (the x39 criterion). */
+  private val HourMicros = 3600L * 1000000L
+
+  def q55GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ag = t(spark, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(expr("sum(cents) div count(1)").as("avg_cents"))
+    val spine = ag.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val w  = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsH = when(col("avg_cents").isNotNull, col("h"))
+    spine.join(ag, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), col("avg_cents"),
+        last(col("avg_cents"), ignoreNulls = true).over(wp).as("prev_c"),
+        last(obsH, ignoreNulls = true).over(wp).as("prev_h"),
+        first(col("avg_cents"), ignoreNulls = true).over(wn).as("next_c"),
+        first(obsH, ignoreNulls = true).over(wn).as("next_h"))
+      .select(col("event_type"), col("h").cast("timestamp_ntz").as("h"),
+        when(col("avg_cents").isNotNull, col("avg_cents"))
+          .otherwise(expr(
+            s"""(next_c * (unix_micros(h) div $HourMicros - unix_micros(prev_h) div $HourMicros)
+               | + prev_c * (unix_micros(next_h) div $HourMicros - unix_micros(h) div $HourMicros))
+               | div (unix_micros(next_h) div $HourMicros - unix_micros(prev_h) div $HourMicros)"""
+              .stripMargin))
+          .as("cents"),
+        col("avg_cents").isNull.as("is_gap"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  val q55Sql: String =
+    """WITH ag AS (
+      |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+      |    CAST(CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) // count(*) AS BIGINT) AS avg_cents
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM ag GROUP BY 1),
+      |spine AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 hour)) AS h FROM bounds),
+      |j AS (SELECT s.event_type, s.h, a.avg_cents
+      |      FROM spine s LEFT JOIN ag a ON s.event_type = a.event_type AND s.h = a.h),
+      |wd AS (SELECT event_type, h, avg_cents,
+      |  last_value(avg_cents IGNORE NULLS) OVER wp AS prev_c,
+      |  epoch_us(last_value(CASE WHEN avg_cents IS NOT NULL THEN h END IGNORE NULLS) OVER wp) // 3600000000 AS pi,
+      |  first_value(avg_cents IGNORE NULLS) OVER wn AS next_c,
+      |  epoch_us(first_value(CASE WHEN avg_cents IS NOT NULL THEN h END IGNORE NULLS) OVER wn) // 3600000000 AS ni,
+      |  epoch_us(h) // 3600000000 AS hi
+      |  FROM j
+      |  WINDOW wp AS (PARTITION BY event_type ORDER BY h
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wn AS (PARTITION BY event_type ORDER BY h
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_type, h,
+      |  CAST(CASE WHEN avg_cents IS NOT NULL THEN avg_cents
+      |       ELSE (next_c * (hi - pi) + prev_c * (ni - hi)) // (ni - pi) END AS BIGINT) AS cents,
+      |  avg_cents IS NULL AS is_gap
+      |FROM wd ORDER BY event_type, h""".stripMargin
 }

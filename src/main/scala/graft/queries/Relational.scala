@@ -967,4 +967,78 @@ object Relational {
        |  est_cnt >= true_cnt AS one_sided_ok
        |FROM est ORDER BY tok""".stripMargin
   }
+
+  // ---- Q53: HLL sketch build → merge → estimate gate ---------------------
+
+  /** Mergeable distinct-count sketches — the 100 TB shape for COUNT(DISTINCT)
+    * rollups: per-nation Datasketches HLL sketches of ordering customers are
+    * built in one pass (partial+final agg), then UNIONED up to region level
+    * without ever revisiting the raw rows. The estimate is gated against the
+    * exact per-region distinct in-plan (q36's sketch-gate contract: the
+    * oracle scores the exact value + the gate verdict, since DuckDB cannot
+    * reproduce Datasketches bytes). lgK=12 → ~1.6% standard error; the gate
+    * allows 5% + 2. */
+  def q53HllUnion(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val ordCust = t(spark, dir, "orders")
+      .select(col("o_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+    val nat = t(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val perNation = ordCust
+      .groupBy(col("c_nationkey"))
+      .agg(expr("hll_sketch_agg(c_custkey, 12)").as("sk"),
+           expr("count(distinct c_custkey)").as("n_exact_nation"))
+    perNation
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey").as("region_key"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+           sum(col("n_exact_nation")).as("n_exact"))
+      .select(col("region_key"), col("n_exact").cast(LongType).as("n_customers"),
+        (abs(col("est") - col("n_exact")) <= col("n_exact") * lit(0.05) + lit(2.0))
+          .as("within_err"))
+      .orderBy(col("region_key"))
+  }
+
+  /** Customers are partitioned by nation, so the per-nation exact distincts
+    * sum to the per-region exact distinct — which is what the engine's
+    * n_customers column carries; within_err is the sketch-gate verdict. */
+  val q53Sql: String =
+    """SELECT n_regionkey AS region_key,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+      |  true AS within_err
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY region_key""".stripMargin
+
+  // ---- Q54: distribution window functions --------------------------------
+
+  /** ntile / percent_rank / cume_dist over a deterministic (unique-key
+    * tie-broken) ordering. With a unique ORDER BY, percent_rank is
+    * (rn-1)/(n-1) and cume_dist is rn/n — single IEEE divisions of exact
+    * integers, so the doubles are bit-identical across engines. One window
+    * sort per partition; at scale the partition key (priority) fans out
+    * across executors and no partition exceeds its natural share. */
+  def q54DistFns(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast(LongType).as("bucket4"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q54Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  ntile(4) OVER w AS bucket4,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
 }

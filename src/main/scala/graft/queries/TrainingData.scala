@@ -401,4 +401,74 @@ object TrainingData {
   val q36Sql: String =
     """SELECT o_orderpriority, true AS within_rank
       |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
+  // ---- X65: multimodal frame sampling ----------------------------------
+
+  /** Fixed-stride frame extraction from binary payloads
+    * ([[graft.multimodal.BinaryMedia.frameSample]]) scored end-to-end:
+    * payload → ≤[[FrameMax]] frames of [[FrameBytes]] bytes → per-frame
+    * md5 + length. Pure column ops (transform/substring over binary), so
+    * at 100 TB the sampling is embarrassingly parallel with zero shuffle —
+    * the only exchange is the final presentation sort, which real
+    * pipelines drop. The corpus text is ASCII (asserted by the hash match
+    * itself: octet == char positions), letting DuckDB replicate byte
+    * slices with substr on VARCHAR. */
+  val FrameBytes = 64
+  val FrameMax   = 8
+
+  def x65FrameSample(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.BinaryMedia.frameSample(
+        docs(spark, dir).select(col("doc_id"),
+          col("text").cast(org.apache.spark.sql.types.BinaryType).as("payload")),
+        FrameBytes, FrameMax)
+      .select(col("doc_id"), posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(col("frame")).as("frame_md5"),
+        octet_length(col("frame")).cast("long").as("n_bytes"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val x65Sql: String = {
+    val f = FrameBytes
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0),
+       |fr AS (SELECT doc_id, text, n,
+       |         unnest(range(0, least((n + ${f - 1})//$f, $FrameMax))) AS i
+       |       FROM d)
+       |SELECT doc_id, i AS frame_idx,
+       |  md5(substr(text, CAST(i*$f+1 AS BIGINT), $f)) AS frame_md5,
+       |  CAST(least($f, n - i*$f) AS BIGINT) AS n_bytes
+       |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
+  // ---- X67: multi-resolution decontamination span ladder ---------------
+
+  /** x38 answers WHO is contaminated; this answers HOW BADLY — the longest
+    * shared-span level per contaminated doc, separating incidental phrase
+    * overlap (span 3) from verbatim benchmark inclusion (span 8/16).
+    * Monotone pruning: levels above the first scan only the previous
+    * level's matches, never the corpus ([[Curation.deconSpanLadder]]). */
+  val DeconLevels = Seq(3, 8, 16)
+
+  def x67DeconSpan(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Curation.deconSpanLadder(
+      d.filter(col("doc_id") % 97 =!= 0),
+      d.filter(col("doc_id") % 97 === 0), DeconLevels)
+      .orderBy(col("doc_id"))
+  }
+
+  val x67Sql: String = {
+    val tk = "SELECT doc_id, string_split(text, ' ') AS ts FROM documents"
+    def lvl(n: Int): String =
+      s"""SELECT DISTINCT c.doc_id, CAST($n AS BIGINT) AS span FROM
+         |  (SELECT DISTINCT doc_id, array_to_string(ts[i : i+${n - 1}], ' ') AS s
+         |   FROM tk, unnest(range(1, len(ts) - ${n - 2})) AS u(i)
+         |   WHERE len(ts) >= $n AND doc_id % 97 <> 0) c
+         |  JOIN (SELECT DISTINCT array_to_string(ts[i : i+${n - 1}], ' ') AS s
+         |        FROM tk, unnest(range(1, len(ts) - ${n - 2})) AS u(i)
+         |        WHERE len(ts) >= $n AND doc_id % 97 = 0) p USING (s)""".stripMargin
+    s"""WITH tk AS ($tk)
+       |SELECT doc_id, max(span) AS span_max FROM (
+       |${DeconLevels.map(lvl).mkString("", "\nUNION ALL\n", "")}
+       |) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

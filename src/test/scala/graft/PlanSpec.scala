@@ -134,6 +134,40 @@ class PlanSpec extends AnyFunSuite {
       s"prefix-sum window must be keyed by (rng, lang), never lang alone:\n$packing")
   }
 
+  test("q53: HLL sketches build with a map-side partial; nation joins broadcast") {
+    val plan = planOf(Relational.q53HllUnion(spark, sf))
+    assert(plan.contains("partial_hllsketchagg") || plan.contains("partial_"),
+      s"sketch build must combine map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 25-row nation table must broadcast:\n$plan")
+  }
+
+  test("q55: gap-fill aggregation combines map-side; windows are keyed per type") {
+    val plan = planOf(graft.queries.EventTime.q55GapFill(spark, sf))
+    assert("partial_".r.findAllIn(plan).size >= 1,
+      s"the hourly agg must have a map-side partial (events never shuffle raw):\n$plan")
+    assert(plan.contains("windowspecdefinition(event_type"),
+      s"fill windows must partition by event_type:\n$plan")
+  }
+
+  test("x65: frame sampling is shuffle-free up to the presentation sort") {
+    val plan = planOf(graft.queries.TrainingData.x65FrameSample(spark, sf))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"frame extraction must not shuffle (pure column ops):\n$plan")
+  }
+
+  test("x67: each ladder level is computed once (checkpointed), final agg is the only exchange") {
+    // the per-level broadcast join happens upstream of each eager
+    // localCheckpoint (same broadcast-probe shape PlanSpec pins for x38's
+    // operator); the final frame must read the three checkpointed match
+    // lists — never recompute them — and add only the max-agg exchange
+    val plan = planOf(graft.queries.TrainingData.x67DeconSpan(spark, sf))
+    assert("Scan ExistingRDD".r.findAllIn(plan).size == 3,
+      s"expected the 3 checkpointed level outputs:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"only the groupBy(max) may shuffle:\n$plan")
+  }
+
   test("runtime bloom filter: a selective dim filter is pushed to the fact side as a bloom probe") {
     // The 100 TB shuffle-join shape: when the dim side is too big to
     // broadcast, Spark can still build a bloom filter from the filtered dim
