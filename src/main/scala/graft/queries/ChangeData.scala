@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+
+/** Change-data-capture, timeline, and user-journey queries over the
+  * `events` table, treating it as a keyed change log (key = user_id,
+  * version = (ts, event_id), op = event_type with 'error' as the delete
+  * tombstone). These are the warehouse-maintenance shapes the reference's
+  * idempotent-append ETL (dags/etl.py:70-89) grows into at scale: CDC
+  * latest-wins compaction, SCD2 validity intervals, interval concurrency,
+  * exact medians, and funnel attribution.
+  *
+  * Cross-engine determinism: event timestamps are compared ONLY after the
+  * ns→µs truncation both engines apply (`Tables.events` / DuckDB
+  * `CAST(ts AS TIMESTAMP)`), and every ordering carries the unique
+  * event_id tiebreak.
+  */
+object ChangeData {
+
+  private def changes(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").select(
+      col("user_id"), col("event_type"), col("ts"), col("event_id"),
+      round(col("value") * 100).cast(LongType).as("cents"))
+
+  // ---- Q56: CDC latest-wins merge ---------------------------------------
+
+  /** Compact a change log to current state: one row per key carrying the
+    * LATEST change's payload, with keys whose latest op is the delete
+    * tombstone dropped — the MERGE INTO / CDC-compaction core.
+    *
+    * Scale shape: latest-wins is expressed as `max_by(payload, version)` —
+    * a commutative, associative aggregate that combines MAP-SIDE and needs
+    * exactly one shuffle on the key, instead of the window-sort
+    * (`row_number() ... rn=1`) formulation whose per-key sort buffers the
+    * whole partition. At 100 TB with a hot key (a bot user), partial
+    * aggregation collapses each map task's copies to one row before the
+    * exchange; the window form would ship them all. */
+  def q56CdcMerge(spark: SparkSession, dir: String): DataFrame =
+    changes(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_type").as("t"), col("cents").as("c")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .filter(col("last.t") =!= "error")
+      .select(col("user_id"), col("last.t").as("last_type"),
+        col("last.c").as("last_cents"))
+      .orderBy(col("user_id"))
+
+  /** The oracle uses the window formulation — same answer, the form the
+    * engine deliberately avoids (see scaladoc). */
+  val q56Sql: String =
+    """SELECT user_id, event_type AS last_type,
+      |  CAST(round(value*100) AS BIGINT) AS last_cents
+      |FROM (SELECT user_id, event_type, value,
+      |        row_number() OVER (PARTITION BY user_id
+      |                           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
+  // ---- Q57: SCD2 validity intervals --------------------------------------
+
+  /** Slowly-changing-dimension type 2: every change becomes a versioned row
+    * with [valid_from, valid_to) bounds — valid_to is the NEXT change's
+    * timestamp, null (open) for the current version.
+    *
+    * Scale shape: one window per key ordered by version; partition size is
+    * the per-key change count (bounded by user activity, not corpus size),
+    * so the sort never inherits the table. */
+  def q57Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    changes(spark, dir)
+      .select(col("user_id"), col("event_id").as("change_id"),
+        col("event_type"), col("cents"),
+        col("ts").cast("timestamp_ntz").as("valid_from"),
+        lead(col("ts"), 1).over(w).cast("timestamp_ntz").as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("user_id"), col("valid_from"), col("change_id"))
+  }
+
+  val q57Sql: String =
+    """SELECT user_id, event_id AS change_id, event_type,
+      |  CAST(round(value*100) AS BIGINT) AS cents,
+      |  CAST(ts AS TIMESTAMP) AS valid_from,
+      |  lead(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+      |  lead(ts) OVER w IS NULL AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |ORDER BY user_id, valid_from, change_id""".stripMargin
+
+  // ---- Q58: sweep-line interval concurrency ------------------------------
+
+  /** Peak concurrency per event type: treat each event as a half-open
+    * 30-minute interval [ts, ts+30m) and sweep — +1 at each start, −1 at
+    * each end (ends sort before starts at the same instant), max of the
+    * running sum.
+    *
+    * Scale shape — the x39 rule applied to a sweep: a running sum keyed by
+    * event_type alone would serialize the dominant type into ONE task's
+    * sort. Instead the point set is range-partitioned by the full sweep
+    * order (type, t, delta, id); each partition prefix-sums locally
+    * (window keyed by (rng, type), never type alone), per-partition totals
+    * — one tiny row per (rng, type) — cumulate into offsets, and
+    * offset + local sum is the exact global running sum for any range
+    * boundaries. The per-type max then reduces map-side. */
+  def q58SweepConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"), col("ts"), col("event_id"))
+    val pts = ev.select(col("event_type"), col("ts").as("t"),
+        lit(1).as("delta"), col("event_id"))
+      .unionByName(ev.select(col("event_type"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("t"),
+        lit(-1).as("delta"), col("event_id")))
+    val ranged = pts
+      .repartitionByRange(col("event_type"), col("t"), col("delta"), col("event_id"))
+      .withColumn("rng", spark_partition_id())
+    val wLocal = Window.partitionBy(col("rng"), col("event_type"))
+      .orderBy(col("t"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("run", sum(col("delta")).over(wLocal))
+    val wOff = Window.partitionBy(col("event_type")).orderBy(col("rng"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("rng"), col("event_type"))
+      .agg(sum(col("delta")).as("tot"))
+      .withColumn("offset", coalesce(sum(col("tot")).over(wOff), lit(0L)))
+      .select(col("rng"), col("event_type"), col("offset"))
+    local.join(broadcast(offsets), Seq("rng", "event_type"))
+      .select(col("event_type"), (col("run") + col("offset")).as("conc"))
+      .groupBy(col("event_type"))
+      .agg(max(col("conc")).cast(LongType).as("max_concurrent"),
+           expr("count(1) div 2").as("n_intervals"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The oracle sweeps with one per-type window — fine at oracle scale;
+    * ties within (t, delta) don't affect the max because tied deltas share
+    * a sign (any tie order yields the same partial-sum set). */
+  val q58Sql: String =
+    """WITH pts AS (
+      |  SELECT event_type, CAST(ts AS TIMESTAMP) AS t, 1 AS delta FROM events
+      |  UNION ALL
+      |  SELECT event_type, CAST(ts AS TIMESTAMP) + INTERVAL '30 minutes', -1 FROM events),
+      |r AS (SELECT event_type,
+      |        sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+      |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      |      FROM pts)
+      |SELECT event_type, CAST(max(conc) AS BIGINT) AS max_concurrent,
+      |  CAST(count(*) // 2 AS BIGINT) AS n_intervals
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- Q59: exact median by value-domain counting ------------------------
+
+  /** Exact (lower) median per event type without any data-sized sort:
+    * count per distinct VALUE, cumulate over the value domain, and pick the
+    * first value whose cumulative count reaches ⌈n/2⌉.
+    *
+    * Scale shape: the only corpus-sized operation is the (type, cents)
+    * count — partial+final, map-side combinable. The cumulative window runs
+    * over the DISTINCT-VALUE table, whose size is the value domain (cents
+    * of bounded magnitude), not the row count — the classic exact-median
+    * shape for 100 TB where sort-based median is a full global sort and
+    * approx_percentile is inexact. */
+  def q59ExactMedian(spark: SparkSession, dir: String): DataFrame = {
+    val c = changes(spark, dir).select(col("event_type"), col("cents"))
+    val counts = c.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = c.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    counts.withColumn("cum", sum(col("cnt")).over(w))
+      .join(broadcast(totals), "event_type")
+      .groupBy(col("event_type"), col("n"))
+      .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("cents")))
+        .as("median_cents"))
+      .select(col("event_type"), col("n"), col("median_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val q59Sql: String =
+    """WITH c AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents FROM events),
+      |g AS (SELECT event_type, cents, count(*) AS cnt FROM c GROUP BY 1, 2),
+      |cum AS (SELECT event_type, cents,
+      |          sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum
+      |        FROM g),
+      |tot AS (SELECT event_type, count(*) AS n FROM c GROUP BY 1)
+      |SELECT t.event_type, CAST(t.n AS BIGINT) AS n,
+      |  min(CASE WHEN cum >= (t.n + 1) // 2 THEN cents END) AS median_cents
+      |FROM cum JOIN tot t USING (event_type)
+      |GROUP BY t.event_type, t.n ORDER BY t.event_type""".stripMargin
+
+  // ---- Q60: ordered funnel ----------------------------------------------
+
+  /** Three-stage ordered funnel (view → click → purchase): a user reaches
+    * stage k only via events STRICTLY AFTER their stage-(k−1) entry time.
+    * The product-analytics attribution query.
+    *
+    * Scale shape: each stage is filter → groupBy(user).min(ts) — partial
+    * aggregation collapses per-user events map-side — joined to the
+    * previous stage's frame on user_id. All three shuffles hash the SAME
+    * key, so the stage frames arrive co-partitioned and AQE reuses the
+    * exchange layout; no window, no per-user event-list materialization. */
+  def q60Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(name).as("stage"), col("n_users"))
+    stage(s1, "1_view")
+      .unionByName(stage(s2, "2_click"))
+      .unionByName(stage(s3, "3_purchase"))
+      .orderBy(col("stage"))
+  }
+
+  val q60Sql: String =
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+      |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+      |UNION ALL
+      |SELECT '2_click', CAST(count(*) AS BIGINT) FROM s2
+      |UNION ALL
+      |SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM s3
+      |ORDER BY stage""".stripMargin
+}

@@ -1041,4 +1041,44 @@ object Relational {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
+
+  // ---- Q61: z-order (Morton curve) locality audit -------------------------
+
+  /** Z-order clustering key over (l_partkey, l_suppkey) — the multi-dim
+    * data-layout primitive: interleave the low 16 bits of each dimension
+    * into a Morton code, bucket the curve, and report each bucket's
+    * per-dimension min/max envelope. Tight envelopes are exactly what makes
+    * z-ordered files skippable by BOTH predicates' min/max stats, which a
+    * single-column sort gives only for its leading column.
+    *
+    * Scale shape: the Morton code is a pure codegen'd projection (a 16-step
+    * `aggregate` fold over bit positions — no UDF); the audit aggregation is
+    * one partial+final shuffle on the bucket. In production the code feeds
+    * `repartitionByRange(z)` + sortWithinPartitions before the write — the
+    * layout move itself; this query scores the code + envelope math. */
+  def q61ZOrder(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(expr("l_partkey & 65535").as("p"),
+              expr("cast(l_suppkey as bigint) & 65535").as("s"))
+      .withColumn("z", expr(
+        """aggregate(sequence(0, 15), 0L,
+          |  (acc, i) -> acc + shiftleft(shiftright(p, i) & 1L, 2*i)
+          |             + shiftleft(shiftright(s, i) & 1L, 2*i + 1))""".stripMargin))
+      .groupBy(expr("z div 262144").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+           min(col("p")).as("p_min"), max(col("p")).as("p_max"),
+           min(col("s")).as("s_min"), max(col("s")).as("s_max"))
+      .orderBy(col("bucket"))
+
+  val q61Sql: String =
+    """WITH b AS (SELECT l_partkey & 65535 AS p,
+      |                  CAST(l_suppkey AS BIGINT) & 65535 AS s FROM lineitem),
+      |z AS (SELECT p, s,
+      |        CAST(list_aggregate(list_transform(range(0, 16),
+      |          i -> (((p >> i) & 1) << (2*i)) + (((s >> i) & 1) << (2*i + 1))),
+      |          'sum') AS BIGINT) AS z
+      |      FROM b)
+      |SELECT z // 262144 AS bucket, CAST(count(*) AS BIGINT) AS n,
+      |  min(p) AS p_min, max(p) AS p_max, min(s) AS s_min, max(s) AS s_max
+      |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
 }

@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.ChangeData
+
+/** Reference laws for the change-data/journey battery (q56–q60): each
+  * distributed formulation is replayed by a small driver-side reference on
+  * the sf0.001 events and must agree exactly. */
+class ChangeDataSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // (user_id, event_type, ts_micros, event_id, cents) — the same µs
+  // truncation + cents rounding the queries apply
+  private lazy val evs: Seq[(Long, String, Long, Long, Long)] =
+    Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "unix_micros(ts)", "event_id",
+        "cast(round(value * 100) as bigint)")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+
+  test("q56: latest-wins merge matches a driver-side reference replay") {
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (u, changes) =>
+      val last = changes.maxBy { case (_, _, ts, id, _) => (ts, id) }
+      if (last._2 == "error") None else Some((u, last._2, last._5))
+    }.sortBy(_._1)
+    val got = ChangeData.q56CdcMerge(spark, sf)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q57: SCD2 intervals chain (valid_to = next valid_from) and close exactly once per key") {
+    val rows = ChangeData.q57Scd2(spark, sf)
+      .selectExpr("user_id", "change_id",
+        "unix_micros(cast(valid_from as timestamp))",
+        "coalesce(unix_micros(cast(valid_to as timestamp)), -1)", "is_current")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    rows.groupBy(_._1).foreach { case (u, vs) =>
+      val s = vs.sortBy(r => (r._3, r._2))
+      // every version but the last ends where the next begins; only the
+      // last is open/current
+      s.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 == b._3 && !a._5, s"user $u: broken chain")
+        case _         => ()
+      }
+      assert(s.last._4 == -1 && s.last._5, s"user $u: last version must be open")
+      assert(s.count(_._5) == 1, s"user $u: exactly one current version")
+    }
+    assert(rows.length == evs.length)
+  }
+
+  test("q58: hierarchical sweep equals a driver-side single-pass sweep") {
+    val want = evs.groupBy(_._2).toSeq.map { case (tpe, es) =>
+      val pts = es.flatMap { case (_, _, ts, id, _) =>
+        Seq((ts, 1, id), (ts + 30L * 60 * 1000000, -1, id))
+      }.sortBy { case (t, d, id) => (t, d, id) }
+      val sums = pts.scanLeft(0L) { case (acc, (_, d, _)) => acc + d }.drop(1)
+      (tpe, sums.max, es.length.toLong)
+    }.sortBy(_._1)
+    val got = ChangeData.q58SweepConcurrency(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q59: value-domain median equals the sort-based lower median") {
+    val want = evs.groupBy(_._2).toSeq.map { case (tpe, es) =>
+      val sorted = es.map(_._5).sorted
+      (tpe, es.length.toLong, sorted((es.length + 1) / 2 - 1))
+    }.sortBy(_._1)
+    val got = ChangeData.q59ExactMedian(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q60: funnel stages match a reference replay and are monotone") {
+    val byUser = evs.groupBy(_._1)
+    def minAfter(tpe: String, after: Map[Long, Long]): Map[Long, Long] =
+      after.flatMap { case (u, gate) =>
+        byUser(u).collect { case (_, t, s, _, _) if t == tpe && s > gate => s }
+          .minOption.map(u -> _)
+      }
+    val s1 = byUser.flatMap { case (u, es) =>
+      es.collect { case (_, "view", s, _, _) => s }.minOption.map(u -> _) }
+    val s2 = minAfter("click", s1)
+    val s3 = minAfter("purchase", s2)
+    val got = ChangeData.q60Funnel(spark, sf).as[(String, Long)].collect().toSeq
+    assert(got == Seq(("1_view", s1.size.toLong), ("2_click", s2.size.toLong),
+      ("3_purchase", s3.size.toLong)))
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse, "funnel must be monotone")
+  }
+}

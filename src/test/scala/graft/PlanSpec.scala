@@ -168,6 +168,39 @@ class PlanSpec extends AnyFunSuite {
       s"only the groupBy(max) may shuffle:\n$plan")
   }
 
+  test("q56: latest-wins merge is a partial+final max_by agg, never a window sort") {
+    val plan = planOf(graft.queries.ChangeData.q56CdcMerge(spark, sf))
+    assert(plan.contains("partial_max_by"),
+      s"latest-wins must combine map-side:\n$plan")
+    assert(!plan.contains("Window"),
+      s"CDC merge must not fall back to the row_number window form:\n$plan")
+  }
+
+  test("q58: sweep running sum is keyed by (rng, event_type), never type alone") {
+    val plan = planOf(graft.queries.ChangeData.q58SweepConcurrency(spark, sf))
+    assert(plan.contains("windowspecdefinition(rng"),
+      s"running sum must be range-partitioned (the x39 rule):\n$plan")
+    // the only type-alone window allowed is the offsets cumulation, which
+    // runs on the (rng, type) TOTALS — one row per range — and whose result
+    // joins back by broadcast
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offsets must broadcast back to the point set:\n$plan")
+  }
+
+  test("q59: the corpus-sized op is one partial+final count; the window runs on the value domain") {
+    val plan = planOf(graft.queries.ChangeData.q59ExactMedian(spark, sf))
+    assert(plan.contains("partial_count"),
+      s"the (type, value) count must combine map-side:\n$plan")
+  }
+
+  test("q61: z-order audit is a pure projection plus one hash-agg exchange") {
+    val plan = planOf(Relational.q61ZOrder(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"only the bucket agg may hash-shuffle (the Morton code is a projection):\n$plan")
+    assert(plan.contains("aggregate(") && !plan.contains("UDF"),
+      s"the Morton fold must be an expression, not a UDF:\n$plan")
+  }
+
   test("runtime bloom filter: a selective dim filter is pushed to the fact side as a bloom probe") {
     // The 100 TB shuffle-join shape: when the dim side is too big to
     // broadcast, Spark can still build a bloom filter from the filtered dim
