@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Latest-wins keyed state maintenance — the CDC-upsert counterpart of
+  * [[DedupAppend]] (which is insert-only): a state table holds exactly one
+  * row per key, and merging a change batch keeps, per key, the row with the
+  * highest version. Delete tombstones stay IN the state (so a replayed
+  * older upsert can never resurrect a deleted key); readers filter them via
+  * [[current]].
+  *
+  * The algebra is what makes the streaming form exact: `max_by(payload,
+  * version)` is a commutative, idempotent monoid, so folding change batches
+  * in ANY order — or re-delivering any of them — yields the same state as
+  * one batch compaction over the full log (law-tested in
+  * StreamingIngestSpec). Per batch it is one map-side-combinable agg on the
+  * key: hot keys collapse before the exchange.
+  *
+  * Scale note: the state table is KEY-cardinality-sized, not log-sized. At
+  * 100 TB the overwrite below becomes a partition-level swap (hash-bucket
+  * the state by key, rewrite only buckets the batch touches); the merge
+  * algebra is unchanged.
+  */
+object UpsertState {
+
+  /** One row per key: the payload of the highest-version change. */
+  def compact(changes: DataFrame, keys: Seq[String], version: Seq[String]): DataFrame = {
+    val payload = changes.columns.filterNot(keys.contains).toSeq
+    changes.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), struct(version.map(col): _*))
+        .as("last"))
+      .select(keys.map(col) ++ payload.map(c => col(s"last.$c").as(c)): _*)
+  }
+
+  /** Merge one change batch into the state table at `statePath`
+    * (creating it on first use). Idempotent under batch re-delivery. */
+  def merge(spark: SparkSession, batch: DataFrame, statePath: String,
+            keys: Seq[String], version: Seq[String]): Unit = {
+    val existing =
+      if (new java.io.File(statePath).exists) spark.read.parquet(statePath)
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema)
+    val merged = compact(existing.unionByName(batch), keys, version)
+      // materialize before overwriting the directory being read
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(statePath)
+  }
+
+  /** The live view: state minus delete tombstones. */
+  def current(state: DataFrame, opCol: String, deleteOp: String): DataFrame =
+    state.filter(col(opCol) =!= deleteOp)
+}

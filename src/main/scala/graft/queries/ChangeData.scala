@@ -224,6 +224,47 @@ object ChangeData {
       .orderBy(col("stage"))
   }
 
+  // ---- Q63: incremental aggregate-rollup maintenance ---------------------
+
+  /** Maintain a daily rollup across ingestion batches WITHOUT recomputing
+    * history: each load rolls up only its own rows to per-(type, day)
+    * partials (n, sum, max — all re-aggregable metrics), and the
+    * maintained table is the MERGE of partials: sum of counts, sum of
+    * sums, max of maxes. Scored as two simulated loads (split on
+    * event_id parity, so the same (type, day) group receives rows from
+    * BOTH loads and the merge is a genuine partial combine, not a
+    * disjoint union).
+    *
+    * Scale shape: at 100 TB the nightly delta is the only data-sized
+    * input — its rollup is one partial+final agg over the NEW batch; the
+    * merge runs on two ROLLUP-sized frames (types × days). The law that
+    * makes this valid is re-aggregability: every metric here is a
+    * commutative monoid, so merged partials ≡ the full recompute (which
+    * is exactly what the oracle runs). */
+  def q63IncrementalRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = changes(spark, dir).select(col("event_type"),
+      to_date(col("ts")).as("d"), col("cents"), col("event_id"))
+    def load(pred: org.apache.spark.sql.Column): DataFrame =
+      ev.filter(pred).groupBy(col("event_type"), col("d"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+             max(col("cents")).as("max_cents"))
+    load(col("event_id") % 2 === 0)
+      .unionByName(load(col("event_id") % 2 === 1))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"),
+           max(col("max_cents")).as("max_cents"))
+      .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("d"),
+        col("n"), col("sum_cents"), col("max_cents"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  /** The oracle recomputes from scratch — the equivalence IS the law. */
+  val q63Sql: String =
+    """SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, count(*) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(max(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS max_cents
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, d""".stripMargin
+
   val q60Sql: String =
     """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
       |s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),

@@ -217,6 +217,49 @@ object Extended {
       |GROUP BY c_mktsegment, o_orderstatus
       |ORDER BY c_mktsegment, o_orderstatus""".stripMargin
 
+  /** Q62 — DYNAMIC partition pruning, scored end-to-end: lineitem is
+    * written month-partitioned (q35's layout), then joined to a dim frame
+    * whose month set is only known at RUNTIME (filtered on derived dim
+    * attributes, then distinct'd). Spark inserts a
+    * `dynamicpruningexpression` subquery into the fact scan's
+    * PartitionFilters — the dim side executes first and only the 3
+    * surviving month directories are ever read (asserted inline via
+    * require, the static-pruning counterpart of q35). At 100 TB this is
+    * THE star-schema join shape: the fact scan is bounded by the dim
+    * filter's selectivity without any static predicate on the fact. */
+  def q62Dpp(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q62_").toFile
+    try {
+      val path = new java.io.File(tmp, "lineitem_by_month").getAbsolutePath
+      TableLayout.writeLineitemByMonth(t(spark, dir, "lineitem"), path)
+      val fact = TableLayout.read(spark, path)
+      val dim = t(spark, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"),
+          year(col("o_orderdate")).as("y"), quarter(col("o_orderdate")).as("q"))
+        .filter(col("y") === 1997 && col("q") === 2)
+        .select(col("ship_month")).distinct()
+      val joined = fact.join(dim, "ship_month")
+      require(joined.queryExecution.executedPlan.toString
+          .contains("dynamicpruningexpression"),
+        "fact scan must carry a runtime partition-pruning subquery")
+      val res = joined.groupBy(col("ship_month"))
+        .agg(count(lit(1)).as("n_items"),
+             sumMoney2(col("l_extendedprice")).as("revenue"))
+      val rows = res.collectAsList()
+      spark.createDataFrame(rows, res.schema).orderBy(col("ship_month"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  val q62Sql: String =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE strftime(l_shipdate, '%Y-%m') IN (
+      |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') FROM orders
+      |  WHERE year(o_orderdate) = 1997 AND quarter(o_orderdate) = 2)
+      |GROUP BY 1 ORDER BY ship_month""".stripMargin
+
   def q35PartitionedScan(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_q35_").toFile
     try {

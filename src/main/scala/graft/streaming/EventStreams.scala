@@ -220,6 +220,36 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Streaming CDC-UPSERT gate — the latest-wins counterpart of
+    * [[ingestFlares]] (which is insert-only): each micro-batch of landed
+    * change records merges into a one-row-per-key state table via
+    * [[graft.operators.UpsertState.merge]]. Because latest-wins
+    * (`max_by(payload, version)`) is a commutative idempotent monoid, the
+    * streamed fold equals one batch compaction of the whole change log
+    * REGARDLESS of how the log was sliced into batches, and re-delivered
+    * batches are no-ops — at-least-once delivery is safe without any
+    * pairing of checkpoint and sink (StreamingIngestSpec law). Delete
+    * tombstones ride along in the state; [[graft.operators.UpsertState
+    * .current]] is the live view. */
+  def cdcUpsertStream(spark: SparkSession, landingDir: String, statePath: String,
+                      checkpointDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val changeSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("ts_us", LongType), StructField("event_id", LongType),
+      StructField("cents", LongType)))
+    val q = spark.readStream.schema(changeSchema).json(landingDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.UpsertState.merge(batch.sparkSession, batch.toDF(),
+          statePath, keys = Seq("user_id"), version = Seq("ts_us", "event_id"))
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Event-time sessionization with explicit per-user state
     * (flatMapGroupsWithState + EventTimeTimeout): emits one row per CLOSED
     * session. A session closes two ways:

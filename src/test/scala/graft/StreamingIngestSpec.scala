@@ -65,6 +65,48 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(corpus).count() == docs.count())
   }
 
+  test("streaming CDC gate: streamed latest-wins state equals batch compaction; re-delivery is a no-op") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_cdc_stream_")
+    val landing = root.resolve("landing"); Files.createDirectories(landing)
+    val state = root.resolve("state").toString
+    val ckpt = root.resolve("ckpt").toString
+    val log = Tables.t(spark, sf, "events").selectExpr(
+      "user_id", "event_type", "unix_micros(ts) as ts_us", "event_id",
+      "cast(round(value * 100) as bigint) as cents")
+    def land(name: String, pred: org.apache.spark.sql.Column): Unit =
+      Files.writeString(landing.resolve(name),
+        log.filter(pred).toJSON.collect().mkString("\n"))
+    // three arrival slices keyed by event parity/thirds — NOT by time, so
+    // per-key versions interleave across batches and order-independence of
+    // the merge is actually exercised
+    land("b1.json", col("event_id") % 3 === 0)
+    EventStreams.cdcUpsertStream(spark, landing.toString, state, ckpt)
+    land("b2.json", col("event_id") % 3 === 1)
+    EventStreams.cdcUpsertStream(spark, landing.toString, state, ckpt)
+    land("b3.json", col("event_id") % 3 === 2)
+    EventStreams.cdcUpsertStream(spark, landing.toString, state, ckpt)
+    def snapshot(): Set[(Long, String, Long, Long, Long)] =
+      spark.read.parquet(state).collect().map(r =>
+        (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+          r.getAs[Long]("ts_us"), r.getAs[Long]("event_id"),
+          r.getAs[Long]("cents"))).toSet
+    val streamed = snapshot()
+    val batch = graft.operators.UpsertState
+      .compact(log, keys = Seq("user_id"), version = Seq("ts_us", "event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // re-deliver slice 1 under a new name: the merge must be a no-op
+    land("b1_replay.json", col("event_id") % 3 === 0)
+    EventStreams.cdcUpsertStream(spark, landing.toString, state, ckpt)
+    assert(snapshot() == batch, "re-delivered batch must not change state")
+    // live view drops tombstoned keys
+    val live = graft.operators.UpsertState
+      .current(spark.read.parquet(state), "event_type", "error")
+    assert(live.count() == batch.count(_._2 != "error"))
+  }
+
   test("streaming segment gate: streamed batches reproduce batch segment dedup") {
     import org.apache.spark.sql.functions.col
     val root = Files.createTempDirectory("graft_seg_stream_")
