@@ -50,4 +50,39 @@ object UpsertState {
   /** The live view: state minus delete tombstones. */
   def current(state: DataFrame, opCol: String, deleteOp: String): DataFrame =
     state.filter(col(opCol) =!= deleteOp)
+
+  /** The 100 TB form of [[merge]]: state lives hash-bucketed by key
+    * (`bucket=` directory partitions) and a batch rewrites ONLY the
+    * buckets its keys touch — via dynamic partition overwrite, Spark's
+    * native partition-swap. Everything else is unchanged algebra, so
+    * mergeBucketed ≡ merge row-for-row (law-tested in ChangeDataSpec,
+    * which also asserts untouched bucket files are physically left
+    * alone).
+    *
+    * The touched-bucket id list is collected to the driver — bounded by
+    * `nBuckets`, never by data. Bucket count trades rewrite granularity
+    * against small files; at 100 TB pick buckets ~ state size / 1 GiB. */
+  def mergeBucketed(spark: SparkSession, batch: DataFrame, statePath: String,
+                    keys: Seq[String], version: Seq[String],
+                    nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val withBucket = batch.withColumn("bucket",
+      pmod(hash(keys.map(col): _*), lit(nBuckets)))
+    val touched = withBucket.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val existingTouched =
+      if (new java.io.File(statePath).exists)
+        spark.read.parquet(statePath)
+          .filter(col("bucket").isin(touched: _*)) // prunes to touched dirs
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), withBucket.schema)
+    val merged = compact(existingTouched.unionByName(withBucket),
+        keys :+ "bucket", version)
+      .localCheckpoint(true) // materialize before overwriting dirs being read
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      merged.write.mode("overwrite").partitionBy("bucket").parquet(statePath)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
 }

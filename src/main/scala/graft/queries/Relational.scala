@@ -1051,19 +1051,31 @@ object Relational {
     * z-ordered files skippable by BOTH predicates' min/max stats, which a
     * single-column sort gives only for its leading column.
     *
-    * Scale shape: the Morton code is a pure codegen'd projection (a 16-step
-    * `aggregate` fold over bit positions — no UDF); the audit aggregation is
-    * one partial+final shuffle on the bucket. In production the code feeds
+    * Scale shape: the Morton code is a pure integer projection built from
+    * the classic shift-and-mask bit spread (4 shift/or/and steps per
+    * dimension) — plain codegen'd arithmetic, deliberately NOT an
+    * `aggregate` fold over bit positions (higher-order array functions
+    * don't participate in whole-stage codegen; the fold form measured 3.1 s
+    * at sf0.1 — BASELINE.md records the spread's time). The audit
+    * aggregation is one
+    * partial+final shuffle on the bucket. In production the code feeds
     * `repartitionByRange(z)` + sortWithinPartitions before the write — the
     * layout move itself; this query scores the code + envelope math. */
   def q61ZOrder(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .select(expr("l_partkey & 65535").as("p"),
               expr("cast(l_suppkey as bigint) & 65535").as("s"))
-      .withColumn("z", expr(
-        """aggregate(sequence(0, 15), 0L,
-          |  (acc, i) -> acc + shiftleft(shiftright(p, i) & 1L, 2*i)
-          |             + shiftleft(shiftright(s, i) & 1L, 2*i + 1))""".stripMargin))
+      // spread 16 bits of each dim to even positions: 0x00FF00FF,
+      // 0x0F0F0F0F, 0x33333333, 0x55555555
+      .withColumn("ps", expr("(p | shiftleft(p, 8)) & 16711935"))
+      .withColumn("ps", expr("(ps | shiftleft(ps, 4)) & 252645135"))
+      .withColumn("ps", expr("(ps | shiftleft(ps, 2)) & 858993459"))
+      .withColumn("ps", expr("(ps | shiftleft(ps, 1)) & 1431655765"))
+      .withColumn("ss", expr("(s | shiftleft(s, 8)) & 16711935"))
+      .withColumn("ss", expr("(ss | shiftleft(ss, 4)) & 252645135"))
+      .withColumn("ss", expr("(ss | shiftleft(ss, 2)) & 858993459"))
+      .withColumn("ss", expr("(ss | shiftleft(ss, 1)) & 1431655765"))
+      .withColumn("z", expr("ps + shiftleft(ss, 1)"))
       .groupBy(expr("z div 262144").as("bucket"))
       .agg(count(lit(1)).as("n"),
            min(col("p")).as("p_min"), max(col("p")).as("p_max"),

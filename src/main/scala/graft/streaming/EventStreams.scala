@@ -250,6 +250,32 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Streaming ROLLUP-maintenance gate — materialized-view maintenance as
+    * a stream: each micro-batch's partial rollup merges into the
+    * maintained daily table via [[graft.operators.RollupState.merge]];
+    * history is never recomputed. Unlike [[cdcUpsertStream]], sums are NOT
+    * idempotent under re-delivery, so this gate leans on the checkpoint's
+    * exactly-once-per-file guarantee (see RollupState's scaladoc for the
+    * contrast — it decides which gate goes where in a pipeline).
+    * StreamingIngestSpec asserts streamed slices ≡ the full recompute. */
+  def rollupMaintainStream(spark: SparkSession, landingDir: String,
+                           rollupPath: String, checkpointDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val changeSchema = StructType(Seq(
+      StructField("event_type", StringType), StructField("ts_us", LongType),
+      StructField("cents", LongType)))
+    val q = spark.readStream.schema(changeSchema).json(landingDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.RollupState.merge(batch.sparkSession,
+          graft.operators.RollupState.partial(batch.toDF()), rollupPath)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Event-time sessionization with explicit per-user state
     * (flatMapGroupsWithState + EventTimeTimeout): emits one row per CLOSED
     * session. A session closes two ways:

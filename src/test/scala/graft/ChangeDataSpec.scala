@@ -74,6 +74,47 @@ class ChangeDataSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("bucketed upsert state: partition-swap merge equals the flat merge; untouched buckets untouched") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_bucketed_state_")
+    val state = root.resolve("state").toString
+    val log = Tables.t(spark, sf, "events").selectExpr(
+      "user_id", "event_type", "unix_micros(ts) as ts_us", "event_id",
+      "cast(round(value * 100) as bigint) as cents")
+    val keys = Seq("user_id"); val ver = Seq("ts_us", "event_id")
+    // three interleaved slices merge bucket-wise…
+    for (m <- 0 to 2)
+      graft.operators.UpsertState.mergeBucketed(spark,
+        log.filter(col("event_id") % 3 === m), state, keys, ver, nBuckets = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "event_type", "ts_us", "event_id", "cents")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val want = rows(graft.operators.UpsertState.compact(log, keys, ver))
+    assert(rows(spark.read.parquet(state)) == want && want.nonEmpty)
+    // …and a single-key batch rewrites ONLY that key's bucket directory
+    def files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(state)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    val before = files()
+    val one = log.orderBy(col("event_id")).limit(1) // re-delivery: state-invariant
+    graft.operators.UpsertState.mergeBucketed(spark, one, state, keys, ver, nBuckets = 8)
+    assert(rows(spark.read.parquet(state)) == want)
+    val touchedBucket = one.select(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(col("user_id")),
+        org.apache.spark.sql.functions.lit(8))).head().getInt(0)
+    val untouchedBefore = before.filterNot(_._1.contains(s"bucket=$touchedBucket"))
+    val after = files()
+    untouchedBefore.foreach { case (p, m) =>
+      assert(after.get(p).contains(m), s"untouched bucket file rewritten: $p")
+    }
+    graft.util.Fs.deleteTree(root.toFile)
+  }
+
   test("q60: funnel stages match a reference replay and are monotone") {
     val byUser = evs.groupBy(_._1)
     def minAfter(tpe: String, after: Map[Long, Long]): Map[Long, Long] =

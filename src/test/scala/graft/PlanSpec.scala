@@ -197,8 +197,32 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(Relational.q61ZOrder(spark, sf))
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
       s"only the bucket agg may hash-shuffle (the Morton code is a projection):\n$plan")
-    assert(plan.contains("aggregate(") && !plan.contains("UDF"),
-      s"the Morton fold must be an expression, not a UDF:\n$plan")
+    // the bit spread must be plain integer arithmetic — no higher-order
+    // array function (those don't join whole-stage codegen)
+    assert(!plan.contains("lambdafunction") && !plan.contains("UDF"),
+      s"the Morton code must be codegen-able arithmetic:\n$plan")
+  }
+
+  test("q61: the bit-spread Morton code equals the per-bit fold") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val rows = graft.Tables.t(spark, sf, "lineitem")
+      .select(expr("l_partkey & 65535").as("p"),
+              expr("cast(l_suppkey as bigint) & 65535").as("s"))
+      .withColumn("ps", expr("(p | shiftleft(p, 8)) & 16711935"))
+      .withColumn("ps", expr("(ps | shiftleft(ps, 4)) & 252645135"))
+      .withColumn("ps", expr("(ps | shiftleft(ps, 2)) & 858993459"))
+      .withColumn("ps", expr("(ps | shiftleft(ps, 1)) & 1431655765"))
+      .withColumn("ss", expr("(s | shiftleft(s, 8)) & 16711935"))
+      .withColumn("ss", expr("(ss | shiftleft(ss, 4)) & 252645135"))
+      .withColumn("ss", expr("(ss | shiftleft(ss, 2)) & 858993459"))
+      .withColumn("ss", expr("(ss | shiftleft(ss, 1)) & 1431655765"))
+      .withColumn("z_spread", expr("ps + shiftleft(ss, 1)"))
+      .withColumn("z_fold", expr(
+        """aggregate(sequence(0, 15), 0L,
+          |  (acc, i) -> acc + shiftleft(shiftright(p, i) & 1L, 2*i)
+          |             + shiftleft(shiftright(s, i) & 1L, 2*i + 1))""".stripMargin))
+      .filter(col("z_spread") =!= col("z_fold"))
+    assert(rows.count() == 0, "bit spread must equal the per-bit fold")
   }
 
   test("runtime bloom filter: a selective dim filter is pushed to the fact side as a bloom probe") {

@@ -107,6 +107,48 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(live.count() == batch.count(_._2 != "error"))
   }
 
+  test("streaming rollup gate: streamed partials merge to the full recompute") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_rollup_stream_")
+    val landing = root.resolve("landing"); Files.createDirectories(landing)
+    val rollup = root.resolve("rollup").toString
+    val ckpt = root.resolve("ckpt").toString
+    val log = Tables.t(spark, sf, "events").selectExpr(
+      "event_type", "unix_micros(ts) as ts_us",
+      "cast(round(value * 100) as bigint) as cents", "event_id")
+    def land(name: String, pred: org.apache.spark.sql.Column): Unit =
+      Files.writeString(landing.resolve(name),
+        log.filter(pred).drop("event_id").toJSON.collect().mkString("\n"))
+    // parity slices: the same (type, day) group receives rows from every
+    // slice, so the merge is a genuine partial combine
+    land("b1.json", col("event_id") % 3 === 0)
+    EventStreams.rollupMaintainStream(spark, landing.toString, rollup, ckpt)
+    land("b2.json", col("event_id") % 3 === 1)
+    EventStreams.rollupMaintainStream(spark, landing.toString, rollup, ckpt)
+    land("b3.json", col("event_id") % 3 === 2)
+    EventStreams.rollupMaintainStream(spark, landing.toString, rollup, ckpt)
+    def snapshot(): Set[(String, String, Long, Long, Long)] =
+      spark.read.parquet(rollup).collect().map(r =>
+        (r.getAs[String]("event_type"), r.getAs[String]("d"),
+          r.getAs[Long]("n"), r.getAs[Long]("sum_cents"),
+          r.getAs[Long]("max_cents"))).toSet
+    val streamed = snapshot()
+    val full = log.selectExpr("event_type",
+        "date_format(timestamp_micros(ts_us), 'yyyy-MM-dd') as d", "cents")
+      .groupBy(col("event_type"), col("d"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(col("cents")).as("sum_cents"),
+        org.apache.spark.sql.functions.max(col("cents")).as("max_cents"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == full && full.nonEmpty)
+    // a rerun with no new files must not change the table (checkpoint:
+    // exactly-once per landed file — the guarantee sums depend on)
+    EventStreams.rollupMaintainStream(spark, landing.toString, rollup, ckpt)
+    assert(snapshot() == full)
+  }
+
   test("streaming segment gate: streamed batches reproduce batch segment dedup") {
     import org.apache.spark.sql.functions.col
     val root = Files.createTempDirectory("graft_seg_stream_")
