@@ -14,13 +14,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   *
   * This is the supported extension surface for function/rule/strategy
-  * injection; the engine needs only the one fused expression (the rest of
-  * the library is deliberately stock Catalyst — SURVEY.md §4.3).
+  * injection; the engine keeps it minimal (the rest of the library is
+  * deliberately stock Catalyst — SURVEY.md §4.3): one fused expression and
+  * one optimizer rule ([[graft.plans.LatestWinsRewrite]] — top-1-per-key
+  * windows become map-side-combinable max_by/min_by aggregations).
   * `graft.functions.CosineUnits.register` remains as the imperative
   * fallback for sessions built without the config.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.LatestWinsRewrite)
     ext.injectFunction((
       FunctionIdentifier("cosine_units"),
       new ExpressionInfo(

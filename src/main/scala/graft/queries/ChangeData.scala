@@ -224,6 +224,39 @@ object ChangeData {
       .orderBy(col("stage"))
   }
 
+  // ---- Q64: latest-wins spelled as a window — the optimizer rewrites it --
+
+  /** The SAME latest-wins semantics as q56 but deliberately SPELLED the
+    * window way (`row_number() = 1`) — because that's how users write it.
+    * The engine's [[graft.plans.LatestWinsRewrite]] optimizer rule turns
+    * this into the map-side-combinable `max_by` aggregation q56 hand-writes
+    * (asserted below: no Window survives optimization), so the 100 TB
+    * hot-key/sort hazards of the window form never reach execution. Scored
+    * per key-PAIR (user, type) — the "current value per metric" table —
+    * to keep it distinct from q56's per-user state. */
+  def q64LatestWinsRule(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val res = changes(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("cents").as("last_cents"))
+      .orderBy(col("user_id"), col("event_type"))
+    require(!res.queryExecution.optimizedPlan.toString.contains("Window"),
+      "LatestWinsRewrite must eliminate the window")
+    res
+  }
+
+  val q64Sql: String =
+    """SELECT user_id, event_type, CAST(round(value*100) AS BIGINT) AS last_cents
+      |FROM (SELECT user_id, event_type, value,
+      |        row_number() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
   // ---- Q63: incremental aggregate-rollup maintenance ---------------------
 
   /** Maintain a daily rollup across ingestion batches WITHOUT recomputing
