@@ -20,14 +20,22 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is TIMESTAMP(NANOS) in the parquet footer, which Spark's
-    * vectorized reader rejects. Read nanos as raw longs and floor-truncate to
-    * microsecond timestamps — the same ns→µs truncation DuckDB applies when
-    * it casts TIMESTAMP_NS to TIMESTAMP, so both engines see identical values. */
+  /** `events.ts` has shipped in two physical forms across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    * read nanos as raw longs via `nanosAsLong` and floor-truncate to µs, the
+    * same truncation DuckDB applies casting TIMESTAMP_NS to TIMESTAMP) and
+    * plain TIMESTAMP(MICROS) with no UTC flag (read natively as
+    * TIMESTAMP_NTZ). Adapt on the read schema so both generations load to
+    * identical session-TZ timestamps (session TZ is pinned UTC everywhere,
+    * so the NTZ→LTZ cast is instant-preserving). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Exact decimal(18,2) view of a double column (per-value rounding is

@@ -16,20 +16,24 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Raw parquet schema of the events landing dir (ts int64-nanos, read as
-    * long then truncated to µs — same convention as Tables.events). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** Open the landing dir as a stream. */
+  /** Open the landing dir as a stream. A file stream needs a declared
+    * schema, and `events.ts` has shipped both as int64-nanos and as plain
+    * TIMESTAMP(MICROS) NTZ across testdata generations (see Tables.events) —
+    * so sniff the physical schema from the existing footers once (driver-side
+    * metadata read, no data scan) and normalize `ts` to a session-TZ
+    * timestamp the same way the batch loader does. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema)
+    val physical = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    val stream = spark.readStream.schema(physical)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    physical("ts").dataType match {
+      case LongType => stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => stream.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => stream
+    }
   }
 
   /** Tumbling 1-hour counts/sums with a 1-hour watermark. State is bounded:
