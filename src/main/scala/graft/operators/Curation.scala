@@ -163,6 +163,49 @@ object Curation {
     chunkSpans(cum, capacity)
   }
 
+  /** Deterministic balanced shard assignment for distributed training:
+    * documents are ranked globally by (token count desc, doc_id) and dealt
+    * round-robin onto `numShards` shards — longest-first round-robin is the
+    * streaming cousin of LPT scheduling: each shard receives every S-th
+    * document of the sorted size order, so shard token totals differ by at
+    * most one document per "round" of the deal and the heavy tail never
+    * lands on one shard. Returns one row per shard:
+    * (shard, n_docs, total_tokens).
+    *
+    * Determinism: the rank is over the total order (n_tok desc, doc_id),
+    * so assignment is partitioning-independent.
+    *
+    * Scale shape: the global rank is hierarchical, exactly like
+    * [[packChunks]]'s prefix sum — a global `row_number()` window would
+    * serialize the corpus into ONE task. Range-partition on the rank order
+    * itself (parallel external sort), per-range local row numbers, per-range
+    * row COUNTS (one tiny row per range) cumulate into rank offsets,
+    * broadcast back: offset + local row number = the exact global rank for
+    * any range boundaries. The per-shard rollup then combines map-side. */
+  def shardAssign(docs: DataFrame, numShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numShards > 0, s"numShards must be > 0, got $numShards")
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+    val ranged = toks
+      .repartitionByRange(col("n_tok").desc, col("doc_id"))
+      .withColumn("rng", spark_partition_id())
+    val wLocal = Window.partitionBy(col("rng"))
+      .orderBy(col("n_tok").desc, col("doc_id"))
+    val local = ranged
+      .withColumn("local_rn", row_number().over(wLocal).cast(LongType))
+    val wOff = Window.orderBy(col("rng"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("rng"))
+      .agg(count(lit(1)).as("range_n"))
+      .withColumn("offset", coalesce(sum(col("range_n")).over(wOff), lit(0L)))
+      .select(col("rng"), col("offset"))
+    local.join(broadcast(offsets), Seq("rng"))
+      .withColumn("shard", (col("offset") + col("local_rn") - 1) % numShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+  }
+
   /** The single-task-per-language window form of [[packChunks]] — kept as
     * the reference implementation for the hierarchical ≡ windowed law
     * (PropertySpec); not a production path (one task sorts and prefix-sums

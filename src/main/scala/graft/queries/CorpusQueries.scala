@@ -351,4 +351,31 @@ object CorpusQueries {
        |SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
        |FROM p GROUP BY pair
        |ORDER BY cnt DESC, pair LIMIT $BpePairK""".stripMargin
+
+  // ---- X68: balanced training-shard assignment -------------------------
+
+  /** Enough shards that balance quality is visible, few enough that every
+    * shard gets hundreds of documents at the correctness SF. */
+  val NumShards = 16
+
+  /** X68 — deal the corpus onto [[NumShards]] training shards, longest
+    * document first, round-robin by global size rank
+    * ([[graft.operators.Curation.shardAssign]]); the scored result is the
+    * per-shard (doc count, token total) balance sheet. The oracle spells
+    * the same assignment with a global `row_number()` window — the exact
+    * single-task form the engine's hierarchical rank avoids. */
+  def x68ShardPack(spark: SparkSession, dir: String): DataFrame =
+    Curation.shardAssign(docs(spark, dir), NumShards)
+      .orderBy(col("shard"))
+
+  val x68Sql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |           FROM documents),
+       |r AS (SELECT n_tok,
+       |        row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rn
+       |      FROM d)
+       |SELECT (rn - 1) % $NumShards AS shard, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
+       |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
 }

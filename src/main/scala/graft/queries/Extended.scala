@@ -354,4 +354,29 @@ object Extended {
        |${round("r2", "r3")}
        |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
   }
+
+  /** Q65 — 2-D skyline (Pareto frontier): the parts no other part beats on
+    * BOTH retail price and size (maximize both; ties don't dominate).
+    *
+    * Scale shape: [[graft.operators.Skyline.skyline2D]] — hash agg to one
+    * max-y per distinct x, a hierarchical (range-partitioned) strict-prefix
+    * max over x desc, and one membership equi join; linear in the input
+    * where the oracle's `NOT EXISTS` dominance probe is O(n²). The oracle
+    * keeps the quadratic form precisely because it is the independent
+    * spelling of the same semantics. */
+  def q65Skyline(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skyline
+      .skyline2D(t(spark, dir, "part"), "p_retailprice", "p_size")
+      .select(col("p_partkey"), col("p_retailprice"),
+        col("p_size").cast(LongType).as("p_size"))
+      .orderBy(col("p_partkey"))
+
+  val q65Sql: String =
+    """SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+      |FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE q.p_retailprice >= p.p_retailprice AND q.p_size >= p.p_size
+      |    AND (q.p_retailprice > p.p_retailprice OR q.p_size > p.p_size))
+      |ORDER BY p_partkey""".stripMargin
 }

@@ -227,6 +227,42 @@ class CurationSpec extends AnyFunSuite {
     assert(fps.count(_._1 == 2L) == 1)
   }
 
+  // ---- shardAssign ------------------------------------------------------
+
+  test("shardAssign: conservation, round-robin balance, hierarchical == global-window law") {
+    val rnd = new scala.util.Random(13)
+    val docs = mkDocs((1L to 200L).map { i =>
+      (i, "en", (1 to (1 + rnd.nextInt(30))).map(j => s"w$j").mkString(" "))
+    }: _*)
+    val S = 7
+    val got = Curation.shardAssign(docs.repartition(5), S)
+      .orderBy($"shard").as[(Long, Long, Long)].collect().toSeq
+    // every shard hit; doc counts differ by at most 1 (round-robin deal)
+    assert(got.map(_._1) == (0L until S.toLong))
+    val counts = got.map(_._2)
+    assert(counts.max - counts.min <= 1)
+    assert(counts.sum == 200L)
+    // token conservation
+    val totalTok = docs.select(sum(size(split($"text", " ")).cast("long")))
+      .as[Long].head()
+    assert(got.map(_._3).sum == totalTok)
+    // law: hierarchical rank == the single-task global row_number form
+    val wGlobal = org.apache.spark.sql.expressions.Window
+      .orderBy(size(split($"text", " ")).cast("long").desc, $"doc_id")
+    val ref = docs
+      .withColumn("rn", row_number().over(wGlobal).cast("long"))
+      .withColumn("shard", ($"rn" - 1) % S)
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " ")).cast("long")).as("total_tokens"))
+      .orderBy($"shard").as[(Long, Long, Long)].collect().toSeq
+    assert(got == ref)
+    // partitioning independence
+    val re = Curation.shardAssign(docs.repartition(11), S)
+      .orderBy($"shard").as[(Long, Long, Long)].collect().toSeq
+    assert(got == re)
+  }
+
   // ---- edge cases -------------------------------------------------------
 
   test("edge cases: empty inputs flow through every curation operator") {
@@ -235,6 +271,7 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.decontaminate(empty, empty, 3).count() == 0)
     assert(Curation.boilerplateNgrams(empty, 3, 1L).count() == 0)
     assert(Curation.packChunks(empty, 16).count() == 0)
+    assert(Curation.shardAssign(empty, 4).count() == 0)
     assert(Curation.fuzzyPairs(emptyDt, 3, 0.2).count() == 0)
     assert(Curation.winnow(emptyDt, 3, 4).count() == 0)
     assert(Curation.segmentDedup(emptyDt, 8).count() == 0)
