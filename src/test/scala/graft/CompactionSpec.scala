@@ -71,6 +71,32 @@ class CompactionSpec extends AnyFunSuite {
     } finally Fs.deleteTree(new java.io.File(tmp))
   }
 
+  test("Maintenance.appendCycle: compaction self-triggers past maxFiles, swap preserves dedup semantics") {
+    val tmp = Files.createTempDirectory("graft-append-cycle").toFile.getAbsolutePath
+    try {
+      val docs = Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
+      val table = s"$tmp/table"
+      val counts = (0 until 6).map { i =>
+        val b = docs.filter(pmod(col("doc_id"), lit(6)) === i)
+        graft.operators.Maintenance.appendCycle(spark, b, table,
+          keys = Seq("doc_id"), tieBreak = Nil,
+          maxFiles = 6, targetFileBytes = Long.MaxValue)
+      }
+      // the cycle compacted at least once (file count fell back to 1 after
+      // a cycle that crossed maxFiles) and never ends a cycle above the
+      // bound + one batch's worth of new files
+      assert(counts.contains(1L), s"expected a compacting cycle in $counts")
+      // a full re-delivery AFTER a swap: conflict skip still sees every key
+      val after = graft.operators.Maintenance.appendCycle(spark, docs, table,
+        keys = Seq("doc_id"), tieBreak = Nil,
+        maxFiles = 6, targetFileBytes = Long.MaxValue)
+      val got = spark.read.parquet(table).orderBy(col("doc_id")).collect().toSeq
+      val want = docs.orderBy(col("doc_id")).collect().toSeq
+      assert(got == want, "table must hold each key exactly once after re-delivery")
+      assert(after >= 1L)
+    } finally Fs.deleteTree(new java.io.File(tmp))
+  }
+
   test("compactPartitioned: preserves partCol=value layout and contents") {
     val tmp = Files.createTempDirectory("graft-compact-part").toFile.getAbsolutePath
     try {
