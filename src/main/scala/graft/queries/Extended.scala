@@ -379,4 +379,73 @@ object Extended {
       |  WHERE q.p_retailprice >= p.p_retailprice AND q.p_size >= p.p_size
       |    AND (q.p_retailprice > p.p_retailprice OR q.p_size > p.p_size))
       |ORDER BY p_partkey""".stripMargin
+
+  /** Q66 — triangle counting on the nation co-transaction graph (the same
+    * undirected edge set q49 ranks: customer-nation —lineitem— supplier-
+    * nation, canonical a < b, self-loops dropped).
+    *
+    * Scale shape — degree-oriented wedge join ("compact-forward"): every
+    * edge is directed from its lower-(degree, id) endpoint, wedges are
+    * generated ONLY at each edge pair's common lowest vertex, and a wedge
+    * closes iff its canonical (v1, v2) is itself an oriented edge. Two equi
+    * joins, no Cartesian anywhere. The orientation is the whole story at
+    * 100 TB: wedge fan-out is Σ out-deg² and out-degrees are bounded by
+    * ~√m under (deg, id) orientation, so a hub with degree d generates
+    * O(m) wedges instead of d² — the difference between a social-graph hub
+    * exploding the join and the plan staying linear-ish (O(m^1.5) worst
+    * case, the optimal bound for exact triangle counting). The oracle
+    * spells the orientation-free three-way self-join on canonical edges —
+    * the independent quadratic form of the same count. */
+  def q66Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val or = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cu = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast(LongType).as("cn"))
+    val su = t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").cast(LongType).as("sn"))
+    val e = li.join(or, col("l_orderkey") === col("o_orderkey"))
+      .join(cu, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("cn") =!= col("sn"))
+      .select(least(col("cn"), col("sn")).as("a"),
+              greatest(col("cn"), col("sn")).as("b"))
+      .distinct()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    // orient each edge from its lower-(deg, id) endpoint
+    val o = e
+      .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("s"), col("b").as("t"), col("db").as("dt")))
+          .otherwise(
+            struct(col("b").as("s"), col("a").as("t"), col("da").as("dt")))
+          .as("e"))
+      .select(col("e.s").as("u"), col("e.t").as("v"), col("e.dt").as("dv"))
+    // wedges at the common low vertex, canonical (v1 < v2 in (deg, id))
+    val e1 = o.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+    val e2 = o.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
+    val wedges = e1.join(e2, "u")
+      .filter(struct(col("d1"), col("v1")) < struct(col("d2"), col("v2")))
+    // a wedge closes iff its (v1, v2) is an oriented edge itself
+    val closing = o.select(col("u").as("v1"), col("v").as("v2"))
+    wedges.join(closing, Seq("v1", "v2"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val q66Sql: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT
+      |    least(CAST(c.c_nationkey AS BIGINT), CAST(s.s_nationkey AS BIGINT)) AS a,
+      |    greatest(CAST(c.c_nationkey AS BIGINT), CAST(s.s_nationkey AS BIGINT)) AS b
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey)
+      |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM e0 e1
+      |JOIN e0 e2 ON e2.a = e1.a AND e2.b > e1.b
+      |JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b""".stripMargin
 }

@@ -363,6 +363,57 @@ object LlmData {
 
   val x35Sql: String = clustersSqlFor("documents")
 
+  // ---- X69: the dedup ACTION — keep-best per near-dup cluster ----------
+
+  /** X69 — turn cluster labels into a keep/drop decision: per near-dup
+    * cluster, keep the member with the highest x25 quality score (doc_id
+    * asc tie-break) and report (cluster_id, keep_id, n_members,
+    * n_dropped). x35 says WHICH docs co-refer; x69 says which one
+    * SURVIVES — the step that actually shrinks the corpus.
+    *
+    * Scale shape: clusters (LSH mining + union-find contraction, the x35
+    * machinery) + a pure quality projection + ONE `max_by(doc_id,
+    * (score, -doc_id))` aggregate — commutative/associative, combines
+    * map-side, never sorts a cluster's members (the window spelling the
+    * oracle uses would). Scored on the half corpus (doc_id ≡ 0 mod 2)
+    * like x44 — the battery already pays full-corpus mining in x21/x35;
+    * determinism of the double score is exactly x25's law. */
+  def x69ClusterKeep(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).filter(pmod(col("doc_id"), lit(2)) === 0)
+    val clusters = TextDedup.nearDupClusters(d, JaccThreshold)
+    val quality = graft.operators.Curation.qualityScore(d)
+      .select(col("doc_id"), col("score"))
+    clusters.join(quality, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(col("doc_id"),
+          struct(col("score"), (-col("doc_id")).as("nid"))).as("keep_id"),
+        count(lit(1)).as("n_members"))
+      .withColumn("n_dropped", col("n_members") - 1)
+      .orderBy(col("cluster_id"))
+  }
+
+  val x69Sql: String = {
+    val half = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"
+    s"""WITH RECURSIVE
+       |${clustersCtesFor(half)},
+       |c AS (SELECT id AS doc_id, min(label) AS cluster_id
+       |      FROM reach GROUP BY id),
+       |q AS (SELECT doc_id,
+       |        0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+       |          + 0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |                   / len(string_split(text, ' '))) AS score
+       |      FROM $half),
+       |r AS (SELECT c.cluster_id, c.doc_id,
+       |        row_number() OVER (PARTITION BY c.cluster_id
+       |                           ORDER BY q.score DESC, c.doc_id ASC) AS rn,
+       |        count(*) OVER (PARTITION BY c.cluster_id) AS nm
+       |      FROM c JOIN q USING (doc_id))
+       |SELECT cluster_id, doc_id AS keep_id, nm AS n_members,
+       |  nm - 1 AS n_dropped
+       |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+  }
+
   // ---- X37: incremental dedup clusters (fold law, hash-gated) ----------
 
   /** The production append scenario, scored end-to-end: an existing store
