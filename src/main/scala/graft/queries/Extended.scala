@@ -434,6 +434,47 @@ object Extended {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Q67 — the as-of join in its MERGE form: tag both sides, union, one
+    * per-key window pass. Same answer as q19 (the oracle is literally
+    * q19's SQL — the hash gate proves merge ≡ join-aggregate), different
+    * asymptotics: q19's equi join materializes every (event × prior-order)
+    * pair before the partial agg collapses them — per key that is
+    * |events|·|orders| rows through the join; this form interleaves the
+    * two sides in event-time order and carries the latest order forward
+    * with `last(…, ignoreNulls)`, so per key the cost is
+    * |events| + |orders|, sorted once. At 100 TB, a bot user with 10⁵
+    * events × 10³ orders is 10⁸ joined rows in q19's shape and 10⁵ + 10³
+    * here. Partition = per-user activity (q57's boundedness argument);
+    * orders sort before events at equal timestamps (side 0 < 1) to keep
+    * `<=` inclusive, and orderkey-asc makes the carried value the max
+    * (date, key) struct — q19's exact tie-break. */
+  def q67AsofMerge(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        lit(1).as("side"), col("event_id"),
+        lit(null).cast("struct<o_orderdate:timestamp,o_orderkey:bigint>").as("ord"))
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp").as("ts"),
+        lit(0).as("side"), lit(null).cast(LongType).as("event_id"),
+        struct(col("o_orderdate").cast("timestamp").as("o_orderdate"),
+               col("o_orderkey")).as("ord"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("ord.o_orderkey").asc_nulls_last,
+               col("event_id").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionByName(e)
+      .withColumn("best", last(col("ord"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("best").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("best.o_orderkey").as("asof_orderkey"),
+        col("best.o_orderdate").cast("timestamp_ntz").as("asof_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  /** The oracle is q19's: the two forms must be indistinguishable. */
+  val q67Sql: String = q19Sql
+
   val q66Sql: String =
     """WITH e0 AS (
       |  SELECT DISTINCT

@@ -71,6 +71,22 @@ class GraphSpec extends AnyFunSuite {
     assert(Extended.q66Triangles(spark, sf).as[Long].head() > 0L)
   }
 
+  test("q67: merge-form as-of equals q19's join-aggregate form row for row") {
+    val a = Extended.q19AsofJoin(spark, sf).collect().toSeq
+    val b = Extended.q67AsofMerge(spark, sf).collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("q67 plan: no join — one union, per-user window, single hash exchange shape") {
+    val plan = Extended.q67AsofMerge(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"merge form must not join:\n$plan")
+    assert(plan.contains("Union"), s"expected the tagged union:\n$plan")
+    val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(hashEx >= 1 && plan.contains("windowspecdefinition(user_id"),
+      s"expected the per-user window over one user_id exchange:\n$plan")
+  }
+
   test("x69: every keep_id is its cluster's argmax by (score, doc_id asc)") {
     val got = LlmData.x69ClusterKeep(spark, sf)
       .as[(Long, Long, Long, Long)].collect().toSeq
