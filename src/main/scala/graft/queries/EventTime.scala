@@ -204,4 +204,39 @@ object EventTime {
       |       ELSE (next_c * (hi - pi) + prev_c * (ni - hi)) // (ni - pi) END AS BIGINT) AS cents,
       |  avg_cents IS NULL AS is_gap
       |FROM wd ORDER BY event_type, h""".stripMargin
+
+  /** Q68 — running DISTINCT-user counts per event type and day. Spark (and
+    * SQL generally) has no `count(DISTINCT …) OVER (ORDER BY …)`; the
+    * engine spelling is first-seen reduction: `min(ts)` per (type, user) —
+    * a map-side-combinable agg, NOT a per-user window sort — assigns each
+    * user to the day they first appeared; a second hash agg counts debuts
+    * per day; a cumulative sum over the AGGREGATED frame finishes. The
+    * only window runs over |types| × |days| rows (rollup-sized, like
+    * x39's offset pass), never the corpus — that boundedness is the whole
+    * trick: every corpus-sized step is an associative aggregation. */
+  def q68RunningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .groupBy(col("event_type"),
+        date_trunc("day", col("first_ts")).as("day"))
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .withColumn("day", col("day").cast("timestamp_ntz"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q68Sql: String =
+    """WITH f AS (SELECT event_type, user_id,
+      |             min(CAST(ts AS TIMESTAMP)) AS first_ts
+      |           FROM events GROUP BY 1, 2),
+      |d AS (SELECT event_type, date_trunc('day', first_ts) AS day,
+      |        count(*) AS new_users
+      |      FROM f GROUP BY 1, 2)
+      |SELECT event_type, day, new_users,
+      |  CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+      |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      |FROM d ORDER BY event_type, day""".stripMargin
 }

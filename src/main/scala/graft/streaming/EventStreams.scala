@@ -356,4 +356,66 @@ object EventStreams {
     q.stop()
     spark.table(queryName)
   }
+
+  /** One micro-batch of as-of enrichment (q67's merge form over micro-µs
+    * longs): each event row gets the latest order at-or-before its
+    * timestamp. The history side is probe-restricted FIRST — a left-semi
+    * join on the batch's users — so per-trigger join work is proportional
+    * to the arriving users' order history, never the full orders table
+    * (the same restriction x37's incremental mining applies). */
+  private[graft] def asofEnrich(events: DataFrame, orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = events.select(col("user_id")).distinct()
+    val hist = orders.join(users, Seq("user_id"), "left_semi")
+      .select(col("user_id"), col("ts_us"), lit(0).as("side"),
+        lit(null).cast(LongType).as("event_id"),
+        struct(col("ts_us").as("o_ts_us"), col("o_orderkey")).as("ord"))
+    val ev = events.select(col("user_id"), col("ts_us"), lit(1).as("side"),
+      col("event_id"),
+      lit(null).cast("struct<o_ts_us:bigint,o_orderkey:bigint>").as("ord"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("side"), col("ord.o_orderkey").asc_nulls_last,
+               col("event_id").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.unionByName(ev)
+      .withColumn("best", last(col("ord"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("best").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("best.o_orderkey").as("asof_orderkey"),
+        col("best.o_ts_us").as("asof_ts_us"))
+  }
+
+  /** Streaming AS-OF enrichment gate — q67 as a stream: each event
+    * micro-batch is enriched against the maintained orders table via
+    * [[asofEnrich]] and appended to `outPath`.
+    *
+    * Law (StreamingIngestSpec): per-event enrichment depends only on the
+    * event's own row and the order HISTORY — never on other events — so
+    * with the orders table in place, ANY slicing of the event stream folds
+    * to the batch answer. The one hazard is a LATE ORDER: an order
+    * arriving after an event it should have enriched is a correction this
+    * append-only sink cannot retract — such repairs belong in
+    * [[cdcUpsertStream]]'s latest-wins state, not here (the same
+    * append-vs-upsert split DedupAppend/UpsertState document). Re-delivery
+    * safety comes from the checkpoint's exactly-once file-source progress,
+    * as in [[rollupMaintainStream]]. */
+  def asofEnrichStream(spark: SparkSession, landingDir: String,
+                       ordersPath: String, outPath: String,
+                       checkpointDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val eventSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts_us", LongType),
+      StructField("event_id", LongType)))
+    val q = spark.readStream.schema(eventSchema).json(landingDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        asofEnrich(batch.toDF(), sp.read.parquet(ordersPath))
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -253,4 +253,14 @@ class PlanSpec extends AnyFunSuite {
       case (k, None)    => conf.unset(k)
     }
   }
+
+  test("q68: corpus-sized steps are hash aggs; the only window is post-aggregation, never per-user") {
+    val plan = planOf(graft.queries.EventTime.q68RunningDistinct(spark, sf))
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, // 2 aggs × partial+final
+      s"first-seen and debut counts must be hash aggs:\n$plan")
+    val windows = "windowspecdefinition\\([^)]*\\)".r.findAllIn(plan).toList
+    assert(windows.nonEmpty && windows.forall(w =>
+      w.contains("event_type") && !w.contains("user_id")),
+      s"the cumulative window must run on the aggregated frame only:\n$windows")
+  }
 }

@@ -107,6 +107,41 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(live.count() == batch.count(_._2 != "error"))
   }
 
+  test("streaming as-of gate: any event slicing folds to the batch enrichment") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_asof_stream_")
+    val landing = root.resolve("landing"); Files.createDirectories(landing)
+    val ordersPath = root.resolve("orders").toString
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    Tables.t(spark, sf, "orders").selectExpr(
+      "o_custkey as user_id", "unix_micros(cast(o_orderdate as timestamp)) as ts_us",
+      "o_orderkey").write.parquet(ordersPath)
+    val events = Tables.t(spark, sf, "events").selectExpr(
+      "user_id", "unix_micros(ts) as ts_us", "event_id")
+    def land(name: String, pred: org.apache.spark.sql.Column): Unit =
+      Files.writeString(landing.resolve(name),
+        events.filter(pred).toJSON.collect().mkString("\n"))
+    // slices keyed by id parity — NOT time-ordered: per-event independence
+    // (each answer reads only history, never sibling events) is the law
+    land("e1.json", col("event_id") % 3 === 0)
+    EventStreams.asofEnrichStream(spark, landing.toString, ordersPath, out, ckpt)
+    land("e2.json", col("event_id") % 3 === 1)
+    EventStreams.asofEnrichStream(spark, landing.toString, ordersPath, out, ckpt)
+    land("e3.json", col("event_id") % 3 === 2)
+    EventStreams.asofEnrichStream(spark, landing.toString, ordersPath, out, ckpt)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("asof_orderkey"), r.getAs[Long]("asof_ts_us"))).toSet
+    val streamed = rows(spark.read.parquet(out))
+    val batch = rows(EventStreams.asofEnrich(events,
+      spark.read.parquet(ordersPath)))
+    assert(streamed == batch && batch.nonEmpty)
+    // the streamed answer also agrees with q19/q67's scored semantics:
+    // same keys as the batch merge restricted to enriched events
+    assert(streamed.map(_._1) == batch.map(_._1))
+  }
+
   test("streaming rollup gate: streamed partials merge to the full recompute") {
     import org.apache.spark.sql.functions.col
     val root = Files.createTempDirectory("graft_rollup_stream_")
