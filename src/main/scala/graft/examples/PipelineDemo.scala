@@ -88,6 +88,23 @@ object PipelineDemo {
       s"/${sem.count()} vectors; retrieval returned ${hits.count()} hits" +
       s" for ${hits.select(col("q_id")).distinct().count()} probes")
 
+    // 5. shipping: deal the gated corpus onto balanced training shards
+    //    (hierarchical global rank — the step after packing), and run the
+    //    table-maintenance loop (dedup-append micro-batches + self-
+    //    triggered compaction) the ingest side needs long-term.
+    val shards = graft.operators.Curation.shardAssign(gated, 8)
+    val skew = shards.agg(
+      (max(col("total_tokens")) - min(col("total_tokens"))).as("d")).first().getLong(0)
+    val mTable = Files.createTempDirectory("graft_demo_m_").toString + "/docs"
+    val fileCounts = (0 until 4).map { i =>
+      graft.operators.Maintenance.appendCycle(spark,
+        docs.filter(pmod(col("doc_id"), lit(4)) === i), mTable,
+        keys = Seq("doc_id"), tieBreak = Nil,
+        maxFiles = 6, targetFileBytes = 64L * 1024 * 1024)
+    }
+    println(s"[demo] sharding: 8 shards, max-min token spread $skew;" +
+      s" maintenance cycles ended at file counts ${fileCounts.mkString(",")}")
+
     spark.stop()
   }
 }

@@ -769,10 +769,14 @@ object Relational {
     val num = col("nd") * col("sxy") - col("sx") * col("sy")
     val dx  = col("nd") * col("sxx") - col("sx") * col("sx")
     val dy  = col("nd") * col("syy") - col("sy") * col("sy")
+    // round6: the sums are exact decimals, but the derived ratios chain
+    // several mul/sub/sqrt steps where engines may legally differ in the
+    // LAST ULP (e.g. FMA contraction of a*b - c*d) — observed once at
+    // sf0.001. Truncate to 1e-6 on BOTH sides (determinism rule 2).
     s.select(col("l_returnflag"), col("n"),
-        (num / sqrt(dx * dy)).as("corr"),
-        (num / dx).as("slope"),
-        ((col("sy") - num / dx * col("sx")) / col("nd")).as("icept"))
+        round6(num / sqrt(dx * dy)).as("corr"),
+        round6(num / dx).as("slope"),
+        round6((col("sy") - num / dx * col("sx")) / col("nd")).as("icept"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -786,9 +790,9 @@ object Relational {
       |               CAST(l_extendedprice AS DECIMAL(18,2)) AS y FROM lineitem)
       |  GROUP BY 1)
       |SELECT l_returnflag, n,
-      |  (nd*sxy - sx*sy) / sqrt((nd*sxx - sx*sx) * (nd*syy - sy*sy)) AS corr,
-      |  (nd*sxy - sx*sy) / (nd*sxx - sx*sx) AS slope,
-      |  (sy - (nd*sxy - sx*sy) / (nd*sxx - sx*sx) * sx) / nd AS icept
+      |  floor(((nd*sxy - sx*sy) / sqrt((nd*sxx - sx*sx) * (nd*syy - sy*sy))) * 1e6) / 1e6 AS corr,
+      |  floor(((nd*sxy - sx*sy) / (nd*sxx - sx*sx)) * 1e6) / 1e6 AS slope,
+      |  floor(((sy - (nd*sxy - sx*sy) / (nd*sxx - sx*sx) * sx) / nd) * 1e6) / 1e6 AS icept
       |FROM s ORDER BY l_returnflag""".stripMargin
 
   /** Q47 — null-skipping window navigation: lag(..., ignoreNulls) and
