@@ -456,6 +456,46 @@ object PropertySpec extends Properties("graft") {
         s"got=${got.take(5)} expected=${expected.take(5)}"
     }
 
+  property("skyline2D equals the quadratic dominance reference on random clouds") =
+    forAll(Gen.nonEmptyListOf(for {
+      id <- Gen.choose(1L, 10000L)
+      x <- Gen.choose(0L, 15L)
+      y <- Gen.choose(0L, 15L)
+    } yield (id, x, y))) { pts0 =>
+      val pts = pts0.distinctBy(_._1)
+      import spark.implicits._
+      val got = graft.operators.Skyline
+        .skyline2D(pts.toDF("id", "x", "y").repartition(3), "x", "y")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = pts.filter { case (_, x, y) =>
+        !pts.exists { case (_, qx, qy) =>
+          qx >= x && qy >= y && (qx > x || qy > y) }
+      }.toSet
+      Prop(got == expected) :| s"got=${got.take(5)} expected=${expected.take(5)}"
+    }
+
+  property("shardAssign conserves docs/tokens and equals the global-rank deal") =
+    forAll(
+      Gen.nonEmptyListOf(for {
+        id <- Gen.choose(1L, 10000L)
+        n <- Gen.choose(1, 40)
+      } yield (id, (1 to n).map(i => s"t$i").mkString(" "))),
+      Gen.choose(1, 9)) { (rows0, s) =>
+      val rows = rows0.distinctBy(_._1)
+      import spark.implicits._
+      val docs = rows.map { case (id, t) => (id, "en", t) }
+        .toDF("doc_id", "lang", "text")
+      val got = graft.operators.Curation.shardAssign(docs.repartition(3), s)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      val ranked = rows.map { case (id, t) =>
+        (id, t.split(" ").length.toLong) }.sortBy { case (id, n) => (-n, id) }
+      val expected = ranked.zipWithIndex
+        .map { case ((_, n), i) => (i.toLong % s, n) }
+        .groupBy(_._1).map { case (sh, g) =>
+          (sh, g.size.toLong, g.map(_._2).sum) }.toSeq.sorted
+      Prop(got == expected) :| s"s=$s got=$got expected=$expected"
+    }
+
   property("saltedSumCount equals the direct aggregation for any salt count") =
     forAll(
       Gen.nonEmptyListOf(for {
