@@ -32,4 +32,42 @@ class FileSourcesSpec extends AnyFunSuite {
   test("csv round-trip preserves schema and data")  { roundTrip("csv") }
   test("json round-trip preserves schema and data") { roundTrip("json") }
   test("orc round-trip preserves schema and data")  { roundTrip("orc") }
+
+  test("events loader: every physical ts generation loads to identical instants") {
+    // the regression class that actually bit in round 4: driver testdata
+    // regenerations have shipped events.ts as int64-NANOS (read as long
+    // under nanosAsLong), as TIMESTAMP(MICROS) NTZ, and Spark itself
+    // writes TIMESTAMP(MICROS) UTC-adjusted (LTZ). Tables.events must
+    // load all three to the same session-TZ instants.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-events-gen").toString
+    val cur = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts")).limit(200)
+    def dump(dir: String)(write: org.apache.spark.sql.DataFrame => Unit): Unit = {
+      new java.io.File(s"$tmp/$dir").mkdirs()
+      write(cur)
+    }
+    // generation A: raw int64 column (what a NANOS footer reads as under
+    // nanosAsLong=true) holding nanosecond ticks
+    dump("a")(df => df.select(col("event_id"),
+      (unix_micros(col("ts")) * 1000).as("ts"))
+      .write.mode("overwrite").parquet(s"$tmp/a/events.parquet"))
+    // generation B: TIMESTAMP_NTZ micros
+    dump("b")(df => df.select(col("event_id"),
+      col("ts").cast("timestamp_ntz").as("ts"))
+      .write.mode("overwrite").parquet(s"$tmp/b/events.parquet"))
+    // generation C: UTC-adjusted TIMESTAMP micros (Spark's own default)
+    dump("c")(df => df.select(col("event_id"), col("ts"))
+      .write.mode("overwrite").parquet(s"$tmp/c/events.parquet"))
+    try {
+      val want = cur.select(col("event_id"), unix_micros(col("ts")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (g <- Seq("a", "b", "c")) {
+        val got = Tables.events(spark, s"$tmp/$g")
+          .select(col("event_id"), unix_micros(col("ts")))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == want, s"generation $g drifted")
+      }
+    } finally graft.util.Fs.deleteTree(new java.io.File(tmp))
+  }
 }
