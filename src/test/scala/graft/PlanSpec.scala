@@ -254,6 +254,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x68 shardAssign: global rank is hierarchical — range exchange, rank windows keyed by rng") {
+    val plan = planOf(graft.operators.Curation.shardAssign(
+      Tables.t(spark, sf, "documents"), 16))
+    assert(plan.contains("rangepartitioning(n_tok"),
+      s"expected a range exchange on (n_tok desc, doc_id):\n$plan")
+    val windows = "windowspecdefinition\\([^)]*\\)".r.findAllIn(plan).toList
+    val ranking = windows.filter(w => w.contains("n_tok") && w.contains("DESC"))
+    assert(ranking.nonEmpty && ranking.forall(_.contains("rng")),
+      s"the corpus-sized rank window must be keyed by rng:\n$windows")
+  }
+
+  test("x69 cluster keep: the keep decision is one max_by aggregate, no window anywhere") {
+    val plan = planOf(graft.queries.LlmData.x69ClusterKeep(spark, sf))
+    assert(plan.contains("max_by"),
+      s"expected the max_by keep aggregate:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"the keep path must not sort cluster members in a window:\n$plan")
+  }
+
   test("q68: corpus-sized steps are hash aggs; the only window is post-aggregation, never per-user") {
     val plan = planOf(graft.queries.EventTime.q68RunningDistinct(spark, sf))
     assert("HashAggregate".r.findAllIn(plan).size >= 4, // 2 aggs × partial+final
