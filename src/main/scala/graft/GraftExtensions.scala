@@ -24,6 +24,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.LatestWinsRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_units"),
       new ExpressionInfo(

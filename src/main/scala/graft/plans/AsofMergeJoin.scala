@@ -1,0 +1,144 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+
+/** The as-of join as a FIRST-CLASS operator — the full layer-(c) custom
+  * ladder from SURVEY §4.3: a logical node ([[AsofMergeJoin]]), a planner
+  * strategy ([[AsofStrategy]], injected via
+  * `graft.GraftExtensions`), and a physical merge exec
+  * ([[AsofMergeJoinExec]]) that declares a clustered distribution + sort
+  * order per child and streams both sorted sides ONCE per partition.
+  *
+  * Why a physical operator when q67 already spells as-of declaratively:
+  * the window form carries the right side's rows THROUGH the window
+  * operator's buffer (a per-partition sort buffer sized by
+  * |events|+|orders|) and materializes a unioned frame; the merge exec
+  * holds exactly ONE candidate row of state per key and never unions the
+  * inputs — the true streaming-merge asymptotics (O(1) memory beyond the
+  * sort, zero extra materialization). Catalyst still owns distribution
+  * and sort planning: the exec only declares requirements and
+  * EnsureRequirements inserts the exchanges/sorts, so AQE, whole-stage
+  * codegen on the children, and reuse all keep working.
+  *
+  * Input convention (checked in [[AsofJoin.asof]]): each side's first two
+  * columns are (key: LONG, time: LONG); remaining right columns are the
+  * carried payload. Output = left columns ++ right payload columns, one
+  * row per left row that has a right row with the same key and
+  * time ≤ the left time (the latest such row; ties on time resolve to the
+  * largest payload tuple in sort order — q19/q67's max-(time, key)
+  * tie-break when the payload leads with a unique key).
+  */
+case class AsofMergeJoin(left: LogicalPlan, right: LogicalPlan)
+    extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output.drop(2)
+  // the operator consumes children POSITIONALLY (key, time, payload...),
+  // so every child column is load-bearing even though the node holds no
+  // expressions; without this, ColumnPruning sees empty references and
+  // prunes the children out from under the positional convention
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      left.output ++ right.output)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofMergeJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofMergeJoin]] to [[AsofMergeJoinExec]]. */
+object AsofStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofMergeJoin(l, r) =>
+      AsofMergeJoinExec(planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sorted streaming-merge as-of. Children are hash-clustered on the key
+  * column and sorted by (key, time, …) — declared, not hand-built, so
+  * Catalyst/AQE place (and reuse, and skew-split) the exchanges. Per
+  * partition the merge advances the right iterator at most once past each
+  * row and keeps ONE copied candidate row per current key. */
+case class AsofMergeJoinExec(left: SparkPlan, right: SparkPlan)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output.drop(2)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(left.output.head)) ::
+    ClusteredDistribution(Seq(right.output.head)) :: Nil
+
+  // left needs (key, time); right additionally orders the payload so the
+  // LAST row consumed at equal (key, time) is the max payload tuple —
+  // the deterministic tie-break the declarative forms use
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    left.output.take(2).map(a => SortOrder(a, Ascending)),
+    right.output.map(a => SortOrder(a, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    left.output.take(2).map(a => SortOrder(a, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofMergeJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val carry = rightOut.drop(2)
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val carryProj = UnsafeProjection.create(carry, rightOut)
+      val resultProj = UnsafeProjection.create(outAttrs, leftOut ++ carry)
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+      // one candidate per current key: the latest right row seen whose
+      // time is <= the current left row's time (rows are consumed in
+      // (key, time) order, so "latest seen" IS the as-of answer)
+      var cand: InternalRow = null
+      var candKey = 0L
+      lIter.flatMap { lRow =>
+        val k = lRow.getLong(0)
+        val t = lRow.getLong(1)
+        while (rBuf.hasNext && {
+          val hk = rBuf.head.getLong(0)
+          hk < k || (hk == k && rBuf.head.getLong(1) <= t)
+        }) {
+          val h = rBuf.next()
+          if (h.getLong(0) == k) { cand = carryProj(h).copy(); candKey = k }
+        }
+        if (cand != null && candKey == k)
+          Iterator.single[InternalRow](resultProj(joined(lRow, cand)))
+        else Iterator.empty
+      }
+    }
+  }
+}
+
+/** Public API for the custom operator. */
+object AsofJoin {
+
+  /** As-of join `left` to `right`. Each side's first two columns must be
+    * (key: LONG, time: LONG); the result carries every left row that has
+    * a match, extended with the right side's payload columns (everything
+    * after its key/time). */
+  def asof(left: DataFrame, right: DataFrame): DataFrame = {
+    def check(df: DataFrame, side: String): Unit = {
+      val f = df.schema.fields
+      require(f.length >= 2 && f(0).dataType == LongType && f(1).dataType == LongType,
+        s"$side side must lead with (key: LONG, time: LONG), got ${df.schema.simpleString}")
+    }
+    check(left, "left"); check(right, "right")
+    require(right.schema.length > 2, "right side carries no payload columns")
+    org.apache.spark.sql.classic.GraftLogicalPlanApi.ofRows(
+      left.sparkSession,
+      AsofMergeJoin(left.queryExecution.analyzed, right.queryExecution.analyzed))
+  }
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.classic
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge from a custom Catalyst [[LogicalPlan]] to a user-facing
+  * DataFrame. `Dataset.ofRows` is `private[sql]`, so libraries that inject
+  * their own logical operators expose it through a one-liner in this
+  * package — the established public-extension pattern (the same shape as
+  * open-source column-store / plan-extension projects; see SNIPPETS.md
+  * entry [1]). Nothing else in the engine lives outside `graft.*`. */
+object GraftLogicalPlanApi {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: LogicalPlan): org.apache.spark.sql.DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.AsofJoin
+
+/** The custom layer-(c) as-of operator: logical node → injected strategy →
+  * physical merge exec. Laws: equality with the declarative merge form
+  * (EventStreams.asofEnrich, itself hash-gated against q19's oracle via
+  * q67), random-fixture equality with a driver-side reference, and the
+  * plan shape (the exec present, children exchanged + sorted by Catalyst,
+  * no Union/Window/shuffle-join anywhere). */
+class AsofExecSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def eventsDf = Tables.t(spark, sf, "events")
+    .selectExpr("user_id", "unix_micros(ts) as ts_us", "event_id")
+  private def ordersDf = Tables.t(spark, sf, "orders")
+    .selectExpr("o_custkey as user_id",
+      "unix_micros(cast(o_orderdate as timestamp)) as ts_us", "o_orderkey")
+
+  test("exec equals the declarative merge form on testdata") {
+    val got = AsofJoin.asof(eventsDf, ordersDf)
+      .select($"event_id", $"user_id", $"o_orderkey", $"ts_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.streaming.EventStreams.asofEnrich(eventsDf, ordersDf)
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("asof_orderkey"))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("exec equals a driver-side reference on random keyed streams") {
+    val rnd = new scala.util.Random(17)
+    val lefts = (1L to 300L).map(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(50).toLong, i))
+    val rights = (1L to 200L).map(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(50).toLong, 1000L + i))
+    val got = AsofJoin.asof(
+        lefts.toDF("k", "t", "lid").repartition(5),
+        rights.toDF("k", "t", "rid").repartition(3))
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    val want = lefts.flatMap { case (k, t, lid) =>
+      val c = rights.filter(r => r._1 == k && r._2 <= t)
+      if (c.isEmpty) None
+      else Some((lid, c.maxBy(r => (r._2, r._3))._3))
+    }.toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("empty and no-match sides produce empty results, not failures") {
+    val e = Seq.empty[(Long, Long, Long)].toDF("k", "t", "lid")
+    val l = Seq((1L, 5L, 10L)).toDF("k", "t", "lid")
+    val r = Seq((1L, 9L, 99L)).toDF("k", "t", "rid") // only AFTER the left time
+    assert(AsofJoin.asof(e, r.toDF("k", "t", "rid")).count() == 0)
+    assert(AsofJoin.asof(l, r).count() == 0)
+    val rOk = Seq((1L, 5L, 99L)).toDF("k", "t", "rid") // equal time: inclusive
+    assert(AsofJoin.asof(l, rOk).collect().map(_.getLong(3)).toSeq == Seq(99L))
+  }
+
+  test("plan: the custom exec plans via the injected strategy — no union, window, or join") {
+    val df = AsofJoin.asof(eventsDf, ordersDf)
+    val plan = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix — the physical node prints
+    // as "AsofMergeJoin" (the logical node never reaches executedPlan)
+    assert(plan.contains("AsofMergeJoin"), s"expected the custom exec:\n$plan")
+    assert(!plan.contains("Union") && !plan.contains("windowspecdefinition")
+        && !plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"the merge exec must replace the declarative machinery:\n$plan")
+    // Catalyst owns the physical prerequisites: a hash exchange + sort per side
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 2,
+      s"expected both sides clustered on the key by EnsureRequirements:\n$plan")
+    assert("\\bSort \\[".r.findAllIn(plan).size >= 2,
+      s"expected Catalyst-inserted sorts on both sides:\n$plan")
+  }
+}
