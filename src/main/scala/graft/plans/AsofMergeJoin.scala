@@ -67,6 +67,10 @@ object AsofStrategy extends SparkStrategy {
 case class AsofMergeJoinExec(left: SparkPlan, right: SparkPlan)
     extends BinaryExecNode {
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
+    Map("numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   override def output: Seq[Attribute] = left.output ++ right.output.drop(2)
 
   override def requiredChildDistribution: Seq[Distribution] =
@@ -94,6 +98,7 @@ case class AsofMergeJoinExec(left: SparkPlan, right: SparkPlan)
     val rightOut = right.output
     val carry = rightOut.drop(2)
     val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val carryProj = UnsafeProjection.create(carry, rightOut)
       val resultProj = UnsafeProjection.create(outAttrs, leftOut ++ carry)
@@ -114,9 +119,10 @@ case class AsofMergeJoinExec(left: SparkPlan, right: SparkPlan)
           val h = rBuf.next()
           if (h.getLong(0) == k) { cand = carryProj(h).copy(); candKey = k }
         }
-        if (cand != null && candKey == k)
+        if (cand != null && candKey == k) {
+          numOutputRows += 1
           Iterator.single[InternalRow](resultProj(joined(lRow, cand)))
-        else Iterator.empty
+        } else Iterator.empty
       }
     }
   }
