@@ -15,9 +15,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * This is the supported extension surface for function/rule/strategy
   * injection; the engine keeps it minimal (the rest of the library is
-  * deliberately stock Catalyst — SURVEY.md §4.3): one fused expression and
+  * deliberately stock Catalyst — SURVEY.md §4.3): one fused expression,
   * one optimizer rule ([[graft.plans.LatestWinsRewrite]] — top-1-per-key
-  * windows become map-side-combinable max_by/min_by aggregations).
+  * windows become map-side-combinable max_by/min_by aggregations), and
+  * one planner strategy ([[graft.plans.AsofStrategy]] — plans the
+  * [[graft.plans.AsofMergeJoin]] logical node to its streaming-merge
+  * exec; a no-op on every other plan).
   * `graft.functions.CosineUnits.register` remains as the imperative
   * fallback for sessions built without the config.
   */

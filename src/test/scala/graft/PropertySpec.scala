@@ -496,6 +496,28 @@ object PropertySpec extends Properties("graft") {
       Prop(got == expected) :| s"s=$s got=$got expected=$expected"
     }
 
+  property("custom as-of exec equals the driver-side reference on random keyed streams") =
+    forAll(
+      Gen.nonEmptyListOf(for {
+        k <- Gen.choose(0L, 6L); t <- Gen.choose(0L, 30L)
+      } yield (k, t)),
+      Gen.nonEmptyListOf(for {
+        k <- Gen.choose(0L, 6L); t <- Gen.choose(0L, 30L)
+      } yield (k, t))) { (ls0, rs0) =>
+      import spark.implicits._
+      val ls = ls0.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val rs = rs0.zipWithIndex.map { case ((k, t), i) => (k, t, 100L + i) }
+      val got = graft.plans.AsofJoin.asof(
+          ls.toDF("k", "t", "lid").repartition(3),
+          rs.toDF("k", "t", "rid").repartition(2))
+        .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+      val expected = ls.flatMap { case (k, t, lid) =>
+        val c = rs.filter(r => r._1 == k && r._2 <= t)
+        if (c.isEmpty) None else Some((lid, c.maxBy(r => (r._2, r._3))._3))
+      }.toSet
+      Prop(got == expected) :| s"got=${got.take(5)} expected=${expected.take(5)}"
+    }
+
   property("saltedSumCount equals the direct aggregation for any salt count") =
     forAll(
       Gen.nonEmptyListOf(for {
