@@ -13,10 +13,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Protocol (single-writer, same assumption DedupAppend already documents):
   * append the batch idempotently; if the table now exceeds `maxFiles` data
   * files, rewrite it to ~`targetFileBytes` files in a sibling directory and
-  * swap directories. The swap is delete-then-rename here (plain parquet on
-  * a filesystem); in a catalog-backed table format the same step is an
-  * atomic pointer flip, which is what makes the rewrite safe under
-  * concurrent readers — documented, not simulated.
+  * swap directories. The swap is a checked backup-rename dance (live→backup,
+  * tmp→live, drop backup) so the table survives a crash at any point under
+  * exactly one of its sibling names; in a catalog-backed table format the
+  * same step is an atomic pointer flip, which is what makes the rewrite safe
+  * under concurrent readers — documented, not simulated.
   */
 object Maintenance {
 
@@ -30,13 +31,31 @@ object Maintenance {
     require(maxFiles > 0, s"maxFiles must be > 0, got $maxFiles")
     DedupAppend.append(spark, batch, path, keys, tieBreak)
     if (Compaction.dataFileCount(spark, path) > maxFiles) {
-      val tmp = path + "__compacting"
-      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new Path(tmp), true)
-      Compaction.compact(spark, path, tmp, targetFileBytes)
-      // swap (write above is an action — tmp is fully materialized here)
-      fs.delete(new Path(path), true)
-      fs.rename(new Path(tmp), new Path(path))
+      val tmp = new Path(path + "__compacting")
+      val backup = new Path(path + "__precompact")
+      val live = new Path(path)
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(tmp, true); fs.delete(backup, true)
+      Compaction.compact(spark, path, tmp.toString, targetFileBytes)
+      // Swap via backup-rename so the table is recoverable at every step:
+      // live→backup, tmp→live, drop backup. A crash or a false return
+      // between the renames leaves the data intact under exactly one of
+      // the two sibling names (never deleted-with-no-replacement, the
+      // failure mode of delete-then-rename). Rename results are CHECKED —
+      // HDFS-style FileSystems report failure as `false`, not an
+      // exception. In a catalog-backed table format this whole block is
+      // one atomic pointer flip; plain-parquet single-writer documented.
+      if (!fs.rename(live, backup))
+        throw new java.io.IOException(s"compaction swap: rename $live -> $backup failed")
+      if (!fs.rename(tmp, live)) {
+        val restored = fs.rename(backup, live) // put the old table back
+        throw new java.io.IOException(
+          s"compaction swap: rename $tmp -> $live failed" +
+            (if (restored) "; original table restored" else s"; ORIGINAL LEFT AT $backup"))
+      }
+      if (!fs.delete(backup, true))
+        throw new java.io.IOException(
+          s"compaction swap: could not remove backup $backup (table at $path is live and complete)")
     }
     Compaction.dataFileCount(spark, path)
   }

@@ -134,7 +134,21 @@ object AsofJoin {
   /** As-of join `left` to `right`. Each side's first two columns must be
     * (key: LONG, time: LONG); the result carries every left row that has
     * a match, extended with the right side's payload columns (everything
-    * after its key/time). */
+    * after its key/time).
+    *
+    * Null semantics: rows with a null key or time NEVER match (standard
+    * join-key semantics, and what the declarative q19/q67 forms produce).
+    * The exec reads the two leading longs positionally —
+    * `InternalRow.getLong` on a null field would silently yield 0 — so
+    * both sides are null-filtered on (key, time) here; for non-nullable
+    * inputs Catalyst constant-folds the filter away.
+    *
+    * Self as-of (both sides derived from one DataFrame) is supported: the
+    * custom node is invisible to `DeduplicateRelations`, so when the
+    * children share attribute exprIds the right side is re-aliased to
+    * fresh internal names (a rename-Project survives
+    * `RemoveRedundantAliases`, which only strips same-name aliases) and
+    * the original payload names are restored positionally on the result. */
   def asof(left: DataFrame, right: DataFrame): DataFrame = {
     def check(df: DataFrame, side: String): Unit = {
       val f = df.schema.fields
@@ -143,8 +157,22 @@ object AsofJoin {
     }
     check(left, "left"); check(right, "right")
     require(right.schema.length > 2, "right side carries no payload columns")
-    org.apache.spark.sql.classic.GraftLogicalPlanApi.ofRows(
+    import org.apache.spark.sql.functions.col
+    def dropNullKeys(df: DataFrame): DataFrame = {
+      val Array(k, t) = df.columns.take(2)
+      df.filter(col(s"`$k`").isNotNull && col(s"`$t`").isNotNull)
+    }
+    val l = dropNullKeys(left)
+    val r0 = dropNullKeys(right)
+    val lIds = l.queryExecution.analyzed.outputSet
+    val r =
+      if (r0.queryExecution.analyzed.output.forall(a => !lIds.contains(a))) r0
+      else r0.select(r0.columns.zipWithIndex.map { case (c, i) =>
+        col(s"`$c`").as(s"__asof_r$i") }.toIndexedSeq: _*)
+    val joined = org.apache.spark.sql.classic.GraftLogicalPlanApi.ofRows(
       left.sparkSession,
-      AsofMergeJoin(left.queryExecution.analyzed, right.queryExecution.analyzed))
+      AsofMergeJoin(l.queryExecution.analyzed, r.queryExecution.analyzed))
+    if (r eq r0) joined
+    else joined.toDF(left.columns.toIndexedSeq ++ right.columns.drop(2): _*)
   }
 }

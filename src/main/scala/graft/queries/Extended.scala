@@ -475,6 +475,39 @@ object Extended {
   /** The oracle is q19's: the two forms must be indistinguishable. */
   val q67Sql: String = q19Sql
 
+  /** Q69 — the as-of join through the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.AsofJoin.asof]]: logical node → injected strategy →
+    * [[graft.plans.AsofMergeJoinExec]]), scored against q19's oracle — the
+    * third spelling of the same answer (join-aggregate q19, window-merge
+    * q67, merge exec q69), one hash gate.
+    *
+    * Input convention: both sides lead with (key, time) as longs — the
+    * event side in epoch µs, the order side as its orderdate in epoch µs
+    * (the same UTC-midnight coercion the q19 join applies to
+    * `o_orderdate <= ts`). The right payload is (o_orderkey, o_orderdate)
+    * in that order, so the exec's last-at-equal-(key,time) rule reproduces
+    * q19's max-(date, key) tie-break. The exec streams both hash-clustered
+    * sorted sides once per partition with one candidate row of state —
+    * per key |events|+|orders| where q19 materializes the join product
+    * (see AsofMergeJoin's scaladoc for the asymptotics; the AQE-coalesce
+    * co-partitioning law is in AsofExecSpec). */
+  def q69AsofExec(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast(TimestampType)).as("ots_us"),
+        col("o_orderkey"), col("o_orderdate"))
+    graft.plans.AsofJoin.asof(e, o)
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("asof_orderkey"),
+        col("o_orderdate").cast("timestamp_ntz").as("asof_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Three spellings, one answer: the gate q67 already passes. */
+  val q69Sql: String = q19Sql
+
   val q66Sql: String =
     """WITH e0 AS (
       |  SELECT DISTINCT

@@ -396,9 +396,13 @@ object EventStreams {
     * arriving after an event it should have enriched is a correction this
     * append-only sink cannot retract — such repairs belong in
     * [[cdcUpsertStream]]'s latest-wins state, not here (the same
-    * append-vs-upsert split DedupAppend/UpsertState document). Re-delivery
-    * safety comes from the checkpoint's exactly-once file-source progress,
-    * as in [[rollupMaintainStream]]. */
+    * append-vs-upsert split DedupAppend/UpsertState document).
+    *
+    * Re-delivery: foreachBatch is at-least-once (a batch retried after a
+    * partial write but before checkpoint commit re-runs), so the sink must
+    * be idempotent — enriched rows go through [[graft.operators
+    * .DedupAppend]] keyed on event_id (each event enriches to exactly one
+    * row, so first-writer-wins is a no-op on replay), not a blind append. */
   def asofEnrichStream(spark: SparkSession, landingDir: String,
                        ordersPath: String, outPath: String,
                        checkpointDir: String): Unit = {
@@ -412,8 +416,9 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val sp = batch.sparkSession
-        asofEnrich(batch.toDF(), sp.read.parquet(ordersPath))
-          .write.mode("append").parquet(outPath)
+        graft.operators.DedupAppend.append(sp,
+          asofEnrich(batch.toDF(), sp.read.parquet(ordersPath)),
+          outPath, keys = Seq("event_id"), tieBreak = Nil)
       }
       .start()
     q.awaitTermination()

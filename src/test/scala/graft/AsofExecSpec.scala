@@ -59,6 +59,75 @@ class AsofExecSpec extends AnyFunSuite {
     assert(AsofJoin.asof(l, rOk).collect().map(_.getLong(3)).toSeq == Seq(99L))
   }
 
+  test("AQE + skewed input: coalesced shuffles stay co-partitioned across the exec") {
+    // The zipPartitions watch item: the exec's two children are separate
+    // shuffles, and AQE's CoalesceShufflePartitions must coalesce them
+    // IDENTICALLY or zipPartitions sees unequal partition counts. Force the
+    // hostile shape: AQE on, aggressive coalescing (large advisory target
+    // collapses the tiny side to one partition), one hot key carrying ~90%
+    // of both sides so the sides' partition-size profiles diverge wildly.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1b",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64m")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val rnd = new scala.util.Random(43)
+      val lefts = (1L to 4000L).map { i =>
+        val k = if (i % 10 != 0) 7L else rnd.nextInt(40).toLong // 90% on key 7
+        (k, rnd.nextInt(500).toLong, i)
+      }
+      val rights = (1L to 3000L).map { i =>
+        val k = if (i % 10 != 0) 7L else rnd.nextInt(40).toLong
+        (k, rnd.nextInt(500).toLong, 10000L + i)
+      }
+      val got = AsofJoin.asof(
+          lefts.toDF("k", "t", "lid").repartition(16),
+          rights.toDF("k", "t", "rid").repartition(11))
+        .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+      val want = lefts.flatMap { case (k, t, lid) =>
+        val c = rights.filter(r => r._1 == k && r._2 <= t)
+        if (c.isEmpty) None else Some((lid, c.maxBy(r => (r._2, r._3))._3))
+      }.toSet
+      assert(got == want && want.nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("null keys/times are excluded, not merged as key 0 / epoch") {
+    val l = Seq((Some(1L), Some(5L), 10L), (None, Some(5L), 11L),
+      (Some(0L), Some(5L), 12L)).toDF("k", "t", "lid")
+    val r = Seq((Some(1L), Some(3L), 99L), (Some(0L), Some(3L), 98L),
+      (None, Some(3L), 97L), (Some(0L), None, 96L)).toDF("k", "t", "rid")
+    val got = AsofJoin.asof(l, r).collect()
+      .map(x => (x.getLong(2), x.getLong(3))).toSet
+    // lid 11 (null key) matches nothing; rid 97/96 (null key/time) match
+    // nothing; key 0 is a REAL key and matches normally
+    assert(got == Set((10L, 99L), (12L, 98L)))
+  }
+
+  test("self as-of: both sides derived from one DataFrame bind unambiguously") {
+    val base = Seq((1L, 5L, 100L), (1L, 3L, 50L), (2L, 4L, 70L))
+      .toDF("k", "t", "v")
+    val got = AsofJoin.asof(base, base).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // each row matches itself (time <= itself, latest); schema keeps names
+    assert(AsofJoin.asof(base, base).columns.toSeq == Seq("k", "t", "v", "v"))
+    assert(got == Set((1L, 5L, 100L, 100L), (1L, 3L, 50L, 50L), (2L, 4L, 70L, 70L)))
+  }
+
+  test("scored q69 (exec spelling) equals q19 (join-aggregate spelling) row for row") {
+    val got = graft.queries.Extended.q69AsofExec(spark, sf).collect().toSeq
+    val want = graft.queries.Extended.q19AsofJoin(spark, sf).collect().toSeq
+    assert(got.nonEmpty && got == want)
+    assert(graft.queries.Extended.q69AsofExec(spark, sf).columns.toSeq ==
+      Seq("event_id", "user_id", "asof_orderkey", "asof_orderdate"))
+  }
+
   test("plan: the custom exec plans via the injected strategy — no union, window, or join") {
     val df = AsofJoin.asof(eventsDf, ordersDf)
     val plan = df.queryExecution.executedPlan.toString
