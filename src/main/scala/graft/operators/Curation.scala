@@ -581,8 +581,15 @@ object Curation {
     * pipelines reuse the already-materialized x35 labels instead of
     * re-mining — the split is then shuffle-free on the corpus. */
   def leakFreeSplit(docs: DataFrame, threshold: Double,
+                    testPermille: Int): DataFrame =
+    leakFreeSplit(docs, TextDedup.nearDupClusters(docs, threshold), testPermille)
+
+  /** Same split over PRE-MINED labels (the x35 frame) — the production
+    * spelling: cluster labels are a maintained table that every dedup
+    * action reads; re-mining per consumer would pay the LSH + union-find
+    * cost once per action instead of once per corpus. */
+  def leakFreeSplit(docs: DataFrame, labels: DataFrame,
                     testPermille: Int): DataFrame = {
-    val labels = TextDedup.nearDupClusters(docs, threshold)
     docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))

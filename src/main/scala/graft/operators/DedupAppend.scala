@@ -26,9 +26,13 @@ import org.apache.spark.sql.functions._
 object DedupAppend {
 
   /** Append `batch` to the parquet table at `path`, keeping only the first
-    * row per `keys` (ordered by `tieBreak`) not already present. */
+    * row per `keys` (ordered by `tieBreak`) not already present.
+    * `partitionCols` (optional) writes/extends a directory-partitioned
+    * layout — e.g. the IVF index's cell partitioning — so the maintained
+    * table keeps its pruning structure across appends. */
   def append(spark: SparkSession, batch: DataFrame, path: String,
-             keys: Seq[String], tieBreak: Seq[String]): Unit = {
+             keys: Seq[String], tieBreak: Seq[String],
+             partitionCols: Seq[String] = Nil): Unit = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((tieBreak ++ keys).map(c => col(c).asc_nulls_last): _*)
     val inBatch = batch
@@ -41,12 +45,20 @@ object DedupAppend {
         val existingKeys = spark.read.parquet(path).select(keys.map(col): _*)
         inBatch.join(existingKeys, keys, "left_anti")
       }
-    fresh.write.mode("append").parquet(path)
+    val writer = fresh.write.mode("append")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(path)
   }
 
+  /** True when the table has at least one data file — searched recursively,
+    * so directory-partitioned layouts (files under key=value subdirs) are
+    * recognized too. */
   private[graft] def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) return true
+    false
   }
 }

@@ -258,6 +258,80 @@ object Similarity {
       .select(col("p_id"), col("rn"), col("n_id"), col("cell"), col("cos_r"))
   }
 
+  // ---- persisted IVF index --------------------------------------------
+
+  /** Build the IVF index AT REST: the learned centroids (k rows) and the
+    * cell-assigned corpus written as parquet, assignments PARTITIONED BY
+    * cell — so a probe's scan prunes to its nprobe cell DIRECTORIES at
+    * file listing (q35's layout argument applied to ANN; LayoutSpec
+    * asserts the pruned plan). This is the production artifact: an ANN
+    * index is built once and probed many times, so the cell shuffle is
+    * paid at build, and every later probe batch reads
+    * nprobe/numCentroids of the corpus regardless of its size. */
+  def buildIvfIndex(embeddings: DataFrame, indexPath: String,
+                    numCentroids: Int = IvfCentroids, iters: Int = IvfIters): Unit = {
+    val spark = embeddings.sparkSession
+    graft.functions.CosineUnits.register(spark)
+    kmeansCentroids(embeddings, numCentroids, iters)
+      .write.mode("overwrite").parquet(s"$indexPath/centroids")
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    embeddings.join(assignCells(embeddings, cents), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/cells")
+  }
+
+  /** Incremental index maintenance: assign ONLY the new vectors against
+    * the STORED centroids and [[DedupAppend]] them into the cell layout
+    * (keyed on vec_id — a replayed batch is a no-op, the same idempotency
+    * contract as every maintained table here). No retraining: the
+    * standard IVF production trade — assignment quality degrades as the
+    * distribution drifts from the training sample; rebuild via
+    * [[buildIvfIndex]] when it does. Work is proportional to the BATCH
+    * (centroids broadcast + map-side argmax), never the stored index. */
+  def appendToIvfIndex(newVectors: DataFrame, indexPath: String): Unit = {
+    val spark = newVectors.sparkSession
+    graft.functions.CosineUnits.register(spark)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val assigned = newVectors.join(assignCells(newVectors, cents), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    DedupAppend.append(spark, assigned, s"$indexPath/cells",
+      keys = Seq("vec_id"), tieBreak = Nil, partitionCols = Seq("cell"))
+  }
+
+  /** Probe the STORED index: rank the stored centroids per probe, keep the
+    * nprobe nearest, then scan ONLY those cells (a static IN filter on the
+    * partition column — the probed cell set is bounded by numCentroids, so
+    * the driver-side collect is constant-sized) and answer the exact
+    * cosine top-k inside them. Equals a fresh [[ivfTopK]] build when the
+    * index was built from the same corpus (kmeans is deterministic by the
+    * integer-unit contract; SimilaritySpec law). */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                       probes: DataFrame, k: Int, nprobe: Int = IvfNprobe): DataFrame = {
+    graft.functions.CosineUnits.register(spark)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val p = probes.select(col("vec_id").as("p_id"), col("embedding").as("pv"))
+    val wp = Window.partitionBy(col("p_id")).orderBy(col("cos_c").desc, col("c_id").asc)
+    val probeCells = p.join(broadcast(cents))
+      .withColumn("cos_c", cosineR("pv", "cv"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= nprobe)
+      .select(col("p_id"), col("pv"), col("c_id").as("cell"))
+    // bounded by construction: ≤ numCentroids distinct probed cells
+    val wanted = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0))
+    val cand = spark.read.parquet(s"$indexPath/cells")
+      .filter(col("cell").isin(wanted: _*)) // binds to the DIRECTORY key
+      .select(col("cell").cast(LongType).as("cell"),
+        col("vec_id").as("n_id"), col("embedding").as("nv"))
+    val w = Window.partitionBy(col("p_id")).orderBy(col("cos_r").desc, col("n_id").asc)
+    cand.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("p_id") =!= col("n_id"))
+      .withColumn("cos_r", cosineR("pv", "nv"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("p_id"), col("rn"), col("n_id"), col("cell"), col("cos_r"))
+  }
+
   /** Semantic dedup (the SemDeDup policy): vectors are clustered by the
     * deterministic k-means of [[kmeansCentroids]], and WITHIN each cell a
     * vector is a duplicate if some lower-id cell-mate sits at cosine ≥

@@ -82,7 +82,8 @@ object CorpusQueries {
   def x50LeakSplit(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Curation.leakFreeSplit(
       docs(spark, dir).filter(pmod(col("doc_id"), lit(2)) === 0),
-      LlmData.JaccThreshold, SplitTestPermille)
+      LlmData.clusterLabels(spark, dir, 2), // shared mined frame (x69 reads it too)
+      SplitTestPermille)
       .orderBy(col("doc_id"))
 
   val x50Sql: String =
@@ -107,8 +108,8 @@ object CorpusQueries {
     * law-tested on full fixtures in CurationSpec every `sbt test` run. */
   def x63DupWeights(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).filter(pmod(col("doc_id"), lit(4)) === 0)
-    val labels = graft.operators.TextDedup.nearDupClusters(d, LlmData.JaccThreshold)
-    graft.operators.Curation.duplicationWeights(d, labels)
+    graft.operators.Curation.duplicationWeights(d,
+      LlmData.clusterLabels(spark, dir, 4)) // shared mined frame, mined once
       .orderBy(col("doc_id"))
   }
 

@@ -228,6 +228,35 @@ object EventTime {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Q70 — the STREAMING gate, scored: q15's tumbling rollup produced by
+    * an actual Structured Streaming query ([[graft.streaming.EventStreams
+    * .tumblingMaintainStream]] — AvailableNow file stream, checkpoint,
+    * foreachBatch partial-rollup merge into a maintained parquet table),
+    * then read back from the maintained state. The oracle is q15's SQL
+    * verbatim: the hash gate proves maintained-by-merge ≡ one-shot batch
+    * aggregation — the reference's `schedule="@daily"` loop (reference
+    * dags/etl.py:12) restated as incremental view maintenance under the
+    * DuckDB gate instead of only the StreamingSpec laws. */
+  def q70StreamTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q70_").toFile
+    try {
+      val state = new java.io.File(tmp, "state").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      graft.streaming.EventStreams.tumblingMaintainStream(spark, dir, state, ckpt)
+      val res = spark.read.parquet(state)
+        .select(col("window_start"), col("event_type"), col("n"),
+          col("sum_dec").cast(DoubleType).as("sum_value"))
+      // materialize (hours × types rows) so the temp state/checkpoint tree
+      // can be removed eagerly (q35's reasoning)
+      val rows = res.collectAsList()
+      spark.createDataFrame(rows, res.schema)
+        .orderBy(col("window_start"), col("event_type"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** Maintained-state ≡ batch: the gate q15 already passes. */
+  val q70Sql: String = q15Sql
+
   val q68Sql: String =
     """WITH f AS (SELECT event_type, user_id,
       |             min(CAST(ts AS TIMESTAMP)) AS first_ts

@@ -508,6 +508,119 @@ object Extended {
   /** Three spellings, one answer: the gate q67 already passes. */
   val q69Sql: String = q19Sql
 
+  /** Q71 — non-parquet format scans, scored end-to-end: nation is written
+    * to CSV (header, quoted free-text comment column) and region to ORC,
+    * read back with DECLARED schemas (no inferSchema — deterministic
+    * types, SURVEY §1.3's rule), broadcast-joined and aggregated; the
+    * oracle computes the same answer from the parquet tables, so the gate
+    * proves the CSV/ORC round-trip is lossless. Column pruning is
+    * require'd in-plan on both scans: the CSV reader must not materialize
+    * the unused n_comment, the ORC scan must not read r_comment
+    * (ReadSchema — the q4 pushdown discipline applied to the other
+    * formats; FileSourcesSpec covers the pure read paths). */
+  def q71MultiFormat(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q71_").toFile
+    try {
+      val csvPath = new java.io.File(tmp, "nation_csv").getAbsolutePath
+      val orcPath = new java.io.File(tmp, "region_orc").getAbsolutePath
+      val nationSchema = t(spark, dir, "nation").schema
+      val regionSchema = t(spark, dir, "region").schema
+      t(spark, dir, "nation").write.option("header", "true").csv(csvPath)
+      t(spark, dir, "region").write.orc(orcPath)
+      val nation = spark.read.schema(nationSchema).option("header", "true")
+        .csv(csvPath)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val region = spark.read.schema(regionSchema).orc(orcPath)
+        .select(col("r_regionkey"), col("r_name"))
+      val joined = nation.join(broadcast(region),
+        col("n_regionkey") === col("r_regionkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("n_comment") && !plan.contains("r_comment"),
+        s"CSV/ORC scans must prune unused columns:\n$plan")
+      val res = joined.groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"),
+             min(col("n_name")).as("first_nation"),
+             sum(col("n_nationkey").cast(LongType)).as("key_sum"))
+      val rows = res.collectAsList()
+      spark.createDataFrame(rows, res.schema).orderBy(col("r_name"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  val q71Sql: String =
+    """SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation,
+      |  CAST(sum(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS key_sum
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** Q72 — AQE skew join, scored with the skew machinery require'd
+    * ENGAGED in-plan (what q38 did for salting, done for Spark's own
+    * runtime skew handling): half of lineitem is deliberately routed onto
+    * one hot join key, broadcast is disabled so the join is a sort-merge
+    * on the skewed shuffle, and AQE's OptimizeSkewedJoin must split the
+    * hot partition (asserted via the final adaptive plan's `skew=true`
+    * marker AFTER execution — AQE rewrites plans at runtime, so only the
+    * post-action plan is evidence). Thresholds are set aggressively low so
+    * the gate engages at every scored SF; at 100 TB the DEFAULT thresholds
+    * catch the same shape — a bot user / null-bucket / hot domain whose
+    * single reducer would otherwise serialize the stage. Salting (q38) is
+    * the pre-planned answer when the hot keys are known; this is the
+    * runtime answer when they are not. */
+  def q72SkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      // low enough that the hot partition qualifies even at sf0.001's
+      // ~3k-row compressed shuffle blocks; the split target stays
+      // max(advisory, median), so sub-partition counts remain small
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1k",
+      // without this AQE coalesces the small partitions into the hot one's
+      // neighborhood and the skew signal drowns at test scale
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // AQE splits a skewed reduce partition at MAPPER boundaries, and the
+      // test tables read as a single parquet split — one mapper is
+      // unsplittable no matter how skewed. The repartition stands in for
+      // the thousands of natural map tasks a 100 TB scan has (where it
+      // would be pure overhead and omitted).
+      val li = t(spark, dir, "lineitem").select(
+        when(pmod(col("l_orderkey"), lit(2)) === 0, lit(1L))
+          .otherwise(col("l_suppkey").cast(LongType)).as("skew_key"),
+        col("l_extendedprice"))
+        .repartition(16)
+      val su = t(spark, dir, "supplier").select(
+        col("s_suppkey").cast(LongType).as("sk"),
+        col("s_nationkey").cast(LongType).as("nation"))
+      val res = li.join(su, col("skew_key") === col("sk"))
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_items"),
+             sumMoney2(col("l_extendedprice")).as("revenue"))
+      val rows = res.collectAsList() // action first: AQE finalizes the plan
+      val plan = res.queryExecution.executedPlan.toString
+      require(plan.contains("skew=true"),
+        s"AQE skew-join must engage on the hot key:\n$plan")
+      spark.createDataFrame(rows, res.schema).orderBy(col("nation"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  val q72Sql: String =
+    """SELECT nation, count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1
+      |                  ELSE CAST(l_suppkey AS BIGINT) END AS skew_key,
+      |             l_extendedprice FROM lineitem) l
+      |JOIN (SELECT CAST(s_suppkey AS BIGINT) AS sk,
+      |             CAST(s_nationkey AS BIGINT) AS nation FROM supplier) s
+      |  ON l.skew_key = s.sk
+      |GROUP BY nation ORDER BY nation""".stripMargin
+
   val q66Sql: String =
     """WITH e0 AS (
       |  SELECT DISTINCT

@@ -224,6 +224,57 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** The SCORED streaming gate (q70): AvailableNow ingest of the events
+    * table → per-batch PARTIAL tumbling rollup → merge-by-re-aggregation
+    * into a maintained parquet state table — q15's answer produced by an
+    * actual `writeStream` with a checkpoint, never a full recompute.
+    *
+    * Per batch the only data-sized operation is the partial aggregate
+    * (count + exact decimal sum — commutative monoids, so any batch
+    * slicing folds to the batch answer; the decimal sum keeps the final
+    * double cast bit-identical to the oracle's). The merge touches two
+    * ROLLUP-sized frames (hours × types). Sums are not replay-idempotent,
+    * so like [[rollupMaintainStream]] this leans on the checkpoint's
+    * exactly-once-per-file guarantee — the documented asymmetry that
+    * decides which gate goes where. */
+  def tumblingMaintainStream(spark: SparkSession, dir: String,
+                             statePath: String, checkpointDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = readEvents(spark, dir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val partial = batch.toDF()
+          .groupBy(window(col("ts"), "1 hour").getField("start")
+              .cast(TimestampNTZType).as("window_start"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("value").cast(DecimalType(18, 2)))
+                 .cast(DecimalType(18, 2)).as("sum_dec"))
+        mergeTumbling(batch.sparkSession, partial, statePath)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Merge a partial tumbling rollup into the maintained table: sum of
+    * counts, sum of exact decimal sums (both associative, so merged state
+    * ≡ one-shot aggregation regardless of slicing). */
+  private def mergeTumbling(spark: SparkSession, partial: DataFrame,
+                            statePath: String): Unit = {
+    val existing =
+      if (new java.io.File(statePath).exists) spark.read.parquet(statePath)
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), partial.schema)
+    val merged = existing.unionByName(partial)
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_dec")).cast(DecimalType(18, 2)).as("sum_dec"))
+      // materialize before overwriting the directory being read
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(statePath)
+  }
+
   /** Streaming CDC-UPSERT gate — the latest-wins counterpart of
     * [[ingestFlares]] (which is insert-only): each micro-batch of landed
     * change records merges into a one-row-per-key state table via

@@ -33,6 +33,18 @@ class FileSourcesSpec extends AnyFunSuite {
   test("json round-trip preserves schema and data") { roundTrip("json") }
   test("orc round-trip preserves schema and data")  { roundTrip("orc") }
 
+  test("scored q71 (CSV + ORC scans) equals the same aggregate over parquet") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.Extended.q71MultiFormat(spark, sf).collect().toSeq
+    val want = Tables.t(spark, sf, "nation")
+      .join(Tables.t(spark, sf, "region"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_nation"),
+           sum(col("n_nationkey").cast("long")).as("key_sum"))
+      .orderBy(col("r_name")).collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("events loader: every physical ts generation loads to identical instants") {
     // the regression class that actually bit in round 4: driver testdata
     // regenerations have shipped events.ts as int64-NANOS (read as long

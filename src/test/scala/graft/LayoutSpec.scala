@@ -40,6 +40,24 @@ class LayoutSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(root.toFile)
   }
 
+  test("persisted IVF index: probe scan prunes to the probed cell directories") {
+    val root = Files.createTempDirectory("graft_ivf_layout_")
+    try {
+      val idx = root.toString + "/ivf"
+      graft.operators.Similarity.buildIvfIndex(Tables.t(spark, sf, "embeddings"), idx)
+      // one directory per cell on disk
+      val dirs = new java.io.File(s"$idx/cells").listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("cell="))
+      assert(dirs.length > 1, "expected one directory per IVF cell")
+      val probes = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 10)
+      val plan = graft.operators.Similarity
+        .ivfTopKFromIndex(spark, idx, probes, 5)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [cell"),
+        s"the probed-cells IN filter must bind to the directory key:\n$plan")
+    } finally graft.util.Fs.deleteTree(root.toFile)
+  }
+
   test("bucketed tables: co-located join runs with zero exchanges") {
     val rootDir = Files.createTempDirectory("graft_bucketed_")
     val root = rootDir.toString

@@ -31,6 +31,24 @@ class SaltingSpec extends AnyFunSuite {
       s"expected the final merge exchange on key alone:\n$plan")
   }
 
+  test("scored q72 engages the skew split at suite scale and equals the plain join-agg") {
+    val got = graft.queries.Extended.q72SkewJoin(spark, sf) // require inside = the gate
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val li = Tables.t(spark, sf, "lineitem").select(
+      when(pmod(col("l_orderkey"), lit(2)) === 0, lit(1L))
+        .otherwise(col("l_suppkey").cast("long")).as("skew_key"),
+      col("l_extendedprice"))
+    val want = li.join(Tables.t(spark, sf, "supplier")
+        .select(col("s_suppkey").cast("long").as("skew_key"),
+          col("s_nationkey").cast("long").as("nation")), Seq("skew_key"))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_items"),
+           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy(col("nation"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("join skew: AQE's skew-join split engages on a hot key (the documented join-side defense)") {
     // Salting.scala deliberately does NOT salt joins: AQE's OptimizeSkewedJoin
     // handles skewed sort-merge joins at runtime. Prove that here — one hot

@@ -75,6 +75,43 @@ class SimilaritySpec extends AnyFunSuite {
       s"probe side must broadcast:\n$plan")
   }
 
+  test("persisted IVF index: probing the stored index equals a fresh ivfTopK build") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_idx_")
+    try {
+      val idx = root.toString + "/ivf"
+      Similarity.buildIvfIndex(embs, idx)
+      val probes = embs.filter(col("vec_id") < 10)
+      val fromIndex = Similarity.ivfTopKFromIndex(spark, idx, probes, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      val fresh = Similarity.ivfTopK(embs, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(fromIndex.nonEmpty && fromIndex == fresh)
+    } finally graft.util.Fs.deleteTree(root.toFile)
+  }
+
+  test("persisted IVF index: append assigns against STORED centroids; replay is a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_incr_")
+    try {
+      val idx = root.toString + "/ivf"
+      val base = embs.filter(col("vec_id") % 10 =!= 0)
+      val batch = embs.filter(col("vec_id") % 10 === 0)
+      Similarity.buildIvfIndex(base, idx)
+      Similarity.appendToIvfIndex(batch, idx)
+      Similarity.appendToIvfIndex(batch, idx) // replayed delivery
+      val stored = spark.read.parquet(s"$idx/cells")
+        .select(col("vec_id"), col("cell").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // law: every corpus vector assigned once, against the BASE-trained
+      // centroids (maintenance never retrains — the documented trade)
+      val cents = spark.read.parquet(s"$idx/centroids")
+      val want = Similarity.assignCells(embs, cents)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(stored == want && stored.size == embs.count())
+    } finally graft.util.Fs.deleteTree(root.toFile)
+  }
+
   test("cosine near-dups: threshold respected, pairs ordered, values match pointwise cosine") {
     val out = Similarity.cosineNearDups(embs, 0.3).collect()
     assert(out.nonEmpty)

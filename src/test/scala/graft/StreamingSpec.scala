@@ -23,6 +23,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("scored q70 (maintained tumbling rollup via writeStream) equals batch q15 row for row") {
+    val got = EventTime.q70StreamTumbling(spark, sf).collect().toSeq
+    val want = EventTime.q15TumblingAgg(spark, sf).collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("streaming sliding agg equals the batch sliding query") {
     val streamed = EventStreams.runOnceSliding(spark, sf, "stream_q23")
       .collect()
