@@ -35,9 +35,13 @@ import org.apache.spark.sql.types.LongType
   * largest payload tuple in sort order — q19/q67's max-(time, key)
   * tie-break when the payload leads with a unique key).
   */
-case class AsofMergeJoin(left: LogicalPlan, right: LogicalPlan)
+case class AsofMergeJoin(left: LogicalPlan, right: LogicalPlan,
+                         outer: Boolean = false)
     extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output.drop(2)
+  // outer keeps unmatched left rows → the carried payload becomes nullable
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.drop(2)
+      .map(a => if (outer) a.withNullability(true) else a)
   // the operator consumes children POSITIONALLY (key, time, payload...),
   // so every child column is load-bearing even though the node holds no
   // expressions; without this, ColumnPruning sees empty references and
@@ -53,8 +57,8 @@ case class AsofMergeJoin(left: LogicalPlan, right: LogicalPlan)
 /** Plans [[AsofMergeJoin]] to [[AsofMergeJoinExec]]. */
 object AsofStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofMergeJoin(l, r) =>
-      AsofMergeJoinExec(planLater(l), planLater(r)) :: Nil
+    case AsofMergeJoin(l, r, outer) =>
+      AsofMergeJoinExec(planLater(l), planLater(r), outer) :: Nil
     case _ => Nil
   }
 }
@@ -64,14 +68,17 @@ object AsofStrategy extends SparkStrategy {
   * Catalyst/AQE place (and reuse, and skew-split) the exchanges. Per
   * partition the merge advances the right iterator at most once past each
   * row and keeps ONE copied candidate row per current key. */
-case class AsofMergeJoinExec(left: SparkPlan, right: SparkPlan)
+case class AsofMergeJoinExec(left: SparkPlan, right: SparkPlan,
+                             outer: Boolean = false)
     extends BinaryExecNode {
 
   override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
     Map("numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of output rows"))
 
-  override def output: Seq[Attribute] = left.output ++ right.output.drop(2)
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.drop(2)
+      .map(a => if (outer) a.withNullability(true) else a)
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(left.output.head)) ::
@@ -98,10 +105,17 @@ case class AsofMergeJoinExec(left: SparkPlan, right: SparkPlan)
     val rightOut = right.output
     val carry = rightOut.drop(2)
     val outAttrs = output
+    val isOuter = outer
     val numOutputRows = longMetric("numOutputRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val carryProj = UnsafeProjection.create(carry, rightOut)
-      val resultProj = UnsafeProjection.create(outAttrs, leftOut ++ carry)
+      // in outer mode the projection reads a null-filled payload for
+      // unmatched rows — bind against nullable inputs so codegen keeps
+      // the null checks
+      val carryRead = if (isOuter) carry.map(_.withNullability(true)) else carry
+      val resultProj = UnsafeProjection.create(outAttrs, leftOut ++ carryRead)
+      val nullCarry: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(carry.length)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
       // one candidate per current key: the latest right row seen whose
@@ -122,6 +136,9 @@ case class AsofMergeJoinExec(left: SparkPlan, right: SparkPlan)
         if (cand != null && candKey == k) {
           numOutputRows += 1
           Iterator.single[InternalRow](resultProj(joined(lRow, cand)))
+        } else if (isOuter) {
+          numOutputRows += 1
+          Iterator.single[InternalRow](resultProj(joined(lRow, nullCarry)))
         } else Iterator.empty
       }
     }
@@ -149,7 +166,20 @@ object AsofJoin {
     * fresh internal names (a rename-Project survives
     * `RemoveRedundantAliases`, which only strips same-name aliases) and
     * the original payload names are restored positionally on the result. */
-  def asof(left: DataFrame, right: DataFrame): DataFrame = {
+  def asof(left: DataFrame, right: DataFrame): DataFrame =
+    asof(left, right, outer = false)
+
+  /** Outer variant: every left row survives; rows with no right match at
+    * or before their time carry NULL payload columns (the left-join
+    * spelling of the same merge — one pass, one candidate of state).
+    * Contract deviation from SQL LEFT JOIN, documented: left rows with a
+    * NULL key or time are excluded in BOTH modes (the positional-long
+    * convention has no null representation), not emitted with null
+    * payload. */
+  def asofOuter(left: DataFrame, right: DataFrame): DataFrame =
+    asof(left, right, outer = true)
+
+  private def asof(left: DataFrame, right: DataFrame, outer: Boolean): DataFrame = {
     def check(df: DataFrame, side: String): Unit = {
       val f = df.schema.fields
       require(f.length >= 2 && f(0).dataType == LongType && f(1).dataType == LongType,
@@ -171,7 +201,7 @@ object AsofJoin {
         col(s"`$c`").as(s"__asof_r$i") }.toIndexedSeq: _*)
     val joined = org.apache.spark.sql.classic.GraftLogicalPlanApi.ofRows(
       left.sparkSession,
-      AsofMergeJoin(l.queryExecution.analyzed, r.queryExecution.analyzed))
+      AsofMergeJoin(l.queryExecution.analyzed, r.queryExecution.analyzed, outer))
     if (r eq r0) joined
     else joined.toDF(left.columns.toIndexedSeq ++ right.columns.drop(2): _*)
   }

@@ -508,6 +508,42 @@ object Extended {
   /** Three spellings, one answer: the gate q67 already passes. */
   val q69Sql: String = q19Sql
 
+  /** Q73 — the OUTER as-of through the custom exec
+    * ([[graft.plans.AsofJoin.asofOuter]]): every event survives, carrying
+    * NULL order columns when its user has no order at-or-before the event
+    * time. Orders are restricted to o_custkey ≡ 0 (mod 3) so the
+    * unmatched branch is REAL at every scored SF (with the full orders
+    * table every event matches and outer ≡ inner, which would gate
+    * nothing). The oracle is the LEFT-JOIN + row_number spelling — an
+    * unmatched event's single null row is its own rn=1. Same merge
+    * asymptotics as q69; the only change is emitting a null-filled
+    * payload instead of skipping. */
+  def q73AsofOuter(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val o = t(spark, dir, "orders")
+      .filter(pmod(col("o_custkey"), lit(3)) === 0)
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast(TimestampType)).as("ots_us"),
+        col("o_orderkey"), col("o_orderdate"))
+    graft.plans.AsofJoin.asofOuter(e, o)
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("asof_orderkey"),
+        col("o_orderdate").cast("timestamp_ntz").as("asof_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  val q73Sql: String =
+    """SELECT event_id, user_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
+      |FROM (
+      |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e
+      |  LEFT JOIN (SELECT * FROM orders WHERE o_custkey % 3 = 0) o
+      |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+      |WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   /** Q71 — non-parquet format scans, scored end-to-end: nation is written
     * to CSV (header, quoted free-text comment column) and region to ORC,
     * read back with DECLARED schemas (no inferSchema — deterministic

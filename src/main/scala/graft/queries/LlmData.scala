@@ -243,6 +243,34 @@ object LlmData {
   def x31IvfAnn(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(embs(spark, dir), 5).orderBy(col("p_id"), col("rn"))
 
+  /** X71 — the PERSISTED-index ANN path, scored: build the IVF index at
+    * rest ([[graft.operators.Similarity.buildIvfIndex]] — centroids +
+    * cell-PARTITIONED assignments), then answer x31's probes by reading
+    * the stored index with a partition-pruned scan
+    * ([[graft.operators.Similarity.ivfTopKFromIndex]]). The oracle is
+    * x31's SQL verbatim: the hash gate proves stored-index probing ≡ the
+    * fresh in-query build (kmeans is deterministic by the integer-unit
+    * contract, so the index IS the transient build, materialized). This
+    * is the deployment shape — index built once, probed many times, scan
+    * bounded by nprobe directories (pruning asserted in LayoutSpec). */
+  def x71IvfIndex(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x71_").toFile
+    try {
+      val idx = new java.io.File(tmp, "ivf").getAbsolutePath
+      val e = embs(spark, dir)
+      Similarity.buildIvfIndex(e, idx)
+      val res = Similarity.ivfTopKFromIndex(spark, idx,
+        e.filter(col("vec_id") < 10), 5)
+      // k × probes rows: materialize so the temp index tree drops eagerly
+      val rows = res.collectAsList()
+      spark.createDataFrame(rows, res.schema).orderBy(col("p_id"), col("rn"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** Stored index ≡ fresh build: the gate x31 already passes. (lazy —
+    * x31Sql is declared further down this object) */
+  lazy val x71Sql: String = x31Sql
+
   /** The oracle replicates the k-means training exactly: integer-unit
     * centroid means (exact sums, two IEEE divides in a fixed order) make
     * the learned centroids bit-identical between Spark and DuckDB, so

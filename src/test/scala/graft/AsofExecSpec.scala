@@ -120,6 +120,34 @@ class AsofExecSpec extends AnyFunSuite {
     assert(got == Set((1L, 5L, 100L, 100L), (1L, 3L, 50L, 50L), (2L, 4L, 70L, 70L)))
   }
 
+  test("outer exec equals a driver-side left-join reference on random keyed streams") {
+    val rnd = new scala.util.Random(29)
+    val lefts = (1L to 300L).map(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(50).toLong, i))
+    val rights = (1L to 120L).map(i => // sparse: many lefts unmatched
+      (rnd.nextInt(20).toLong, rnd.nextInt(50).toLong, 1000L + i))
+    val got = AsofJoin.asofOuter(
+        lefts.toDF("k", "t", "lid").repartition(5),
+        rights.toDF("k", "t", "rid").repartition(3))
+      .collect().map(r => (r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    val want = lefts.map { case (k, t, lid) =>
+      val c = rights.filter(r => r._1 == k && r._2 <= t)
+      (lid, if (c.isEmpty) None else Some(c.maxBy(r => (r._2, r._3))._3))
+    }.toSet
+    assert(got == want && want.exists(_._2.isEmpty) && want.exists(_._2.nonEmpty))
+  }
+
+  test("outer ≡ inner on matches; unmatched lefts carry null payload") {
+    val inner = AsofJoin.asof(eventsDf, ordersDf)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    val outer = AsofJoin.asofOuter(eventsDf, ordersDf).collect()
+    val matched = outer.filter(!_.isNullAt(3))
+      .map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(matched == inner)
+    assert(outer.length.toLong == eventsDf.count(), "every left row survives outer")
+  }
+
   test("scored q69 (exec spelling) equals q19 (join-aggregate spelling) row for row") {
     val got = graft.queries.Extended.q69AsofExec(spark, sf).collect().toSeq
     val want = graft.queries.Extended.q19AsofJoin(spark, sf).collect().toSeq
