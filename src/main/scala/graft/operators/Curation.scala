@@ -183,8 +183,20 @@ object Curation {
     * broadcast back: offset + local row number = the exact global rank for
     * any range boundaries. The per-shard rollup then combines map-side. */
   def shardAssign(docs: DataFrame, numShards: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(numShards > 0, s"numShards must be > 0, got $numShards")
+    globalSizeRank(docs)
+      .withColumn("shard", (col("grank") - 1) % numShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+  }
+
+  /** The hierarchical global size rank shared by [[shardAssign]] and
+    * [[shardDealIncremental]]: (doc_id, n_tok, grank) with grank the
+    * 1-based rank in (n_tok desc, doc_id) order — range exchange,
+    * per-range local row numbers, per-range COUNTS cumulated into
+    * broadcast offsets; never a single-task global window. */
+  private[graft] def globalSizeRank(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast(LongType).as("n_tok"))
     val ranged = toks
@@ -201,9 +213,47 @@ object Curation {
       .withColumn("offset", coalesce(sum(col("range_n")).over(wOff), lit(0L)))
       .select(col("rng"), col("offset"))
     local.join(broadcast(offsets), Seq("rng"))
-      .withColumn("shard", (col("offset") + col("local_rn") - 1) % numShards)
-      .groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("offset") + col("local_rn")).as("grank"))
+  }
+
+  /** CONTINUOUS sharding: deal one arriving batch onto the existing
+    * shards, least-loaded shard first — the incremental form of
+    * [[shardAssign]] for a corpus that grows after the initial deal
+    * (x68's operator as a maintained table). The batch is ranked by the
+    * same hierarchical (n_tok desc, doc_id) order, and its rank-r doc
+    * goes to the shard at position (r−1) mod numShards of the
+    * load-ascending shard order — each deal round hands its LARGEST doc
+    * to the LIGHTEST shard (the LPT heuristic, batch-granular).
+    *
+    * From an empty state this reproduces [[shardAssign]] exactly (zero
+    * loads order shards by id, so deal position = shard id — law in
+    * StreamingIngestSpec along with conservation/balance under folds).
+    *
+    * Scale shape: `existing` is touched only by a shard-count-sized
+    * aggregation (the loads), the shard order is a numShards-row window
+    * (bounded by construction, broadcast back), and the batch pays one
+    * hierarchical rank — work per trigger ∝ the batch, never the stored
+    * corpus. Returns (doc_id, n_tok, shard) for the batch's docs. */
+  def shardDealIncremental(existing: DataFrame, batch: DataFrame,
+                           numShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numShards > 0, s"numShards must be > 0, got $numShards")
+    val spark = batch.sparkSession
+    val spine = spark.range(numShards).select(col("id").as("shard"))
+    val loads = spine.join(
+        existing.groupBy(col("shard")).agg(sum(col("n_tok")).as("load")),
+        Seq("shard"), "left")
+      .select(col("shard"), coalesce(col("load"), lit(0L)).as("load"))
+    // numShards rows: the global window is bounded by construction
+    val wOrder = Window.orderBy(col("load"), col("shard"))
+    val order = loads
+      .withColumn("deal_pos", (row_number().over(wOrder) - 1).cast(LongType))
+      .select(col("deal_pos"), col("shard"))
+    globalSizeRank(batch)
+      .withColumn("deal_pos", (col("grank") - 1) % numShards)
+      .join(broadcast(order), Seq("deal_pos"))
+      .select(col("doc_id"), col("n_tok"), col("shard"))
   }
 
   /** The single-task-per-language window form of [[packChunks]] — kept as

@@ -271,6 +271,21 @@ object LlmData {
     * x31Sql is declared further down this object) */
   lazy val x71Sql: String = x31Sql
 
+  /** X72 — the production ADC composition, scored: IVF cell pruning ×
+    * int8-quantized candidate ranking × exact float re-rank
+    * ([[graft.operators.Similarity.ivfTopKQuantized]]). The oracle is
+    * x31's SQL — the hash gate proves the quantized two-stage path
+    * returns EXACTLY the float IVF answer on this corpus (the re-rank
+    * absorbs quantization noise at the default candidate factor; the
+    * recall caveats and their tuning guidance live on the operator).
+    * At 100 TB this is the deployed layout: the pruned scan streams
+    * CODES (dim + 8 bytes/vector vs 8·dim float64), and only ~k·factor
+    * rows per probe ever touch full-precision vectors. */
+  def x72AdcAnn(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopKQuantized(embs(spark, dir), 5).orderBy(col("p_id"), col("rn"))
+
+  lazy val x72Sql: String = x31Sql
+
   /** The oracle replicates the k-means training exactly: integer-unit
     * centroid means (exact sums, two IEEE divides in a fixed order) make
     * the learned centroids bit-identical between Spark and DuckDB, so

@@ -331,6 +331,47 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Streaming SHARD-DEAL gate — continuous sharding for a training
+    * corpus that keeps growing after the initial deal (x68's operator as
+    * a maintained table): each micro-batch of landed documents is dealt
+    * onto the shards by [[graft.operators.Curation.shardDealIncremental]]
+    * (largest batch doc → lightest shard, loads derived from the STORED
+    * assignment table so the state is the table itself) and appended via
+    * the idempotent [[graft.operators.DedupAppend]] keyed on doc_id — a
+    * replayed batch is anti-joined out of both its own "existing" side
+    * and the append, so re-delivery never double-assigns or double-counts
+    * loads. Laws in StreamingIngestSpec: one-batch fold from empty ≡
+    * batch [[graft.operators.Curation.shardAssign]]; folds conserve docs
+    * and bound per-shard count spread by the batch count. */
+  def shardDealStream(spark: SparkSession, landingDir: String, assignPath: String,
+                      checkpointDir: String, numShards: Int): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val assignSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_tok", LongType),
+      StructField("shard", LongType)))
+    val q = spark.readStream.schema(docSchema).json(landingDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val newDocs = batch.toDF().localCheckpoint(true)
+        val existing =
+          if (!graft.operators.DedupAppend.exists(s, assignPath))
+            s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), assignSchema)
+          else s.read.parquet(assignPath) // replay safety: exclude this batch's ids
+            .join(broadcast(newDocs.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+        val assigned = graft.operators.Curation
+          .shardDealIncremental(existing, newDocs, numShards)
+        graft.operators.DedupAppend.append(s, assigned, assignPath,
+          keys = Seq("doc_id"), tieBreak = Nil)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Event-time sessionization with explicit per-user state
     * (flatMapGroupsWithState + EventTimeTimeout): emits one row per CLOSED
     * session. A session closes two ways:

@@ -217,6 +217,57 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(corpus).count() == docs.count())
   }
 
+  test("streaming shard deal: one batch from empty equals x68's batch deal; folds conserve and stay balanced") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 150)
+    def land(dir: java.nio.file.Path, name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      Files.writeString(dir.resolve(name), df.toJSON.collect().mkString("\n"))
+    def sheet(assignPath: String): Set[(Long, Long, Long)] =
+      spark.read.parquet(assignPath).groupBy(col("shard"))
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+          org.apache.spark.sql.functions.sum(col("n_tok")).as("total_tokens"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // one-shot from empty ≡ the batch deal (zero loads order shards by id)
+    val r1 = Files.createTempDirectory("graft_shard_stream1_")
+    val l1 = r1.resolve("landing"); Files.createDirectories(l1)
+    land(l1, "all.json", docs)
+    EventStreams.shardDealStream(spark, l1.toString,
+      r1.resolve("assign").toString, r1.resolve("ckpt").toString, 8)
+    val batchSheet = graft.operators.Curation.shardAssign(docs, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sheet(r1.resolve("assign").toString) == batchSheet && batchSheet.size == 8)
+
+    // three-slice fold: conservation + per-shard count spread ≤ #batches
+    val r2 = Files.createTempDirectory("graft_shard_stream2_")
+    val l2 = r2.resolve("landing"); Files.createDirectories(l2)
+    val assign2 = r2.resolve("assign").toString
+    val ckpt2 = r2.resolve("ckpt").toString
+    land(l2, "b1.json", docs.filter(col("doc_id") % 3 === 0))
+    EventStreams.shardDealStream(spark, l2.toString, assign2, ckpt2, 8)
+    land(l2, "b2.json", docs.filter(col("doc_id") % 3 === 1))
+    EventStreams.shardDealStream(spark, l2.toString, assign2, ckpt2, 8)
+    land(l2, "b3.json", docs.filter(col("doc_id") % 3 === 2))
+    EventStreams.shardDealStream(spark, l2.toString, assign2, ckpt2, 8)
+    val assigned = spark.read.parquet(assign2)
+    assert(assigned.select("doc_id").distinct().count() == docs.count(),
+      "every doc assigned exactly once")
+    assert(assigned.count() == docs.count())
+    val counts = sheet(assign2).toSeq.map(_._2)
+    assert(counts.size == 8 && counts.max - counts.min <= 3,
+      s"per-shard doc counts must stay within one per dealt batch: $counts")
+    // replay: re-land slice 1 under a new name — assignments unchanged
+    val before = spark.read.parquet(assign2).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    land(l2, "b1_replay.json", docs.filter(col("doc_id") % 3 === 0))
+    EventStreams.shardDealStream(spark, l2.toString, assign2, ckpt2, 8)
+    val after = spark.read.parquet(assign2).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(after == before, "re-delivered batch must not reassign or duplicate")
+  }
+
   test("stateful sessionization: closed sessions consistent with batch query") {
     val gapUs = 30L * 60L * 1000000L
     val streamed = EventStreams.sessionizeStateful(spark, sf, "sessions_out")
