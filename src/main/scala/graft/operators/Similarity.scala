@@ -236,9 +236,18 @@ object Similarity {
     * the search broadcasts (probe, cell) fan-out rows into the cells. */
   def ivfTopK(embeddings: DataFrame, k: Int, numCentroids: Int = IvfCentroids,
               probePredicate: Column = col("vec_id") < 10,
-              iters: Int = IvfIters, nprobe: Int = IvfNprobe): DataFrame = {
+              iters: Int = IvfIters, nprobe: Int = IvfNprobe): DataFrame =
+    ivfTopKWith(embeddings, kmeansCentroids(embeddings, numCentroids, iters),
+      k, probePredicate, nprobe)
+
+  /** [[ivfTopK]] over PRE-TRAINED centroids (the x71 index's frame, or the
+    * battery's shared training — kmeans is deterministic by the
+    * integer-unit contract, so a stored/shared frame is bit-identical to
+    * an inline training). */
+  def ivfTopKWith(embeddings: DataFrame, cents: DataFrame, k: Int,
+                  probePredicate: Column = col("vec_id") < 10,
+                  nprobe: Int = IvfNprobe): DataFrame = {
     graft.functions.CosineUnits.register(embeddings.sparkSession)
-    val cents = kmeansCentroids(embeddings, numCentroids, iters)
     val assigned = embeddings.join(assignCells(embeddings, cents), "vec_id")
     val probes = embeddings.filter(probePredicate)
       .select(col("vec_id").as("p_id"), col("embedding").as("pv"))
@@ -361,9 +370,14 @@ object Similarity {
     * high-τ near-duplication; production pipelines wanting the weak tail
     * raise nprobe-style multi-assignment or accept the trade. */
   def semanticDedup(embeddings: DataFrame, threshold: Double,
-                    numCentroids: Int = IvfCentroids, iters: Int = IvfIters): DataFrame = {
+                    numCentroids: Int = IvfCentroids, iters: Int = IvfIters): DataFrame =
+    semanticDedupWith(embeddings,
+      kmeansCentroids(embeddings, numCentroids, iters), threshold)
+
+  /** [[semanticDedup]] over pre-trained centroids (see [[ivfTopKWith]]). */
+  def semanticDedupWith(embeddings: DataFrame, cents: DataFrame,
+                        threshold: Double): DataFrame = {
     graft.functions.CosineUnits.register(embeddings.sparkSession)
-    val cents = kmeansCentroids(embeddings, numCentroids, iters)
     // three consumers (both self-join sides + the final left join) — the
     // assignment pass (corpus × centroids argmax) and the cells join must
     // run once, not 3×, and the corpus parquet is scanned exactly once
@@ -401,9 +415,17 @@ object Similarity {
   def ivfTopKQuantized(embeddings: DataFrame, k: Int, numCentroids: Int = IvfCentroids,
                        probePredicate: Column = col("vec_id") < 10,
                        iters: Int = IvfIters, nprobe: Int = IvfNprobe,
-                       candidateFactor: Int = 8): DataFrame = {
+                       candidateFactor: Int = 8): DataFrame =
+    ivfTopKQuantizedWith(embeddings,
+      kmeansCentroids(embeddings, numCentroids, iters), k, probePredicate,
+      nprobe, candidateFactor)
+
+  /** [[ivfTopKQuantized]] over pre-trained centroids (see [[ivfTopKWith]]). */
+  def ivfTopKQuantizedWith(embeddings: DataFrame, cents: DataFrame, k: Int,
+                           probePredicate: Column = col("vec_id") < 10,
+                           nprobe: Int = IvfNprobe,
+                           candidateFactor: Int = 8): DataFrame = {
     graft.functions.CosineUnits.register(embeddings.sparkSession)
-    val cents = kmeansCentroids(embeddings, numCentroids, iters)
     val assigned = embeddings.join(assignCells(embeddings, cents), "vec_id")
     val probes = embeddings.filter(probePredicate)
       .select(col("vec_id").as("p_id"), col("embedding").as("pv"))

@@ -240,8 +240,29 @@ object LlmData {
 
   // ---- X31: IVF ANN (deterministic k-means, nprobe cell-pruned search) -
 
+  /** Trained k-means centroids, computed ONCE per (session, dir) and
+    * materialized to a temp parquet table — x31/x47/x72 all score
+    * consumers of the SAME deterministic training (the integer-unit
+    * contract makes the stored frame bit-identical to an inline run, so
+    * hashes are unchanged), and x71 scores the training's at-rest form
+    * itself. The clusterLabels pattern applied to the embedding side. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  def sharedCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val path = centroidCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir), _ => {
+        val out = java.nio.file.Files.createTempDirectory("graft_cents")
+          .toString + "/centroids.parquet"
+        Similarity.kmeansCentroids(embs(spark, dir))
+          .write.mode("overwrite").parquet(out)
+        out
+      })
+    spark.read.parquet(path)
+  }
+
   def x31IvfAnn(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(embs(spark, dir), 5).orderBy(col("p_id"), col("rn"))
+    Similarity.ivfTopKWith(embs(spark, dir), sharedCentroids(spark, dir), 5)
+      .orderBy(col("p_id"), col("rn"))
 
   /** X71 — the PERSISTED-index ANN path, scored: build the IVF index at
     * rest ([[graft.operators.Similarity.buildIvfIndex]] — centroids +
@@ -282,7 +303,9 @@ object LlmData {
     * CODES (dim + 8 bytes/vector vs 8·dim float64), and only ~k·factor
     * rows per probe ever touch full-precision vectors. */
   def x72AdcAnn(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopKQuantized(embs(spark, dir), 5).orderBy(col("p_id"), col("rn"))
+    Similarity.ivfTopKQuantizedWith(embs(spark, dir),
+        sharedCentroids(spark, dir), 5)
+      .orderBy(col("p_id"), col("rn"))
 
   lazy val x72Sql: String = x31Sql
 
@@ -349,7 +372,8 @@ object LlmData {
     * identical k-means (x31's CTEs) then the in-cell lower-id-neighbor
     * rule, so cells, dup links, and keep decisions all hash-match. */
   def x47SemanticDedup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.semanticDedup(embs(spark, dir), CosineDupThreshold)
+    Similarity.semanticDedupWith(embs(spark, dir),
+        sharedCentroids(spark, dir), CosineDupThreshold)
       .orderBy(col("vec_id"))
 
   val x47Sql: String =
