@@ -278,11 +278,17 @@ object Similarity {
     * paid at build, and every later probe batch reads
     * nprobe/numCentroids of the corpus regardless of its size. */
   def buildIvfIndex(embeddings: DataFrame, indexPath: String,
-                    numCentroids: Int = IvfCentroids, iters: Int = IvfIters): Unit = {
+                    numCentroids: Int = IvfCentroids, iters: Int = IvfIters): Unit =
+    buildIvfIndexWith(embeddings,
+      kmeansCentroids(embeddings, numCentroids, iters), indexPath)
+
+  /** [[buildIvfIndex]] from PRE-TRAINED centroids (see [[ivfTopKWith]] —
+    * deterministic training makes the frames interchangeable). */
+  def buildIvfIndexWith(embeddings: DataFrame, trained: DataFrame,
+                        indexPath: String): Unit = {
     val spark = embeddings.sparkSession
     graft.functions.CosineUnits.register(spark)
-    kmeansCentroids(embeddings, numCentroids, iters)
-      .write.mode("overwrite").parquet(s"$indexPath/centroids")
+    trained.write.mode("overwrite").parquet(s"$indexPath/centroids")
     val cents = spark.read.parquet(s"$indexPath/centroids")
     embeddings.join(assignCells(embeddings, cents), "vec_id")
       .select(col("vec_id"), col("embedding"), col("cell"))

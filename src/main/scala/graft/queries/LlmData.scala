@@ -279,7 +279,7 @@ object LlmData {
     try {
       val idx = new java.io.File(tmp, "ivf").getAbsolutePath
       val e = embs(spark, dir)
-      Similarity.buildIvfIndex(e, idx)
+      Similarity.buildIvfIndexWith(e, sharedCentroids(spark, dir), idx)
       val res = Similarity.ivfTopKFromIndex(spark, idx,
         e.filter(col("vec_id") < 10), 5)
       // k × probes rows: materialize so the temp index tree drops eagerly

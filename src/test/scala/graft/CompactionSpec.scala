@@ -97,6 +97,26 @@ class CompactionSpec extends AnyFunSuite {
     } finally Fs.deleteTree(new java.io.File(tmp))
   }
 
+  test("appendCycle swap hygiene: no __compacting/__precompact siblings survive a compacting cycle") {
+    val tmp = Files.createTempDirectory("graft-swap-hygiene").toFile.getAbsolutePath
+    try {
+      val docs = Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
+      val table = s"$tmp/table"
+      // force a compaction on the second cycle (maxFiles = 1)
+      (0 until 2).foreach { i =>
+        graft.operators.Maintenance.appendCycle(spark,
+          docs.filter(pmod(col("doc_id"), lit(2)) === i), table,
+          keys = Seq("doc_id"), tieBreak = Nil,
+          maxFiles = 1, targetFileBytes = Long.MaxValue)
+      }
+      // the backup-rename dance must clean up both transient siblings and
+      // leave the live table complete at its canonical path
+      assert(!new java.io.File(table + "__compacting").exists, "tmp sibling left behind")
+      assert(!new java.io.File(table + "__precompact").exists, "backup sibling left behind")
+      assert(spark.read.parquet(table).count() == docs.count())
+    } finally Fs.deleteTree(new java.io.File(tmp))
+  }
+
   test("compactPartitioned: preserves partCol=value layout and contents") {
     val tmp = Files.createTempDirectory("graft-compact-part").toFile.getAbsolutePath
     try {
