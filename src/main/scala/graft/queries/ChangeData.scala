@@ -63,6 +63,34 @@ object ChangeData {
       |WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY user_id""".stripMargin
 
+  /** Q74 — q56's CDC compaction as a SCORED STREAM: the change log is
+    * streamed through [[graft.streaming.EventStreams.cdcCompactStream]]
+    * (AvailableNow + checkpoint + per-batch latest-wins merges into a
+    * one-row-per-key state table) and the final state read back; the
+    * oracle is q56's SQL verbatim. q70 put a partial-AGGREGATION merge
+    * under the gate; this puts the STATEFUL latest-wins upsert there —
+    * the two maintenance algebras a 100 TB pipeline composes (and whose
+    * replay guarantees differ: sums need the checkpoint, latest-wins is
+    * idempotent on its own — UpsertState's documented asymmetry). */
+  def q74StreamCdc(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q74_").toFile
+    try {
+      val state = new java.io.File(tmp, "state").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      graft.streaming.EventStreams.cdcCompactStream(spark, dir, state, ckpt)
+      val res = graft.operators.UpsertState
+        .current(spark.read.parquet(state), "event_type", "error")
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("cents").as("last_cents"))
+      // one row per user: materialize so the temp state/checkpoint can drop
+      val rows = res.collectAsList()
+      spark.createDataFrame(rows, res.schema).orderBy(col("user_id"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** Maintained state ≡ batch compaction: the gate q56 already passes. */
+  val q74Sql: String = q56Sql
+
   // ---- Q57: SCD2 validity intervals --------------------------------------
 
   /** Slowly-changing-dimension type 2: every change becomes a versioned row

@@ -275,6 +275,33 @@ object EventStreams {
     merged.write.mode("overwrite").parquet(statePath)
   }
 
+  /** The second SCORED streaming gate (q74): the events table streamed
+    * (AvailableNow + checkpoint) through per-batch latest-wins merges into
+    * a one-row-per-key CDC state table ([[graft.operators.UpsertState
+    * .merge]]) — q56's answer maintained as a stream instead of computed
+    * by one batch aggregation. Latest-wins is a commutative idempotent
+    * monoid, so ANY batch slicing — and any re-delivery — folds to the
+    * batch compaction (the law StreamingIngestSpec asserts for the
+    * landing-dir form); the hash gate against q56's oracle makes that
+    * law a scored fact. */
+  def cdcCompactStream(spark: SparkSession, dir: String,
+                       statePath: String, checkpointDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = readEvents(spark, dir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ch = batch.toDF().selectExpr("user_id", "event_type",
+          "unix_micros(ts) as ts_us", "event_id",
+          "cast(round(value * 100) as bigint) as cents")
+        graft.operators.UpsertState.merge(batch.sparkSession, ch, statePath,
+          keys = Seq("user_id"), version = Seq("ts_us", "event_id"))
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming CDC-UPSERT gate — the latest-wins counterpart of
     * [[ingestFlares]] (which is insert-only): each micro-batch of landed
     * change records merges into a one-row-per-key state table via

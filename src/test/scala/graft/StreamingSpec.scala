@@ -29,6 +29,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("scored q74 (CDC state via writeStream) equals batch q56 row for row") {
+    val got = graft.queries.ChangeData.q74StreamCdc(spark, sf).collect().toSeq
+    val want = graft.queries.ChangeData.q56CdcMerge(spark, sf).collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("streaming sliding agg equals the batch sliding query") {
     val streamed = EventStreams.runOnceSliding(spark, sf, "stream_q23")
       .collect()
