@@ -184,4 +184,42 @@ object Parity {
     s"""SELECT row_number() OVER (ORDER BY flr_id, class_type, link) AS id, $oracleCast
        |FROM (${dedupSql(valuesTable(batchA ++ batchB, "raw"))})
        |ORDER BY id""".stripMargin
+
+  // ---- P4: the DataSource V2 ingest path, scored -----------------------
+
+  /** P4 — p3's pipeline with the ingest swapped for the CUSTOM DataSource
+    * V2 table ([[graft.sources.v2.HttpJsonSource]], `graft-http-json`):
+    * the two batch payloads are served as two `file:` URLs → two input
+    * partitions whose fetch+parse run executor-side (the fan-out path for
+    * many endpoints; http(s) reuses the retry policy), column pruning
+    * pushed into the reader. The oracle is p3's SQL verbatim — the hash
+    * gate proves the DSv2 read ≡ the driver-side `readJson` ingest on the
+    * same fixture, which puts the engine's custom SOURCE (not just its
+    * operators) under the DuckDB gate. */
+  def p4DsvSource(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_p4_").toFile
+    try {
+      val fa = new java.io.File(tmp, "a.json")
+      val fb = new java.io.File(tmp, "b.json")
+      java.nio.file.Files.writeString(fa.toPath, jsonBody(batchA))
+      java.nio.file.Files.writeString(fb.toPath, jsonBody(batchB))
+      val raw = spark.read.format("graft-http-json")
+        .schema(Donki.flrSchema)
+        .option("urls", s"file://${fa.getAbsolutePath},file://${fb.getAbsolutePath}")
+        .load()
+      val w = Window.partitionBy(col("flr_id"))
+        .orderBy(col("class_type").asc_nulls_last, col("link").asc_nulls_last,
+                 col("flr_id").asc_nulls_last)
+      val deduped = Donki.project(raw)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      // fixture-sized result: materialize so the temp payload files drop
+      val res = Donki.withId(deduped)
+      val rows = res.collectAsList()
+      spark.createDataFrame(rows, res.schema).orderBy(col("id"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** DSv2 ingest ≡ driver-side ingest: the gate p3 already passes. */
+  val p4Sql: String = p3Sql
 }

@@ -60,4 +60,10 @@ class ParitySpec extends AnyFunSuite {
     }
     assert(survivors(fwd) == survivors(rev))
   }
+
+  test("scored p4 (DSv2 ingest) equals p3 (driver-side ingest) row for row") {
+    val got = Parity.p4DsvSource(spark, sf).collect().toSeq
+    val want = Parity.p3FullScan(spark, sf).collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
 }
