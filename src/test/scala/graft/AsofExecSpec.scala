@@ -156,6 +156,22 @@ class AsofExecSpec extends AnyFunSuite {
       Seq("event_id", "user_id", "asof_orderkey", "asof_orderdate"))
   }
 
+  test("numOutputRows metric on the exec matches the actual output count") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findExec(p: SparkPlan): Option[graft.plans.AsofMergeJoinExec] = p match {
+      case a: AdaptiveSparkPlanExec => findExec(a.executedPlan)
+      case q: QueryStageExec => findExec(q.plan)
+      case e: graft.plans.AsofMergeJoinExec => Some(e)
+      case other => other.children.view.flatMap(findExec(_)).headOption
+    }
+    val df = AsofJoin.asof(eventsDf, ordersDf)
+    val got = df.collect().length.toLong
+    val m = findExec(df.queryExecution.executedPlan)
+      .map(_.metrics("numOutputRows").value)
+    assert(m.contains(got), s"metric $m vs rows $got")
+  }
+
   test("plan: the custom exec plans via the injected strategy — no union, window, or join") {
     val df = AsofJoin.asof(eventsDf, ordersDf)
     val plan = df.queryExecution.executedPlan.toString

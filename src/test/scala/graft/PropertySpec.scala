@@ -496,6 +496,46 @@ object PropertySpec extends Properties("graft") {
       Prop(got == expected) :| s"s=$s got=$got expected=$expected"
     }
 
+  property("shardDealIncremental: random two-batch folds conserve docs and match the reference deal") =
+    forAll(
+      Gen.nonEmptyListOf(for {
+        id <- Gen.choose(1L, 10000L)
+        n <- Gen.choose(1, 40)
+      } yield (id, (1 to n).map(i => s"t$i").mkString(" "))),
+      Gen.choose(1, 6)) { (rows0, s) =>
+      val rows = rows0.distinctBy(_._1)
+      import spark.implicits._
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      def df(rs: List[(Long, String)]) =
+        rs.map { case (id, t) => (id, t) }.toDF("doc_id", "text").repartition(3)
+      val emptyAssign = Seq.empty[(Long, Long, Long)].toDF("doc_id", "n_tok", "shard")
+      val a1 =
+        if (b1.isEmpty) emptyAssign
+        else graft.operators.Curation.shardDealIncremental(emptyAssign, df(b1), s)
+          .localCheckpoint(true)
+      val a2 =
+        if (b2.isEmpty) emptyAssign
+        else graft.operators.Curation.shardDealIncremental(a1, df(b2), s)
+      val all = a1.unionByName(a2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // conservation: every doc dealt exactly once onto a real shard
+      val conserved = all.map(_._1).toSet == rows.map(_._1).toSet &&
+        all.length == rows.size && all.forall(x => x._3 >= 0 && x._3 < s)
+      // reference: batch-1 deal = rank mod s; batch-2 deal = rank r goes to
+      // the shard at position (r-1) mod s of the load-ascending order
+      def rank(rs: List[(Long, String)]) =
+        rs.map { case (id, t) => (id, t.split(" ").length.toLong) }
+          .sortBy { case (id, n) => (-n, id) }
+      val exp1 = rank(b1).zipWithIndex.map { case ((id, n), i) => (id, n, i.toLong % s) }
+      val loads = (0L until s.toLong).map(sh =>
+        sh -> exp1.filter(_._3 == sh).map(_._2).sum).toMap
+      val order = (0L until s.toLong).sortBy(sh => (loads(sh), sh))
+      val exp2 = rank(b2).zipWithIndex.map { case ((id, n), i) => (id, n, order(i % s)) }
+      val expected = (exp1 ++ exp2).toSet
+      Prop(conserved && all.toSet == expected) :|
+        s"s=$s got=${all.toSet.take(5)} expected=${expected.take(5)}"
+    }
+
   property("custom as-of exec equals the driver-side reference on random keyed streams") =
     forAll(
       Gen.nonEmptyListOf(for {
