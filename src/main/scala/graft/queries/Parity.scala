@@ -222,4 +222,41 @@ object Parity {
 
   /** DSv2 ingest ≡ driver-side ingest: the gate p3 already passes. */
   val p4Sql: String = p3Sql
+
+  // ---- P5: the DataSource V2 WRITE path, scored ------------------------
+
+  /** P5 — p3's pipeline with a `graft-jsonl` round trip inserted between
+    * ingest and projection: the raw flare frame is WRITTEN through the
+    * custom DataSource V2 sink ([[graft.sources.v2.JsonLinesSink]] — a
+    * real two-phase commit: per-attempt temp files, commit-coordinated
+    * winners, publish-on-commit, `_SUCCESS` last) and read back through
+    * its scan before the dedup+project+id steps. The oracle is p3's SQL
+    * verbatim — one more spelling of the same answer, which puts the
+    * engine's custom SINK under the DuckDB hash gate: any loss, dup, or
+    * mangling in render/commit/read-back flips the hash. Exercises
+    * strings (escaping), ints, nulls for absent keys, and the
+    * array-of-struct `instruments` payload. */
+  def p5DsvSink(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_p5_").toFile
+    try {
+      val table = new java.io.File(tmp, "flares_jsonl").getAbsolutePath
+      val raw = Donki.readJson(spark, Seq(jsonBody(batchA), jsonBody(batchB)))
+      raw.write.format("graft-jsonl").mode("overwrite").save(table)
+      val back = spark.read.format("graft-jsonl")
+        .schema(Donki.flrSchema).load(table)
+      val w = Window.partitionBy(col("flr_id"))
+        .orderBy(col("class_type").asc_nulls_last, col("link").asc_nulls_last,
+                 col("flr_id").asc_nulls_last)
+      val deduped = Donki.project(back)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      // fixture-sized result: materialize so the temp table drops eagerly
+      val res = Donki.withId(deduped)
+      val rows = res.collectAsList()
+      spark.createDataFrame(rows, res.schema).orderBy(col("id"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** Sink round trip ≡ no round trip: the gate p3 already passes. */
+  val p5Sql: String = p3Sql
 }

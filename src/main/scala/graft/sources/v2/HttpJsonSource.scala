@@ -124,6 +124,16 @@ class HttpJsonPartitionReader(url: String, required: StructType, retries: Int)
   * all static). */
 object HttpJsonRows {
 
+  // ObjectMapper.readTree is thread-safe after configuration; one shared
+  // instance serves every partition reader in the executor JVM
+  private val mapper = new ObjectMapper()
+
+  /** Parse JSON-Lines input (one object per line; blank lines skipped) —
+    * the read side of the `graft-jsonl` sink. Same conversion contract as
+    * [[parse]]: missing keys and JSON nulls → null. */
+  def parseLines(lines: Iterator[String], schema: StructType): Iterator[InternalRow] =
+    lines.filter(_.trim.nonEmpty).map(l => convertStruct(mapper.readTree(l), schema))
+
   def fetch(url: String, retries: Int): String =
     if (url.startsWith("file:")) {
       val p = java.nio.file.Paths.get(java.net.URI.create(url))

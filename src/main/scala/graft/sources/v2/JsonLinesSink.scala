@@ -1,0 +1,342 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 batch SINK (and matching read-back scan) for JSON Lines —
+  * the engine's load surface (reference §2.1 L1/E4, the per-row INSERT /
+  * formatted-line delivery) as a first-class Spark writer with a REAL
+  * two-phase commit protocol, symmetric with the `graft-http-json` read
+  * path (same supported types, same missing-key→null contract):
+  *
+  * {{{
+  * df.write.format("graft-jsonl").mode("overwrite").save(dir)   // truncate
+  * df.write.format("graft-jsonl").mode("append").save(dir)      // accumulate
+  * spark.read.format("graft-jsonl").schema(s).load(dir)         // read back
+  * }}}
+  *
+  * Commit protocol (the part a `foreachPartition` sink cannot give you):
+  *  - each task attempt writes `_temporary/<queryId>/part-<pid>-<taskId>`;
+  *    `taskId` is unique PER ATTEMPT, so a speculative duplicate or a
+  *    retried task never collides with the attempt that wins.
+  *  - Spark's output commit coordinator (`useCommitCoordinator`) picks one
+  *    winning attempt per partition; only ITS file path rides the
+  *    [[WriterCommitMessage]] back to the driver.
+  *  - `BatchWrite.commit` publishes exactly the files named in commit
+  *    messages — a zombie attempt's file is left in `_temporary` and
+  *    removed with it, never published. Truncate swaps via a CHECKED
+  *    backup-rename dance (live parts → `_backup-<queryId>`, new parts in,
+  *    drop backup — same recoverable-at-every-step posture as
+  *    `graft.operators.Maintenance`); `_SUCCESS` is (re)written last.
+  *  - `BatchWrite.abort` / `DataWriter.abort` delete only temp state:
+  *    a failed write leaves the previous table contents fully intact.
+  *
+  * Rendering: schema-ordered JSON objects, one per line — nulls written
+  * explicitly, strings minimally escaped, doubles via `Double.toString`
+  * (lossless round-trip through the Jackson parse on the read side).
+  * Non-finite doubles are REJECTED (JSON has no representation; silently
+  * writing null would fabricate data — the task fails and the commit
+  * protocol discards its output). Timestamps are out of scope by the same
+  * design rule as the read path: serialize raw strings and cast in the
+  * plan. Single-writer per directory, like [[graft.operators.DedupAppend]].
+  */
+class JsonLinesSink extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-jsonl"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "graft-jsonl requires an explicit schema (.schema(...)) to read; " +
+        "inference is disallowed by design (deterministic ingest)")
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(throw new IllegalArgumentException(
+      "graft-jsonl: a path is required (.save(dir) / .load(dir) or .option(\"path\", dir))"))
+    new JsonLinesTable(schema, path)
+  }
+}
+
+class JsonLinesTable(tableSchema: StructType, path: String)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft-jsonl($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new JsonLinesScanBuilder(tableSchema, path)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new JsonLinesWriteBuilder(info.schema(), path, info.queryId())
+}
+
+// ---- write path --------------------------------------------------------
+
+class JsonLinesWriteBuilder(schema: StructType, path: String, queryId: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new JsonLinesBatchWrite(schema, path, queryId, truncateFirst)
+  }
+}
+
+case class JsonLinesCommitMessage(partitionId: Int, tempFile: Option[String])
+    extends WriterCommitMessage
+
+class JsonLinesBatchWrite(schema: StructType, path: String, queryId: String,
+                          truncate: Boolean) extends BatchWrite {
+
+  // one winning attempt per partition — the coordinator is what makes
+  // "publish only committed files" safe under speculation/retry
+  override def useCommitCoordinator(): Boolean = true
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new JsonLinesWriterFactory(schema, path, queryId)
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(new Configuration())
+
+  private def checkedRename(f: FileSystem, from: Path, to: Path): Unit =
+    if (!f.rename(from, to))
+      throw new java.io.IOException(s"graft-jsonl commit: rename $from -> $to failed")
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val f = fs(dir)
+    val committed = messages.collect {
+      case JsonLinesCommitMessage(pid, Some(tmp)) => (pid, new Path(tmp))
+    }
+    if (!f.exists(dir) && !f.mkdirs(dir))
+      throw new java.io.IOException(s"graft-jsonl commit: cannot create $dir")
+    val backup = new Path(path, s"_backup-$queryId")
+    if (truncate) {
+      // move live parts aside rather than deleting them: recoverable at
+      // every step until the new parts are in place
+      val old = f.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith("part-"))
+      if (old.nonEmpty) {
+        if (!f.mkdirs(backup))
+          throw new java.io.IOException(s"graft-jsonl commit: cannot create $backup")
+        old.foreach(p => checkedRename(f, p, new Path(backup, p.getName)))
+      }
+    }
+    // publish exactly the files the winning attempts committed
+    committed.foreach { case (pid, tmp) =>
+      checkedRename(f, tmp, new Path(dir, s"part-$queryId-$pid.jsonl"))
+    }
+    if (truncate && f.exists(backup) && !f.delete(backup, true))
+      throw new java.io.IOException(
+        s"graft-jsonl commit: could not remove $backup (table at $path is live and complete)")
+    // zombie-attempt files go with the temp dir; _SUCCESS marks completion
+    f.delete(new Path(dir, s"_temporary-$queryId"), true)
+    val success = new Path(dir, "_SUCCESS")
+    val out = f.create(success, true)
+    out.close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val f = fs(dir)
+    // temp state only — the previous table contents stay intact
+    f.delete(new Path(dir, s"_temporary-$queryId"), true): Unit
+  }
+}
+
+class JsonLinesWriterFactory(schema: StructType, path: String, queryId: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new JsonLinesDataWriter(schema, path, queryId, partitionId, taskId)
+}
+
+class JsonLinesDataWriter(schema: StructType, path: String, queryId: String,
+                          partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val tempPath =
+    new Path(new Path(path, s"_temporary-$queryId"), s"part-$partitionId-$taskId")
+  private var stream: java.io.BufferedWriter = _
+
+  private def ensureOpen(): java.io.BufferedWriter = {
+    if (stream == null) {
+      val f = tempPath.getFileSystem(new Configuration())
+      stream = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        f.create(tempPath, true), java.nio.charset.StandardCharsets.UTF_8))
+    }
+    stream
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val out = ensureOpen()
+    out.write(JsonLines.render(row, schema))
+    out.write('\n')
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val wrote = stream != null
+    if (wrote) { stream.close(); stream = null }
+    // empty partition → no file: commit carries None, the driver publishes
+    // nothing for it (no zero-byte part litter)
+    JsonLinesCommitMessage(partitionId, if (wrote) Some(tempPath.toString) else None)
+  }
+
+  override def abort(): Unit = {
+    if (stream != null) { stream.close(); stream = null }
+    val f = tempPath.getFileSystem(new Configuration())
+    f.delete(tempPath, false): Unit
+  }
+
+  override def close(): Unit =
+    if (stream != null) { stream.close(); stream = null }
+}
+
+// ---- read-back scan ----------------------------------------------------
+
+class JsonLinesScanBuilder(full: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = {
+    val dir = new Path(path)
+    val f = dir.getFileSystem(new Configuration())
+    val files =
+      if (!f.exists(dir)) Array.empty[String]
+      else f.listStatus(dir).map(_.getPath)
+        .filter(p => p.getName.startsWith("part-"))
+        .sortBy(_.getName).map(_.toString)
+    new JsonLinesScan(required, files)
+  }
+}
+
+case class JsonLinesInputPartition(file: String) extends InputPartition
+
+class JsonLinesScan(required: StructType, files: Array[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => JsonLinesInputPartition(f): InputPartition)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonLinesReaderFactory(required)
+  override def description(): String =
+    s"graft-jsonl [${files.length} files, schema=${required.simpleString}]"
+}
+
+class JsonLinesReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new JsonLinesPartitionReader(
+      partition.asInstanceOf[JsonLinesInputPartition].file, required)
+}
+
+class JsonLinesPartitionReader(file: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private lazy val reader = {
+    val p = new Path(file)
+    val f = p.getFileSystem(new Configuration())
+    new java.io.BufferedReader(new java.io.InputStreamReader(
+      f.open(p), java.nio.charset.StandardCharsets.UTF_8))
+  }
+  private lazy val rows: Iterator[InternalRow] = HttpJsonRows.parseLines(
+    Iterator.continually(reader.readLine()).takeWhile(_ != null), required)
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
+
+/** InternalRow → JSON-line rendering (static, executor-side). The exact
+  * mirror of [[HttpJsonRows]]' supported types, so `graft-jsonl` output is
+  * always readable by the `graft-jsonl` / `graft-http-json` scans. */
+object JsonLines {
+
+  def render(row: InternalRow, schema: StructType): String = {
+    val sb = new java.lang.StringBuilder(64)
+    renderStruct(row, schema, sb)
+    sb.toString
+  }
+
+  private def renderStruct(row: InternalRow, schema: StructType,
+                           sb: java.lang.StringBuilder): Unit = {
+    sb.append('{')
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) sb.append(", ")
+      val f = schema(i)
+      renderString(f.name, sb)
+      sb.append(": ")
+      if (row.isNullAt(i)) sb.append("null")
+      else renderValue(row.get(i, f.dataType), f.dataType, sb)
+      i += 1
+    }
+    sb.append('}')
+  }
+
+  private def renderValue(v: Any, dt: DataType, sb: java.lang.StringBuilder): Unit =
+    dt match {
+      case StringType  => renderString(v.asInstanceOf[UTF8String].toString, sb)
+      case IntegerType => sb.append(v.asInstanceOf[Int]): Unit
+      case LongType    => sb.append(v.asInstanceOf[Long]): Unit
+      case BooleanType => sb.append(v.asInstanceOf[Boolean]): Unit
+      case DoubleType =>
+        val d = v.asInstanceOf[Double]
+        if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
+          throw new IllegalArgumentException(
+            "graft-jsonl: non-finite double has no JSON representation " +
+              "(filter or recode non-finite values before the sink)")
+        sb.append(d): Unit
+      case ArrayType(et, _) =>
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        sb.append('[')
+        var i = 0
+        while (i < arr.numElements()) {
+          if (i > 0) sb.append(", ")
+          if (arr.isNullAt(i)) sb.append("null")
+          else renderValue(arr.get(i, et), et, sb)
+          i += 1
+        }
+        sb.append(']')
+      case st: StructType =>
+        renderStruct(v.asInstanceOf[InternalRow], st, sb)
+      case other => throw new IllegalArgumentException(
+        s"graft-jsonl: unsupported type $other (serialize raw strings and cast in the plan)")
+    }
+
+  private def renderString(s: String, sb: java.lang.StringBuilder): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"'  => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case _ if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.Donki
+import graft.queries.Parity
+
+/** Laws for the `graft-jsonl` DataSource V2 SINK (graft.sources.v2
+  * .JsonLinesSink): round-trip identity, append/truncate semantics, the
+  * two-phase commit's cleanliness guarantees (a failed write never
+  * disturbs the previous table; no temp litter after success), read-side
+  * column pruning, and the non-finite-double rejection contract. */
+class Dsv2SinkSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmpDir(): java.io.File =
+    java.nio.file.Files.createTempDirectory("graft_jsonl_").toFile
+
+  private def flares: DataFrame = Donki.readJson(spark,
+    Seq(Parity.jsonBody(Parity.batchA), Parity.jsonBody(Parity.batchB)))
+
+  private def readBack(dir: java.io.File): DataFrame =
+    spark.read.format("graft-jsonl").schema(Donki.flrSchema)
+      .load(dir.getAbsolutePath)
+
+  private def rowSet(df: DataFrame) = df.collect().map(_.toSeq).toSet
+
+  test("round trip: write overwrite then read back equals the source frame") {
+    val dir = tmpDir()
+    try {
+      flares.write.format("graft-jsonl").mode("overwrite")
+        .save(dir.getAbsolutePath)
+      assert(rowSet(readBack(dir)) == rowSet(flares))
+      // commit hygiene: _SUCCESS present, no temp/backup litter
+      val names = dir.listFiles().map(_.getName).toSet
+      assert(names.contains("_SUCCESS"))
+      assert(!names.exists(_.startsWith("_temporary")), s"temp litter: $names")
+      assert(!names.exists(_.startsWith("_backup")), s"backup litter: $names")
+    } finally util.Fs.deleteTree(dir)
+  }
+
+  test("append accumulates; overwrite truncates") {
+    val dir = tmpDir()
+    try {
+      val a = Donki.readJson(spark, Seq(Parity.jsonBody(Parity.batchA)))
+      val b = Donki.readJson(spark, Seq(Parity.jsonBody(Parity.batchB)))
+      a.write.format("graft-jsonl").mode("append").save(dir.getAbsolutePath)
+      b.write.format("graft-jsonl").mode("append").save(dir.getAbsolutePath)
+      assert(readBack(dir).count() == Parity.batchA.size + Parity.batchB.size)
+      b.write.format("graft-jsonl").mode("overwrite").save(dir.getAbsolutePath)
+      assert(rowSet(readBack(dir)) == rowSet(b))
+    } finally util.Fs.deleteTree(dir)
+  }
+
+  test("a failed write leaves the previous table fully intact (abort path)") {
+    val dir = tmpDir()
+    try {
+      flares.write.format("graft-jsonl").mode("overwrite")
+        .save(dir.getAbsolutePath)
+      val before = rowSet(readBack(dir))
+      val poisoned = flares.withColumn("classType",
+        when(col("flrID").endsWith("FLR-001"),
+          raise_error(lit("poisoned row"))).otherwise(col("classType")))
+      intercept[Exception] {
+        poisoned.write.format("graft-jsonl").mode("overwrite")
+          .save(dir.getAbsolutePath)
+      }
+      // overwrite's truncation happens at COMMIT time, which was never
+      // reached — the previous contents must be untouched
+      assert(rowSet(readBack(dir)) == before)
+    } finally util.Fs.deleteTree(dir)
+  }
+
+  test("read-side column pruning reaches the scan") {
+    val dir = tmpDir()
+    try {
+      flares.write.format("graft-jsonl").mode("overwrite")
+        .save(dir.getAbsolutePath)
+      val df = readBack(dir).select("flrID", "link")
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(scans.nonEmpty)
+      assert(scans.head.output.map(_.name) == Seq("flrID", "link"),
+        s"scan must read only pruned columns, got: ${scans.head.output.map(_.name)}")
+      assert(df.count() == flares.count())
+    } finally util.Fs.deleteTree(dir)
+  }
+
+  test("non-finite doubles are rejected, not silently recoded") {
+    val dir = tmpDir()
+    try {
+      import spark.implicits._
+      val bad = Seq(("a", 1.0), ("b", Double.NaN)).toDF("k", "v")
+      val ex = intercept[Exception] {
+        bad.write.format("graft-jsonl").mode("overwrite")
+          .save(dir.getAbsolutePath)
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex).exists(_.contains("non-finite")),
+        s"expected the non-finite rejection, got: ${messages(ex)}")
+      // the failed write published nothing
+      assert(readBack(dir).count() == 0)
+    } finally util.Fs.deleteTree(dir)
+  }
+
+  test("scale shape: documents round-trips across many partitions") {
+    val dir = tmpDir()
+    try {
+      val docs = Tables.t(spark, sf, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      docs.write.format("graft-jsonl").mode("overwrite")
+        .save(dir.getAbsolutePath)
+      val back = spark.read.format("graft-jsonl").schema(docs.schema)
+        .load(dir.getAbsolutePath)
+      assert(back.count() == docs.count())
+      assert(back.agg(sum("n_chars")).head.getLong(0) ==
+        docs.agg(sum("n_chars")).head.getLong(0))
+      assert(rowSet(back) == rowSet(docs))
+    } finally util.Fs.deleteTree(dir)
+  }
+}
