@@ -171,6 +171,70 @@ object CorpusStats {
         expr("wsum div n_bigrams").as("lm_mean_e12"), col("lm_min_e12"))
   }
 
+  // ---- cross-corpus smoothed LM score (held-out reference model) -------
+
+  /** CCNet-shaped quality scoring: train the bigram LM on a held-out
+    * REFERENCE corpus, score a DIFFERENT target corpus under it. The
+    * cross-corpus form is what [[bigramLmScore]] (x62, self-scored) cannot
+    * express: a target bigram may be absent from the reference — the whole
+    * point of the filter (text unlike the reference scores low) — so the
+    * model needs a smoothing story instead of x62's closed-world join:
+    *
+    *  - known prefix u: add-one-smoothed w = (c₂+1)·10¹² div (c₁+V),
+    *    where c₂/c₁ are the reference's bigram/prefix counts and V its
+    *    unigram vocabulary size (so Σ_v w ≈ 10¹² still holds).
+    *  - unknown prefix u: the uniform prior w = 10¹² div V.
+    *
+    * Integer-exact throughout (x62's ln-free argument: floor-div in 10⁻¹²
+    * units is bit-reproducible cross-engine, rank-equivalent per prefix).
+    * Per target doc: occurrence count, smoothed mean, OOV-bigram count
+    * (transitions the reference never saw — the garbled-text signal), and
+    * an above-corpus-mean flag (the head/tail bucket decision in its
+    * 2-bucket form; CCNet's head/middle/tail is the same comparison
+    * against two quantiles of this exact score column).
+    *
+    * Scale shape: the reference model c₂/c₁ is vocabulary²-bounded but
+    * unbounded by construction → the scoring joins SHUFFLE on the bigram/
+    * prefix keys (x62's argument); V and the corpus mean are single-row
+    * aggregates broadcast into the plan (the only cross joins). Per-doc
+    * sums map-side-combine. Docs with < 2 tokens have no transitions and
+    * are absent (oracle drops them identically). Overflow bound: x62's —
+    * (c₂+1)·10¹² needs c₂ < ~9.2M per bigram; DECIMAL(38,0) is the
+    * documented escape hatch past that. */
+  def lmCrossScore(reference: DataFrame, target: DataFrame): DataFrame = {
+    def bigramTf(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ts) - 1), " +
+            "i -> struct(element_at(ts, i) AS u, " +
+            "concat(element_at(ts, i), ' ', element_at(ts, i + 1)) AS b))")).as("p"))
+        .select(col("doc_id"), col("p.u").as("u"), col("p.b").as("b"))
+        .groupBy(col("doc_id"), col("u"), col("b")).agg(count(lit(1)).as("tf"))
+    val c2 = bigramTf(reference).groupBy(col("u"), col("b"))
+      .agg(sum(col("tf")).as("c2"))
+    val c1 = c2.groupBy(col("u")).agg(sum(col("c2")).as("c1"))
+    val v = reference
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    val scored = bigramTf(target)
+      .join(c2, Seq("u", "b"), "left")
+      .join(c1, Seq("u"), "left")
+      .crossJoin(broadcast(v)) // single-row vocab size
+      .select(col("doc_id"), col("tf"),
+        expr("CASE WHEN c1 IS NULL THEN 1000000000000L div v " +
+          "ELSE (coalesce(c2, 0L) + 1L) * 1000000000000L div (c1 + v) END").as("w"),
+        expr("CASE WHEN c2 IS NULL THEN tf ELSE 0L END").as("oov"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+           expr("sum(tf * w) div sum(tf)").as("score_e12"),
+           sum(col("oov")).as("n_oov"))
+    val mean = scored.agg(expr("sum(score_e12) div count(*)").as("mean_e12"))
+    scored.crossJoin(broadcast(mean)) // single-row corpus mean
+      .select(col("doc_id"), col("n_bigrams"), col("score_e12"), col("n_oov"),
+        (col("score_e12") >= col("mean_e12")).as("above_avg"))
+  }
+
   // ---- cross-source overlap matrix -------------------------------------
 
   /** Pairwise source-level shingle-set Jaccard: for every pair of sources

@@ -256,6 +256,47 @@ object CorpusQueries {
       |  CAST(min(w) AS BIGINT) AS lm_min_e12
       |FROM tf JOIN w USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- X73: cross-corpus smoothed LM score (CCNet-style filter) --------
+
+  /** Reference = docs with doc_id ≡ 0 (mod 3) (~1/3 of the corpus), target
+    * = the rest: big enough that the reference LM covers common
+    * transitions, small enough that real OOV bigrams occur in the target
+    * (the smoothing branch is exercised, not just compiled). */
+  def x73LmCross(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.operators.CorpusStats.lmCrossScore(
+      d.filter(col("doc_id") % 3 === 0),
+      d.filter(col("doc_id") % 3 =!= 0))
+      .orderBy(col("doc_id"))
+  }
+
+  val x73Sql: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |bg AS (SELECT doc_id, ts[i] AS u, ts[i] || ' ' || ts[i+1] AS b
+      |       FROM tk, unnest(range(1, len(ts))) AS r(i) WHERE len(ts) >= 2),
+      |rc2 AS (SELECT u, b, CAST(count(*) AS BIGINT) AS c2
+      |        FROM bg WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+      |rc1 AS (SELECT u, CAST(sum(c2) AS BIGINT) AS c1 FROM rc2 GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM
+      |        (SELECT unnest(string_split(text, ' ')) AS tok
+      |         FROM documents WHERE doc_id % 3 = 0)),
+      |tf AS (SELECT doc_id, u, b, CAST(count(*) AS BIGINT) AS tf
+      |       FROM bg WHERE doc_id % 3 <> 0 GROUP BY 1, 2, 3),
+      |sc AS (SELECT tf.doc_id, tf.tf,
+      |         CASE WHEN rc1.c1 IS NULL THEN 1000000000000 // v.v
+      |              ELSE (coalesce(rc2.c2, 0) + 1) * 1000000000000 // (rc1.c1 + v.v)
+      |         END AS w,
+      |         CASE WHEN rc2.c2 IS NULL THEN tf.tf ELSE 0 END AS oov
+      |       FROM tf LEFT JOIN rc2 USING (u, b) LEFT JOIN rc1 USING (u) CROSS JOIN v),
+      |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+      |          CAST(sum(tf * w) AS BIGINT) // CAST(sum(tf) AS BIGINT) AS score_e12,
+      |          CAST(sum(oov) AS BIGINT) AS n_oov
+      |        FROM sc GROUP BY 1),
+      |m AS (SELECT CAST(sum(score_e12) AS BIGINT) // count(*) AS mean_e12 FROM agg)
+      |SELECT doc_id, n_bigrams, score_e12, n_oov,
+      |  score_e12 >= m.mean_e12 AS above_avg
+      |FROM agg CROSS JOIN m ORDER BY doc_id""".stripMargin
+
   // ---- X64: per-source quota cap (two-phase windowed top-k) ------------
 
   /** k = 60: at sf0.01 each of the 5 sources holds ~100 docs (the cap

@@ -112,6 +112,43 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  // ---- lmCrossScore -----------------------------------------------------
+
+  test("lmCrossScore: exact smoothed weights, hand-computed") {
+    // reference: "a b a b" → bigrams: (a,"a b")×2, (b,"b a")×1
+    //   c1(a)=2, c1(b)=1, V = |{a,b}| = 2
+    val ref = mkDocs((1L, "s", "a b a b"))
+    // target doc 10: "a b" → known bigram: w=(2+1)e12 div (2+2)
+    // target doc 11: "a c" → known prefix a, unseen bigram: w=(0+1)e12 div (2+2), oov
+    // target doc 12: "x y" → unknown prefix: uniform w=1e12 div 2, oov
+    val tgt = mkDocs((10L, "s", "a b"), (11L, "s", "a c"), (12L, "s", "x y"))
+    val got = CorpusStats.lmCrossScore(ref, tgt)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    val wKnown = 3L * 1000000000000L / 4   // 750e9
+    val wSmoothed = 1000000000000L / 4     // 250e9
+    val wUniform = 1000000000000L / 2      // 500e9
+    val mean = (wKnown + wSmoothed + wUniform) / 3
+    assert(got == Seq(
+      (10L, 1L, wKnown, 0L, wKnown >= mean),
+      (11L, 1L, wSmoothed, 1L, wSmoothed >= mean),
+      (12L, 1L, wUniform, 1L, wUniform >= mean)))
+    // ranking sanity: reference-like > unseen-with-known-prefix;
+    // the uniform prior sits between (V is tiny here)
+    assert(wKnown > wUniform && wUniform > wSmoothed)
+  }
+
+  test("lmCrossScore: partitioning-independent on the corpus split") {
+    val d = Tables.t(spark, sf, "documents")
+    val ref = d.filter($"doc_id" % 3 === 0); val tgt = d.filter($"doc_id" % 3 =!= 0)
+    val a = CorpusStats.lmCrossScore(ref, tgt).orderBy($"doc_id").collect().toSeq
+    val b = CorpusStats.lmCrossScore(ref.repartition(7), tgt.repartition(5))
+      .orderBy($"doc_id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // scores are probabilities in 1e-12 units
+    assert(a.forall { r =>
+      val s = r.getLong(2); s >= 0L && s <= 1000000000000L })
+  }
+
   // ---- rarityScore ------------------------------------------------------
 
   test("rarityScore: exact integer weights and normalization") {
