@@ -394,6 +394,78 @@ object CorpusQueries {
        |FROM p GROUP BY pair
        |ORDER BY cnt DESC, pair LIMIT $BpePairK""".stripMargin
 
+  // ---- X74: BPE encode — tokenize the corpus under a merge table -------
+
+  /** Tokenizer model depth for the scored encode: enough chained merges
+    * that multi-character symbols form and later merges run over MERGED
+    * symbol streams (the part a single-round count never exercises), few
+    * enough that the oracle's unrolled replay stays readable. */
+  val BpeEncodeK = 10
+
+  /** X74 — the tokenizer-ENCODE side of the BPE surface, scored: apply a
+    * [[BpeEncodeK]]-deep ordered merge table to every word of the corpus
+    * ([[graft.operators.Bpe.encode]] — k chained left-to-right
+    * non-overlapping codegen folds, a pure projection: zero shuffles,
+    * streaming-safe) and report per-doc token counts. The merge table is
+    * the round-1 pair ranking x66 already scores — a FIXED tokenizer
+    * model derived once (model-sized driver collect, the same contract as
+    * `Bpe.train`'s winner rows), which keeps the oracle exact: DuckDB
+    * replays the same merges as string rewrites over a
+    * separator-delimited symbol stream (doubled separators make symbol
+    * boundaries unforgeable, and SQL `replace`'s left-to-right
+    * non-overlapping scan is exactly the fold's merge rule). */
+  def x74BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val merges = graft.operators.Bpe.pairCounts(
+        graft.operators.Bpe.initSymbols(graft.operators.Bpe.wordFreqs(d)))
+      .orderBy(col("cnt").desc, col("a"), col("b")).limit(BpeEncodeK)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    graft.operators.Bpe.encode(d, merges)
+      .select(col("doc_id"),
+        size(expr("filter(split(text, ' '), w -> length(w) > 0)")).cast("long")
+          .as("n_words"),
+        col("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x74Sql: String = {
+    // one rewrite stage per merge rank: symbols are ␟-delimited with
+    // doubled interior separators so a pattern can never match across or
+    // inside a symbol, and adjacent occurrences stay replaceable
+    val sep = "chr(31)"
+    def pat(k: Int) =
+      s"$sep || a$k || $sep || $sep || b$k || $sep"
+    def rep(k: Int) = s"$sep || a$k || b$k || $sep"
+    val ranks = (1 to BpeEncodeK).map { k =>
+      s"r$k AS (SELECT substr(pair, 1, 1) AS a$k, substr(pair, 2, 1) AS b$k " +
+        s"FROM topk WHERE rn = $k)"
+    }.mkString(",\n")
+    val stages = (1 to BpeEncodeK).map { k =>
+      s"m$k AS (SELECT doc_id, replace(st, ${pat(k)}, ${rep(k)}) AS st " +
+        s"FROM m${k - 1} CROSS JOIN r$k)"
+    }.mkString(",\n")
+    s"""WITH wf AS (SELECT tok, count(*) AS f
+       |            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |            WHERE length(tok) > 0 GROUP BY tok),
+       |pc AS (SELECT substr(tok, CAST(i AS BIGINT), 2) AS pair, CAST(sum(f) AS BIGINT) AS cnt
+       |       FROM wf, unnest(range(1, length(tok))) AS u(i)
+       |       WHERE length(tok) >= 2 GROUP BY pair),
+       |topk AS (SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rn
+       |         FROM pc ORDER BY cnt DESC, pair LIMIT $BpeEncodeK),
+       |$ranks,
+       |words AS (SELECT doc_id, w FROM
+       |            (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |          WHERE length(w) > 0),
+       |m0 AS (SELECT doc_id,
+       |         $sep || array_to_string(string_split(w, ''), $sep || $sep) || $sep AS st
+       |       FROM words),
+       |$stages
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum((length(st) - length(replace(st, $sep, ''))) // 2) AS BIGINT)
+       |    AS n_bpe_tokens
+       |FROM m$BpeEncodeK GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ---- X68: balanced training-shard assignment -------------------------
 
   /** Enough shards that balance quality is visible, few enough that every
