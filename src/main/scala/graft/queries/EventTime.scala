@@ -257,6 +257,49 @@ object EventTime {
   /** Maintained-state ≡ batch: the gate q15 already passes. */
   val q70Sql: String = q15Sql
 
+  // ---- Q75: streaming write through the custom DSv2 sink, scored -------
+
+  /** Q75 — the documents table streamed through the `graft-jsonl`
+    * DataSource V2 STREAMING sink (per-epoch temp files, epoch commit log
+    * → exactly-once publish; [[graft.sources.v2.JsonLinesSink]]) under
+    * `Trigger.AvailableNow`, read back through its scan, and rolled up
+    * per (lang, source). The oracle aggregates the parquet table
+    * directly — any row lost, duplicated, or mangled by the streaming
+    * commit path flips the hash. Complements q70/q74 (which gate the
+    * foreachBatch maintenance algebras): this gates the connector-level
+    * epoch protocol itself. */
+  def q75StreamSink(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q75_").toFile
+    try {
+      val out = new java.io.File(tmp, "docs_jsonl").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      val schema = spark.read
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select("doc_id", "text", "lang", "source", "n_chars").schema
+      val q = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .writeStream.format("graft-jsonl")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val res = spark.read.format("graft-jsonl").schema(schema).load(out)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      // materialize (langs × sources rows) so the temp tree drops eagerly
+      val rows = res.collectAsList()
+      spark.createDataFrame(rows, res.schema)
+        .orderBy(col("lang"), col("source"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  val q75Sql: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val q68Sql: String =
     """WITH f AS (SELECT event_type, user_id,
       |             min(CAST(ts AS TIMESTAMP)) AS first_ts

@@ -77,7 +77,7 @@ class JsonLinesTable(tableSchema: StructType, path: String)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonLinesScanBuilder(tableSchema, path)
@@ -95,6 +95,12 @@ class JsonLinesWriteBuilder(schema: StructType, path: String, queryId: String)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new JsonLinesBatchWrite(schema, path, queryId, truncateFirst)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!truncateFirst,
+        "graft-jsonl streaming supports append output mode only " +
+          "(per-epoch truncate would discard prior epochs' published data)")
+      new JsonLinesStreamingWrite(schema, path)
+    }
   }
 }
 
@@ -163,6 +169,74 @@ class JsonLinesWriterFactory(schema: StructType, path: String, queryId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new JsonLinesDataWriter(schema, path, queryId, partitionId, taskId)
+}
+
+// ---- streaming write path ----------------------------------------------
+
+/** Streaming (micro-batch) side of the sink: same per-attempt temp files
+  * and publish-on-commit, keyed by EPOCH instead of query — plus an epoch
+  * commit log (`_epochs/<id>` markers) that makes re-delivered batches
+  * no-ops. A `foreachBatch` + blind append is at-least-once (the
+  * asofEnrichStream lesson); the epoch log is what upgrades a replayed
+  * batch after a crash-before-checkpoint into an exactly-once publish,
+  * surviving restarts (epoch ids persist in the stream's checkpoint;
+  * query/run ids do not). Append output mode only. */
+class JsonLinesStreamingWrite(schema: StructType, path: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new JsonLinesStreamingWriterFactory(schema, path)
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(new Configuration())
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val f = fs(dir)
+    val marker = new Path(new Path(path, "_epochs"), epochId.toString)
+    val temp = new Path(path, s"_temporary-epoch-$epochId")
+    if (f.exists(marker)) {
+      // re-delivered epoch (crash between publish and checkpoint commit):
+      // already published — drop the replay's output, change nothing
+      f.delete(temp, true)
+      return
+    }
+    val committed = messages.collect {
+      case JsonLinesCommitMessage(pid, Some(tmp)) => (pid, new Path(tmp))
+    }
+    if (!f.exists(dir) && !f.mkdirs(dir))
+      throw new java.io.IOException(s"graft-jsonl streaming commit: cannot create $dir")
+    committed.foreach { case (pid, tmp) =>
+      val to = new Path(dir, s"part-epoch-$epochId-$pid.jsonl")
+      // a crash between publish and marker leaves this epoch's files
+      // under their deterministic names with no marker; the replay
+      // replaces them (rename onto an existing path returns false, so
+      // the stale file is removed first) — idempotent, never duplicated
+      if (f.exists(to) && !f.delete(to, false))
+        throw new java.io.IOException(s"graft-jsonl streaming commit: cannot replace $to")
+      if (!f.rename(tmp, to))
+        throw new java.io.IOException(s"graft-jsonl streaming commit: rename $tmp -> $to failed")
+    }
+    f.delete(temp, true)
+    // marker last: until it exists a replay re-runs the (idempotent)
+    // publish above; once it exists a replay is a no-op
+    val out = f.create(marker, true)
+    out.close()
+    val success = f.create(new Path(dir, "_SUCCESS"), true)
+    success.close()
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    fs(dir).delete(new Path(path, s"_temporary-epoch-$epochId"), true): Unit
+  }
+}
+
+class JsonLinesStreamingWriterFactory(schema: StructType, path: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new JsonLinesDataWriter(schema, path, s"epoch-$epochId", partitionId, taskId)
 }
 
 class JsonLinesDataWriter(schema: StructType, path: String, queryId: String,

@@ -107,6 +107,70 @@ class Dsv2SinkSpec extends AnyFunSuite {
     } finally util.Fs.deleteTree(dir)
   }
 
+  test("streaming write: a stream lands through the sink equal to a batch write") {
+    val in = tmpDir(); val out = tmpDir(); val cp = tmpDir()
+    try {
+      val docs = Tables.t(spark, sf, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val streamDocs = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+      val q = streamDocs.writeStream
+        .format("graft-jsonl")
+        .option("path", out.getAbsolutePath)
+        .option("checkpointLocation", cp.getAbsolutePath)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val back = spark.read.format("graft-jsonl").schema(docs.schema)
+        .load(out.getAbsolutePath)
+      assert(rowSet(back) == rowSet(docs))
+      // epoch commit log present; no temp litter
+      val names = out.listFiles().map(_.getName).toSet
+      assert(names.contains("_epochs") && names.contains("_SUCCESS"))
+      assert(!names.exists(_.startsWith("_temporary")), s"temp litter: $names")
+    } finally { util.Fs.deleteTree(in); util.Fs.deleteTree(out); util.Fs.deleteTree(cp) }
+  }
+
+  test("streaming commit: replayed epochs are no-ops, crashed publishes replace cleanly") {
+    val out = tmpDir()
+    try {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("k", StringType)))
+      val sw = new graft.sources.v2.JsonLinesStreamingWrite(schema, out.getAbsolutePath)
+      def tempFile(epoch: Long, pid: Int, content: String): String = {
+        val d = new java.io.File(out, s"_temporary-epoch-$epoch")
+        d.mkdirs()
+        val file = new java.io.File(d, s"part-$pid-0")
+        java.nio.file.Files.writeString(file.toPath, content)
+        file.getAbsolutePath
+      }
+      def msg(epoch: Long, pid: Int, content: String) =
+        graft.sources.v2.JsonLinesCommitMessage(pid, Some(tempFile(epoch, pid, content)))
+      def published(): Map[String, String] =
+        out.listFiles().filter(_.getName.startsWith("part-")).map(f =>
+          f.getName -> java.nio.file.Files.readString(f.toPath)).toMap
+
+      // epoch 0 commits once
+      sw.commit(0L, Array(msg(0L, 0, "{\"k\": \"first\"}\n")))
+      assert(published() == Map("part-epoch-0-0.jsonl" -> "{\"k\": \"first\"}\n"))
+      // checkpoint-replayed epoch 0 (marker exists): a NO-OP, not a dup
+      sw.commit(0L, Array(msg(0L, 0, "{\"k\": \"replayed\"}\n")))
+      assert(published() == Map("part-epoch-0-0.jsonl" -> "{\"k\": \"first\"}\n"))
+      // crash AFTER epoch 1's publish but BEFORE its marker: files exist,
+      // marker doesn't — the replay must replace, not fail or duplicate
+      java.nio.file.Files.writeString(
+        new java.io.File(out, "part-epoch-1-0.jsonl").toPath, "{\"k\": \"stale\"}\n")
+      sw.commit(1L, Array(msg(1L, 0, "{\"k\": \"retried\"}\n")))
+      assert(published() == Map(
+        "part-epoch-0-0.jsonl" -> "{\"k\": \"first\"}\n",
+        "part-epoch-1-0.jsonl" -> "{\"k\": \"retried\"}\n"))
+      // no temp litter
+      assert(!out.listFiles().map(_.getName).exists(_.startsWith("_temporary")))
+    } finally util.Fs.deleteTree(out)
+  }
+
   test("scale shape: documents round-trips across many partitions") {
     val dir = tmpDir()
     try {
