@@ -384,6 +384,58 @@ object Curation {
         lit(0.5) * least(col("n_tok").cast(DoubleType) / 100.0, lit(1.0)) + lit(0.5) * col("ttr"))
       .select(col("doc_id"), col("n_tok"), col("ttr"), col("score"))
 
+  /** Per-doc token CONCENTRATION via the Simpson index: the probability
+    * two token draws (without replacement) are the same type,
+    * Σ c·(c−1) / (N·(N−1)) — 0 for all-distinct text, →1 as one token
+    * dominates. The exact-rational cousin of entropy-based quality
+    * signals: every intermediate is integer arithmetic and the index is
+    * ONE IEEE division, so the value is bit-identical across engines —
+    * no transcendental (ln/log2) whose last-ulp differs by libm.
+    * Single-token docs have no pair domain and are excluded.
+    *
+    * Scale shape: two map-side-combinable hash aggregations — (doc, tok)
+    * counts then a per-doc sum/count — the x34 cost shape; no window, no
+    * join, partitioned by doc content alone. */
+  def tokenDiversity(docs: DataFrame, concentratedAbove: Double = 0.1): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast(LongType).as("n_tok"),
+           count(lit(1)).cast(LongType).as("n_distinct"),
+           sum(col("n") * (col("n") - 1)).cast(LongType).as("rep_pairs"))
+      .filter(col("n_tok") >= 2)
+      .withColumn("simpson",
+        col("rep_pairs").cast(DoubleType)
+          / (col("n_tok") * (col("n_tok") - 1)).cast(DoubleType))
+      .withColumn("is_concentrated", col("simpson") > concentratedAbove)
+
+  /** Length-bucketed batching audit: round every doc's token count up to
+    * the next multiple of `bucketTokens` (the padded sequence length a
+    * bucketed trainer would allocate) and report, per bucket, the doc
+    * count, real token mass, and padding waste — the fraction of compute
+    * a batcher burns on pad tokens at that bucket size. The standard
+    * pre-training-efficiency report that decides bucket boundaries /
+    * whether packing (x39) is worth its shuffle.
+    *
+    * Scale shape: a pure integer projection then one map-side-combinable
+    * aggregation keyed on the bucket (cardinality = max_len/bucketTokens,
+    * tiny); waste_frac is a single IEEE division per bucket row. */
+  def lengthBuckets(docs: DataFrame, bucketTokens: Int = 64): DataFrame = {
+    require(bucketTokens > 0, s"bucketTokens must be > 0, got $bucketTokens")
+    docs
+      .select(size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .withColumn("bucket",
+        expr(s"((n_tok + ${bucketTokens - 1}) div $bucketTokens) * $bucketTokens"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_seqs"), sum(col("n_tok")).as("total_tokens"))
+      .withColumn("padding_waste",
+        col("bucket") * col("n_seqs") - col("total_tokens"))
+      .withColumn("waste_frac",
+        col("padding_waste").cast(DoubleType)
+          / (col("bucket") * col("n_seqs")).cast(DoubleType))
+  }
+
   // ---- winnowing fingerprints ------------------------------------------
 
   /** Winnowing (the MOSS local-fingerprinting scheme): hash every word
@@ -730,6 +782,83 @@ object Curation {
     docs.select(col("source"), col("doc_id"), pri.as("pri"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("source"), col("rn").cast("long").as("rn"), col("doc_id"))
+  }
+
+  // ---- end-to-end curation funnel (gate → dedup → quota report) --------
+
+  /** The whole curation RECIPE as one plan, reported as a per-source
+    * funnel: raw docs → quality gate (token count + type-token ratio) →
+    * corpus-wide exact dedup (first-id keeper per sha256) → per-source
+    * quota cap ([[sourceQuota]]'s two-phase top-k) — with the doc and
+    * token counts each stage retains. This is the accounting a real
+    * curation run publishes alongside its output: where the corpus
+    * shrank, per source, and how many training tokens survived.
+    *
+    * Scale shape: every stage keeps its own discipline — the gate is a
+    * stateless projection; dedup shuffles a fixed-width hash key into a
+    * map-side-combinable min agg, then a key-aligned join on the keeper
+    * ids (one row per distinct content, no hot-key fanout); the quota is
+    * the salted two-phase top-k (no source serializes into one task);
+    * and the report itself only ever joins per-source AGGREGATES
+    * (#sources-sized frames, broadcast). */
+  def curationFunnel(docs: DataFrame, minTok: Long = 5L, minTtr: Double = 0.3,
+                     quotaK: Int = 40): DataFrame = {
+    val toks = split(col("text"), " ")
+    val feats = docs.select(col("doc_id"), col("source"), col("text"),
+      size(toks).cast(LongType).as("n_tok"),
+      (size(array_distinct(toks)).cast(DoubleType) / size(toks)).as("ttr"))
+    val gated = feats.filter(col("n_tok") >= minTok && col("ttr") >= minTtr)
+    val keepIds = gated.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val unique = gated.join(keepIds, "doc_id")
+    val kept = sourceQuota(unique, quotaK)
+      .join(unique.select(col("doc_id"), col("n_tok")), "doc_id")
+    val all = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val g = gated.groupBy(col("source")).agg(count(lit(1)).as("n_gated"))
+    val u = unique.groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
+    val k = kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tokens_kept"))
+    all.join(g, Seq("source"), "left").join(u, Seq("source"), "left")
+      .join(k, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+  }
+
+  // ---- mixture planning (per-source sampling rates for a token budget) --
+
+  /** Training-mix planner: given a global token budget (a fraction of the
+    * corpus) split uniformly across sources, compute each source's
+    * sampling rate and achievable token mass in ONE pass — rate =
+    * min(1, quota/tokens), so oversized sources downsample to their quota
+    * and undersized ones pass through whole, reporting the deficit a
+    * second redistribution round would reassign. The planning step that
+    * precedes x33/x48's per-doc sampling gates: those execute a rate,
+    * this derives it.
+    *
+    * Determinism: quota is integer arithmetic (floor(total·frac) then an
+    * integer div by the source count); rate is a single IEEE division.
+    *
+    * Scale shape: one map-side-combinable per-source agg, then a
+    * broadcast of the single-row total onto the #sources-sized frame —
+    * the corpus is read once and nothing bigger than #sources rows ever
+    * moves. */
+  def mixturePlan(docs: DataFrame, budgetFrac: Double = 0.5): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1, s"budgetFrac in (0,1], got $budgetFrac")
+    val per = docs.groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total"), count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("quota_tokens",
+        expr(s"cast(floor(cast(total as double) * $budgetFrac) as bigint) div n_sources"))
+      .withColumn("rate",
+        least(lit(1.0), col("quota_tokens").cast(DoubleType) / col("n_tokens").cast(DoubleType)))
+      .withColumn("planned_tokens", least(col("quota_tokens"), col("n_tokens")))
+      .withColumn("deficit", col("quota_tokens") - col("planned_tokens"))
+      .select(col("source"), col("n_tokens"), col("quota_tokens"),
+        col("rate"), col("planned_tokens"), col("deficit"))
   }
 
   // ---- temperature rebalancing (inverse-sqrt language sampler) ---------

@@ -104,6 +104,38 @@ object Similarity {
       .select(col("p_id"), col("n_label").as("pred_label"), col("n_votes"))
   }
 
+  /** Hard-negative mining for contrastive training: each probe's top-k
+    * most-similar corpus vectors whose label DIFFERS from the probe's —
+    * the near-boundary examples a contrastive or reranker objective
+    * learns most from (random negatives are trivially separable; the
+    * informative ones are the high-cosine wrong-label neighbors this
+    * returns). Returns (p_id, rn, n_id, n_label, cos_r) with rn the
+    * 1-based hardness rank.
+    *
+    * Determinism: ranking is (cos_r desc, n_id asc) over cosineR's
+    * integer-unit cosine — a total order, stable across engines.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — the probe set (an
+    * anchor batch, small by construction) broadcasts, the corpus streams
+    * once with no pre-join exchange, and the label-mismatch predicate
+    * rides the broadcast join so same-class pairs never reach the
+    * scoring expression. For corpus-scale anchor sets swap the candidate
+    * generator for [[ivfTopK]]'s cell-pruned scan and keep the
+    * label-filter + rank tail unchanged. */
+  def hardNegatives(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    graft.functions.CosineUnits.register(probes.sparkSession)
+    val p = probes.select(col("vec_id").as("p_id"),
+      col("label").cast(LongType).as("p_label"), col("embedding").as("pv"))
+    val c = corpus.select(col("vec_id").as("n_id"),
+      col("label").cast(LongType).as("n_label"), col("embedding").as("nv"))
+    val w = Window.partitionBy(col("p_id")).orderBy(col("cos_r").desc, col("n_id").asc)
+    c.join(broadcast(p), col("p_label") =!= col("n_label"))
+      .withColumn("cos_r", cosineR("pv", "nv"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("p_id"), col("rn"), col("n_id"), col("n_label"), col("cos_r"))
+  }
+
   /** Two-stage top-k over QUANTIZED codes: candidates ranked by cosine
     * against the corpus's int8 scalar quantization (Curation.quantizeInt8's
     * scheme — 4× smaller than float32, 8× smaller than the float64 join

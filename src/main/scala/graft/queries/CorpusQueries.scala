@@ -492,4 +492,148 @@ object CorpusQueries {
        |SELECT (rn - 1) % $NumShards AS shard, count(*) AS n_docs,
        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
+
+  // ---- X76: token concentration (exact Simpson index) -------------------
+
+  /** Per-doc Simpson concentration — the exact-rational quality signal
+    * (see [[graft.operators.Curation.tokenDiversity]]); complements x34's
+    * single-mode rep_ratio with a whole-distribution measure. */
+  def x76TokenDiversity(spark: SparkSession, dir: String): DataFrame =
+    Curation.tokenDiversity(docs(spark, dir)).orderBy(col("doc_id"))
+
+  val x76Sql: String =
+    """WITH tc AS (
+      |  SELECT doc_id, tok, count(*)::BIGINT AS n
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok),
+      |d AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tok,
+      |        count(*)::BIGINT AS n_distinct,
+      |        CAST(sum(n * (n - 1)) AS BIGINT) AS rep_pairs
+      |      FROM tc GROUP BY doc_id)
+      |SELECT doc_id, n_tok, n_distinct, rep_pairs,
+      |  CAST(rep_pairs AS DOUBLE) / CAST(n_tok * (n_tok - 1) AS DOUBLE) AS simpson,
+      |  CAST(rep_pairs AS DOUBLE) / CAST(n_tok * (n_tok - 1) AS DOUBLE) > 0.1 AS is_concentrated
+      |FROM d WHERE n_tok >= 2 ORDER BY doc_id""".stripMargin
+
+  // ---- X77: length-bucketed batching audit ------------------------------
+
+  val BucketTokens = 64
+
+  /** Padding-waste report at 64-token buckets — the batching-efficiency
+    * audit (see [[graft.operators.Curation.lengthBuckets]]). */
+  def x77LengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    Curation.lengthBuckets(docs(spark, dir), BucketTokens).orderBy(col("bucket"))
+
+  val x77Sql: String =
+    s"""WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |           FROM documents),
+       |b AS (SELECT ((n_tok + ${BucketTokens - 1}) // $BucketTokens) * $BucketTokens AS bucket,
+       |        count(*) AS n_seqs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+       |      FROM d GROUP BY 1)
+       |SELECT bucket, n_seqs, total_tokens,
+       |  bucket * n_seqs - total_tokens AS padding_waste,
+       |  CAST(bucket * n_seqs - total_tokens AS DOUBLE)
+       |    / CAST(bucket * n_seqs AS DOUBLE) AS waste_frac
+       |FROM b ORDER BY bucket""".stripMargin
+
+  // ---- X79: continuous shard deal, SCORED as a stream -------------------
+
+  /** The x68 shard deal run through the STREAMING maintenance path: the
+    * corpus lands as JSON lines, [[graft.streaming.EventStreams.shardDealStream]]
+    * deals it onto the shards (one AvailableNow batch from an empty
+    * assignment table — the fold StreamingIngestSpec proves ≡ the batch
+    * [[graft.operators.Curation.shardAssign]]), and the scored result is
+    * the per-shard rollup of the MAINTAINED TABLE itself. Same oracle as
+    * x68: three spellings (batch plan, streamed fold, DuckDB SQL), one
+    * answer. */
+  def x79StreamShard(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x79_").toFile
+    try {
+      val landing = new java.io.File(tmp, "landing").getAbsolutePath
+      val assign = new java.io.File(tmp, "assign").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      // one landed file → one AvailableNow batch → the from-empty fold law
+      docs(spark, dir).select(col("doc_id"), col("text"))
+        .coalesce(1).write.json(landing)
+      graft.streaming.EventStreams.shardDealStream(spark, landing, assign, ckpt, NumShards)
+      val res = spark.read.parquet(assign)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+      // NumShards rows: materialize so the temp state/checkpoint can drop
+      val rows = res.collectAsList()
+      spark.createDataFrame(rows, res.schema).orderBy(col("shard"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  val x79Sql: String = x68Sql
+
+  // ---- X80: end-to-end curation funnel report ----------------------------
+
+  val FunnelMinTok = 5L
+  val FunnelMinTtr = 0.3
+  val FunnelQuotaK = 40
+
+  /** Gate → exact dedup → per-source quota, reported as the per-source
+    * funnel (see [[graft.operators.Curation.curationFunnel]]). The oracle
+    * groups the dedup stage on text itself (sha256 is injective on this
+    * corpus — the x46 argument) and spells the quota as the single
+    * window whose two-phase equivalence CurationSpec proves. */
+  def x80CurationFunnel(spark: SparkSession, dir: String): DataFrame =
+    Curation.curationFunnel(docs(spark, dir), FunnelMinTok, FunnelMinTtr, FunnelQuotaK)
+      .orderBy(col("source"))
+
+  val x80Sql: String = {
+    val pri = graft.functions.TextFns.h31Sql("'quota:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH f AS (SELECT doc_id, source, text,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |               / len(string_split(text, ' ')) AS ttr
+       |           FROM documents),
+       |g AS (SELECT * FROM f WHERE n_tok >= $FunnelMinTok AND ttr >= $FunnelMinTtr),
+       |u AS (SELECT g.* FROM g
+       |      JOIN (SELECT min(doc_id) AS doc_id FROM g GROUP BY text) kk USING (doc_id)),
+       |q AS (SELECT source, doc_id,
+       |        row_number() OVER (PARTITION BY source ORDER BY $pri, doc_id) AS rn
+       |      FROM u),
+       |k AS (SELECT u.source, u.n_tok FROM u
+       |      JOIN (SELECT doc_id FROM q WHERE rn <= $FunnelQuotaK) qs USING (doc_id)),
+       |a AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+       |gg AS (SELECT source, count(*) AS n_gated FROM g GROUP BY source),
+       |uu AS (SELECT source, count(*) AS n_unique FROM u GROUP BY source),
+       |kk2 AS (SELECT source, count(*) AS n_kept,
+       |          CAST(sum(n_tok) AS BIGINT) AS tokens_kept FROM k GROUP BY source)
+       |SELECT a.source, a.n_docs,
+       |  CAST(coalesce(gg.n_gated, 0) AS BIGINT) AS n_gated,
+       |  CAST(coalesce(uu.n_unique, 0) AS BIGINT) AS n_unique,
+       |  CAST(coalesce(kk2.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(kk2.tokens_kept, 0) AS BIGINT) AS tokens_kept
+       |FROM a LEFT JOIN gg USING (source) LEFT JOIN uu USING (source)
+       |  LEFT JOIN kk2 USING (source)
+       |ORDER BY a.source""".stripMargin
+  }
+
+  // ---- X81: training-mix planning (uniform budget split) -----------------
+
+  val MixBudgetFrac = 0.5
+
+  /** Per-source sampling rates for a half-corpus token budget (see
+    * [[graft.operators.Curation.mixturePlan]]). */
+  def x81MixturePlan(spark: SparkSession, dir: String): DataFrame =
+    Curation.mixturePlan(docs(spark, dir), MixBudgetFrac).orderBy(col("source"))
+
+  val x81Sql: String =
+    s"""WITH per AS (SELECT source,
+       |               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |             FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+       |          count(*) AS n_sources FROM per),
+       |p AS (SELECT source, n_tokens,
+       |        CAST(floor(CAST(total AS DOUBLE) * $MixBudgetFrac) AS BIGINT)
+       |          // n_sources AS quota_tokens
+       |      FROM per, tot)
+       |SELECT source, n_tokens, quota_tokens,
+       |  least(1.0, CAST(quota_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS rate,
+       |  least(quota_tokens, n_tokens) AS planned_tokens,
+       |  quota_tokens - least(quota_tokens, n_tokens) AS deficit
+       |FROM p ORDER BY source""".stripMargin
 }

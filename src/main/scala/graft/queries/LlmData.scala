@@ -866,4 +866,53 @@ object LlmData {
        |          FROM mem m1 JOIN mem m2 ON m1.rep_id = m2.rep_id AND m1.doc_id <> m2.doc_id)
        |SELECT a_id, b_id, cont FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra)
        |ORDER BY a_id, b_id""".stripMargin
+
+  // ---- X75: hard-negative mining (contrastive training pairs) ----------
+
+  /** Top-5 wrong-label near neighbors per anchor (vec_id < 10) — the
+    * contrastive-training negative miner; see
+    * [[graft.operators.Similarity.hardNegatives]] for the scale shape
+    * (anchor broadcast, corpus streams once, label filter in-join). */
+  def x75HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.hardNegatives(e.filter(col("vec_id") < 10), e, 5)
+      .orderBy(col("p_id"), col("rn"))
+  }
+
+  val x75Sql: String =
+    s"""WITH e AS (SELECT vec_id, label::BIGINT AS lab, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT vec_id AS p_id, lab AS p_lab, v AS pv FROM e WHERE vec_id < 10),
+       |pr AS (SELECT p_id, e.vec_id AS n_id, e.lab AS n_label,
+       |         unnest(pv) AS x, unnest(e.v) AS y
+       |       FROM p, e WHERE e.lab != p.p_lab),
+       |s AS (SELECT p_id, n_id, n_label, $cosSumCols FROM pr GROUP BY 1, 2, 3),
+       |c AS (SELECT p_id, n_id, n_label, $cosRExpr AS cos_r FROM s),
+       |r AS (SELECT p_id, n_id, n_label, cos_r,
+       |        row_number() OVER (PARTITION BY p_id ORDER BY cos_r DESC, n_id ASC) AS rn FROM c)
+       |SELECT p_id, rn, n_id, n_label, cos_r FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin
+
+  // ---- X78: per-source topic profile (k-means cell composition) --------
+
+  /** Corpus topic audit: every document's embedding lands in its nearest
+    * shared k-means cell (the x31/x47/x71 training, paid once per
+    * session) and the (source, cell) composition is the report a curation
+    * run reads to spot topic collapse or source skew before training.
+    * Assignment is a centroid broadcast + map-side max(struct) — no
+    * corpus shuffle; the join to doc metadata is key-aligned
+    * (doc_id = vec_id) and the final agg is (source, cell)-keyed,
+    * cardinality #sources × #cells. */
+  def x78TopicProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Similarity.assignCells(embs(spark, dir), sharedCentroids(spark, dir))
+    docs(spark, dir).join(cells, col("doc_id") === col("vec_id"))
+      .groupBy(col("source"), col("cell"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"), col("cell"))
+  }
+
+  val x78Sql: String =
+    s"""WITH $kmeansCtes
+       |SELECT d.source, a.cell, count(*) AS n_docs,
+       |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+       |FROM asg2 a JOIN documents d ON d.doc_id = a.vec_id
+       |GROUP BY d.source, a.cell ORDER BY d.source, a.cell""".stripMargin
 }

@@ -13,6 +13,78 @@ class CurationSpec extends AnyFunSuite {
   private def mkDocs(rows: (Long, String, String)*) =
     rows.toDF("doc_id", "lang", "text")
 
+  // ---- tokenDiversity ---------------------------------------------------
+
+  test("tokenDiversity: exact Simpson on crafted docs; single-token docs excluded") {
+    val docs = mkDocs(
+      (1L, "en", "a a b"),     // counts {a:2,b:1} → 2/(3·2) = 1/3
+      (2L, "en", "a b c"),     // all distinct → 0
+      (3L, "en", "a a a a"),   // one type → 1
+      (4L, "en", "solo"))      // N=1: no pair domain → excluded
+    val got = Curation.tokenDiversity(docs)
+      .select($"doc_id", $"n_tok", $"n_distinct", $"rep_pairs", $"simpson")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 2L, 2.0 / 6.0),
+      (2L, 3L, 3L, 0L, 0.0),
+      (3L, 4L, 1L, 12L, 1.0)))
+  }
+
+  // ---- lengthBuckets ----------------------------------------------------
+
+  test("lengthBuckets: buckets are ceil-multiples, token mass conserved, waste exact") {
+    val docs = mkDocs(
+      (1L, "en", (1 to 3).map(i => s"a$i").mkString(" ")),   // 3 tok → bucket 64
+      (2L, "en", (1 to 64).map(i => s"b$i").mkString(" ")),  // 64 tok → bucket 64
+      (3L, "en", (1 to 65).map(i => s"c$i").mkString(" ")))  // 65 tok → bucket 128
+    val got = Curation.lengthBuckets(docs, 64)
+      .select($"bucket", $"n_seqs", $"total_tokens", $"padding_waste")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((64L, 2L, 67L, 61L), (128L, 1L, 65L, 63L)))
+    // conservation: Σ total_tokens over buckets = corpus token count
+    assert(got.map(_._3).sum == 3L + 64L + 65L)
+    // waste is non-negative and below one bucket per sequence
+    got.foreach { case (b, n, _, w) => assert(w >= 0 && w < b * n) }
+  }
+
+  // ---- curationFunnel ---------------------------------------------------
+
+  test("curationFunnel: stages monotone, dedup keeps first id, quota caps per source") {
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma delta epsilon zeta"), // passes gate
+      (2L, "s1", "alpha beta gamma delta epsilon zeta"), // exact dup of 1 → dropped at dedup
+      (3L, "s1", "a a a a a a"),                          // ttr = 1/6 < 0.3 → gated out
+      (4L, "s1", "one two"),                              // n_tok = 2 < 5 → gated out
+      (5L, "s2", "p q r s t u v w"),                      // passes
+      (6L, "s2", "h i j k l m n o"))                      // passes
+      .toDF("doc_id", "source", "text")
+    val got = Curation.curationFunnel(docs, minTok = 5L, minTtr = 0.3, quotaK = 1)
+      .select($"source", $"n_docs", $"n_gated", $"n_unique", $"n_kept", $"tokens_kept")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val s1 = got.find(_._1 == "s1").get
+    assert(s1._2 == 4 && s1._3 == 2 && s1._4 == 1 && s1._5 == 1 && s1._6 == 6)
+    val s2 = got.find(_._1 == "s2").get
+    assert(s2._2 == 2 && s2._3 == 2 && s2._4 == 2 && s2._5 == 1 && s2._6 == 8) // quota=1 cuts one
+    // funnel is monotone at every stage
+    got.foreach { case (_, a, b, c, d, _) => assert(a >= b && b >= c && c >= d) }
+  }
+
+  // ---- mixturePlan ------------------------------------------------------
+
+  test("mixturePlan: uniform quota, rate capped at 1, deficit only when undersized") {
+    val docs = Seq(
+      (1L, "big", (1 to 100).map(i => s"a$i").mkString(" ")),  // 100 tok
+      (2L, "small", "x y z"))                                   // 3 tok
+      .toDF("doc_id", "source", "text")
+    // total=103, budget=floor(103·0.5)=51, quota=51//2=25
+    val got = Curation.mixturePlan(docs, 0.5)
+      .select($"source", $"n_tokens", $"quota_tokens", $"rate", $"planned_tokens", $"deficit")
+      .as[(String, Long, Long, Double, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("big", 100L, 25L, 0.25, 25L, 0L),
+      ("small", 3L, 25L, 1.0, 3L, 22L)))
+  }
+
   // ---- overlapChunks ----------------------------------------------------
 
   test("overlapChunks: full coverage, fixed overlap, short-tail and 1-chunk docs") {

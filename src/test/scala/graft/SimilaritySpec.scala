@@ -66,6 +66,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(tie == Seq((0L, 3L, 2L)))
   }
 
+  test("hardNegatives: wrong-label only, hardness-ranked, self-label excluded") {
+    import spark.implicits._
+    // probe 0 (label 7): same-label 1 is the nearest vector but must be
+    // skipped; negatives rank 2 (0.9-ish), 3, then 5 — 4 shares label 7
+    val probe = Seq((0L, Array(1f, 0f), 7)).toDF("vec_id", "embedding", "label")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), 7), (2L, Array(0.9f, 0.1f), 3),
+      (3L, Array(0.8f, 0.2f), 4), (4L, Array(0.7f, 0.3f), 7),
+      (5L, Array(0.0f, 1.0f), 9)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(probe, corpus, 3)
+      .select("p_id", "rn", "n_id", "n_label")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    assert(got == Seq((0L, 1L, 2L, 3L), (0L, 2L, 3L, 4L), (0L, 3L, 5L, 9L)))
+  }
+
+  test("hardNegatives on the corpus: k per probe, never the probe's label, descending") {
+    val out = Similarity.hardNegatives(embs.filter(col("vec_id") < 5), embs, 5)
+    val labels = embs.select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byProbe = out.collect().groupBy(_.getAs[Long]("p_id"))
+    assert(byProbe.size == 5)
+    byProbe.foreach { case (p, g) =>
+      assert(g.length == 5)
+      assert(g.forall(_.getAs[Long]("n_label") != labels(p)))
+      val cos = g.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("cos_r"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("knnClassify: probe set broadcasts — corpus never shuffles before the top-k") {
     val plan = Similarity.knnClassify(
       embs.filter(col("vec_id") % 23 === 0),
