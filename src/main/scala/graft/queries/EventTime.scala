@@ -300,6 +300,56 @@ object EventTime {
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // ---- Q76: streaming as-of enrichment, scored ---------------------------
+
+  /** Q76 — the as-of ENRICHMENT stream under the DuckDB gate: events land
+    * as JSON lines, each micro-batch is enriched against the maintained
+    * orders table (latest order at or before the event, q19's max-(ts,key)
+    * tie-break) and appended through the idempotent event_id-keyed
+    * DedupAppend ([[graft.streaming.EventStreams.asofEnrichStream]] — the
+    * round-4 advice item's replay-safe sink). The scored frame is the
+    * maintained OUTPUT TABLE itself, per-event — any event the stream
+    * dropped, duplicated, or mis-enriched flips the hash. Fifth streaming
+    * surface under the hard oracle (q70 partial-agg merge, q74 upsert,
+    * q75 sink epochs, x79 shard deal, and now the enrich-append). */
+  def q76StreamAsof(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q76_").toFile
+    try {
+      val landing = new java.io.File(tmp, "landing").getAbsolutePath
+      val ordersPath = new java.io.File(tmp, "orders").getAbsolutePath
+      val out = new java.io.File(tmp, "out").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      t(spark, dir, "orders").selectExpr("o_custkey AS user_id",
+          "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS ts_us", "o_orderkey")
+        .write.parquet(ordersPath)
+      t(spark, dir, "events")
+        .selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_id")
+        .coalesce(1).write.json(landing)
+      graft.streaming.EventStreams.asofEnrichStream(spark, landing, ordersPath, out, ckpt)
+      val res = spark.read.parquet(out)
+      // materialize (bounded by the landed event table, q57's output size)
+      // so the temp orders/checkpoint tree can drop eagerly
+      val rows = res.collectAsList()
+      spark.createDataFrame(rows, res.schema).orderBy(col("event_id"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** Per-event as-of in micros — q19's semantics on the stream's output
+    * schema (events with no prior order are absent, as in q19's inner
+    * form). */
+  val q76Sql: String =
+    """SELECT event_id, user_id, o_orderkey AS asof_orderkey, o_ts AS asof_ts_us
+      |FROM (
+      |  SELECT e.event_id, e.user_id, o.o_orderkey,
+      |    epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS o_ts,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e JOIN orders o
+      |    ON e.user_id = o.o_custkey
+      |   AND epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+      |         <= epoch_us(CAST(e.ts AS TIMESTAMP)))
+      |WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   val q68Sql: String =
     """WITH f AS (SELECT event_type, user_id,
       |             min(CAST(ts AS TIMESTAMP)) AS first_ts

@@ -273,6 +273,50 @@ class PlanSpec extends AnyFunSuite {
       s"the keep path must not sort cluster members in a window:\n$plan")
   }
 
+  test("x75 hardNegatives: anchors broadcast — the corpus never shuffles before the top-k") {
+    val e = Tables.t(spark, sf, "embeddings")
+    val plan = planOf(Similarity.hardNegatives(
+      e.filter(org.apache.spark.sql.functions.col("vec_id") < 5), e, 5))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"anchor side must broadcast:\n$plan")
+    // the ONLY exchange is the final top-k merge, and the Partial
+    // WindowGroupLimit below it bounds what shuffles to ≤k rows per
+    // (probe, map partition) — the corpus itself never moves
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"only the bounded top-k merge may shuffle:\n$plan")
+    assert("WindowGroupLimit".r.findAllIn(plan).size == 2,
+      s"expected partial+final rank limits so the shuffle input is bounded:\n$plan")
+  }
+
+  test("x77 lengthBuckets: one partial+final agg on the tiny bucket key, no join, no window") {
+    val plan = planOf(graft.operators.Curation.lengthBuckets(
+      Tables.t(spark, sf, "documents"), 64))
+    assert("HashAggregate".r.findAllIn(plan).size == 2,
+      s"expected exactly partial+final aggregation:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("windowspecdefinition"),
+      s"the audit must be a pure projection + agg:\n$plan")
+  }
+
+  test("x80 curationFunnel: dedup keys on the fixed-width hash; report joins only per-source aggregates") {
+    val plan = planOf(graft.operators.Curation.curationFunnel(
+      Tables.t(spark, sf, "documents")))
+    assert(plan.contains("sha2"), s"dedup must key on the content hash:\n$plan")
+    // every join in the report tail is a broadcast of a per-source aggregate
+    // or the keeper-id / quota semi-equi joins — never a shuffled cartesian
+    assert(!plan.contains("CartesianProduct"), s"no cartesian anywhere:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"the #sources-sized report frames must broadcast:\n$plan")
+  }
+
+  test("x81 mixturePlan: corpus read once into one agg; the total joins as a single-row broadcast") {
+    val plan = planOf(graft.operators.Curation.mixturePlan(
+      Tables.t(spark, sf, "documents")))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the single-row total must broadcast:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).size <= 2,
+      s"the corpus must not be re-read per stage:\n$plan")
+  }
+
   test("q68: corpus-sized steps are hash aggs; the only window is post-aggregation, never per-user") {
     val plan = planOf(graft.queries.EventTime.q68RunningDistinct(spark, sf))
     assert("HashAggregate".r.findAllIn(plan).size >= 4, // 2 aggs × partial+final
