@@ -627,6 +627,41 @@ object Curation {
            sum(when(col("kept"), col("seg_len")).otherwise(0L)).as("n_tokens_kept"))
   }
 
+  /** The excision itself: [[segmentDedup]]'s keep decision APPLIED — each
+    * document rebuilt from only its first-occurrence spans, emitted as
+    * (doc_id, n_tokens_kept, cleaned_fp) with cleaned_fp the h31 of the
+    * reconstructed text (the oracle-replicable handle; the text itself is
+    * rebuilt in the projection and could be emitted instead). Documents
+    * whose every span appeared earlier come back empty (n_tokens_kept 0,
+    * fp of "") — C4's remove-repeated-spans policy producing the cleaned
+    * corpus, not just x46's report about it.
+    *
+    * Scale shape: the span DECISIONS travel as (doc_id, s) pairs — span
+    * text never crosses an exchange (the [[segmentDedup]] discipline);
+    * kept positions fold into one per-doc sorted array (bounded by
+    * doc_len/segTokens, a per-doc constant) and the reconstruction is a
+    * single codegen projection slicing the doc's own token array. One
+    * extra key-aligned join on doc_id beyond segmentDedup's plan. */
+  def segmentExcise(docs: DataFrame, segTokens: Int): DataFrame = {
+    val sp = spans(docs, segTokens)
+    val firsts = sp.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("s"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("f_doc"), col("f.s").as("f_seg"))
+    val kept = sp.join(firsts, "h")
+      .filter(col("doc_id") === col("f_doc") && col("s") === col("f_seg"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("s"))).as("keep_s"),
+           sum(col("seg_len")).as("n_tokens_kept"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .join(kept, Seq("doc_id"), "left")
+      .withColumn("cleaned", concat_ws(" ",
+        expr(s"transform(coalesce(keep_s, array()), " +
+             s"s -> concat_ws(' ', slice(ts, s * $segTokens + 1, $segTokens)))")))
+      .select(col("doc_id"),
+        coalesce(col("n_tokens_kept"), lit(0L)).cast(LongType).as("n_tokens_kept"),
+        graft.functions.TextFns.h31(col("cleaned")).as("cleaned_fp"))
+  }
+
   /** Incremental [[segmentDedup]]: per-doc stats for the NEW batch only,
     * with first-occurrence judged against existing corpus ∪ batch. Folding
     * doc_id-ordered batches through this function and unioning the outputs

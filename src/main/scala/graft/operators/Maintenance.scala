@@ -59,4 +59,37 @@ object Maintenance {
     }
     Compaction.dataFileCount(spark, path)
   }
+
+  /** Snapshot reconciliation: row-level diff of two keyed table states —
+    * the anti-entropy check a maintained table (DedupAppend / UpsertState
+    * output, a replica, a migration target) runs against its source of
+    * truth. Each key is classified `added` (in B only), `removed` (in A
+    * only), `changed` (payload differs; null-safe compare), or
+    * `unchanged`. Returns the joined frame with `status`, the key
+    * columns, and both sides' payload columns as `a_*`/`b_*`.
+    *
+    * Scale shape: ONE full-outer sort-merge join co-partitioned on the
+    * key — each side shuffles once, no window, no driver state; presence
+    * is tracked by constant marker columns (a null payload is a value,
+    * not absence). For wide payloads, pre-hash each side's payload to a
+    * fixed-width digest and diff on that (same plan, narrower exchange) —
+    * here the payload columns are compared directly so the output can
+    * carry both sides for repair. */
+  def snapshotDiff(a: DataFrame, b: DataFrame,
+                   keys: Seq[String], payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty && payload.nonEmpty, "keys and payload must be non-empty")
+    val an = payload.foldLeft(a.select((keys ++ payload).map(col): _*))(
+      (d, c) => d.withColumnRenamed(c, s"a_$c")).withColumn("a_present", lit(true))
+    val bn = payload.foldLeft(b.select((keys ++ payload).map(col): _*))(
+      (d, c) => d.withColumnRenamed(c, s"b_$c")).withColumn("b_present", lit(true))
+    val same = payload.map(c => col(s"a_$c") <=> col(s"b_$c")).reduce(_ && _)
+    an.join(bn, keys, "full_outer")
+      .withColumn("status",
+        when(col("a_present").isNull, "added")
+          .when(col("b_present").isNull, "removed")
+          .when(same, "unchanged")
+          .otherwise("changed"))
+      .drop("a_present", "b_present")
+  }
 }

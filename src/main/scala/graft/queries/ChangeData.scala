@@ -339,4 +339,118 @@ object ChangeData {
       |UNION ALL
       |SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM s3
       |ORDER BY stage""".stripMargin
+
+  // ---- Q77: snapshot reconciliation diff ---------------------------------
+
+  /** Q77 — anti-entropy diff of two table states
+    * ([[graft.operators.Maintenance.snapshotDiff]]): snapshot A drops
+    * event_id ≡ 0 (mod 7), snapshot B drops ≡ 0 (mod 3) and bumps the
+    * cents payload on ≡ 0 (mod 11) — so all four statuses genuinely occur
+    * at every SF. Scored as the per-(status, event_type) summary of the
+    * row-level diff; the diff itself is ONE co-partitioned full-outer
+    * join, no window. */
+  def q77SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = changes(spark, dir)
+      .select(col("event_id"), col("event_type"), col("cents"))
+    val a = base.filter(col("event_id") % 7 =!= 0)
+    val b = base.filter(col("event_id") % 3 =!= 0)
+      .withColumn("cents",
+        col("cents") + when(col("event_id") % 11 === 0, 1L).otherwise(0L))
+    graft.operators.Maintenance
+      .snapshotDiff(a, b, Seq("event_id"), Seq("event_type", "cents"))
+      .groupBy(col("status"),
+        coalesce(col("a_event_type"), col("b_event_type")).as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_key"), max(col("event_id")).as("max_key"))
+      .orderBy(col("status"), col("event_type"))
+  }
+
+  val q77Sql: String =
+    """WITH base AS (SELECT event_id, event_type,
+      |                CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |a AS (SELECT * FROM base WHERE event_id % 7 != 0),
+      |b AS (SELECT event_id, event_type,
+      |        cents + CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END AS cents
+      |      FROM base WHERE event_id % 3 != 0),
+      |j AS (SELECT coalesce(a.event_id, b.event_id) AS event_id,
+      |        a.event_type AS at, a.cents AS ac,
+      |        b.event_type AS bt, b.cents AS bc,
+      |        a.event_id IS NOT NULL AS ap, b.event_id IS NOT NULL AS bp
+      |      FROM a FULL OUTER JOIN b ON a.event_id = b.event_id),
+      |s AS (SELECT event_id, coalesce(at, bt) AS event_type,
+      |        CASE WHEN NOT ap THEN 'added' WHEN NOT bp THEN 'removed'
+      |             WHEN at IS NOT DISTINCT FROM bt
+      |              AND ac IS NOT DISTINCT FROM bc THEN 'unchanged'
+      |             ELSE 'changed' END AS status
+      |      FROM j)
+      |SELECT status, event_type, count(*) AS n,
+      |  min(event_id) AS min_key, max(event_id) AS max_key
+      |FROM s GROUP BY status, event_type ORDER BY status, event_type""".stripMargin
+
+  // ---- Q78: exact equi-depth histogram -----------------------------------
+
+  val DepthBuckets = 16
+
+  /** Q78 — equi-depth histogram of the event value domain via the
+    * hierarchical global rank ([[graft.operators.Ranks.equiDepth]]); the
+    * exact complement of q33's equi-width bins and q36's sketched
+    * percentiles. */
+  def q78EquiDepth(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranks.equiDepth(
+        t(spark, dir, "events").select(col("value"), col("event_id")),
+        col("value"), col("event_id"), DepthBuckets)
+      .orderBy(col("bucket"))
+
+  val q78Sql: String =
+    s"""WITH r AS (SELECT value,
+       |             row_number() OVER (ORDER BY value, event_id) AS rn
+       |           FROM events),
+       |t AS (SELECT count(*) AS n_total FROM events)
+       |SELECT ((rn - 1) * $DepthBuckets) // n_total AS bucket,
+       |  count(*) AS n_rows, min(value) AS min_v, max(value) AS max_v
+       |FROM r, t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- Q79: KMV bottom-k distinct-intersection sketch --------------------
+
+  val KmvK = 32
+
+  /** Q79 — pairwise audience overlap across event types from bottom-k
+    * sketches ([[graft.operators.Kmv]]): the estimator family HLL cannot
+    * provide (sketch intersection). k=32 exercises both regimes across
+    * SFs: at sf0.001 every type has < k distinct users (τ degrades to
+    * the full union, Jaccard exact); at sf0.01+ the sketch genuinely
+    * truncates. */
+  def q79KmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val sk = graft.operators.Kmv.sketch(e, col("event_type"), col("user_id"), KmvK)
+    graft.operators.Kmv.intersectEstimates(sk, KmvK)
+      .orderBy(col("ga"), col("gb"))
+  }
+
+  val q79Sql: String = {
+    val h = graft.functions.TextFns.h31Sql("'kmv:' || CAST(user_id AS VARCHAR)")
+    s"""WITH d AS (SELECT DISTINCT event_type AS g, $h AS h FROM events),
+       |sk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM d),
+       |skk AS (SELECT g, h FROM sk WHERE rn <= $KmvK),
+       |gs AS (SELECT DISTINCT g FROM skk),
+       |pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a, gs b WHERE a.g < b.g),
+       |un AS (SELECT ga, gb, h,
+       |         row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS urn
+       |       FROM (SELECT DISTINCT ga, gb, h
+       |             FROM pairs JOIN skk ON skk.g = ga OR skk.g = gb)),
+       |ke AS (SELECT ga, gb, least($KmvK, max(urn)) AS k_eff FROM un GROUP BY ga, gb),
+       |tu AS (SELECT un.ga, un.gb, k_eff, h AS tau FROM un
+       |       JOIN ke USING (ga, gb) WHERE urn = k_eff),
+       |cm AS (SELECT t.ga, t.gb, count(*) AS n_common
+       |       FROM skk a JOIN skk b ON a.h = b.h AND a.g < b.g
+       |       JOIN tu t ON t.ga = a.g AND t.gb = b.g
+       |       WHERE a.h <= t.tau GROUP BY t.ga, t.gb)
+       |SELECT tu.ga, tu.gb, CAST(k_eff AS BIGINT) AS k_eff, tau,
+       |  CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+       |  CAST(coalesce(n_common, 0) AS DOUBLE) / CAST(k_eff AS DOUBLE) AS est_jaccard,
+       |  CAST(k_eff - 1 AS DOUBLE) * 2147483647 / CAST(tau AS DOUBLE) AS est_union,
+       |  (CAST(coalesce(n_common, 0) AS DOUBLE) / CAST(k_eff AS DOUBLE))
+       |    * (CAST(k_eff - 1 AS DOUBLE) * 2147483647 / CAST(tau AS DOUBLE)) AS est_intersect
+       |FROM tu LEFT JOIN cm USING (ga, gb) ORDER BY ga, gb""".stripMargin
+  }
 }

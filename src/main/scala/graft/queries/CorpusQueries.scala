@@ -621,6 +621,37 @@ object CorpusQueries {
   def x81MixturePlan(spark: SparkSession, dir: String): DataFrame =
     Curation.mixturePlan(docs(spark, dir), MixBudgetFrac).orderBy(col("source"))
 
+  // ---- X82: segment EXCISION (the cleaned corpus itself) -----------------
+
+  /** The x46 keep decision applied: every doc rebuilt from its
+    * first-occurrence spans ([[graft.operators.Curation.segmentExcise]]).
+    * The oracle rebuilds the same text with an ordered string_agg and
+    * hashes it — a single flipped token anywhere in the reconstruction
+    * flips the fp. */
+  def x82SegmentExcise(spark: SparkSession, dir: String): DataFrame =
+    Curation.segmentExcise(docs(spark, dir), SegTokens).orderBy(col("doc_id"))
+
+  val x82Sql: String = {
+    val fp = graft.functions.TextFns.h31Sql("coalesce(a.cleaned, '')")
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |sg AS (SELECT doc_id, s,
+       |         array_to_string(list_slice(ts, s * $SegTokens + 1,
+       |                                    least((s + 1) * $SegTokens, len(ts))), ' ') AS seg,
+       |         least($SegTokens, len(ts) - s * $SegTokens) AS sl
+       |       FROM tk, unnest(range(0, (len(ts) + ${SegTokens - 1}) // $SegTokens)) AS u(s)),
+       |k AS (SELECT doc_id, s, seg, sl,
+       |        row_number() OVER (PARTITION BY seg ORDER BY doc_id, s) AS rn
+       |      FROM sg),
+       |a AS (SELECT doc_id, CAST(sum(sl) AS BIGINT) AS n_tokens_kept,
+       |        string_agg(seg, ' ' ORDER BY s) AS cleaned
+       |      FROM k WHERE rn = 1 GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(a.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       |  $fp AS cleaned_fp
+       |FROM (SELECT doc_id FROM documents) d LEFT JOIN a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val x81Sql: String =
     s"""WITH per AS (SELECT source,
        |               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

@@ -47,6 +47,28 @@ class CurationSpec extends AnyFunSuite {
     got.foreach { case (b, n, _, w) => assert(w >= 0 && w < b * n) }
   }
 
+  // ---- segmentExcise ----------------------------------------------------
+
+  test("segmentExcise: agrees with segmentDedup's token accounting; full-dup docs come back empty") {
+    val docs = mkDocs(
+      (1L, "en", (1 to 16).map(i => s"t$i").mkString(" ")),  // 2 spans, all first
+      (2L, "en", (1 to 16).map(i => s"t$i").mkString(" ")),  // exact dup → empty
+      (3L, "en", ((1 to 8).map(i => s"t$i") ++ (1 to 8).map(i => s"u$i")).mkString(" ")))
+      .select($"doc_id", $"text")                             // span1 dup of doc1's, span2 novel
+    val ex = Curation.segmentExcise(docs, 8)
+      .select($"doc_id", $"n_tokens_kept", $"cleaned_fp")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val dd = Curation.segmentDedup(docs, 8)
+      .select($"doc_id", $"n_tokens_kept").as[(Long, Long)].collect().toMap
+    assert(ex.map(t => t._1 -> t._2).toMap == dd)
+    assert(ex.map(_._2) == Seq(16L, 0L, 8L))
+    // doc 2's reconstruction is the empty string; doc 3 keeps only u1..u8
+    def h31Of(s: String): Long = spark.range(1)
+      .select(graft.functions.TextFns.h31(lit(s))).head().getLong(0)
+    assert(ex(1)._3 == h31Of(""))
+    assert(ex(2)._3 == h31Of((1 to 8).map(i => s"u$i").mkString(" ")))
+  }
+
   // ---- curationFunnel ---------------------------------------------------
 
   test("curationFunnel: stages monotone, dedup keeps first id, quota caps per source") {

@@ -317,6 +317,27 @@ class PlanSpec extends AnyFunSuite {
       s"the corpus must not be re-read per stage:\n$plan")
   }
 
+  test("q78 equiDepth: rank is hierarchical — range exchange, corpus window keyed by rng") {
+    val plan = planOf(graft.queries.ChangeData.q78EquiDepth(spark, sf))
+    assert(plan.contains("rangepartitioning"),
+      s"expected a range exchange on the sort key:\n$plan")
+    val windows = "windowspecdefinition\\([^)]*\\)".r.findAllIn(plan).toList
+    val corpusW = windows.filter(_.contains("v#"))
+    assert(corpusW.forall(_.contains("rng")),
+      s"the corpus-sized rank window must be keyed by rng:\n$windows")
+  }
+
+  test("q79 kmv: the bottom-k is a WindowGroupLimit — only ≤k rows per group cross the final exchange") {
+    val e = Tables.t(spark, sf, "events")
+    val plan = planOf(graft.operators.Kmv.sketch(
+      e, org.apache.spark.sql.functions.col("event_type"),
+      org.apache.spark.sql.functions.col("user_id"), 32))
+    assert("WindowGroupLimit".r.findAllIn(plan).size == 2,
+      s"expected partial+final bottom-k limits:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"the distinct must be a map-side-combinable agg:\n$plan")
+  }
+
   test("q68: corpus-sized steps are hash aggs; the only window is post-aggregation, never per-user") {
     val plan = planOf(graft.queries.EventTime.q68RunningDistinct(spark, sf))
     assert("HashAggregate".r.findAllIn(plan).size >= 4, // 2 aggs × partial+final
