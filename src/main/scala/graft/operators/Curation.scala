@@ -896,6 +896,82 @@ object Curation {
         col("rate"), col("planned_tokens"), col("deficit"))
   }
 
+  // ---- curriculum ordering (quality tiers × deterministic shuffle) -----
+
+  /** Curriculum construction: the corpus ordered easy→hard by quality
+    * TIER, deterministically shuffled WITHIN each tier — the standard
+    * training-order compromise (strict quality-sort over-clusters
+    * near-identical documents; pure shuffle wastes the curriculum
+    * signal). Tiers are equi-depth deciles of the composite quality
+    * score ([[qualityScore]]'s formula), so every tier holds the same
+    * document count regardless of the score distribution's shape; the
+    * within-tier order is the content-hash shuffle (reproducible across
+    * engines and re-runs, unlike rand(seed)).
+    *
+    * Returns (doc_id, tier, pos): tier ∈ [0, tiers), pos the global
+    * 1-based training position.
+    *
+    * Scale shape: two hierarchical global ranks
+    * ([[graft.operators.Ranks.globalRank]] — range exchange + per-range
+    * sorts, nothing global) and one single-row broadcast for N; no
+    * corpus-sized window anywhere. */
+  def curriculumOrder(docs: DataFrame, tiers: Int = 10): DataFrame = {
+    require(tiers > 0, s"tiers must be > 0, got $tiers")
+    val toks = split(col("text"), " ")
+    val scored = docs.select(col("doc_id"),
+      (lit(0.5) * least(size(toks).cast(DoubleType) / 100.0, lit(1.0))
+        + lit(0.5) * (size(array_distinct(toks)).cast(DoubleType)
+                        / size(toks))).as("score"))
+    // easy→hard: highest score first → rank by (score desc, doc_id)
+    val ranked = Ranks.globalRank(scored, Seq(col("score").desc, col("doc_id")))
+    val total = ranked.agg(count(lit(1)).as("n_total"))
+    val tiered = ranked.crossJoin(broadcast(total))
+      .withColumn("tier", expr(s"((grank - 1) * $tiers) div n_total"))
+      .withColumn("shuf",
+        graft.functions.TextFns.h31(concat(lit("cur:"), col("doc_id").cast(StringType))))
+      .select(col("doc_id"), col("tier"), col("shuf"))
+    Ranks.globalRank(tiered, Seq(col("tier"), col("shuf"), col("doc_id")))
+      .select(col("doc_id"), col("tier"), col("grank").as("pos"))
+  }
+
+  // ---- span-corruption planning (T5-style objective construction) ------
+
+  /** Denoising-objective plan: each document's token stream is cut into
+    * fixed `blockTokens`-token blocks and a block is marked for masking
+    * iff h31(doc:block) mod 100 < maskPct — the deterministic,
+    * non-overlapping-by-construction form of T5/UL2 span corruption
+    * (greedy random span selection needs a per-doc sequential scan; fixed
+    * blocks keep the whole plan one vectorized projection). Returns the
+    * per-doc plan summary (n_blocks, n_masked, n_masked_tokens,
+    * masked_fp) — masked_fp hashes the ordered masked-block list, the
+    * handle a downstream pair-builder joins on.
+    *
+    * Scale shape: explode to (doc, block) → codegen hash gate → one
+    * map-side-combinable per-doc agg; no join, no window, no state. */
+  def spanCorruptionPlan(docs: DataFrame, blockTokens: Int = 10,
+                         maskPct: Int = 15): DataFrame = {
+    require(blockTokens > 0 && maskPct >= 0 && maskPct <= 100,
+      s"bad blockTokens=$blockTokens maskPct=$maskPct")
+    val blocks = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .withColumn("b",
+        explode(expr(s"sequence(0, ((n_tok + ${blockTokens - 1}) div $blockTokens) - 1)")))
+      .withColumn("b_len",
+        least(lit(blockTokens.toLong), col("n_tok") - col("b") * blockTokens))
+      .withColumn("masked",
+        pmod(graft.functions.TextFns.h31(
+          concat(col("doc_id").cast(StringType), lit(":"), col("b").cast(StringType))),
+          lit(100L)) < maskPct)
+    blocks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+        sum(when(col("masked"), col("b_len")).otherwise(0L)).as("n_masked_tokens"),
+        sort_array(collect_list(when(col("masked"), col("b")))).as("mb"))
+      .select(col("doc_id"), col("n_blocks"), col("n_masked"), col("n_masked_tokens"),
+        graft.functions.TextFns.h31(
+          expr("array_join(transform(mb, x -> cast(x as string)), ',')")).as("masked_fp"))
+  }
+
   // ---- temperature rebalancing (inverse-sqrt language sampler) ---------
 
   /** Deterministic α=0.5 temperature rebalancing across languages: a doc in

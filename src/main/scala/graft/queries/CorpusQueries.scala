@@ -621,6 +621,69 @@ object CorpusQueries {
   def x81MixturePlan(spark: SparkSession, dir: String): DataFrame =
     Curation.mixturePlan(docs(spark, dir), MixBudgetFrac).orderBy(col("source"))
 
+  // ---- X83: curriculum ordering ------------------------------------------
+
+  val CurriculumTiers = 10
+
+  /** Quality-tiered, hash-shuffled training order (see
+    * [[graft.operators.Curation.curriculumOrder]]); the oracle replays
+    * the decile cut and the within-tier shuffle with window ranks. */
+  def x83CurriculumOrder(spark: SparkSession, dir: String): DataFrame =
+    Curation.curriculumOrder(docs(spark, dir), CurriculumTiers)
+      .orderBy(col("pos"))
+
+  val x83Sql: String = {
+    val shuf = graft.functions.TextFns.h31Sql("'cur:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH s AS (SELECT doc_id,
+       |  0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+       |    + 0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |               / len(string_split(text, ' '))) AS score
+       |  FROM documents),
+       |r AS (SELECT doc_id,
+       |        row_number() OVER (ORDER BY score DESC, doc_id) AS grank,
+       |        count(*) OVER () AS n_total
+       |      FROM s),
+       |tr AS (SELECT doc_id, ((grank - 1) * $CurriculumTiers) // n_total AS tier,
+       |         $shuf AS shuf FROM r)
+       |SELECT doc_id, tier,
+       |  row_number() OVER (ORDER BY tier, shuf, doc_id) AS pos
+       |FROM tr ORDER BY pos""".stripMargin
+  }
+
+  // ---- X84: span-corruption plan (T5-style denoising objective) ----------
+
+  val CorruptBlockTokens = 10
+  val CorruptMaskPct = 15
+
+  /** Deterministic block-level span-corruption plan (see
+    * [[graft.operators.Curation.spanCorruptionPlan]]). */
+  def x84SpanCorruption(spark: SparkSession, dir: String): DataFrame =
+    Curation.spanCorruptionPlan(docs(spark, dir), CorruptBlockTokens, CorruptMaskPct)
+      .orderBy(col("doc_id"))
+
+  val x84Sql: String = {
+    val gate = graft.functions.TextFns.h31Sql(
+      "CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+    // DuckDB's array_to_string is NULL on an empty/NULL list where Spark's
+    // array_join gives '' — coalesce AFTER the join, not on the list
+    val fp = graft.functions.TextFns.h31Sql(
+      "coalesce(array_to_string(list_sort(list(b) FILTER (WHERE masked)), ','), '')")
+    s"""WITH tk AS (SELECT doc_id,
+       |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |            FROM documents),
+       |bl AS (SELECT doc_id, n_tok, b,
+       |         least($CorruptBlockTokens, n_tok - b * $CorruptBlockTokens) AS b_len
+       |       FROM tk, unnest(range(0,
+       |         (n_tok + ${CorruptBlockTokens - 1}) // $CorruptBlockTokens)) AS u(b)),
+       |m AS (SELECT doc_id, b, b_len,
+       |        $gate % 100 < $CorruptMaskPct AS masked FROM bl)
+       |SELECT doc_id, count(*) AS n_blocks,
+       |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       |  CAST(sum(CASE WHEN masked THEN b_len ELSE 0 END) AS BIGINT) AS n_masked_tokens,
+       |  $fp AS masked_fp
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ---- X82: segment EXCISION (the cleaned corpus itself) -----------------
 
   /** The x46 keep decision applied: every doc rebuilt from its

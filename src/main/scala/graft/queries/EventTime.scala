@@ -300,6 +300,50 @@ object EventTime {
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // ---- Q80: STREAM-STREAM join, scored -----------------------------------
+
+  /** Q80 — the watermarked STREAM-STREAM self-join under the DuckDB gate:
+    * `EventStreams.pairWithin` (events × events, same user, second event
+    * within 10 minutes of the first, 1-hour watermarks bounding the join
+    * state) run as an actual append-mode `writeStream` to parquet and
+    * scored as the per-user pair rollup of what the sink received. The
+    * other scored streams all gate foreachBatch MAINTENANCE algebras;
+    * this gates the engine's symmetric-state join operator itself —
+    * dropped, duplicated, or watermark-late-discarded pairs all flip the
+    * hash (on a bounded input every pair must be emitted; StreamingSpec
+    * asserts row-set equality with the static join, this adds the
+    * cross-engine hash). */
+  def q80StreamPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q80_").toFile
+    try {
+      val out = new java.io.File(tmp, "pairs").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      val q = graft.streaming.EventStreams
+        .pairWithin(graft.streaming.EventStreams.readEvents(spark, dir))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val res = spark.read.parquet(out)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("gap_us")).as("sum_gap_us"))
+      // one row per user: materialize so the temp sink/checkpoint can drop
+      val rows = res.collectAsList()
+      spark.createDataFrame(rows, res.schema).orderBy(col("user_id"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  val q80Sql: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |p AS (SELECT a.user_id,
+      |        epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+      |      FROM e a JOIN e b ON b.user_id = a.user_id
+      |        AND a.event_id != b.event_id
+      |        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '10 minutes')
+      |SELECT user_id, count(*) AS n_pairs, CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---- Q76: streaming as-of enrichment, scored ---------------------------
 
   /** Q76 — the as-of ENRICHMENT stream under the DuckDB gate: events land

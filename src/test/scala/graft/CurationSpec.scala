@@ -47,6 +47,51 @@ class CurationSpec extends AnyFunSuite {
     got.foreach { case (b, n, _, w) => assert(w >= 0 && w < b * n) }
   }
 
+  // ---- curriculumOrder --------------------------------------------------
+
+  test("curriculumOrder: equal-count tiers ordered easy→hard, positions a permutation") {
+    // 40 docs with strictly decreasing quality (longer = higher score here)
+    val docs = (1 to 40).map { i =>
+      (i.toLong, "en", (1 to (101 - i)).map(j => s"w${i}_$j").mkString(" "))
+    }.toDF("doc_id", "lang", "text").select($"doc_id", $"text")
+    val got = Curation.curriculumOrder(docs, tiers = 4)
+      .select($"doc_id", $"tier", $"pos").as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._3).sorted == (1L to 40L))
+    val byTier = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byTier.keySet == Set(0L, 1L, 2L, 3L) && byTier.values.forall(_.size == 10))
+    // score here decreases with doc_id, so tier 0 = ids 1..10, tier 3 = 31..40
+    assert(byTier(0L) == (1L to 10L).toSet && byTier(3L) == (31L to 40L).toSet)
+    // positions are contiguous per tier in tier order
+    val posByTier = got.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    assert((0L to 3L).forall(t => posByTier(t).max == (t + 1) * 10))
+  }
+
+  // ---- spanCorruptionPlan -----------------------------------------------
+
+  test("spanCorruptionPlan: block arithmetic exact, partition-independent, rate plausible") {
+    val docs = mkDocs(
+      (1L, "en", (1 to 25).map(i => s"a$i").mkString(" ")),  // 3 blocks: 10,10,5
+      (2L, "en", "one two three"))                            // 1 block of 3
+      .select($"doc_id", $"text")
+    val got = Curation.spanCorruptionPlan(docs, blockTokens = 10, maskPct = 15)
+      .select($"doc_id", $"n_blocks", $"n_masked", $"n_masked_tokens", $"masked_fp")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(t => (t._1, t._2)) == Seq((1L, 3L), (2L, 1L)))
+    got.foreach { case (_, nb, nm, nmt, _) =>
+      assert(nm <= nb && nmt <= nm * 10)
+    }
+    // deterministic under repartitioning
+    val again = Curation.spanCorruptionPlan(docs.repartition(7), 10, 15)
+      .select($"doc_id", $"n_blocks", $"n_masked", $"n_masked_tokens", $"masked_fp")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again == got)
+    // corpus-level: the gate fires at roughly maskPct (binomial, wide band)
+    val corpus = Tables.t(spark, TestSpark.sf, "documents")
+    val rate = Curation.spanCorruptionPlan(corpus, 10, 15)
+      .agg(sum($"n_masked").cast("double") / sum($"n_blocks")).head().getDouble(0)
+    assert(rate > 0.05 && rate < 0.30, s"mask rate $rate implausible for 15%")
+  }
+
   // ---- segmentExcise ----------------------------------------------------
 
   test("segmentExcise: agrees with segmentDedup's token accounting; full-dup docs come back empty") {
