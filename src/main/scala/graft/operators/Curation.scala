@@ -896,6 +896,51 @@ object Curation {
         col("rate"), col("planned_tokens"), col("deficit"))
   }
 
+  // ---- decontamination EXCISION (positional span removal) --------------
+
+  /** The decontamination ACTION: every corpus token covered by any
+    * `k`-gram that also appears in the probe (benchmark) set is removed,
+    * and each doc is rebuilt from its surviving tokens — MassiveText's
+    * "remove the overlapping span, keep the document" policy, where
+    * x38/x67 only REPORT contamination. Returns every corpus doc as
+    * (doc_id, n_tokens_kept, n_tokens_removed, cleaned_fp).
+    *
+    * Scale shape: corpus shingles carry (doc_id, position) and join the
+    * DISTINCT probe shingle set on the shingle string (probe side is
+    * benchmark-sized → broadcasts; the x38 decontamination shape);
+    * covered positions collapse doc-locally (distinct + per-doc sorted
+    * array, bounded by doc length) and the rebuild is one codegen
+    * projection — `filter` over the position range keeps order by
+    * construction, no re-sort. The per-token `array_contains` probe is
+    * O(doc_len · covered) in the worst fully-contaminated case — bounded
+    * by the doc, never the corpus. */
+  def deconExcise(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    def shingled(d: DataFrame) = d
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= k)
+      .withColumn("i", explode(expr(s"sequence(0, size(ts) - $k)")))
+      .withColumn("s", concat_ws(" ", expr(s"slice(ts, i + 1, $k)")))
+    val probeSet = shingled(probes).select(col("s")).distinct()
+    val covered = shingled(corpus).select(col("doc_id"), col("i"), col("s"))
+      .join(probeSet, "s")
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${k - 1})")).as("p"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("p"))).as("cov"))
+    corpus.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), expr("cast(array() as array<int>)")))
+      .withColumn("kept",
+        expr("filter(sequence(0, size(ts) - 1), i -> NOT array_contains(cov, i))"))
+      .select(col("doc_id"),
+        size(col("kept")).cast(LongType).as("n_tokens_kept"),
+        (size(col("ts")) - size(col("kept"))).cast(LongType).as("n_tokens_removed"),
+        graft.functions.TextFns.h31(
+          expr("array_join(transform(kept, i -> element_at(ts, i + 1)), ' ')"))
+          .as("cleaned_fp"))
+  }
+
   // ---- curriculum ordering (quality tiers × deterministic shuffle) -----
 
   /** Curriculum construction: the corpus ordered easy→hard by quality

@@ -61,6 +61,44 @@ object Extended {
       |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
       |WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  /** Q81 — as-of join WITH TOLERANCE: each event takes the latest order at
+    * or before it, but only within a 90-day lookback — events whose
+    * nearest prior order is older come back null. The pandas
+    * merge_asof(tolerance=...) / kdb wj semantics, and the variant that
+    * matters operationally at scale: a bounded tolerance is what lets a
+    * streaming or merge implementation BOUND ITS STATE (only 90 days of
+    * the build side is ever live), where the unbounded q19 form must
+    * retain full history. Same max-(date, key) tie-break as q19/q67/q69;
+    * unmatched events survive via the left join of the matched aggregate
+    * (null-field struct, q73's outer contract). */
+  def q81AsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val matched = e.join(o,
+        e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts") &&
+          o("o_orderdate") > e("ts") - expr("INTERVAL 90 DAYS"))
+      .groupBy(col("event_id"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+    e.select(col("event_id"), col("user_id"))
+      .join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        col("best.o_orderkey").as("asof_orderkey"),
+        col("best.o_orderdate").cast("timestamp_ntz").as("asof_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  val q81Sql: String =
+    """SELECT event_id, user_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
+      |FROM (
+      |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e LEFT JOIN orders o
+      |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+      |   AND o.o_orderdate > e.ts - INTERVAL '90 days')
+      |WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   /** Q24 — interval (range) join: per order, its lineitems shipped inside
     * [orderdate, orderdate+30d). Equi key + range predicate — the shuffle
     * stays on the equi key and the range filters inside the join's codegen,

@@ -471,4 +471,46 @@ object TrainingData {
        |${DeconLevels.map(lvl).mkString("", "\nUNION ALL\n", "")}
        |) GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  // ---- X85: decontamination EXCISION (positional removal applied) -------
+
+  val DeconExciseK = 8
+
+  /** The x67 report turned into the ACTION: every token covered by an
+    * 8-gram shared with the probe set is excised and the doc rebuilt
+    * ([[graft.operators.Curation.deconExcise]]); same probe split as
+    * x38/x67 (doc_id ≡ 0 mod 97 = the benchmark suite). The oracle
+    * rebuilds each doc positionally and hashes the reconstruction. */
+  def x85DeconExcise(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.operators.Curation.deconExcise(
+      d.filter(col("doc_id") % 97 =!= 0),
+      d.filter(col("doc_id") % 97 === 0), DeconExciseK)
+      .orderBy(col("doc_id"))
+  }
+
+  val x85Sql: String = {
+    val k = DeconExciseK
+    val fp = graft.functions.TextFns.h31Sql(
+      "coalesce(array_to_string(list_transform(kept, i -> ts[i + 1]), ' '), '')")
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |cs AS (SELECT doc_id, i, array_to_string(ts[i + 1 : i + $k], ' ') AS s
+       |       FROM tk, unnest(range(0, len(ts) - ${k - 1})) AS u(i)
+       |       WHERE len(ts) >= $k AND doc_id % 97 <> 0),
+       |ps AS (SELECT DISTINCT array_to_string(ts[i + 1 : i + $k], ' ') AS s
+       |       FROM tk, unnest(range(0, len(ts) - ${k - 1})) AS u(i)
+       |       WHERE len(ts) >= $k AND doc_id % 97 = 0),
+       |mt AS (SELECT DISTINCT cs.doc_id, p
+       |       FROM cs JOIN ps USING (s), unnest(range(i, i + $k)) AS v(p)),
+       |cov AS (SELECT doc_id, list_sort(list(p)) AS cov FROM mt GROUP BY doc_id),
+       |base AS (SELECT tk.doc_id, ts, coalesce(cov, []) AS cov
+       |         FROM tk LEFT JOIN cov USING (doc_id) WHERE tk.doc_id % 97 <> 0),
+       |kk AS (SELECT doc_id, ts,
+       |         list_filter(range(0, len(ts)), i -> NOT list_contains(cov, i)) AS kept
+       |       FROM base)
+       |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_tokens_kept,
+       |  CAST(len(ts) - len(kept) AS BIGINT) AS n_tokens_removed,
+       |  $fp AS cleaned_fp
+       |FROM kk ORDER BY doc_id""".stripMargin
+  }
 }

@@ -156,6 +156,31 @@ class AsofExecSpec extends AnyFunSuite {
       Seq("event_id", "user_id", "asof_orderkey", "asof_orderdate"))
   }
 
+  test("q81 tolerance: within-window events equal q19; beyond-window events are null") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val tol = graft.queries.Extended.q81AsofTolerance(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("asof_orderkey")).map(_.toLong)).toMap
+    val unb = graft.queries.Extended.q19AsofJoin(spark, sf)
+    // q19 rows whose matched order is within 90 days of the event: q81 agrees
+    val e = Tables.t(spark, sf, "events")
+      .select(col("event_id"), col("ts"))
+    val within = unb.join(e, "event_id")
+      .withColumn("inWin", col("asof_orderdate") > col("ts") - expr("INTERVAL 90 DAYS"))
+      .collect().map(r => (r.getAs[Long]("event_id"),
+        r.getAs[Long]("asof_orderkey"), r.getAs[Boolean]("inWin")))
+    assert(within.nonEmpty && within.exists(!_._3), "fixture must exercise the null branch")
+    within.foreach { case (id, key, in) =>
+      if (in) assert(tol(id).contains(key), s"event $id should match $key")
+      else assert(tol(id).isEmpty, s"event $id beyond tolerance must be null")
+    }
+    // every event appears exactly once (outer contract), and events with
+    // NO prior order at all (absent from q19) are null a fortiori
+    assert(tol.size == e.count())
+    val inQ19 = within.map(_._1).toSet
+    tol.foreach { case (id, v) => if (!inQ19.contains(id)) assert(v.isEmpty) }
+  }
+
   test("numOutputRows metric on the exec matches the actual output count") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

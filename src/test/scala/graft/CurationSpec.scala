@@ -47,6 +47,37 @@ class CurationSpec extends AnyFunSuite {
     got.foreach { case (b, n, _, w) => assert(w >= 0 && w < b * n) }
   }
 
+  // ---- deconExcise ------------------------------------------------------
+
+  test("deconExcise: only probe-shared 8-gram positions are removed; accounting closes") {
+    val corpus = mkDocs(
+      (1L, "en", ((1 to 8).map(i => s"m$i") ++ (1 to 8).map(i => s"c$i")).mkString(" ")),
+      (2L, "en", (1 to 12).map(i => s"z$i").mkString(" ")))   // untouched
+      .select($"doc_id", $"text")
+    val probe = mkDocs(
+      (97L, "en", ((1 to 8).map(i => s"m$i") ++ Seq("tail")).mkString(" ")))
+      .select($"doc_id", $"text")
+    val got = Curation.deconExcise(corpus, probe, 8)
+      .select($"doc_id", $"n_tokens_kept", $"n_tokens_removed", $"cleaned_fp")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 1: probe shares exactly the m1..m8 8-gram (and "m2..tail" spans
+    // don't exist in corpus) → 8 tokens removed, c1..c8 kept
+    assert(got.map(t => (t._1, t._2, t._3)) == Seq((1L, 8L, 8L), (2L, 12L, 0L)))
+    def h31Of(s: String): Long = spark.range(1)
+      .select(graft.functions.TextFns.h31(lit(s))).head().getLong(0)
+    assert(got(0)._4 == h31Of((1 to 8).map(i => s"c$i").mkString(" ")))
+    assert(got(1)._4 == h31Of((1 to 12).map(i => s"z$i").mkString(" ")))
+  }
+
+  test("deconExcise: overlapping matched grams excise their union, fully-covered doc empties") {
+    // probe = the doc itself → every k-gram matches → everything removed
+    val corpus = mkDocs((1L, "en", (1 to 10).map(i => s"t$i").mkString(" ")))
+      .select($"doc_id", $"text")
+    val got = Curation.deconExcise(corpus, corpus, 8)
+      .select($"n_tokens_kept", $"n_tokens_removed").as[(Long, Long)].head()
+    assert(got == ((0L, 10L)))
+  }
+
   // ---- curriculumOrder --------------------------------------------------
 
   test("curriculumOrder: equal-count tiers ordered easy→hard, positions a permutation") {
