@@ -195,27 +195,11 @@ object Curation {
     * 1-based rank in (n_tok desc, doc_id) order — range exchange,
     * per-range local row numbers, per-range COUNTS cumulated into
     * broadcast offsets; never a single-task global window. */
-  private[graft] def globalSizeRank(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast(LongType).as("n_tok"))
-    val ranged = toks
-      .repartitionByRange(col("n_tok").desc, col("doc_id"))
-      .withColumn("rng", spark_partition_id())
-    val wLocal = Window.partitionBy(col("rng"))
-      .orderBy(col("n_tok").desc, col("doc_id"))
-    val local = ranged
-      .withColumn("local_rn", row_number().over(wLocal).cast(LongType))
-    val wOff = Window.orderBy(col("rng"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col("rng"))
-      .agg(count(lit(1)).as("range_n"))
-      .withColumn("offset", coalesce(sum(col("range_n")).over(wOff), lit(0L)))
-      .select(col("rng"), col("offset"))
-    local.join(broadcast(offsets), Seq("rng"))
-      .select(col("doc_id"), col("n_tok"),
-        (col("offset") + col("local_rn")).as("grank"))
-  }
+  private[graft] def globalSizeRank(docs: DataFrame): DataFrame =
+    Ranks.globalRank(
+      docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok")),
+      Seq(col("n_tok").desc, col("doc_id")))
 
   /** CONTINUOUS sharding: deal one arriving batch onto the existing
     * shards, least-loaded shard first — the incremental form of
@@ -923,7 +907,7 @@ object Curation {
       .withColumn("s", concat_ws(" ", expr(s"slice(ts, i + 1, $k)")))
     val probeSet = shingled(probes).select(col("s")).distinct()
     val covered = shingled(corpus).select(col("doc_id"), col("i"), col("s"))
-      .join(probeSet, "s")
+      .join(broadcast(probeSet), "s")
       .select(col("doc_id"), explode(expr(s"sequence(i, i + ${k - 1})")).as("p"))
       .distinct()
       .groupBy(col("doc_id"))
@@ -962,14 +946,11 @@ object Curation {
     * corpus-sized window anywhere. */
   def curriculumOrder(docs: DataFrame, tiers: Int = 10): DataFrame = {
     require(tiers > 0, s"tiers must be > 0, got $tiers")
-    val toks = split(col("text"), " ")
-    val scored = docs.select(col("doc_id"),
-      (lit(0.5) * least(size(toks).cast(DoubleType) / 100.0, lit(1.0))
-        + lit(0.5) * (size(array_distinct(toks)).cast(DoubleType)
-                        / size(toks))).as("score"))
+    val scored = qualityScore(docs).select(col("doc_id"), col("score"))
     // easy→hard: highest score first → rank by (score desc, doc_id)
     val ranked = Ranks.globalRank(scored, Seq(col("score").desc, col("doc_id")))
-    val total = ranked.agg(count(lit(1)).as("n_total"))
+    // count the cheap pre-rank input, not the ranked lineage
+    val total = scored.agg(count(lit(1)).as("n_total"))
     val tiered = ranked.crossJoin(broadcast(total))
       .withColumn("tier", expr(s"((grank - 1) * $tiers) div n_total"))
       .withColumn("shuf",

@@ -52,9 +52,10 @@ object Ranks {
   def equiDepth(df: DataFrame, valueCol: Column, tiebreak: Column,
                 buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be > 0, got $buckets")
-    val ranked = globalRank(df.select(valueCol.as("v"), tiebreak.as("tb")),
-      Seq(col("v"), col("tb")))
-    val total = ranked.agg(count(lit(1)).as("n_total"))
+    val base = df.select(valueCol.as("v"), tiebreak.as("tb"))
+    val ranked = globalRank(base, Seq(col("v"), col("tb")))
+    // count the cheap pre-rank input, not the ranked lineage
+    val total = base.agg(count(lit(1)).as("n_total"))
     ranked.crossJoin(broadcast(total))
       .withColumn("bucket", expr(s"((grank - 1) * $buckets) div n_total"))
       .groupBy(col("bucket"))

@@ -316,7 +316,14 @@ object EventTime {
   def q80StreamPairs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft_q80_").toFile
+    // the join state is tiny (pairs within 10 min of one user) but every
+    // shuffle partition carries TWO state stores with per-batch commit
+    // overhead — size the stream's partitioning to the state, not the
+    // session default (a stream pins its partitioning at checkpoint
+    // creation, so this is also the knob a real deployment sets)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
       val out = new java.io.File(tmp, "pairs").getAbsolutePath
       val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
       val q = graft.streaming.EventStreams
@@ -331,7 +338,10 @@ object EventTime {
       // one row per user: materialize so the temp sink/checkpoint can drop
       val rows = res.collectAsList()
       spark.createDataFrame(rows, res.schema).orderBy(col("user_id"))
-    } finally graft.util.Fs.deleteTree(tmp)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.util.Fs.deleteTree(tmp)
+    }
   }
 
   val q80Sql: String =

@@ -338,6 +338,17 @@ class PlanSpec extends AnyFunSuite {
       s"the distinct must be a map-side-combinable agg:\n$plan")
   }
 
+  test("x85 deconExcise: probe shingle set broadcasts — corpus shingles never sort-merge on the string key") {
+    import org.apache.spark.sql.functions.col
+    val d = Tables.t(spark, sf, "documents")
+    val plan = planOf(graft.operators.Curation.deconExcise(
+      d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0), 8))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the probe side must broadcast into the shingle match:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-wide exchange on the shingle string key:\n$plan")
+  }
+
   test("q68: corpus-sized steps are hash aggs; the only window is post-aggregation, never per-user") {
     val plan = planOf(graft.queries.EventTime.q68RunningDistinct(spark, sf))
     assert("HashAggregate".r.findAllIn(plan).size >= 4, // 2 aggs × partial+final
