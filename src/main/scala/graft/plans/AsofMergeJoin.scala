@@ -36,7 +36,8 @@ import org.apache.spark.sql.types.LongType
   * tie-break when the payload leads with a unique key).
   */
 case class AsofMergeJoin(left: LogicalPlan, right: LogicalPlan,
-                         outer: Boolean = false)
+                         outer: Boolean = false,
+                         toleranceUs: Option[Long] = None)
     extends BinaryNode {
   // outer keeps unmatched left rows → the carried payload becomes nullable
   override def output: Seq[Attribute] =
@@ -57,8 +58,8 @@ case class AsofMergeJoin(left: LogicalPlan, right: LogicalPlan,
 /** Plans [[AsofMergeJoin]] to [[AsofMergeJoinExec]]. */
 object AsofStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofMergeJoin(l, r, outer) =>
-      AsofMergeJoinExec(planLater(l), planLater(r), outer) :: Nil
+    case AsofMergeJoin(l, r, outer, tol) =>
+      AsofMergeJoinExec(planLater(l), planLater(r), outer, tol) :: Nil
     case _ => Nil
   }
 }
@@ -69,7 +70,8 @@ object AsofStrategy extends SparkStrategy {
   * partition the merge advances the right iterator at most once past each
   * row and keeps ONE copied candidate row per current key. */
 case class AsofMergeJoinExec(left: SparkPlan, right: SparkPlan,
-                             outer: Boolean = false)
+                             outer: Boolean = false,
+                             toleranceUs: Option[Long] = None)
     extends BinaryExecNode {
 
   override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
@@ -106,6 +108,7 @@ case class AsofMergeJoinExec(left: SparkPlan, right: SparkPlan,
     val carry = rightOut.drop(2)
     val outAttrs = output
     val isOuter = outer
+    val tol = toleranceUs
     val numOutputRows = longMetric("numOutputRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val carryProj = UnsafeProjection.create(carry, rightOut)
@@ -120,9 +123,14 @@ case class AsofMergeJoinExec(left: SparkPlan, right: SparkPlan,
       val rBuf = rIter.buffered
       // one candidate per current key: the latest right row seen whose
       // time is <= the current left row's time (rows are consumed in
-      // (key, time) order, so "latest seen" IS the as-of answer)
+      // (key, time) order, so "latest seen" IS the as-of answer); with a
+      // tolerance, the candidate additionally must be YOUNG enough —
+      // time ∈ (t − tol, t] — which is why the state stays ONE row: the
+      // latest candidate is the only one that can ever satisfy a
+      // tolerance ending at t
       var cand: InternalRow = null
       var candKey = 0L
+      var candTime = 0L
       lIter.flatMap { lRow =>
         val k = lRow.getLong(0)
         val t = lRow.getLong(1)
@@ -131,9 +139,13 @@ case class AsofMergeJoinExec(left: SparkPlan, right: SparkPlan,
           hk < k || (hk == k && rBuf.head.getLong(1) <= t)
         }) {
           val h = rBuf.next()
-          if (h.getLong(0) == k) { cand = carryProj(h).copy(); candKey = k }
+          if (h.getLong(0) == k) {
+            candTime = h.getLong(1); cand = carryProj(h).copy(); candKey = k
+          }
         }
-        if (cand != null && candKey == k) {
+        val fresh = cand != null && candKey == k &&
+          tol.forall(w => candTime > t - w)
+        if (fresh) {
           numOutputRows += 1
           Iterator.single[InternalRow](resultProj(joined(lRow, cand)))
         } else if (isOuter) {
@@ -179,7 +191,27 @@ object AsofJoin {
   def asofOuter(left: DataFrame, right: DataFrame): DataFrame =
     asof(left, right, outer = true)
 
-  private def asof(left: DataFrame, right: DataFrame, outer: Boolean): DataFrame = {
+  /** Tolerance variants: a right row matches only when its time lies in
+    * (left.time − toleranceUs, left.time] — the pandas
+    * merge_asof(tolerance)/kdb wj semantics, strict on the lower bound.
+    * Operationally this is the exec's BOUNDED-STATE mode: the single
+    * candidate row is the only row that can ever satisfy a tolerance
+    * ending at the current left time, so state stays one row AND a
+    * streaming deployment can discard right history older than the
+    * tolerance window. The outer form emits null payload for stale or
+    * absent candidates (q81's declarative contract). */
+  def asofTolerance(left: DataFrame, right: DataFrame, toleranceUs: Long): DataFrame = {
+    require(toleranceUs > 0, s"toleranceUs must be > 0, got $toleranceUs")
+    asof(left, right, outer = false, tolerance = Some(toleranceUs))
+  }
+
+  def asofOuterTolerance(left: DataFrame, right: DataFrame, toleranceUs: Long): DataFrame = {
+    require(toleranceUs > 0, s"toleranceUs must be > 0, got $toleranceUs")
+    asof(left, right, outer = true, tolerance = Some(toleranceUs))
+  }
+
+  private def asof(left: DataFrame, right: DataFrame, outer: Boolean,
+                   tolerance: Option[Long] = None): DataFrame = {
     def check(df: DataFrame, side: String): Unit = {
       val f = df.schema.fields
       require(f.length >= 2 && f(0).dataType == LongType && f(1).dataType == LongType,
@@ -201,7 +233,8 @@ object AsofJoin {
         col(s"`$c`").as(s"__asof_r$i") }.toIndexedSeq: _*)
     val joined = org.apache.spark.sql.classic.GraftLogicalPlanApi.ofRows(
       left.sparkSession,
-      AsofMergeJoin(l.queryExecution.analyzed, r.queryExecution.analyzed, outer))
+      AsofMergeJoin(l.queryExecution.analyzed, r.queryExecution.analyzed, outer,
+        tolerance))
     if (r eq r0) joined
     else joined.toDF(left.columns.toIndexedSeq ++ right.columns.drop(2): _*)
   }

@@ -99,6 +99,31 @@ object Extended {
       |   AND o.o_orderdate > e.ts - INTERVAL '90 days')
       |WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  /** Q82 — q81's TOLERANCE as-of through the CUSTOM EXEC
+    * ([[graft.plans.AsofJoin.asofOuterTolerance]]): the merge's single
+    * candidate row is checked against the 90-day window — the only row
+    * that can ever satisfy a tolerance ending at the current left time,
+    * so the state stays ONE row and (the operational point) a streaming
+    * deployment of this exec may discard right history older than the
+    * window. Oracle = q81's SQL verbatim: two spellings (declarative
+    * left-join aggregate, bounded-state merge), one answer. */
+  def q82AsofToleranceExec(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast(TimestampType)).as("ots_us"),
+        col("o_orderkey"), col("o_orderdate"))
+    graft.plans.AsofJoin.asofOuterTolerance(e, o, 90L * 24 * 3600 * 1000000L)
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("asof_orderkey"),
+        col("o_orderdate").cast("timestamp_ntz").as("asof_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Two spellings, one answer: the gate q81 already passes. */
+  val q82Sql: String = q81Sql
+
   /** Q24 — interval (range) join: per order, its lineitems shipped inside
     * [orderdate, orderdate+30d). Equi key + range predicate — the shuffle
     * stays on the equi key and the range filters inside the join's codegen,

@@ -181,6 +181,35 @@ class AsofExecSpec extends AnyFunSuite {
     tol.foreach { case (id, v) => if (!inQ19.contains(id)) assert(v.isEmpty) }
   }
 
+  test("tolerance exec: scored q82 equals q81's declarative form row for row") {
+    val got = graft.queries.Extended.q82AsofToleranceExec(spark, sf).collect().toSeq
+    val want = graft.queries.Extended.q81AsofTolerance(spark, sf).collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("tolerance exec: inner = outer minus nulls; boundary is strictly exclusive") {
+    import spark.implicits._
+    val tol = 10L
+    // key 1: candidate at t−10 (boundary → stale), t−9 (fresh), none
+    val lefts = Seq((1L, 100L, 1L), (1L, 200L, 2L), (2L, 50L, 3L))
+      .toDF("k", "t", "left_id")
+    val rights = Seq((1L, 90L, 7L), (1L, 191L, 8L))
+      .toDF("k", "t", "payload")
+    val outer = AsofJoin.asofOuterTolerance(lefts, rights, tol).collect()
+      .map(r => r.getAs[Long]("left_id") ->
+        Option(r.getAs[java.lang.Long]("payload")).map(_.toLong)).toMap
+    // left 1: cand time 90 = 100−10 → NOT > boundary → stale → null
+    // left 2: cand time 191 > 200−10 = 190 → fresh
+    assert(outer == Map(1L -> None, 2L -> Some(8L), 3L -> None))
+    val inner = AsofJoin.asofTolerance(lefts, rights, tol).collect()
+      .map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("payload"))).toSet
+    assert(inner == Set((2L, 8L)))
+    // and with the window widened one microsecond the boundary row matches
+    val wider = AsofJoin.asofTolerance(lefts, rights, tol + 1).collect()
+      .map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("payload"))).toSet
+    assert(wider == Set((1L, 7L), (2L, 8L)))
+  }
+
   test("numOutputRows metric on the exec matches the actual output count") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
