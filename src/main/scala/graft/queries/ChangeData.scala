@@ -453,4 +453,76 @@ object ChangeData {
        |    * (CAST(k_eff - 1 AS DOUBLE) * 2147483647 / CAST(tau AS DOUBLE)) AS est_intersect
        |FROM tu LEFT JOIN cm USING (ga, gb) ORDER BY ga, gb""".stripMargin
   }
+
+  // ---- Q84: robust outlier detection (median / MAD) ----------------------
+
+  /** Q84 — robust per-group outlier detection: flag orders whose price
+    * deviates from their priority's MEDIAN by more than 3× the median
+    * absolute deviation (MAD). Mean/stddev-based z-scores are themselves
+    * dragged by the outliers they hunt; median/MAD is the standard robust
+    * alternative, and with prices held as integer CENTS every step —
+    * median (percentile_disc returns an element), |x − med|, the deviation
+    * median, the 3×MAD compare — is pure integer arithmetic, bit-equal in
+    * any engine.
+    *
+    * Scale shape: two aggregation passes over the corpus (per-group median,
+    * then per-group deviation median + flag count), both partial+final
+    * hash aggs on the tiny priority key with the medians joined back as
+    * broadcasts; no window ever touches a corpus-sized partition (the
+    * WITHIN GROUP sort is per-group inside the agg — at 100 TB the
+    * domain-counting form of q59 swaps in for the same answer). */
+  def q84MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      .createOrReplaceTempView("orders_q84")
+    spark.sql(
+      """WITH med AS (
+        |  SELECT o_orderpriority,
+        |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)
+        |      AS med_cents
+        |  FROM orders_q84 GROUP BY o_orderpriority),
+        |dev AS (
+        |  SELECT o.o_orderpriority, m.med_cents,
+        |    abs(o.cents - m.med_cents) AS dev
+        |  FROM orders_q84 o JOIN med m USING (o_orderpriority)),
+        |mad AS (
+        |  SELECT o_orderpriority, med_cents,
+        |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) AS BIGINT)
+        |      AS mad_cents
+        |  FROM dev GROUP BY o_orderpriority, med_cents)
+        |SELECT d.o_orderpriority, m.med_cents, m.mad_cents,
+        |  count(*) AS n,
+        |  count(CASE WHEN d.dev > 3 * m.mad_cents THEN 1 END) AS n_outliers
+        |FROM dev d JOIN mad m USING (o_orderpriority)
+        |GROUP BY d.o_orderpriority, m.med_cents, m.mad_cents
+        |ORDER BY d.o_orderpriority""".stripMargin)
+  }
+
+  /** The oracle states percentile_disc's definition via cume_dist (q28's
+    * convention) so no engine's quantile-index choice is trusted. */
+  val q84Sql: String =
+    """WITH c AS (SELECT o_orderpriority,
+      |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |           FROM orders),
+      |r1 AS (SELECT o_orderpriority, cents,
+      |         cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY cents) AS cd
+      |       FROM c),
+      |med AS (SELECT o_orderpriority, min(cents) FILTER (cd >= 0.5) AS med_cents
+      |        FROM r1 GROUP BY o_orderpriority),
+      |dev AS (SELECT c.o_orderpriority, m.med_cents,
+      |          abs(c.cents - m.med_cents) AS dev
+      |        FROM c JOIN med m USING (o_orderpriority)),
+      |r2 AS (SELECT o_orderpriority, med_cents, dev,
+      |         cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY dev) AS cd
+      |       FROM dev),
+      |mad AS (SELECT o_orderpriority, med_cents,
+      |          min(dev) FILTER (cd >= 0.5) AS mad_cents
+      |        FROM r2 GROUP BY o_orderpriority, med_cents)
+      |SELECT d.o_orderpriority, m.med_cents, m.mad_cents,
+      |  count(*) AS n,
+      |  count(CASE WHEN d.dev > 3 * m.mad_cents THEN 1 END) AS n_outliers
+      |FROM dev d JOIN mad m USING (o_orderpriority)
+      |GROUP BY d.o_orderpriority, m.med_cents, m.mad_cents
+      |ORDER BY d.o_orderpriority""".stripMargin
 }

@@ -730,4 +730,68 @@ object CorpusQueries {
        |  least(quota_tokens, n_tokens) AS planned_tokens,
        |  quota_tokens - least(quota_tokens, n_tokens) AS deficit
        |FROM p ORDER BY source""".stripMargin
+
+  // ---- X86: distinctive-term extraction (integer contrastive TF-IDF) ----
+
+  /** Minimum in-subset occurrences for a term to be rankable — keeps the
+    * ranking on genuinely characteristic vocabulary rather than the long
+    * tail of hapaxes (which would all tie at the exclusivity cap). */
+  val DistinctTermMinCount = 10
+
+  /** X86 — per-language DISTINCTIVE TERMS: the top-3 tokens most
+    * over-represented in each language vs the whole corpus, ranked by the
+    * lift ratio P(tok|lang) / P(tok) = (c_lt · T) / (c_t · T_l). This is
+    * the corpus-contrast analysis a curation run uses to characterize a
+    * source/language slice (what vocabulary makes this slice different?)
+    * — TF-IDF's discriminative core, computed in EXACT integer
+    * arithmetic: the ratio is emitted as parts-per-million via one
+    * BIGINT multiply-then-integer-divide, so ranking and output are
+    * bit-equal across engines with no logarithm or float division
+    * anywhere. (Widen to DECIMAL(38,0) beyond ~10⁸ corpus tokens where
+    * c_lt·T·10⁶ approaches the int64 range; both engines support it.)
+    *
+    * Scale shape: ONE corpus-sized aggregation — the (lang, token) count
+    * — and everything downstream derives from it: per-token totals are a
+    * vocab-sized re-agg, per-lang totals collapse to #langs rows and
+    * broadcast, the corpus total joins as a single-row broadcast. The
+    * top-3 window runs on the vocab-sized scored frame partitioned by
+    * lang, never on the corpus. */
+  def x86DistinctTerms(spark: SparkSession, dir: String): DataFrame = {
+    val clt = docs(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c_lt"))
+    val ct = clt.groupBy(col("tok")).agg(sum(col("c_lt")).as("c_t"))
+    val tl = clt.groupBy(col("lang")).agg(sum(col("c_lt")).as("t_l"))
+    val tot = clt.agg(sum(col("c_lt")).as("t_all"))
+    val scored = clt.filter(col("c_lt") >= DistinctTermMinCount)
+      .join(ct, "tok")
+      .join(broadcast(tl), "lang")
+      .crossJoin(broadcast(tot))
+      .withColumn("score_ppm", expr("c_lt * t_all * 1000000 div (c_t * t_l)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score_ppm").desc, col("tok"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 3)
+      .select(col("lang"), col("rank"), col("tok"), col("c_lt"),
+        col("score_ppm").cast("bigint").as("score_ppm"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val x86Sql: String =
+    s"""WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |clt AS (SELECT lang, tok, count(*) AS c_lt FROM tok GROUP BY 1, 2),
+       |ct AS (SELECT tok, sum(c_lt) AS c_t FROM clt GROUP BY 1),
+       |tl AS (SELECT lang, sum(c_lt) AS t_l FROM clt GROUP BY 1),
+       |tot AS (SELECT sum(c_lt) AS t_all FROM clt),
+       |sc AS (SELECT c.lang, c.tok, c.c_lt,
+       |         (c.c_lt * t.t_all * 1000000) // (ct.c_t * tl.t_l) AS score_ppm
+       |       FROM clt c JOIN ct USING (tok) JOIN tl USING (lang) CROSS JOIN tot t
+       |       WHERE c.c_lt >= $DistinctTermMinCount),
+       |rk AS (SELECT lang, tok, c_lt, score_ppm,
+       |         row_number() OVER (PARTITION BY lang
+       |                            ORDER BY score_ppm DESC, tok) AS rank
+       |       FROM sc)
+       |SELECT lang, CAST(rank AS BIGINT) AS rank, tok, c_lt,
+       |  CAST(score_ppm AS BIGINT) AS score_ppm
+       |FROM rk WHERE rank <= 3 ORDER BY lang, rank""".stripMargin
 }

@@ -404,6 +404,70 @@ object EventTime {
       |         <= epoch_us(CAST(e.ts AS TIMESTAMP)))
       |WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  // ---- Q83: streaming exactly-once dedup, scored -------------------------
+
+  /** Q83 — STREAMING exact dedup under the DuckDB gate: the events file
+    * stream is unioned with a second stream over the SAME file (every
+    * event delivered exactly twice — the at-least-once redelivery a real
+    * bus exhibits), then `dropDuplicatesWithinWatermark("event_id")`
+    * ([[graft.streaming.EventStreams.dedupStream]]) restores
+    * exactly-once with BOUNDED state, written append-mode to parquet and
+    * scored as the per-type rollup of what the sink received. The oracle
+    * aggregates the ORIGINAL single-delivery table — any duplicate that
+    * survives, or any original the dedup wrongly drops, flips the hash.
+    *
+    * Why this stays exact even though state expires at the watermark: a
+    * redelivered copy either (a) arrives while its key is still within
+    * the watermark → dropped by the dedup state, or (b) arrives after
+    * the watermark passed its event time → dropped as LATE DATA by the
+    * same watermark. Either path removes it; only the first delivery
+    * ever reaches the sink. That is the contract that lets a 100 TB
+    * deployment expire key state (vs `dropDuplicates`' unbounded map)
+    * whenever the redelivery horizon is inside the watermark.
+    *
+    * Completes the streaming battery's operator set: q70 gates windowed
+    * aggregation, q74 stateful upsert, q80 the stream-stream join, q83
+    * the streaming dedup operator — the unbounded-stream form of the
+    * reference's `ON CONFLICT DO NOTHING` (reference dags/etl.py:74). */
+  def q83StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q83_").toFile
+    // one small state store per shuffle partition: size the stream's
+    // partitioning to the state volume (q80's reasoning), not the default
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val out = new java.io.File(tmp, "deduped").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      val once = graft.streaming.EventStreams.readEvents(spark, dir)
+      val twice = once.unionAll(graft.streaming.EventStreams.readEvents(spark, dir))
+      val q = graft.streaming.EventStreams.dedupStream(twice)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val res = spark.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_ids"),
+          sumMoney2(col("value")).as("sum_value"))
+      // one row per event type: materialize so the temp sink/checkpoint
+      // tree can drop eagerly
+      val rows = res.collectAsList()
+      spark.createDataFrame(rows, res.schema).orderBy(col("event_type"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.util.Fs.deleteTree(tmp)
+    }
+  }
+
+  /** Single-delivery rollup — n must equal n_ids (every duplicate gone). */
+  val q83Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  count(DISTINCT event_id) AS n_ids,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val q68Sql: String =
     """WITH f AS (SELECT event_type, user_id,
       |             min(CAST(ts AS TIMESTAMP)) AS first_ts

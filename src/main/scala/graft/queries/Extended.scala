@@ -720,6 +720,52 @@ object Extended {
       |  ON l.skew_key = s.sk
       |GROUP BY nation ORDER BY nation""".stripMargin
 
+  // ---- Q86: schema evolution (mergeSchema scan), scored ------------------
+
+  /** Q86 — SCHEMA EVOLUTION under the oracle: a table whose early files
+    * were written before a column existed. Snapshot 1 lands pre-1996
+    * orders WITHOUT `o_orderpriority`; snapshot 2 appends 1996+ orders
+    * with the evolved schema into the SAME directory. The scan reads the
+    * union with `mergeSchema=true` — footer-merged superset schema, old
+    * rows surfacing NULL for the added column — and rolls up per
+    * coalesced priority. Any mis-defaulted, mis-aligned (parquet matches
+    * columns BY NAME, not position), or dropped row flips the hash.
+    *
+    * Scale shape: schema merge is a FOOTER operation (one small read per
+    * file at planning; at 100 TB, spark.sql.files respects a sampled
+    * merge) — row data is never rewritten, which is the point: evolving
+    * a 100 TB table must not touch the 100 TB. */
+  def q86SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q86_").toFile
+    try {
+      val path = new java.io.File(tmp, "orders_evolved").getAbsolutePath
+      val orders = t(spark, dir, "orders")
+      orders.filter(year(col("o_orderdate")) < 1996)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("append").parquet(path)
+      orders.filter(year(col("o_orderdate")) >= 1996)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("append").parquet(path)
+      val res = spark.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(coalesce(col("o_orderpriority"), lit("PRE_SCHEMA")).as("priority"))
+        .agg(count(lit(1)).as("n"),
+             sumMoney2(col("o_totalprice")).as("revenue"),
+             min(col("o_orderkey")).as("min_key"))
+      // one row per priority value: materialize so the temp table drops
+      val rows = res.collectAsList()
+      spark.createDataFrame(rows, res.schema).orderBy(col("priority"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  val q86Sql: String =
+    """SELECT coalesce(CASE WHEN year(o_orderdate) >= 1996
+      |                     THEN o_orderpriority END, 'PRE_SCHEMA') AS priority,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  min(o_orderkey) AS min_key
+      |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
+
   val q66Sql: String =
     """WITH e0 AS (
       |  SELECT DISTINCT

