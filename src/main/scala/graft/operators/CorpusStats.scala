@@ -277,4 +277,48 @@ object CorpusStats {
       .withColumn("jacc_ppm", expr("n_shared * 1000000 div (na + nb - n_shared)"))
       .select(col("src_a"), col("src_b"), col("n_shared"), col("jacc_ppm"))
   }
+
+  // ---- duplicated-n-gram coverage (RefinedWeb/MassiveText filter) ------
+
+  /** Fraction of a doc's tokens COVERED by an n-gram that occurs ≥2
+    * times within the SAME doc — the "characters in duplicated n-grams"
+    * family of repetition filters (RefinedWeb/Gopher use it at several n
+    * alongside the top-n-gram share). Distinct from [[bigramRepetition]]
+    * (which counts repeated n-gram OCCURRENCES): coverage measures how
+    * much of the document is inside some repeat, so a long doc with one
+    * heavily-looped passage scores high even when its global bigram
+    * profile looks normal. Returns (doc_id, n_tokens, n_dup_tokens,
+    * dup_cov_ppm); docs shorter than n tokens score 0. Ratio is exact
+    * integer floor(x·10⁶/n_tokens) — engine-independent.
+    *
+    * Scale shape: everything is doc-local. The occurrence count groups
+    * on (doc_id, shingle) — a corpus-hot shingle never concentrates,
+    * because the key carries doc_id; the position-union distinct and the
+    * final rollup both key on doc_id. State per group is bounded by doc
+    * length (the collect_list holds one doc's occurrence positions of
+    * ONE shingle), never by corpus size.
+    */
+  def dupNgramCoverage(docs: DataFrame, n: Int): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"), col("ts"))
+    val sh = base.filter(col("n_tokens") >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ts) - ${n - 1}), " +
+          s"i -> struct(i AS i, concat_ws(' ', slice(ts, i, $n)) AS sh))")).as("g"))
+      .select(col("doc_id"), col("g.i"), col("g.sh"))
+    val dupOcc = sh.groupBy(col("doc_id"), col("sh"))
+      .agg(count(lit(1)).as("cnt"), collect_list(col("i")).as("occ"))
+      .filter(col("cnt") >= 2)
+      .select(col("doc_id"), explode(col("occ")).as("i"))
+    val cov = dupOcc
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_tokens"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        expr("coalesce(n_dup_tokens, 0) * 1000000 div n_tokens").as("dup_cov_ppm"))
+  }
 }

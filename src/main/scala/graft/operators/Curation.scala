@@ -646,6 +646,55 @@ object Curation {
         graft.functions.TextFns.h31(col("cleaned")).as("cleaned_fp"))
   }
 
+  /** Content-defined chunking (the CDC/rolling-hash segmentation storage
+    * dedup uses): a cut falls AFTER token i wherever the hash of the
+    * k-gram ENDING at i is ≡ 0 mod `divisor` — boundaries depend only on
+    * local content, so a passage shared between two docs chunks
+    * identically even when one doc has insertions BEFORE it, the
+    * shift-robustness [[segmentDedup]]'s fixed blocks lack (an
+    * insertion re-phases every later fixed block; CDC re-synchronizes
+    * within one chunk). Expected chunk length ≈ `divisor` tokens.
+    * Returns per doc: n_chunks, n_tokens, n_shared (chunk instances
+    * whose exact text appears in ≥2 distinct docs), n_shared_tokens,
+    * shared_ppm (token-mass share, exact integer ppm).
+    *
+    * Scale shape: boundary detection, chunk construction, and lengths
+    * are ONE codegen projection over each doc's own token array — no
+    * explode-and-window, no per-token shuffle. The only exchanges key on
+    * sha256(chunk) (fixed width; text never crosses an exchange beyond
+    * the local hash): a distinct + count for per-chunk doc counts, and
+    * the instances⋈counts join whose build side has one row per
+    * DISTINCT chunk. Final rollup is map-side combinable on doc_id.
+    */
+  def cdcChunks(docs: DataFrame, k: Int, divisor: Int): DataFrame = {
+    val gram = s"concat_ws(' ', slice(ts, i - ${k - 1}, $k))"
+    val h = s"(cast(conv(substr(md5($gram), 1, 15), 16, 10) as bigint) " +
+      s"% ${graft.functions.TextFns.P31})"
+    val chunks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      // sequence stays ascending via greatest(); i = size(ts) never cuts
+      // (a trailing boundary is implicit), docs shorter than k get none
+      .withColumn("cuts", expr(
+        s"filter(sequence($k, greatest(size(ts), $k)), " +
+          s"i -> i < size(ts) AND $h % $divisor = 0)"))
+      .withColumn("bounds", expr("concat(array(0), cuts, array(size(ts)))"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(bounds) - 1), " +
+          "j -> struct(cast(element_at(bounds, j + 1) - element_at(bounds, j) as bigint) AS clen, " +
+          "concat_ws(' ', slice(ts, element_at(bounds, j) + 1, " +
+          "element_at(bounds, j + 1) - element_at(bounds, j))) AS ctext))")))
+      .select(col("doc_id"), col("col.clen").as("clen"),
+        sha2(col("col.ctext"), 256).as("h"))
+    val docCounts = chunks.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    chunks.join(docCounts, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(col("clen")).as("n_tokens"),
+           sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"),
+           sum(when(col("nd") >= 2, col("clen")).otherwise(0L)).as("n_shared_tokens"))
+      .withColumn("shared_ppm", expr("n_shared_tokens * 1000000 div n_tokens"))
+  }
+
   /** Incremental [[segmentDedup]]: per-doc stats for the NEW batch only,
     * with first-occurrence judged against existing corpus ∪ batch. Folding
     * doc_id-ordered batches through this function and unioning the outputs

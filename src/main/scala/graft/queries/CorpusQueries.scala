@@ -731,6 +731,74 @@ object CorpusQueries {
        |  quota_tokens - least(quota_tokens, n_tokens) AS deficit
        |FROM p ORDER BY source""".stripMargin
 
+  // ---- X87: duplicated-n-gram coverage (RefinedWeb repetition filter) ---
+
+  /** 5-grams: RefinedWeb's mid-size duplicated-n-gram filter — long
+    * enough that natural language rarely repeats one by accident, short
+    * enough to catch looped boilerplate passages. */
+  val DupCovN = 5
+
+  def x87DupNgramCov(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.dupNgramCoverage(docs(spark, dir), DupCovN)
+      .orderBy(col("doc_id"))
+
+  val x87Sql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |base AS (SELECT doc_id, len(ts) AS n_tokens, ts FROM tk),
+       |sh AS (SELECT doc_id, i,
+       |         array_to_string(list_slice(ts, i, i + ${DupCovN - 1}), ' ') AS sh
+       |       FROM base, unnest(range(1, n_tokens - ${DupCovN - 2})) AS u(i)
+       |       WHERE n_tokens >= $DupCovN),
+       |dup AS (SELECT doc_id, i FROM (
+       |          SELECT doc_id, i,
+       |            count(*) OVER (PARTITION BY doc_id, sh) AS cnt FROM sh)
+       |        WHERE cnt >= 2),
+       |cov AS (SELECT DISTINCT doc_id, p
+       |        FROM dup, unnest(range(i, i + $DupCovN)) AS r(p)),
+       |cc AS (SELECT doc_id, count(*) AS n_dup FROM cov GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(cc.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+       |  (CAST(coalesce(cc.n_dup, 0) AS BIGINT) * 1000000)
+       |    // CAST(b.n_tokens AS BIGINT) AS dup_cov_ppm
+       |FROM base b LEFT JOIN cc USING (doc_id) ORDER BY b.doc_id""".stripMargin
+
+  // ---- X88: content-defined chunking (CDC dedup segmentation) ----------
+
+  /** Rolling gram size and cut divisor: boundaries re-synchronize within
+    * ~CdcDivisor tokens of any edit, so expected chunk length ≈ 8. */
+  val CdcK = 4
+  val CdcDivisor = 8
+
+  def x88CdcChunks(spark: SparkSession, dir: String): DataFrame =
+    Curation.cdcChunks(docs(spark, dir), CdcK, CdcDivisor)
+      .orderBy(col("doc_id"))
+
+  /** Oracle groups on the chunk text itself where the engine groups on
+    * sha256(chunk) — identical partitions (x46's injectivity argument). */
+  val x88Sql: String = {
+    val gram = s"array_to_string(list_slice(ts, i - ${CdcK - 1}, i), ' ')"
+    val h = TextFns.h31Sql(gram)
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |c0 AS (SELECT doc_id, ts, len(ts) AS n,
+       |         list_filter(range($CdcK, greatest(len(ts), $CdcK) + 1),
+       |           i -> i < len(ts) AND ($h % $CdcDivisor = 0)) AS cuts
+       |       FROM tk),
+       |b AS (SELECT doc_id, ts, ([0] || cuts || [n]) AS bounds FROM c0),
+       |ch AS (SELECT doc_id,
+       |         bounds[j + 1] - bounds[j] AS clen,
+       |         array_to_string(list_slice(ts, bounds[j] + 1, bounds[j + 1]), ' ') AS ctext
+       |       FROM b, unnest(range(1, len(bounds))) AS u(j)),
+       |dc AS (SELECT ctext, count(DISTINCT doc_id) AS nd FROM ch GROUP BY ctext)
+       |SELECT ch.doc_id, count(*) AS n_chunks,
+       |  CAST(sum(clen) AS BIGINT) AS n_tokens,
+       |  CAST(count(CASE WHEN nd >= 2 THEN 1 END) AS BIGINT) AS n_shared,
+       |  CAST(sum(CASE WHEN nd >= 2 THEN clen ELSE 0 END) AS BIGINT) AS n_shared_tokens,
+       |  (CAST(sum(CASE WHEN nd >= 2 THEN clen ELSE 0 END) AS BIGINT) * 1000000)
+       |    // CAST(sum(clen) AS BIGINT) AS shared_ppm
+       |FROM ch JOIN dc USING (ctext)
+       |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
+  }
+
   // ---- X86: distinctive-term extraction (integer contrastive TF-IDF) ----
 
   /** Minimum in-subset occurrences for a term to be rankable — keeps the

@@ -404,6 +404,60 @@ object EventTime {
       |         <= epoch_us(CAST(e.ts AS TIMESTAMP)))
       |WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  // ---- Q88: streaming session windows, scored ----------------------------
+
+  /** Q88 — the built-in `session_window` operator run as an ACTUAL
+    * append-mode stream and scored against q34's batch oracle: events
+    * land in a temp dir together with one far-future FLUSH SENTINEL row
+    * (user_id −1, max ts + 10 days — the standard drain pattern for a
+    * finite replay: the final watermark must pass every real session's
+    * end before append mode will emit it), stream through
+    * [[graft.streaming.EventStreams.sessionAgg]] — the MERGING session
+    * state machine, where two open partial sessions fuse when a
+    * bridging event arrives — into a parquet sink, and the sink is
+    * scored per session. q34 proved built-in ≡ manual lag+cumsum in
+    * batch; this puts the streaming state machine itself (merge, emit,
+    * expire) under the same DuckDB hash. */
+  def q88StreamSession(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q88_").toFile
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val landing = new java.io.File(tmp, "landing").getAbsolutePath
+      val out = new java.io.File(tmp, "sessions").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      val ev = t(spark, dir, "events").select(col("user_id"), col("ts"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinel = spark.range(1).select(lit(-1L).as("user_id"),
+        lit(new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000))
+          .as("ts"))
+      ev.unionByName(sentinel).write.parquet(landing)
+      val stream = spark.readStream.schema(ev.schema).parquet(landing)
+      val q = graft.streaming.EventStreams.sessionAgg(stream)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val res = spark.read.parquet(out)
+        .filter(col("user_id") >= 0) // the sentinel's own session is scaffolding
+        .select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"))
+      // session-count-sized: materialize so the temp tree drops eagerly
+      val rows = res.collectAsList()
+      spark.createDataFrame(rows, res.schema)
+        .orderBy(col("user_id"), col("session_start"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.util.Fs.deleteTree(tmp)
+    }
+  }
+
+  /** Streamed sessions ≡ batch sessions: q34's oracle verbatim. */
+  val q88Sql: String = q34Sql
+
   // ---- Q83: streaming exactly-once dedup, scored -------------------------
 
   /** Q83 — STREAMING exact dedup under the DuckDB gate: the events file
@@ -440,7 +494,7 @@ object EventTime {
       val out = new java.io.File(tmp, "deduped").getAbsolutePath
       val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
       val once = graft.streaming.EventStreams.readEvents(spark, dir)
-      val twice = once.unionAll(graft.streaming.EventStreams.readEvents(spark, dir))
+      val twice = once.union(graft.streaming.EventStreams.readEvents(spark, dir))
       val q = graft.streaming.EventStreams.dedupStream(twice)
         .writeStream.outputMode("append").format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)

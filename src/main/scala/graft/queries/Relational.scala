@@ -1156,4 +1156,66 @@ object Relational {
       |  UNION ALL SELECT 'price_positive', n_nonpos_price, n_nonpos_price = 0 FROM s
       |  UNION ALL SELECT 'orderdate_complete', n_null_date, n_null_date = 0 FROM s)
       |ORDER BY check_name""".stripMargin
+
+  // ---- Q87: column profiling (ANALYZE-style statistics) ------------------
+
+  /** Q87 — per-column statistics profile (the ANALYZE TABLE surface a
+    * cost-based optimizer and a data catalog feed from): null count,
+    * exact NDV, and min/max for five orders columns, emitted long-format
+    * (col_name, n_nulls, ndv, min_str, max_str). The money column is
+    * profiled as integer cents so its extrema are engine-exact strings.
+    *
+    * Scale shape: ONE pass — all five columns' aggregates fold into a
+    * single partial+final aggregation; the five exact count(DISTINCT)s
+    * make Catalyst plan the standard expand-by-distinct-group expansion
+    * (5× map-side fanout, still one shuffle, no joins), the price an
+    * exact profile pays anywhere; a 100 TB profile swaps
+    * approx_count_distinct into the same plan shape (q11's HLL bound).
+    * The explode to long format runs on the single summary row. */
+  def q87ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    def p(c: String) = Seq(
+      count(col(c)).as(s"cnt_$c"),
+      countDistinct(col(c)).as(s"ndv_$c"),
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c"))
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority", "cents")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(p)
+    val summary = o.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
+        col(s"ndv_$c").as("ndv"),
+        col(s"min_$c").as("min_str"), col(s"max_$c").as("max_str"))
+    }
+    summary.select(explode(array(entries: _*)).as("r"))
+      .select(col("r.col_name"), col("r.n_nulls"), col("r.ndv"),
+        col("r.min_str"), col("r.max_str"))
+      .orderBy(col("col_name"))
+  }
+
+  val q87Sql: String =
+    """WITH o AS (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |           FROM orders)
+      |SELECT col_name, CAST(n_nulls AS BIGINT) AS n_nulls,
+      |  CAST(ndv AS BIGINT) AS ndv, min_str, max_str FROM (
+      |  SELECT 'o_orderkey' AS col_name, count(*) - count(o_orderkey) AS n_nulls,
+      |    count(DISTINCT o_orderkey) AS ndv,
+      |    CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+      |    CAST(max(o_orderkey) AS VARCHAR) AS max_str FROM o
+      |  UNION ALL SELECT 'o_custkey', count(*) - count(o_custkey),
+      |    count(DISTINCT o_custkey),
+      |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM o
+      |  UNION ALL SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+      |    count(DISTINCT o_orderstatus),
+      |    min(o_orderstatus), max(o_orderstatus) FROM o
+      |  UNION ALL SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+      |    count(DISTINCT o_orderpriority),
+      |    min(o_orderpriority), max(o_orderpriority) FROM o
+      |  UNION ALL SELECT 'cents', count(*) - count(cents),
+      |    count(DISTINCT cents),
+      |    CAST(min(cents) AS VARCHAR), CAST(max(cents) AS VARCHAR) FROM o)
+      |ORDER BY col_name""".stripMargin
 }

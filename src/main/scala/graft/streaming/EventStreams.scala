@@ -70,6 +70,25 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Built-in session windows under streaming: gap-merged per-user
+    * sessions with a watermark. Session state is a genuinely MERGING
+    * state machine (two open partial sessions fuse when a bridging event
+    * arrives), unlike the fixed windows of [[tumblingAgg]]; append mode
+    * emits a session only once the watermark passes its end, so state is
+    * bounded by (rate × gap) per user, never by stream length. On a
+    * bounded replay the tail sessions (those ending within the final
+    * watermark's lag of the last event) stay open — a flush sentinel
+    * with a far-future event time closes them (q88's scoring trick, and
+    * the standard drain pattern for finite replays). */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
   /** Watermarked STREAM-STREAM inner join: pairs every event with the same
     * user's events in the following `windowMinutes` (exclusive of itself).
     * Both sides carry watermarks and the join condition bounds event-time

@@ -188,6 +188,33 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got == Seq(("srcA", "srcB", 1L, 1000000L)))
   }
 
+  test("dupNgramCoverage: hand-computed coverage on a looped passage") {
+    // doc 1: "a b c a b c a b" — 3-grams: abc bca cab abc bca cab(no, len 8)
+    //   positions 1..6: abc bca cab abc bca cab → every 3-gram repeats,
+    //   coverage = all 8 tokens
+    // doc 2: "a b c d e" — all 3-grams unique → coverage 0
+    // doc 3: "a b" — shorter than n → 0 shingles, coverage 0
+    val docs = mkDocs(
+      (1L, "s", "a b c a b c a b"),
+      (2L, "s", "a b c d e"),
+      (3L, "s", "a b"))
+    val got = CorpusStats.dupNgramCoverage(docs.select($"doc_id", $"text"), 3)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 8L, 8L, 1000000L),
+      (2L, 5L, 0L, 0L),
+      (3L, 2L, 0L, 0L)))
+  }
+
+  test("dupNgramCoverage: coverage is a position UNION — overlapping repeats never double-count") {
+    // "x y x y x y": 2-grams at 1..5 = xy yx xy yx xy — all repeated,
+    // covered positions union = 1..6 exactly (not 10)
+    val docs = mkDocs((1L, "s", "x y x y x y"))
+    val got = CorpusStats.dupNgramCoverage(docs.select($"doc_id", $"text"), 2)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((1L, 6L, 6L, 1000000L)))
+  }
+
   test("x86 distinctive terms: integer lift ranking matches a driver-side replay") {
     val docs = Tables.t(spark, sf, "documents")
       .selectExpr("lang", "text").as[(String, String)].collect()

@@ -706,4 +706,38 @@ class CurationSpec extends AnyFunSuite {
     assert(two.exceptAll(one).count() == 0L && one.exceptAll(two).count() == 0L)
     assert(two.count() == 5L)
   }
+
+  // ---- cdcChunks --------------------------------------------------------
+
+  test("cdcChunks: identical docs share everything, disjoint docs nothing; tokens conserved") {
+    val words = (1 to 60).map(i => s"w$i").mkString(" ")
+    val other = (1 to 60).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, words), (2L, words), (3L, other)).toDF("doc_id", "text")
+    val got = Curation.cdcChunks(docs, 4, 8)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long, Long, Long)].collect()
+    got.foreach { case (_, _, nTok, _, _, _) => assert(nTok == 60L) }
+    // docs 1 and 2 are byte-identical → identical chunking, 100% shared
+    assert(got(0)._6 == 1000000L && got(1)._6 == 1000000L)
+    assert(got(2)._4 == 0L && got(2)._6 == 0L, "disjoint doc must share nothing")
+  }
+
+  test("cdcChunks: boundaries re-synchronize after an insertion (the fixed-block failure case)") {
+    val passage = (1 to 80).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, passage),
+      (2L, (1 to 7).map(i => s"noise$i").mkString(" ") + " " + passage))
+      .toDF("doc_id", "text")
+    val cdc = Curation.cdcChunks(docs, 4, 8)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long, Long, Long)].collect()
+    // a 7-token insertion de-phases every fixed block, but CDC boundaries
+    // depend only on local content: most of the shared passage must still
+    // chunk identically in both docs
+    assert(cdc(0)._5 >= 40L,
+      s"shared passage must survive the shift: only ${cdc(0)._5}/80 tokens shared")
+    assert(cdc(1)._5 >= 40L)
+    val fixed = Curation.segmentDedup(docs, 8)
+      .orderBy($"doc_id").select($"n_dup_segs").as[Long].collect()
+    assert(fixed.sum == 0L,
+      "fixed 8-token blocks must all de-phase under a 7-token shift (the contrast)")
+  }
 }

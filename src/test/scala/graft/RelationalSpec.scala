@@ -56,6 +56,21 @@ class RelationalSpec extends AnyFunSuite {
       .foreach(k => assert(byName(k)._1 == 0L))
   }
 
+  test("q87 column profile: one aggregation pass, stats agree with direct queries") {
+    val df = Relational.q87ColumnProfile(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"profile must be one pass, no join:\n$plan")
+    val rows = df.collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    val orders = Tables.t(spark, sf, "orders")
+    assert(rows("o_orderkey").getAs[Long]("ndv") == orders.count(),
+      "orderkey is the unique key — ndv must equal row count")
+    assert(rows("o_orderstatus").getAs[Long]("ndv") ==
+      orders.select("o_orderstatus").distinct().count())
+    assert(rows.values.forall(_.getAs[Long]("n_nulls") == 0L))
+    assert(rows("o_orderpriority").getAs[String]("min_str") <=
+      rows("o_orderpriority").getAs[String]("max_str"))
+  }
+
   test("q16 sessionization: session count bounded by event count") {
     val rows = EventTime.q16Sessionize(spark, sf).collect()
     rows.foreach { r =>

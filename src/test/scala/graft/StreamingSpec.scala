@@ -145,4 +145,10 @@ class StreamingSpec extends AnyFunSuite {
     // every duplicate gone: n equals the distinct-id count per type
     got.foreach(r => assert(r.getAs[Long]("n") == r.getAs[Long]("n_ids")))
   }
+
+  test("scored q88 (streamed session windows + flush sentinel) equals batch q34 row for row") {
+    val got = EventTime.q88StreamSession(spark, sf).collect().toSeq
+    val want = EventTime.q34SessionWindow(spark, sf).collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
 }
