@@ -16,8 +16,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * This is the supported extension surface for function/rule/strategy
   * injection; the engine keeps it minimal (the rest of the library is
   * deliberately stock Catalyst — SURVEY.md §4.3): one fused expression,
-  * one optimizer rule ([[graft.plans.LatestWinsRewrite]] — top-1-per-key
-  * windows become map-side-combinable max_by/min_by aggregations), and
+  * two optimizer rules ([[graft.plans.LatestWinsRewrite]] — top-1-per-key
+  * windows become map-side-combinable max_by/min_by aggregations — and
+  * [[graft.plans.MvRewrite]] — aggregations answered from registered
+  * materialized views, a no-op until [[graft.plans.MvCatalog]] holds a
+  * view), and
   * one planner strategy ([[graft.plans.AsofStrategy]] — plans the
   * [[graft.plans.AsofMergeJoin]] logical node to its streaming-merge
   * exec; a no-op on every other plan).
@@ -27,6 +30,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.LatestWinsRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_units"),

@@ -458,6 +458,55 @@ object EventTime {
   /** Streamed sessions ≡ batch sessions: q34's oracle verbatim. */
   val q88Sql: String = q34Sql
 
+  // ---- Q90: streaming sliding windows, scored ----------------------------
+
+  /** Q90 — SLIDING windows (1 h / 15 min — every event lives in four
+    * overlapping windows) as an actual append-mode stream, scored against
+    * q23's batch oracle: q88's flush-sentinel drain (a far-future row
+    * under a scaffolding event type) pushes the final watermark past
+    * every real window's end so append mode emits them all. Overlapping
+    * windows multiply OPEN STATE by size/slide (4× here) but not by
+    * input volume — the watermark bound q23's docstring claims, now
+    * hash-verified through the streaming path. */
+  def q90StreamSliding(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q90_").toFile
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val landing = new java.io.File(tmp, "landing").getAbsolutePath
+      val out = new java.io.File(tmp, "windows").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      val ev = t(spark, dir, "events")
+        .select(col("ts"), col("event_type"), col("value"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinel = spark.range(1).select(
+        lit(new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000)).as("ts"),
+        lit("__flush").as("event_type"), lit(0.0).as("value"))
+      ev.unionByName(sentinel).write.parquet(landing)
+      val stream = spark.readStream.schema(ev.schema).parquet(landing)
+      val q = graft.streaming.EventStreams.slidingAgg(stream)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val res = spark.read.parquet(out)
+        .filter(col("event_type") =!= "__flush")
+        .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+      // (hours×4 slides × types) rows: materialize so the temp tree drops
+      val rows = res.collectAsList()
+      spark.createDataFrame(rows, res.schema)
+        .orderBy(col("window_start"), col("event_type"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.util.Fs.deleteTree(tmp)
+    }
+  }
+
+  /** Streamed sliding windows ≡ batch: q23's oracle verbatim. */
+  val q90Sql: String = q23Sql
+
   // ---- Q83: streaming exactly-once dedup, scored -------------------------
 
   /** Q83 — STREAMING exact dedup under the DuckDB gate: the events file

@@ -720,6 +720,71 @@ object Extended {
       |  ON l.skew_key = s.sk
       |GROUP BY nation ORDER BY nation""".stripMargin
 
+  // ---- Q89: materialized-view rewrite, scored ----------------------------
+
+  /** The shared measure: exact integer cents of l_quantity (a double sum
+    * would forbid the rewrite — regrouping reorders float addition). */
+  private def qtyCents = round(col("l_quantity") * 100).cast("long")
+
+  /** Canonical SQL of `c` over `df`, as [[graft.plans.MvRewrite]] compares
+    * it — computed from the engine's own analyzed/optimized trees so the
+    * registration can never drift from the matcher. */
+  private def measureSqls(df: DataFrame, c: org.apache.spark.sql.Column): Seq[String] = {
+    def strip(s: String) = s.replace("`", "").toLowerCase(java.util.Locale.ROOT)
+    val qe = df.select(c.as("m")).queryExecution
+    Seq(qe.analyzed, qe.optimizedPlan).collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        strip(p.projectList.head.asInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.Alias].child.sql)
+    }.distinct
+  }
+
+  /** Q89 — the MATERIALIZED-VIEW REWRITE under the oracle: a per-(flag,
+    * status) aggregate of lineitem is persisted as an MV and registered in
+    * [[graft.plans.MvCatalog]]; the scored query then aggregates the BASE
+    * table at the coarser per-flag granularity, and the injected
+    * [[graft.plans.MvRewrite]] rule must answer it from the MV — sum
+    * becomes sum-of-partial-sums, count(*) becomes sum(cnt). The plan is
+    * require'd to scan the MV and NOT the base table, and the oracle
+    * aggregates the base table in DuckDB — a mis-rewrite flips the hash,
+    * a non-rewrite trips the require. This is the transparent form of
+    * q63's hand-maintained incremental rollup: at 100 TB the rewritten
+    * scan reads |group domain| rows instead of the corpus. */
+  def q89MvRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q89_").toFile
+    try {
+      val mvPath = new java.io.File(tmp, "lineitem_mv").getAbsolutePath
+      val li = t(spark, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+        .write.parquet(mvPath)
+      graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        sumMeasures = measureSqls(li, qtyCents).map(_ -> "sum_qty_cents").toMap,
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed))
+      try {
+        val res = li.groupBy(col("l_returnflag"))
+          .agg(sum(qtyCents).as("sum_qty_cents"),
+               count(lit(1)).as("n_items"))
+        val plan = res.queryExecution.executedPlan.toString
+        require(plan.contains("lineitem_mv"),
+          s"q89 must be answered from the materialized view:\n$plan")
+        require(!plan.contains("lineitem.parquet"),
+          s"q89 must not touch the base table:\n$plan")
+        val rows = res.collectAsList()
+        spark.createDataFrame(rows, res.schema).orderBy(col("l_returnflag"))
+      } finally graft.plans.MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  val q89Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+      |  count(*) AS n_items
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- Q86: schema evolution (mergeSchema scan), scored ------------------
 
   /** Q86 — SCHEMA EVOLUTION under the oracle: a table whose early files

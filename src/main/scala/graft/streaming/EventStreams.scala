@@ -55,10 +55,15 @@ object EventStreams {
   def slidingAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), "1 hour", "15 minutes").getField("start").as("window_start"),
+      // group by the window COLUMN itself (not its extracted start field):
+      // the unsupported-operations checker recognizes event-time semantics
+      // — and so append-mode emission — only through the window column
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
                col("event_type"))
       .agg(count(lit(1)).as("n"),
            sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
 
   /** Streaming exact dedup on a key with bounded state:
     * dropDuplicatesWithinWatermark keeps one row per event_id and expires

@@ -146,6 +146,12 @@ class StreamingSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getAs[Long]("n") == r.getAs[Long]("n_ids")))
   }
 
+  test("scored q90 (streamed sliding windows + flush sentinel) equals batch q23 row for row") {
+    val got = EventTime.q90StreamSliding(spark, sf).collect().toSeq
+    val want = EventTime.q23SlidingAgg(spark, sf).collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("scored q88 (streamed session windows + flush sentinel) equals batch q34 row for row") {
     val got = EventTime.q88StreamSession(spark, sf).collect().toSeq
     val want = EventTime.q34SessionWindow(spark, sf).collect().toSeq
