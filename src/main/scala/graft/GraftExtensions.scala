@@ -45,5 +45,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"cosine_units requires exactly 2 arguments (two array columns), got ${exprs.length}")
         graft.functions.CosineUnits(exprs(0), exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("ngrams_gen"),
+      new ExpressionInfo(
+        classOf[graft.functions.NGramsGen].getName,
+        null,
+        "ngrams_gen",
+        "ngrams_gen(tokens, n) - generator: one (pos, gram) row per n-token shingle of an array<string>",
+        ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"ngrams_gen requires exactly 2 arguments (tokens array, n literal), got ${exprs.length}")
+        graft.functions.NGramsGen(exprs(0), exprs(1))
+      }))
   }
 }

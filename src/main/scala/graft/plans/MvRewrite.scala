@@ -61,6 +61,11 @@ object MvCatalog {
   *     Project, so `sum(cast(round(l_quantity*100) as bigint))` matches
   *     however the query spells it) or `count(*)` / `count(1)` — no
   *     DISTINCT, no FILTER clauses;
+  *   - an interposed Filter is replayed against the MV iff its
+  *     (deterministic) predicate references ONLY grouping columns —
+  *     whole-group selection commutes with the pre-aggregation; a
+  *     predicate on any other column selects WITHIN groups the MV has
+  *     already collapsed, so it blocks the rewrite;
   *   - the summed type is integral or decimal: exact and order-independent
   *     under re-aggregation. FLOAT/DOUBLE sums are NOT rewritten — a
   *     regrouped float sum changes addition order and therefore the last
@@ -90,12 +95,23 @@ object MvRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def rewrite(agg: Aggregate, d: MvCatalog.MvDef): Option[Aggregate] = {
-    // ---- locate the base relation (optionally under a Project) ----------
-    val (projList, rel) = agg.child match {
-      case lr: LogicalRelation => (None, Some(lr))
-      case Project(pl, lr: LogicalRelation) => (Some(pl), Some(lr))
-      case _ => (None, None)
+  private def rewrite(agg: Aggregate, d: MvCatalog.MvDef): Option[LogicalPlan] = {
+    // ---- locate the base relation, optionally under Project / Filter ----
+    // A Filter is admissible only when its predicate touches NOTHING but
+    // the MV's grouping columns: such a predicate partitions whole MV
+    // groups, so it commutes with the pre-aggregation and can be replayed
+    // verbatim against the MV. A predicate on any other column selects
+    // WITHIN groups, which the MV's partial sums have already collapsed —
+    // never rewritable.
+    // By rule time, pushdown has usually moved the Filter BELOW the
+    // Project — accept it on either side.
+    val (projList, filterCond, rel) = agg.child match {
+      case lr: LogicalRelation => (None, None, Some(lr))
+      case Filter(c, lr: LogicalRelation) => (None, Some(c), Some(lr))
+      case Project(pl, lr: LogicalRelation) => (Some(pl), None, Some(lr))
+      case Project(pl, Filter(c, lr: LogicalRelation)) => (Some(pl), Some(c), Some(lr))
+      case Filter(c, Project(pl, lr: LogicalRelation)) => (Some(pl), Some(c), Some(lr))
+      case _ => (None, None, None)
     }
     val isBase = rel.exists(_.relation match {
       case fs: HadoopFsRelation =>
@@ -157,6 +173,23 @@ object MvRewrite extends Rule[LogicalPlan] {
 
     val newGrouping = groupBase.get.flatMap(g => mvAttr(g.name))
     if (newGrouping.length != groupBase.get.length) return None
-    Some(Aggregate(newGrouping, rewritten.map(_.get), d.mv))
+
+    // ---- replay an admissible filter against the MV ---------------------
+    val newChild: Option[LogicalPlan] = filterCond match {
+      case None => Some(d.mv)
+      case Some(cond) if cond.deterministic =>
+        var ok = true
+        val rebound = cond.transform {
+          case a: AttributeReference =>
+            resolve(a) match {
+              case b: AttributeReference if d.groupCols(b.name) && mvAttr(b.name).isDefined =>
+                mvAttr(b.name).get
+              case _ => ok = false; a
+            }
+        }
+        if (ok) Some(Filter(rebound, d.mv)) else None
+      case _ => None
+    }
+    newChild.map(c => Aggregate(newGrouping, rewritten.map(_.get), c))
   }
 }

@@ -799,6 +799,56 @@ object CorpusQueries {
        |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
   }
 
+  // ---- X89: inverted n-gram index via the custom GENERATOR --------------
+
+  /** Minimum document frequency for an index entry — keeps the posting
+    * report on corpus-recurring grams (the retrieval-relevant ones). */
+  val NgramIndexMinDf = 5
+
+  /** X89 — inverted 3-gram index built through `ngrams_gen`, the engine's
+    * custom Catalyst GENERATOR ([[graft.functions.NGramsGen]], injected
+    * via GraftExtensions and used here from SQL as
+    * `LATERAL VIEW ngrams_gen(ts, 3)`): per corpus-recurring gram, its
+    * document frequency, occurrence count, and first (doc, pos) posting.
+    * The generator streams one row at a time out of each doc's token
+    * array — no intermediate shingle-array materialization (the
+    * transform(sequence(...)) idiom allocates the whole per-doc shingle
+    * list before exploding), and it encapsulates the size<n edge the
+    * idiom must re-guard at every call site.
+    *
+    * Scale shape: one corpus-sized generate → one (gram)-keyed
+    * partial+final agg (min_by/count all map-side combinable); the df
+    * gate bounds the output to recurring grams. */
+  def x89NgramIndex(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .createOrReplaceTempView("docs_x89")
+    spark.sql(
+      s"""WITH occ AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, gram
+         |  FROM docs_x89 LATERAL VIEW ngrams_gen(ts, 3) g AS pos, gram),
+         |a AS (
+         |  SELECT gram, count(DISTINCT doc_id) AS df, count(*) AS n_occ,
+         |    min_by(doc_id, doc_id * 1000000 + pos) AS first_doc,
+         |    min_by(pos, doc_id * 1000000 + pos) AS first_pos
+         |  FROM occ GROUP BY gram)
+         |SELECT gram, df, n_occ, first_doc, first_pos
+         |FROM a WHERE df >= $NgramIndexMinDf ORDER BY gram""".stripMargin)
+  }
+
+  val x89Sql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |occ AS (SELECT doc_id, i AS pos,
+       |          array_to_string(list_slice(ts, i, i + 2), ' ') AS gram
+       |        FROM tk, unnest(range(1, len(ts) - 1)) AS u(i)
+       |        WHERE len(ts) >= 3),
+       |a AS (SELECT gram, count(DISTINCT doc_id) AS df, count(*) AS n_occ,
+       |        min_by(doc_id, doc_id * 1000000 + pos) AS first_doc,
+       |        min_by(pos, doc_id * 1000000 + pos) AS first_pos
+       |      FROM occ GROUP BY gram)
+       |SELECT gram, df, n_occ, first_doc, CAST(first_pos AS BIGINT) AS first_pos
+       |FROM a WHERE df >= $NgramIndexMinDf ORDER BY gram""".stripMargin
+
   // ---- X86: distinctive-term extraction (integer contrastive TF-IDF) ----
 
   /** Minimum in-subset occurrences for a term to be rankable — keeps the

@@ -785,6 +785,51 @@ object Extended {
       |  count(*) AS n_items
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Q91 — MV rewrite UNDER A FILTER: same registered view as q89, but the
+    * query restricts to one return flag before grouping by status. A
+    * predicate on an MV GROUPING column partitions whole MV groups, so
+    * [[graft.plans.MvRewrite]] replays it against the view and the scan
+    * still never touches the base table (require'd); a predicate on any
+    * finer column would select within already-collapsed groups and must
+    * block the rewrite (the refusal law in MvRewriteSpec). The oracle
+    * filters + aggregates the base table in DuckDB. */
+  def q91MvFilter(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q91_").toFile
+    try {
+      val mvPath = new java.io.File(tmp, "lineitem_mv").getAbsolutePath
+      val li = t(spark, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+        .write.parquet(mvPath)
+      graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        sumMeasures = measureSqls(li, qtyCents).map(_ -> "sum_qty_cents").toMap,
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed))
+      try {
+        val res = li.filter(col("l_returnflag") === "R")
+          .groupBy(col("l_linestatus"))
+          .agg(sum(qtyCents).as("sum_qty_cents"),
+               count(lit(1)).as("n_items"))
+        val plan = res.queryExecution.executedPlan.toString
+        require(plan.contains("lineitem_mv"),
+          s"q91 must be answered from the materialized view:\n$plan")
+        require(!plan.contains("lineitem.parquet"),
+          s"q91 must not touch the base table:\n$plan")
+        val rows = res.collectAsList()
+        spark.createDataFrame(rows, res.schema).orderBy(col("l_linestatus"))
+      } finally graft.plans.MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  val q91Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+      |  count(*) AS n_items
+      |FROM lineitem WHERE l_returnflag = 'R'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   // ---- Q86: schema evolution (mergeSchema scan), scored ------------------
 
   /** Q86 — SCHEMA EVOLUTION under the oracle: a table whose early files

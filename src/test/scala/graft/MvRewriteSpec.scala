@@ -90,6 +90,25 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("filter on a grouping column is replayed against the MV; a finer filter blocks") {
+    withMv { _ =>
+      val li = Tables.t(spark, sf, "lineitem")
+      val onGrain = li.filter(col("l_returnflag") === "R")
+        .groupBy(col("l_linestatus")).agg(sum(qtyCents).as("s"))
+      assert(onGrain.queryExecution.executedPlan.toString.contains("lineitem_mv"))
+      val finer = li.filter(col("l_partkey") > 100)
+        .groupBy(col("l_linestatus")).agg(sum(qtyCents).as("s"))
+      assert(!finer.queryExecution.executedPlan.toString.contains("lineitem_mv"),
+        "a within-group predicate must block the rewrite")
+      // value check for the replayed filter
+      MvCatalog.clear()
+      val direct = li.filter(col("l_returnflag") === "R")
+        .groupBy(col("l_linestatus")).agg(sum(qtyCents).as("s"))
+      assert(onGrain.orderBy(col("l_linestatus")).collect().toSeq ==
+        direct.orderBy(col("l_linestatus")).collect().toSeq)
+    }
+  }
+
   test("empty registry is a strict no-op") {
     val plan = Tables.t(spark, sf, "lineitem")
       .groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s"))

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the custom generator expression `ngrams_gen`
+  * (graft.functions.NGramsGen): hand-computed emission, the size<n edge,
+  * and exact equivalence with the transform(sequence(...)) idiom it
+  * replaces in hot paths.
+  */
+class NGramsGenSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("ngrams_gen: hand-computed shingles, 1-based positions") {
+    Seq((1L, "a b c d"), (2L, "x y"), (3L, "solo"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .createOrReplaceTempView("ngs_docs")
+    val got = spark.sql(
+      """SELECT doc_id, pos, gram
+        |FROM ngs_docs LATERAL VIEW ngrams_gen(ts, 3) g AS pos, gram
+        |ORDER BY doc_id, pos""".stripMargin)
+      .as[(Long, Int, String)].collect().toSeq
+    assert(got == Seq((1L, 1, "a b c"), (1L, 2, "b c d")),
+      "docs shorter than n must emit nothing")
+  }
+
+  test("ngrams_gen: n=1 degenerates to posexplode of the tokens") {
+    Seq((1L, "p q r")).toDF("doc_id", "text")
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .createOrReplaceTempView("ngs_one")
+    val got = spark.sql(
+      "SELECT pos, gram FROM ngs_one LATERAL VIEW ngrams_gen(ts, 1) g AS pos, gram ORDER BY pos")
+      .as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "p"), (2, "q"), (3, "r")))
+  }
+
+  test("ngrams_gen equals the transform(sequence) idiom over the real corpus") {
+    val d = Tables.t(spark, sf, "documents")
+      .select($"doc_id", split($"text", " ").as("ts"))
+    d.createOrReplaceTempView("ngs_corpus")
+    val gen = spark.sql(
+      """SELECT doc_id, pos, gram
+        |FROM ngs_corpus LATERAL VIEW ngrams_gen(ts, 3) g AS pos, gram""".stripMargin)
+    val idiom = d.filter(size($"ts") >= 3)
+      .select($"doc_id", posexplode(expr(
+        "transform(sequence(1, size(ts) - 2), " +
+          "i -> concat_ws(' ', slice(ts, i, 3)))")))
+      .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("gram"))
+    assert(gen.exceptAll(idiom).count() == 0L && idiom.exceptAll(gen).count() == 0L)
+    assert(gen.count() > 0L)
+  }
+
+  test("ngrams_gen rejects a non-literal n at bind time") {
+    Seq((1L, "a b c")).toDF("doc_id", "text")
+      .select($"doc_id", split($"text", " ").as("ts"), size($"ts").as("k"))
+      .createOrReplaceTempView("ngs_bad")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM ngs_bad LATERAL VIEW ngrams_gen(ts, k) g AS pos, gram")
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
+}
