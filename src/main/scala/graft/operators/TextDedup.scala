@@ -76,11 +76,11 @@ object TextDedup {
     * fewer than n tokens contribute no shingles. */
   def shingles(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("ts"))
-      .filter(size(col("ts")) >= n)
-      .select(col("doc_id"), col("ts"),
-        explode(expr(s"sequence(1, size(ts) - ${n - 1})")).as("i"))
-      .select(col("doc_id"),
-        concat_ws(" ", (0 until n).map(k => expr(s"element_at(ts, i + $k)")): _*).as("shingle"))
+      // ngrams_gen streams (pos, gram) rows straight out of the token
+      // array — no per-row position sequence to materialize, and the
+      // size<n edge is the generator's contract (no separate filter)
+      .selectExpr("doc_id", s"ngrams_gen(ts, $n) AS (pos, shingle)")
+      .select(col("doc_id"), col("shingle"))
       .distinct()
 
   /** All pairs (a<b) with n-gram-set Jaccard >= threshold — EXACT, via an
