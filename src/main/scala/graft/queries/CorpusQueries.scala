@@ -466,6 +466,36 @@ object CorpusQueries {
        |FROM m$BpeEncodeK GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- X90: tokenizer fertility per language ----------------------------
+
+  /** X90 — TOKENIZER FERTILITY (BPE tokens per whitespace word) by
+    * language: the standard tokenizer-evaluation metric for how well a
+    * vocabulary fits each corpus slice (a language the merges were not
+    * trained on fragments into more pieces per word). Composes x74's
+    * scored encode (the [[BpeEncodeK]]-deep merge fold) with doc
+    * metadata; the ratio is exact integer ppm. The per-doc encode is a
+    * pure projection (zero shuffles), so the whole query is one
+    * doc_id-keyed join plus one lang-keyed partial+final agg. */
+  def x90Fertility(spark: SparkSession, dir: String): DataFrame =
+    x74BpeEncode(spark, dir)
+      .join(docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_words")).as("n_words"),
+           sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .withColumn("fertility_ppm", expr("n_bpe_tokens * 1000000 div n_words"))
+      .orderBy(col("lang"))
+
+  /** Wraps x74's full replay as a subquery and rolls it up per lang. */
+  val x90Sql: String =
+    s"""SELECT d.lang, count(*) AS n_docs,
+       |  CAST(sum(e.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       |  (CAST(sum(e.n_bpe_tokens) AS BIGINT) * 1000000)
+       |    // CAST(sum(e.n_words) AS BIGINT) AS fertility_ppm
+       |FROM ($x74Sql) e JOIN documents d USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   // ---- X68: balanced training-shard assignment -------------------------
 
   /** Enough shards that balance quality is visible, few enough that every

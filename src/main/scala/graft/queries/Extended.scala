@@ -830,6 +830,78 @@ object Extended {
       |FROM lineitem WHERE l_returnflag = 'R'
       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  // ---- Q92: streamed MV maintenance + rewrite, scored --------------------
+
+  /** Q92 — the INCREMENTAL-VIEW-MAINTENANCE composition, end to end:
+    * lineitem lands as a multi-file stream (maxFilesPerTrigger=2 forces
+    * REAL multi-batch maintenance), each micro-batch's partial aggregate
+    * is merged into the MV table by the associative algebra (sum of
+    * sums, sum of counts — merged state ≡ one-shot regardless of batch
+    * slicing), and the MAINTAINED table is then registered in
+    * [[graft.plans.MvCatalog]] so the q89 rewrite answers the scored
+    * per-flag query from it — require'd to scan the maintained MV, never
+    * the base. q70 proved maintain-by-merge ≡ batch for event windows;
+    * q89 proved the optimizer substitutes a trusted MV; this gates the
+    * composition a warehouse actually runs: STREAMS keep the view fresh,
+    * the OPTIMIZER routes queries to it, and the DuckDB oracle (base-
+    * table aggregation) catches any drift between the two. */
+  def q92StreamMv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q92_").toFile
+    try {
+      val landing = new java.io.File(tmp, "landing").getAbsolutePath
+      val mvPath = new java.io.File(tmp, "lineitem_mv").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      val li = t(spark, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      li.repartition(4).write.parquet(landing)
+      val q = spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "2").parquet(landing)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val s = batch.sparkSession
+          val partial = batch.toDF()
+            .groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+          val existing =
+            if (new java.io.File(mvPath).exists) s.read.parquet(mvPath)
+            else s.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), partial.schema)
+          val merged = existing.unionByName(partial)
+            .groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(sum(col("sum_qty_cents")).as("sum_qty_cents"),
+                 sum(col("cnt")).as("cnt"))
+            .localCheckpoint(true) // materialize before overwriting the read dir
+          merged.write.mode("overwrite").parquet(mvPath)
+        }
+        .start()
+      q.awaitTermination()
+      graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        sumMeasures = measureSqls(t(spark, dir, "lineitem"), qtyCents)
+          .map(_ -> "sum_qty_cents").toMap,
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed))
+      try {
+        val res = t(spark, dir, "lineitem").groupBy(col("l_returnflag"))
+          .agg(sum(qtyCents).as("sum_qty_cents"),
+               count(lit(1)).as("n_items"))
+        val plan = res.queryExecution.executedPlan.toString
+        require(plan.contains("lineitem_mv"),
+          s"q92 must be answered from the STREAM-MAINTAINED view:\n$plan")
+        require(!plan.contains("lineitem.parquet"),
+          s"q92 must not touch the base table:\n$plan")
+        val rows = res.collectAsList()
+        spark.createDataFrame(rows, res.schema).orderBy(col("l_returnflag"))
+      } finally graft.plans.MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** Maintained + rewritten ≡ one-shot over the base: q89's oracle. */
+  val q92Sql: String = q89Sql
+
   // ---- Q86: schema evolution (mergeSchema scan), scored ------------------
 
   /** Q86 — SCHEMA EVOLUTION under the oracle: a table whose early files

@@ -109,6 +109,12 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-maintained MV (q92) and batch-built MV (q89) give identical answers") {
+    val viaStream = graft.queries.Extended.q92StreamMv(spark, sf).collect().toSeq
+    val viaBatch = graft.queries.Extended.q89MvRewrite(spark, sf).collect().toSeq
+    assert(viaStream.nonEmpty && viaStream == viaBatch)
+  }
+
   test("empty registry is a strict no-op") {
     val plan = Tables.t(spark, sf, "lineitem")
       .groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s"))
