@@ -62,18 +62,40 @@ case class NGramsGen(child: Expression, n: Expression)
     if (len < nVal) return Iterator.empty
     val space = UTF8String.fromString(" ")
     (0 to len - nVal).iterator.map { i =>
-      val parts = new Array[UTF8String](2 * nVal - 1)
+      // null elements are SKIPPED, exactly like the concat_ws(' ', ...)
+      // idiom this generator replaces (UTF8String.concat would instead
+      // null the whole gram — and the schema declares gram non-null)
+      val present = new Array[UTF8String](nVal)
+      var m = 0
       var j = 0
       while (j < nVal) {
-        parts(2 * j) = toks.getUTF8String(i + j)
-        if (j < nVal - 1) parts(2 * j + 1) = space
+        val t = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        if (t != null) { present(m) = t; m += 1 }
         j += 1
       }
-      InternalRow(i + 1, UTF8String.concat(parts: _*))
+      val parts = new Array[UTF8String](math.max(2 * m - 1, 0))
+      var k = 0
+      while (k < m) {
+        parts(2 * k) = present(k)
+        if (k < m - 1) parts(2 * k + 1) = space
+        k += 1
+      }
+      InternalRow(i + 1,
+        if (parts.isEmpty) UTF8String.EMPTY_UTF8 else UTF8String.concat(parts: _*))
     }
   }
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): NGramsGen =
     copy(child = newChildren(0), n = newChildren(1))
+}
+
+object NGramsGen {
+  /** Imperative fallback registration for sessions built without
+    * `spark.sql.extensions=graft.GraftExtensions` (the CosineUnits
+    * contract): library operators that use `ngrams_gen` from SQL call
+    * this first so they work in any session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngrams_gen", exprs => NGramsGen(exprs(0), exprs(1)), "built-in")
 }

@@ -74,7 +74,10 @@ object TextDedup {
   /** Distinct word n-gram (shingle) set per doc: one row per (doc_id,
     * shingle). explode positions then element_at (codegen) — docs with
     * fewer than n tokens contribute no shingles. */
-  def shingles(docs: DataFrame, n: Int): DataFrame =
+  def shingles(docs: DataFrame, n: Int): DataFrame = {
+    // fallback registration so the operator works in sessions built
+    // without the GraftExtensions config (the CosineUnits contract)
+    graft.functions.NGramsGen.register(docs.sparkSession)
     docs.select(col("doc_id"), tokens(col("text")).as("ts"))
       // ngrams_gen streams (pos, gram) rows straight out of the token
       // array — no per-row position sequence to materialize, and the
@@ -82,6 +85,7 @@ object TextDedup {
       .selectExpr("doc_id", s"ngrams_gen(ts, $n) AS (pos, shingle)")
       .select(col("doc_id"), col("shingle"))
       .distinct()
+  }
 
   /** All pairs (a<b) with n-gram-set Jaccard >= threshold — EXACT, via an
     * inverted-index intersection count: join docs on shared shingles,

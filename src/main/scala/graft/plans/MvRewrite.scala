@@ -95,6 +95,19 @@ object MvRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Re-aggregate under the ORIGINAL output contract: the replacement
+    * must reproduce the original alias's exprId AND data type — a
+    * re-aggregated decimal sum widens precision (p+10 → p+20), and a
+    * parent operator reading the stale narrower type through the reused
+    * exprId would misdecode the row. Cast back when the types differ
+    * (only reachable for decimals; an overflow past the original
+    * precision would have overflowed the original query too). */
+  private def reAgg(fn: Sum, orig: Alias): NamedExpression = {
+    val e = fn.toAggregateExpression()
+    val body = if (e.dataType == orig.dataType) e else Cast(e, orig.dataType)
+    Alias(body, orig.name)(exprId = orig.exprId, qualifier = orig.qualifier)
+  }
+
   private def rewrite(agg: Aggregate, d: MvCatalog.MvDef): Option[LogicalPlan] = {
     // ---- locate the base relation, optionally under Project / Filter ----
     // A Filter is admissible only when its predicate touches NOTHING but
@@ -113,9 +126,14 @@ object MvRewrite extends Rule[LogicalPlan] {
       case Filter(c, Project(pl, lr: LogicalRelation)) => (Some(pl), Some(c), Some(lr))
       case _ => (None, None, None)
     }
+    // path-component anchored: "/x/lineitem.parquet" matches the suffix
+    // "lineitem.parquet", "/x/archived_lineitem.parquet" must NOT
     val isBase = rel.exists(_.relation match {
       case fs: HadoopFsRelation =>
-        fs.location.rootPaths.exists(_.toString.endsWith(d.basePathSuffix))
+        fs.location.rootPaths.exists { p =>
+          val s = p.toString
+          s == d.basePathSuffix || s.endsWith("/" + d.basePathSuffix)
+        }
       case _ => false
     })
     if (!isBase) return None
@@ -157,16 +175,12 @@ object MvRewrite extends Rule[LogicalPlan] {
           case _ => None
         }
       case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _), _) =>
-        mvAttr(d.countCol).map { m =>
-          Alias(Sum(m).toAggregateExpression(), al.name)(exprId = al.exprId,
-            qualifier = al.qualifier)
-        }
+        mvAttr(d.countCol).map(m => reAgg(Sum(m), al))
       case al @ Alias(AggregateExpression(Sum(child, _), _, false, None, _), _)
           if exactSum(child.dataType) =>
         d.sumMeasures.get(canon(resolve(child)))
           .flatMap(mvAttr)
-          .map(m => Alias(Sum(m).toAggregateExpression(), al.name)(
-            exprId = al.exprId, qualifier = al.qualifier))
+          .map(m => reAgg(Sum(m), al))
       case _ => None
     }
     if (rewritten.exists(_.isEmpty)) return None

@@ -853,19 +853,24 @@ object CorpusQueries {
     docs(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .createOrReplaceTempView("docs_x89")
+    // the first posting is the LEXICOGRAPHIC (doc_id, pos) minimum — a
+    // struct min, not an arithmetic doc*K+pos key (which collides once a
+    // doc exceeds K tokens and makes two independent min_by calls pick
+    // different tied rows)
     spark.sql(
       s"""WITH occ AS (
          |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, gram
          |  FROM docs_x89 LATERAL VIEW ngrams_gen(ts, 3) g AS pos, gram),
          |a AS (
          |  SELECT gram, count(DISTINCT doc_id) AS df, count(*) AS n_occ,
-         |    min_by(doc_id, doc_id * 1000000 + pos) AS first_doc,
-         |    min_by(pos, doc_id * 1000000 + pos) AS first_pos
+         |    min(struct(doc_id, pos)) AS f
          |  FROM occ GROUP BY gram)
-         |SELECT gram, df, n_occ, first_doc, first_pos
+         |SELECT gram, df, n_occ, f.doc_id AS first_doc, f.pos AS first_pos
          |FROM a WHERE df >= $NgramIndexMinDf ORDER BY gram""".stripMargin)
   }
 
+  /** The oracle replays the lexicographic posting minimum as two stages
+    * (min doc, then min pos within it) — exact at any doc length. */
   val x89Sql: String =
     s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
        |occ AS (SELECT doc_id, i AS pos,
@@ -873,11 +878,15 @@ object CorpusQueries {
        |        FROM tk, unnest(range(1, len(ts) - 1)) AS u(i)
        |        WHERE len(ts) >= 3),
        |a AS (SELECT gram, count(DISTINCT doc_id) AS df, count(*) AS n_occ,
-       |        min_by(doc_id, doc_id * 1000000 + pos) AS first_doc,
-       |        min_by(pos, doc_id * 1000000 + pos) AS first_pos
-       |      FROM occ GROUP BY gram)
-       |SELECT gram, df, n_occ, first_doc, CAST(first_pos AS BIGINT) AS first_pos
-       |FROM a WHERE df >= $NgramIndexMinDf ORDER BY gram""".stripMargin
+       |        min(doc_id) AS first_doc
+       |      FROM occ GROUP BY gram),
+       |fp AS (SELECT o.gram, min(o.pos) AS first_pos
+       |       FROM occ o JOIN a ON o.gram = a.gram AND o.doc_id = a.first_doc
+       |       GROUP BY o.gram)
+       |SELECT a.gram, a.df, a.n_occ, a.first_doc,
+       |  CAST(fp.first_pos AS BIGINT) AS first_pos
+       |FROM a JOIN fp USING (gram)
+       |WHERE df >= $NgramIndexMinDf ORDER BY gram""".stripMargin
 
   // ---- X86: distinctive-term extraction (integer contrastive TF-IDF) ----
 

@@ -739,6 +739,28 @@ object Extended {
     }.distinct
   }
 
+  /** Build the per-(flag, status) lineitem MV at `mvPath` — the shared
+    * fixture for q89/q91 (q92 maintains the same view by stream). */
+  private[graft] def buildLineitemMv(spark: SparkSession, dir: String,
+                                     mvPath: String): Unit =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+      .write.parquet(mvPath)
+
+  /** Register the lineitem MV at `mvPath` in [[graft.plans.MvCatalog]] —
+    * the ONE place the registration contract (suffix, grain, measure
+    * SQLs, count column) is spelled, shared by q89/q91/q92 and the spec. */
+  private[graft] def registerLineitemMv(spark: SparkSession, dir: String,
+                                        mvPath: String): Unit =
+    graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
+      basePathSuffix = "lineitem.parquet",
+      groupCols = Set("l_returnflag", "l_linestatus"),
+      sumMeasures = measureSqls(t(spark, dir, "lineitem"), qtyCents)
+        .map(_ -> "sum_qty_cents").toMap,
+      countCol = "cnt",
+      mv = spark.read.parquet(mvPath).queryExecution.analyzed))
+
   /** Q89 — the MATERIALIZED-VIEW REWRITE under the oracle: a per-(flag,
     * status) aggregate of lineitem is persisted as an MV and registered in
     * [[graft.plans.MvCatalog]]; the scored query then aggregates the BASE
@@ -754,18 +776,10 @@ object Extended {
     val tmp = java.nio.file.Files.createTempDirectory("graft_q89_").toFile
     try {
       val mvPath = new java.io.File(tmp, "lineitem_mv").getAbsolutePath
-      val li = t(spark, dir, "lineitem")
-      li.groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
-        .write.parquet(mvPath)
-      graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
-        basePathSuffix = "lineitem.parquet",
-        groupCols = Set("l_returnflag", "l_linestatus"),
-        sumMeasures = measureSqls(li, qtyCents).map(_ -> "sum_qty_cents").toMap,
-        countCol = "cnt",
-        mv = spark.read.parquet(mvPath).queryExecution.analyzed))
+      buildLineitemMv(spark, dir, mvPath)
+      registerLineitemMv(spark, dir, mvPath)
       try {
-        val res = li.groupBy(col("l_returnflag"))
+        val res = t(spark, dir, "lineitem").groupBy(col("l_returnflag"))
           .agg(sum(qtyCents).as("sum_qty_cents"),
                count(lit(1)).as("n_items"))
         val plan = res.queryExecution.executedPlan.toString
@@ -797,18 +811,10 @@ object Extended {
     val tmp = java.nio.file.Files.createTempDirectory("graft_q91_").toFile
     try {
       val mvPath = new java.io.File(tmp, "lineitem_mv").getAbsolutePath
-      val li = t(spark, dir, "lineitem")
-      li.groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
-        .write.parquet(mvPath)
-      graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
-        basePathSuffix = "lineitem.parquet",
-        groupCols = Set("l_returnflag", "l_linestatus"),
-        sumMeasures = measureSqls(li, qtyCents).map(_ -> "sum_qty_cents").toMap,
-        countCol = "cnt",
-        mv = spark.read.parquet(mvPath).queryExecution.analyzed))
+      buildLineitemMv(spark, dir, mvPath)
+      registerLineitemMv(spark, dir, mvPath)
       try {
-        val res = li.filter(col("l_returnflag") === "R")
+        val res = t(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
           .groupBy(col("l_linestatus"))
           .agg(sum(qtyCents).as("sum_qty_cents"),
                count(lit(1)).as("n_items"))
@@ -877,13 +883,7 @@ object Extended {
         }
         .start()
       q.awaitTermination()
-      graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
-        basePathSuffix = "lineitem.parquet",
-        groupCols = Set("l_returnflag", "l_linestatus"),
-        sumMeasures = measureSqls(t(spark, dir, "lineitem"), qtyCents)
-          .map(_ -> "sum_qty_cents").toMap,
-        countCol = "cnt",
-        mv = spark.read.parquet(mvPath).queryExecution.analyzed))
+      registerLineitemMv(spark, dir, mvPath)
       try {
         val res = t(spark, dir, "lineitem").groupBy(col("l_returnflag"))
           .agg(sum(qtyCents).as("sum_qty_cents"),

@@ -151,7 +151,5 @@ class ChangeDataSpec extends AnyFunSuite {
     val got = ChangeData.q84MadOutliers(spark, sf)
       .as[(String, Long, Long, Long, Long)].collect().toSeq
     assert(got == want)
-    // robustness sanity: on this data some group flags at least one outlier
-    assert(got.map(_._5).sum >= 0)
   }
 }

@@ -19,23 +19,10 @@ class MvRewriteSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft_mvspec_").toFile
     try {
       val mvPath = new java.io.File(tmp, "lineitem_mv").getAbsolutePath
-      val li = Tables.t(spark, sf, "lineitem")
-      li.groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
-        .write.parquet(mvPath)
-      val qe = li.select(qtyCents.as("m")).queryExecution
-      val sqls = Seq(qe.analyzed, qe.optimizedPlan).collect {
-        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
-          p.projectList.head.asInstanceOf[
-            org.apache.spark.sql.catalyst.expressions.Alias].child.sql
-            .replace("`", "").toLowerCase(java.util.Locale.ROOT)
-      }.distinct
-      MvCatalog.register(MvCatalog.MvDef(
-        basePathSuffix = "lineitem.parquet",
-        groupCols = Set("l_returnflag", "l_linestatus"),
-        sumMeasures = sqls.map(_ -> "sum_qty_cents").toMap,
-        countCol = "cnt",
-        mv = spark.read.parquet(mvPath).queryExecution.analyzed))
+      // the one shared build/registration path q89/q91/q92 also use —
+      // the spec must exercise the production contract, not a copy
+      graft.queries.Extended.buildLineitemMv(spark, sf, mvPath)
+      graft.queries.Extended.registerLineitemMv(spark, sf, mvPath)
       try f(mvPath) finally MvCatalog.clear()
     } finally graft.util.Fs.deleteTree(tmp)
   }

@@ -52,6 +52,16 @@ class NGramsGenSpec extends AnyFunSuite {
     assert(gen.count() > 0L)
   }
 
+  test("ngrams_gen skips null elements like concat_ws (never emits a null gram)") {
+    val got = spark.sql(
+      "SELECT pos, gram FROM (SELECT array('a', CAST(NULL AS STRING), 'b') AS ts) " +
+        "LATERAL VIEW ngrams_gen(ts, 2) g AS pos, gram ORDER BY pos")
+      .as[(Int, String)].collect().toSeq
+    // concat_ws semantics: the null token vanishes from the gram text
+    assert(got == Seq((1, "a"), (2, "b")))
+    assert(got.forall(_._2 != null), "schema declares gram non-null")
+  }
+
   test("ngrams_gen rejects a non-literal n at bind time") {
     Seq((1L, "a b c")).toDF("doc_id", "text")
       .select($"doc_id", split($"text", " ").as("ts"), size($"ts").as("k"))
