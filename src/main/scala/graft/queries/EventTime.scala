@@ -507,6 +507,60 @@ object EventTime {
   /** Streamed sliding windows ≡ batch: q23's oracle verbatim. */
   val q90Sql: String = q23Sql
 
+  // ---- Q93: stream-static ANTI join, scored -------------------------------
+
+  /** Q93 — the native STREAM-STATIC LEFT ANTI join under the oracle: the
+    * events stream is filtered IN-FLIGHT against a static blocklist
+    * (users holding an URGENT order — the in-stream form of a
+    * decontamination/suppression list), inside the streaming plan itself
+    * rather than a foreachBatch probe. Stream-static joins need no
+    * watermark — the static side is a fixed build relation each
+    * micro-batch (at scale: broadcast once per trigger, re-resolved on
+    * refresh), and the anti join needs no state at all, so this operator
+    * costs nothing to keep running forever. Completes the streaming join
+    * family under the hard gate: stream-stream inner (q80), stream-static
+    * as-of enrich (q76), and now the suppression/anti shape. */
+  def q93StreamAnti(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q93_").toFile
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val out = new java.io.File(tmp, "kept").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      val block = t(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("user_id")).distinct()
+      val q = graft.streaming.EventStreams.readEvents(spark, dir)
+        .join(block, Seq("user_id"), "left_anti")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val res = spark.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sumMoney2(col("value")).as("sum_value"))
+      // one row per event type: materialize so the temp tree drops
+      val rows = res.collectAsList()
+      spark.createDataFrame(rows, res.schema).orderBy(col("event_type"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.util.Fs.deleteTree(tmp)
+    }
+  }
+
+  val q93Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events e
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = e.user_id
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- Q83: streaming exactly-once dedup, scored -------------------------
 
   /** Q83 — STREAMING exact dedup under the DuckDB gate: the events file

@@ -152,6 +152,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("scored q93 (stream-static anti join) equals the batch anti-join rollup") {
+    import org.apache.spark.sql.functions._
+    val got = EventTime.q93StreamAnti(spark, sf).collect().toSeq
+    val block = Tables.t(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("user_id")).distinct()
+    val want = Tables.t(spark, sf, "events")
+      .join(block, Seq("user_id"), "left_anti")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        Tables.sumMoney2(col("value")).as("sum_value"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("scored q88 (streamed session windows + flush sentinel) equals batch q34 row for row") {
     val got = EventTime.q88StreamSession(spark, sf).collect().toSeq
     val want = EventTime.q34SessionWindow(spark, sf).collect().toSeq
