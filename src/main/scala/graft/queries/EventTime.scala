@@ -507,6 +507,37 @@ object EventTime {
   /** Streamed sliding windows ≡ batch: q23's oracle verbatim. */
   val q90Sql: String = q23Sql
 
+  // ---- Q94: VARIANT semi-structured path, scored ---------------------------
+
+  /** Q94 — the VARIANT type end-to-end: `parse_json` decodes the props
+    * JSON string into Spark 4's binary variant encoding once, and typed
+    * `variant_get` paths extract from it — the modern lakehouse
+    * semi-structured column (shredded binary, no re-parse per path)
+    * where q17's `get_json_object` is the string-backed classic. Two
+    * paths off one parse: the numeric `$.k` aggregated per type, and
+    * its parity bucketed — both reach the output as plain BIGINT, so
+    * the variant stays internal to the projection (nothing
+    * engine-specific crosses the hash gate). The oracle extracts the
+    * same paths with DuckDB's JSON operators. */
+  def q94Variant(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        try_variant_get(col("v"), "$.k", "bigint").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"), (col("k") % 2).as("k_parity"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"), col("k_parity"))
+
+  val q94Sql: String =
+    """SELECT event_type, CAST(k % 2 AS BIGINT) AS k_parity,
+      |  count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+      |  min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+      |WHERE k IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- Q93: stream-static ANTI join, scored -------------------------------
 
   /** Q93 — the native STREAM-STATIC LEFT ANTI join under the oracle: the

@@ -152,6 +152,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("state-store reader: dedup key state is inspectable and watermark-bounded") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_state_").toFile
+    try {
+      val out = new java.io.File(tmp, "out").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      val q = EventStreams.dedupStream(EventStreams.readEvents(spark, sf))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // the state DATA SOURCE reads the checkpoint's store directly — the
+      // operational introspection surface (what is my stream remembering?)
+      val state = spark.read.format("statestore").load(ckpt)
+      val events = Tables.t(spark, sf, "events")
+      val distinctIds = events.select(col("event_id")).distinct().count()
+      val maxTs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val withinWatermark = events
+        .filter(unix_micros(col("ts")) >= maxTs - 3600L * 1000000L)
+        .select(col("event_id")).distinct().count()
+      val n = state.count()
+      // every retained key is a real distinct id; eviction may or may not
+      // have run its final no-data batch, so the floor is the
+      // within-watermark set and the ceiling is all distinct keys
+      assert(n >= withinWatermark && n <= distinctIds,
+        s"state rows $n outside [$withinWatermark, $distinctIds]")
+      assert(state.columns.contains("key"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
   test("scored q93 (stream-static anti join) equals the batch anti-join rollup") {
     import org.apache.spark.sql.functions._
     val got = EventTime.q93StreamAnti(spark, sf).collect().toSeq
