@@ -792,6 +792,41 @@ object CorpusQueries {
        |    // CAST(b.n_tokens AS BIGINT) AS dup_cov_ppm
        |FROM base b LEFT JOIN cc USING (doc_id) ORDER BY b.doc_id""".stripMargin
 
+  // ---- X91: streaming segment-dedup gate, scored -------------------------
+
+  /** X91 — the SEGMENT-DEDUP GATE run as an actual ingest stream and
+    * scored against x46's oracle verbatim: documents land as JSON lines,
+    * [[graft.streaming.EventStreams.segmentGateStream]] folds each
+    * micro-batch through `segmentDedupIncremental` (first-occurrence
+    * judged against corpus ∪ batch) and maintains the per-doc stats table
+    * through the idempotent DedupAppend. From an empty corpus the fold
+    * equals the one-shot batch segmentation (the StreamingIngestSpec
+    * law); this entry makes that law a scored fact — the continuous
+    * C4-style span-dedup service a 100 TB ingest actually runs, with
+    * history probed via the stored span index rather than re-segmented. */
+  def x91StreamSegment(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x91_").toFile
+    try {
+      val landing = new java.io.File(tmp, "landing").getAbsolutePath
+      val corpus = new java.io.File(tmp, "corpus").getAbsolutePath
+      val stats = new java.io.File(tmp, "stats").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      docs(spark, dir).select(col("doc_id"), col("text"))
+        .coalesce(1).write.json(landing)
+      graft.streaming.EventStreams.segmentGateStream(
+        spark, landing, corpus, stats, ckpt, SegTokens)
+      val res = spark.read.parquet(stats)
+        .select(col("doc_id"), col("n_segs"), col("n_dup_segs"),
+          col("n_tokens_kept"))
+      // one row per doc: materialize so the temp landing/corpus drop
+      val rows = res.collectAsList()
+      spark.createDataFrame(rows, res.schema).orderBy(col("doc_id"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** Streamed gate from empty ≡ batch segmentation: x46's oracle. */
+  val x91Sql: String = x46Sql
+
   // ---- X88: content-defined chunking (CDC dedup segmentation) ----------
 
   /** Rolling gram size and cut divisor: boundaries re-synchronize within
