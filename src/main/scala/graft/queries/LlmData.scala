@@ -915,4 +915,41 @@ object LlmData {
        |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars
        |FROM asg2 a JOIN documents d ON d.doc_id = a.vec_id
        |GROUP BY d.source, a.cell ORDER BY d.source, a.cell""".stripMargin
+
+  // ---- X92: streaming near-dup mining gate, scored ------------------------
+
+  /** X92 — the NEAR-DUP MINING GATE run as an actual ingest stream and
+    * scored: documents land as JSON lines,
+    * [[graft.streaming.EventStreams.mineNearDupsStream]] probes each
+    * micro-batch's LSH bands against the maintained corpus
+    * (`minhashNearDupsIncremental` — join work ∝ the batch's collisions,
+    * history never re-mined) and folds verified pairs into a
+    * DedupAppend-maintained pairs table. From an empty corpus the fold ≡
+    * the one-shot batch miner (the TextDedupSpec arrival-order law;
+    * multi-batch folding is asserted in StreamingIngestSpec), so the
+    * oracle is the exact half-corpus Jaccard pair set x44 already passes
+    * — half-corpus like x44, because the battery pays full-corpus LSH in
+    * x21/x35 already and the streamed run re-mines per scoring pass. */
+  def x92StreamNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x92_").toFile
+    try {
+      val landing = new java.io.File(tmp, "landing").getAbsolutePath
+      val corpus = new java.io.File(tmp, "corpus").getAbsolutePath
+      val pairs = new java.io.File(tmp, "pairs").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      docs(spark, dir).filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), col("text"))
+        .coalesce(1).write.json(landing)
+      graft.streaming.EventStreams.mineNearDupsStream(
+        spark, landing, corpus, pairs, ckpt, JaccThreshold)
+      val res = spark.read.parquet(pairs)
+        .select(col("a_id"), col("b_id"), col("jacc"))
+      // pair-set-sized: materialize so the temp corpus/checkpoint drop
+      val rows = res.collectAsList()
+      spark.createDataFrame(rows, res.schema).orderBy(col("a_id"), col("b_id"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** Streamed miner from empty ≡ batch miner: x44's half-corpus oracle. */
+  val x92Sql: String = x44Sql
 }
