@@ -58,5 +58,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"ngrams_gen requires exactly 2 arguments (tokens array, n literal), got ${exprs.length}")
         graft.functions.NGramsGen(exprs(0), exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("checksum_agg"),
+      new ExpressionInfo(
+        classOf[graft.functions.ChecksumAgg].getName,
+        null,
+        "checksum_agg",
+        "checksum_agg(str) - order-independent content checksum: sum of h31(str) mod (2^31-1) over the group",
+        ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"checksum_agg requires exactly 1 argument (a string column), got ${exprs.length}")
+        graft.functions.ChecksumAgg(exprs(0)).toAggregateExpression()
+      }))
   }
 }

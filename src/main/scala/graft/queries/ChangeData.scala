@@ -454,6 +454,43 @@ object ChangeData {
        |FROM tu LEFT JOIN cm USING (ga, gb) ORDER BY ga, gb""".stripMargin
   }
 
+  // ---- Q95: content checksums (anti-entropy fingerprints) ----------------
+
+  /** Q95 — per-group CONTENT CHECKSUMS via the engine's native
+    * DeclarativeAggregate ([[graft.functions.ChecksumAgg]], SQL
+    * `checksum_agg`): each event serializes to a canonical pipe-joined
+    * string, the aggregate folds Σ h31 mod (2³¹−1) — order- and
+    * partitioning-independent, so two replicas compare with one row per
+    * group instead of q77's row-level diff (checksum first, diff only on
+    * mismatch). This is the DECLARATIVE aggregate rung of the ladder:
+    * unlike q21's typed Aggregator (encoder-serialized, codegen-opaque),
+    * update/merge/eval here are pure expression trees — whole-stage
+    * codegen and map-side partial aggregation apply as if it were a
+    * built-in. The oracle replays Σ h31 with HUGEINT and the same
+    * modulus — bit-identical. */
+  def q95ContentChecksum(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ChecksumAgg.register(spark) // stock-session fallback
+    t(spark, dir, "events")
+      .select(col("event_type"),
+        concat_ws("|", col("event_id"), col("user_id"),
+          round(col("value") * 100).cast(LongType),
+          unix_micros(col("ts"))).as("payload"))
+      .createOrReplaceTempView("events_q95")
+    spark.sql(
+      """SELECT event_type, count(*) AS n, checksum_agg(payload) AS checksum
+        |FROM events_q95 GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q95Sql: String = {
+    val h = graft.functions.TextFns.h31Sql(
+      "event_id || '|' || user_id || '|' || CAST(round(value * 100) AS BIGINT)" +
+        " || '|' || epoch_us(CAST(ts AS TIMESTAMP))")
+    s"""WITH r AS (SELECT event_type, $h AS h FROM events)
+       |SELECT event_type, count(*) AS n,
+       |  CAST(CAST(sum(h) AS HUGEINT) % 2147483647 AS BIGINT) AS checksum
+       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   // ---- Q84: robust outlier detection (median / MAD) ----------------------
 
   /** Q84 — robust per-group outlier detection: flag orders whose price
