@@ -102,6 +102,46 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(viaStream.nonEmpty && viaStream == viaBatch)
   }
 
+  test("with several registered views, any matching grain gives the same correct answer") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvspec2_").toFile
+    try {
+      val li = Tables.t(spark, sf, "lineitem")
+      val fine = new java.io.File(tmp, "lineitem_mv").getAbsolutePath
+      val coarse = new java.io.File(tmp, "lineitem_mv_status").getAbsolutePath
+      graft.queries.Extended.buildLineitemMv(spark, sf, fine)
+      li.groupBy(col("l_linestatus"))
+        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+        .write.parquet(coarse)
+      graft.queries.Extended.registerLineitemMv(spark, sf, fine)
+      // second view at the coarser (status)-only grain
+      val qe = li.select(qtyCents.as("m")).queryExecution
+      val sqls = Seq(qe.analyzed, qe.optimizedPlan).collect {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.head.asInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.Alias].child.sql
+            .replace("`", "").toLowerCase(java.util.Locale.ROOT)
+      }.distinct
+      MvCatalog.register(MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("l_linestatus"),
+        sumMeasures = sqls.map(_ -> "sum_qty_cents").toMap,
+        countCol = "cnt",
+        mv = spark.read.parquet(coarse).queryExecution.analyzed))
+      try {
+        val q = li.groupBy(col("l_linestatus"))
+          .agg(sum(qtyCents).as("s"), count(lit(1)).as("n"))
+        val plan = q.queryExecution.executedPlan.toString
+        assert(plan.contains("lineitem_mv"), "one of the matching views must answer")
+        val got = q.orderBy(col("l_linestatus")).collect().toSeq
+        MvCatalog.clear()
+        val want = li.groupBy(col("l_linestatus"))
+          .agg(sum(qtyCents).as("s"), count(lit(1)).as("n"))
+          .orderBy(col("l_linestatus")).collect().toSeq
+        assert(got == want, "whichever view wins, the answer must be the base answer")
+      } finally MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
   test("empty registry is a strict no-op") {
     val plan = Tables.t(spark, sf, "lineitem")
       .groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s"))
