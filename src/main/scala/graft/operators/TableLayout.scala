@@ -48,7 +48,15 @@ object TableLayout {
     * the merge side of SMJ sort-free too. */
   def writeBucketed(df: DataFrame, tableName: String, key: String,
                     buckets: Int, path: String): Unit =
-    df.write.mode("overwrite")
+    // repartition on the bucket key first: each write task then holds
+    // exactly one bucket, so the table lands as ONE file per bucket.
+    // Without it, files = input tasks × buckets touched (the classic
+    // small-files explosion at scale) — and the scan only exposes the
+    // sortBy ordering when a bucket is a single file, so multi-file
+    // buckets silently re-insert per-partition Sorts under every
+    // sort-merge join against the table.
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite")
       .option("path", path)
       .bucketBy(buckets, key)
       .sortBy(key)

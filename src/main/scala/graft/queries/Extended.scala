@@ -238,22 +238,35 @@ object Extended {
     * amortization LayoutSpec proves; here the RESULT is also hash-gated
     * against a DuckDB oracle that never sees the layout). At 100 TB this
     * is the repeated-join optimization: the fact table's shuffle is paid
-    * once at write, every later join on the key is exchange-free. */
+    * once at write, every later join on the key is exchange-free — and
+    * with `sortBy` buckets at ONE FILE PER BUCKET (writeBucketed's
+    * repartition guarantees it) the per-partition SORTS vanish too: the
+    * scan's ordering feeds the sort-merge join directly. Spark gates
+    * that ordering behind `spark.sql.legacy.bucketedTableScan
+    * .outputOrdering` because it is unsound for multi-file buckets;
+    * writeBucketed's single-file invariant is exactly what makes it
+    * sound here (law in LayoutSpec). */
   def q43BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_q43_").toFile
     val prevThreshold =
       spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val orderingKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prevOrdering = spark.conf.getOption(orderingKey)
     try {
       TableLayout.writeBucketed(t(spark, dir, "orders"), "graft_q43_orders",
         "o_custkey", 4, new java.io.File(tmp, "orders").getAbsolutePath)
       TableLayout.writeBucketed(t(spark, dir, "customer"), "graft_q43_customer",
         "c_custkey", 4, new java.io.File(tmp, "customer").getAbsolutePath)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(orderingKey, "true")
       val joined = spark.table("graft_q43_orders")
         .join(spark.table("graft_q43_customer"),
           col("o_custkey") === col("c_custkey"))
-      require(!joined.queryExecution.executedPlan.toString.contains("Exchange"),
+      val joinPlan = joined.queryExecution.executedPlan.toString
+      require(!joinPlan.contains("Exchange"),
         "bucketed-bucketed join must be exchange-free")
+      require(!joinPlan.contains("Sort "),
+        s"single-file sorted buckets must make the merge join sort-free:\n$joinPlan")
       val res = joined
         .groupBy(col("c_mktsegment"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
@@ -266,6 +279,10 @@ object Extended {
         .orderBy(col("c_mktsegment"), col("o_orderstatus"))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      prevOrdering match {
+        case Some(v) => spark.conf.set(orderingKey, v)
+        case None => spark.conf.unset(orderingKey)
+      }
       spark.sql("DROP TABLE IF EXISTS graft_q43_orders")
       spark.sql("DROP TABLE IF EXISTS graft_q43_customer")
       graft.util.Fs.deleteTree(tmp)

@@ -85,4 +85,25 @@ class LayoutSpec extends AnyFunSuite {
       graft.util.Fs.deleteTree(rootDir.toFile)
     }
   }
+
+  test("writeBucketed lands exactly ONE file per bucket (the sorted-scan soundness invariant)") {
+    val rootDir = java.nio.file.Files.createTempDirectory("graft_bktfiles_")
+    try {
+      val path = rootDir.resolve("orders").toString
+      TableLayout.writeBucketed(Tables.t(spark, sf, "orders"),
+        "orders_bktfiles", "o_custkey", 4, path)
+      val files = new java.io.File(path).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      // bucket id is encoded as _0000N in the file name; q43's sort-free
+      // merge join is only sound because each bucket is a single file
+      val bucketId = "_(\\d{5})\\.".r
+      val byBucket = files.groupBy(f =>
+        bucketId.findFirstMatchIn(f.getName).map(_.group(1)).getOrElse("?"))
+      assert(byBucket.size == 4 && byBucket.values.forall(_.length == 1),
+        s"expected 4 single-file buckets, got: ${files.map(_.getName).mkString(", ")}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_bktfiles")
+      graft.util.Fs.deleteTree(rootDir.toFile)
+    }
+  }
 }
