@@ -491,6 +491,42 @@ object ChangeData {
        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  // ---- Q96: streamed rollup maintenance (landing-dir form), scored -------
+
+  /** Q96 — [[graft.operators.RollupState]]'s landing-dir ingest form
+    * under the oracle: events land as JSON lines, each micro-batch's
+    * PARTIAL daily rollup merges into the maintained table
+    * ([[graft.streaming.EventStreams.rollupMaintainStream]] — history
+    * never recomputed; n/sum/max are commutative monoids so any batch
+    * slicing folds to the recompute), and the maintained table itself is
+    * scored against q63's from-scratch oracle. q70 gates the same
+    * algebra fed by a parquet file stream; this gates the JSON
+    * landing-dir service shape (the reference's daily fetch loop as a
+    * continuously-maintained rollup). */
+  def q96StreamRollup(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q96_").toFile
+    try {
+      val landing = new java.io.File(tmp, "landing").getAbsolutePath
+      val rollup = new java.io.File(tmp, "rollup").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      t(spark, dir, "events")
+        .selectExpr("event_type", "unix_micros(ts) AS ts_us",
+          "CAST(round(value * 100) AS BIGINT) AS cents")
+        .coalesce(1).write.json(landing)
+      graft.streaming.EventStreams.rollupMaintainStream(spark, landing, rollup, ckpt)
+      val res = spark.read.parquet(rollup)
+        .select(col("event_type"), col("d"), col("n"),
+          col("sum_cents"), col("max_cents"))
+      // rollup-sized (types × days): materialize so the temp tree drops
+      val rows = res.collectAsList()
+      spark.createDataFrame(rows, res.schema)
+        .orderBy(col("event_type"), col("d"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** Maintained-by-merge ≡ recompute: q63's oracle verbatim. */
+  val q96Sql: String = q63Sql
+
   // ---- Q84: robust outlier detection (median / MAD) ----------------------
 
   /** Q84 — robust per-group outlier detection: flag orders whose price
