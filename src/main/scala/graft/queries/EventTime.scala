@@ -507,6 +507,53 @@ object EventTime {
   /** Streamed sliding windows ≡ batch: q23's oracle verbatim. */
   val q90Sql: String = q23Sql
 
+  // ---- Q97: flatMapGroupsWithState sessionizer, scored ---------------------
+
+  /** Q97 — the ARBITRARY-STATE streaming API under the oracle:
+    * [[graft.streaming.EventStreams.sessionizeStatefulOn]] runs the
+    * hand-written per-user session state machine
+    * (`flatMapGroupsWithState` + EventTimeTimeout — the API a custom
+    * stateful operator uses when neither windows nor dropDuplicates fit)
+    * over the events stream plus ONE far-future sentinel PER USER. The
+    * sentinel closes each user's final real session through the gap rule,
+    * while every sentinel's own singleton session stays open past the
+    * final watermark and is never emitted — so the CLOSED-session output
+    * is exactly the batch sessionization, and the per-user rollup scores
+    * against q16's oracle verbatim. Completes the streaming API set
+    * under the hard gate: windowed aggs, session_window, stream-stream /
+    * stream-static joins, dropDuplicatesWithinWatermark, foreachBatch
+    * maintenance, and now (flat)MapGroupsWithState. */
+  def q97StreamStateful(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q97_").toFile
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val landing = new java.io.File(tmp, "landing").getAbsolutePath
+      val ev = t(spark, dir, "events").select(col("user_id"), col("ts"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinels = ev.select(col("user_id")).distinct()
+        .withColumn("ts",
+          lit(new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000)))
+      ev.unionByName(sentinels).write.parquet(landing)
+      val stream = spark.readStream.schema(ev.schema).parquet(landing)
+      val sessions = graft.streaming.EventStreams
+        .sessionizeStatefulOn(spark, stream, "graft_q97_sessions")
+      val res = sessions
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"))
+      // one row per user: materialize so the temp landing drops eagerly
+      val rows = res.collectAsList()
+      spark.createDataFrame(rows, res.schema).orderBy(col("user_id"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.util.Fs.deleteTree(tmp)
+    }
+  }
+
+  /** Closed sessions ≡ batch sessionization: q16's oracle verbatim. */
+  val q97Sql: String = q16Sql
+
   // ---- Q94: VARIANT semi-structured path, scored ---------------------------
 
   /** Q94 — the VARIANT type end-to-end: `parse_json` decodes the props

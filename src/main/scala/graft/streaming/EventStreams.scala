@@ -441,7 +441,13 @@ object EventStreams {
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
   def sessionizeStateful(spark: SparkSession, dir: String, queryName: String,
-                         gapMinutes: Int = 30): DataFrame = {
+                         gapMinutes: Int = 30): DataFrame =
+    sessionizeStatefulOn(spark, readEvents(spark, dir), queryName, gapMinutes)
+
+  /** Same, over a caller-built event stream (columns `user_id`, `ts`) —
+    * q97 feeds a landing dir with per-user flush sentinels through this. */
+  def sessionizeStatefulOn(spark: SparkSession, source: DataFrame,
+                           queryName: String, gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.functions._
@@ -449,7 +455,7 @@ object EventStreams {
     val gapMs = gapMinutes * 60L * 1000L
     // keep the watermarked `ts` column in the projection — dropping it would
     // discard the watermark the event-time timeout needs
-    val events = readEvents(spark, dir)
+    val events = source
       .withWatermark("ts", "0 seconds")
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
       .as[(Long, java.sql.Timestamp, Long)]
