@@ -91,6 +91,40 @@ object ChangeData {
   /** Maintained state ≡ batch compaction: the gate q56 already passes. */
   val q74Sql: String = q56Sql
 
+  /** Q98 — the JSON-landing-dir CDC upsert service under the oracle:
+    * change records land as JSON lines,
+    * [[graft.streaming.EventStreams.cdcUpsertStream]] folds each
+    * micro-batch through the latest-wins
+    * [[graft.operators.UpsertState]] merge (idempotent on its own —
+    * re-delivery is a no-op, the asymmetry vs q96's sums documented at
+    * the operator), and the maintained state scores against q56's
+    * oracle. q74 gates the same algebra fed by a parquet file stream;
+    * this gates the landing-dir service shape — with q96 it completes
+    * BOTH maintenance algebras in both ingest forms. */
+  def q98StreamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q98_").toFile
+    try {
+      val landing = new java.io.File(tmp, "landing").getAbsolutePath
+      val state = new java.io.File(tmp, "state").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      changes(spark, dir)
+        .selectExpr("user_id", "event_type", "unix_micros(ts) AS ts_us",
+          "event_id", "cents")
+        .coalesce(1).write.json(landing)
+      graft.streaming.EventStreams.cdcUpsertStream(spark, landing, state, ckpt)
+      val res = graft.operators.UpsertState
+        .current(spark.read.parquet(state), "event_type", "error")
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("cents").as("last_cents"))
+      // one row per user: materialize so the temp tree drops eagerly
+      val rows = res.collectAsList()
+      spark.createDataFrame(rows, res.schema).orderBy(col("user_id"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** Maintained state ≡ batch compaction: q56's oracle verbatim. */
+  val q98Sql: String = q56Sql
+
   // ---- Q57: SCD2 validity intervals --------------------------------------
 
   /** Slowly-changing-dimension type 2: every change becomes a versioned row
