@@ -259,4 +259,41 @@ object Parity {
 
   /** Sink round trip ≡ no round trip: the gate p3 already passes. */
   val p5Sql: String = p3Sql
+
+  // ---- P6: the streaming ingest pipeline itself, scored -----------------
+
+  /** P6 — the REFERENCE REPLACEMENT under the oracle:
+    * [[graft.streaming.EventStreams.ingestFlares]] is the engine's
+    * restatement of the reference's whole pipeline (daily scheduled
+    * fetch → project → ON CONFLICT DO NOTHING append, reference
+    * dags/etl.py:11-89) as an AvailableNow landing-dir stream with a
+    * checkpoint and the idempotent DedupAppend. Here the combined fixture
+    * lands as one JSON file (a single micro-batch, so the in-batch
+    * first-writer tie-break is p3's deterministic (class_type, link)
+    * minimum), the stream maintains the flare table, and the table —
+    * read back with the surrogate id — must hash-equal p3's answer.
+    * P1-P5 gate the pipeline's pieces; this gates the assembled service
+    * the reference user actually migrates to. */
+  def p6StreamIngest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_p6_").toFile
+    try {
+      val landing = new java.io.File(tmp, "landing")
+      landing.mkdirs()
+      val table = new java.io.File(tmp, "solar_flare_data").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      java.nio.file.Files.writeString(
+        new java.io.File(landing, "flares.json").toPath,
+        jsonBody(batchA ++ batchB))
+      graft.streaming.EventStreams.ingestFlares(
+        spark, landing.getAbsolutePath, table, ckpt)
+      val read = spark.read.parquet(table)
+      // fixture-sized result: materialize so the temp tree drops eagerly
+      val res = Donki.withId(read)
+      val rows = res.collectAsList()
+      spark.createDataFrame(rows, res.schema).orderBy(col("id"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** Streamed pipeline ≡ batch pipeline: the gate p3 already passes. */
+  val p6Sql: String = p3Sql
 }
