@@ -36,18 +36,11 @@ object RollupState {
            max(col("cents")).as("max_cents"))
 
   /** Merge a partial rollup into the maintained table (creating it on
-    * first use): sum of counts, sum of sums, max of maxes. */
-  def merge(spark: SparkSession, partialRollup: DataFrame, rollupPath: String): Unit = {
-    val existing =
-      if (new java.io.File(rollupPath).exists) spark.read.parquet(rollupPath)
-      else spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), partialRollup.schema)
-    val merged = existing.unionByName(partialRollup)
-      .groupBy(col("event_type"), col("d"))
-      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"),
-           max(col("max_cents")).as("max_cents"))
-      // materialize before overwriting the directory being read
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(rollupPath)
-  }
+    * first use): sum of counts, sum of sums, max of maxes — through the
+    * shared [[StateMerge]] discipline. */
+  def merge(spark: SparkSession, partialRollup: DataFrame, rollupPath: String): Unit =
+    StateMerge.mergeOverwrite(spark, partialRollup, rollupPath)(
+      _.groupBy(col("event_type"), col("d"))
+        .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"),
+             max(col("max_cents")).as("max_cents")))
 }

@@ -504,11 +504,18 @@ object ChangeData {
     * modulus — bit-identical. */
   def q95ContentChecksum(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.ChecksumAgg.register(spark) // stock-session fallback
+    // canonical serialization: every field occupies its slot — a NULL
+    // renders as an explicit single-space marker (impossible in these
+    // numeric renders), so (a,NULL,b) and (a,b,NULL) serialize
+    // differently and no row silently drops out of the sum (a bare
+    // concat_ws would SKIP null args; the oracle's || would null the row)
+    def slot(c: org.apache.spark.sql.Column) =
+      coalesce(c.cast("string"), lit(" "))
     t(spark, dir, "events")
       .select(col("event_type"),
-        concat_ws("|", col("event_id"), col("user_id"),
-          round(col("value") * 100).cast(LongType),
-          unix_micros(col("ts"))).as("payload"))
+        concat_ws("|", slot(col("event_id")), slot(col("user_id")),
+          slot(round(col("value") * 100).cast(LongType)),
+          slot(unix_micros(col("ts")))).as("payload"))
       .createOrReplaceTempView("events_q95")
     spark.sql(
       """SELECT event_type, count(*) AS n, checksum_agg(payload) AS checksum
@@ -516,9 +523,11 @@ object ChangeData {
   }
 
   val q95Sql: String = {
+    def slot(e: String) = s"coalesce(CAST($e AS VARCHAR), ' ')"
     val h = graft.functions.TextFns.h31Sql(
-      "event_id || '|' || user_id || '|' || CAST(round(value * 100) AS BIGINT)" +
-        " || '|' || epoch_us(CAST(ts AS TIMESTAMP))")
+      slot("event_id") + " || '|' || " + slot("user_id") + " || '|' || " +
+        slot("CAST(round(value * 100) AS BIGINT)") + " || '|' || " +
+        slot("epoch_us(CAST(ts AS TIMESTAMP))"))
     s"""WITH r AS (SELECT event_type, $h AS h FROM events)
        |SELECT event_type, count(*) AS n,
        |  CAST(CAST(sum(h) AS HUGEINT) % 2147483647 AS BIGINT) AS checksum

@@ -492,7 +492,7 @@ object CorpusQueries {
        |  CAST(sum(e.n_words) AS BIGINT) AS n_words,
        |  CAST(sum(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
        |  (CAST(sum(e.n_bpe_tokens) AS BIGINT) * 1000000)
-       |    // CAST(sum(e.n_words) AS BIGINT) AS fertility_ppm
+       |    // CAST(nullif(sum(e.n_words), 0) AS BIGINT) AS fertility_ppm
        |FROM ($x74Sql) e JOIN documents d USING (doc_id)
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 

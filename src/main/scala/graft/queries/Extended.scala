@@ -883,20 +883,14 @@ object Extended {
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val s = batch.sparkSession
           val partial = batch.toDF()
             .groupBy(col("l_returnflag"), col("l_linestatus"))
             .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
-          val existing =
-            if (new java.io.File(mvPath).exists) s.read.parquet(mvPath)
-            else s.createDataFrame(
-              new java.util.ArrayList[org.apache.spark.sql.Row](), partial.schema)
-          val merged = existing.unionByName(partial)
-            .groupBy(col("l_returnflag"), col("l_linestatus"))
-            .agg(sum(col("sum_qty_cents")).as("sum_qty_cents"),
-                 sum(col("cnt")).as("cnt"))
-            .localCheckpoint(true) // materialize before overwriting the read dir
-          merged.write.mode("overwrite").parquet(mvPath)
+          graft.operators.StateMerge.mergeOverwrite(
+            batch.sparkSession, partial, mvPath)(
+            _.groupBy(col("l_returnflag"), col("l_linestatus"))
+              .agg(sum(col("sum_qty_cents")).as("sum_qty_cents"),
+                   sum(col("cnt")).as("cnt")))
         }
         .start()
       q.awaitTermination()

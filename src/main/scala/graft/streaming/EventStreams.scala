@@ -286,18 +286,11 @@ object EventStreams {
     * counts, sum of exact decimal sums (both associative, so merged state
     * ≡ one-shot aggregation regardless of slicing). */
   private def mergeTumbling(spark: SparkSession, partial: DataFrame,
-                            statePath: String): Unit = {
-    val existing =
-      if (new java.io.File(statePath).exists) spark.read.parquet(statePath)
-      else spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), partial.schema)
-    val merged = existing.unionByName(partial)
-      .groupBy(col("window_start"), col("event_type"))
-      .agg(sum(col("n")).as("n"), sum(col("sum_dec")).cast(DecimalType(18, 2)).as("sum_dec"))
-      // materialize before overwriting the directory being read
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(statePath)
-  }
+                            statePath: String): Unit =
+    graft.operators.StateMerge.mergeOverwrite(spark, partial, statePath)(
+      _.groupBy(col("window_start"), col("event_type"))
+        .agg(sum(col("n")).as("n"),
+          sum(col("sum_dec")).cast(DecimalType(18, 2)).as("sum_dec")))
 
   /** The second SCORED streaming gate (q74): the events table streamed
     * (AvailableNow + checkpoint) through per-batch latest-wins merges into
