@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType, StructField, StructType}
@@ -26,28 +26,36 @@ import org.apache.spark.unsafe.types.UTF8String
   * `sequence(1, size-n+1)` DESCENDS when size < n and must be guarded
   * separately every time — the generator encapsulates the edge once).
   *
-  * `n` must be a positive integer literal (checked at bind time — a
-  * per-row n would defeat the analyzer's output-schema contract).
+  * `n` must be a positive INT the analyzer can fold to a constant — a
+  * literal, or any foldable expression like `1 + 2` (a per-row n would
+  * defeat the analyzer's output-schema contract). Violations surface as
+  * an `AnalysisException` through `checkInputDataTypes`, never a raw
+  * runtime exception from construction.
   */
 case class NGramsGen(child: Expression, n: Expression)
     extends Generator with CodegenFallback {
 
-  private val nVal: Int = n match {
-    case Literal(v: Int, IntegerType) if v >= 1 => v
-    case other =>
-      throw new IllegalArgumentException(
-        s"ngrams_gen(tokens, n): n must be a positive INT literal, got $other")
-  }
+  // resolved lazily AFTER analysis has accepted the inputs — construction
+  // itself never throws, so the analyzer's error path stays in charge
+  private lazy val nVal: Int = n.eval(null).asInstanceOf[Int]
 
   override def children: Seq[Expression] = Seq(child, n)
 
   override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) =>
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    case t =>
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"ngrams_gen needs array<string> tokens, got $t")
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (!n.foldable || n.dataType != IntegerType)
+      TypeCheckFailure(
+        s"ngrams_gen(tokens, n): n must be an INT literal or constant-foldable " +
+          s"INT expression, got ${n.sql}")
+    else if (n.eval(null) == null || n.eval(null).asInstanceOf[Int] < 1)
+      TypeCheckFailure(
+        s"ngrams_gen(tokens, n): n must fold to a positive INT literal value, " +
+          s"got ${n.eval(null)}")
+    else child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckSuccess
+      case t => TypeCheckFailure(s"ngrams_gen needs array<string> tokens, got $t")
+    }
   }
 
   override def elementSchema: StructType = StructType(Seq(

@@ -37,9 +37,12 @@ object RollupState {
 
   /** Merge a partial rollup into the maintained table (creating it on
     * first use): sum of counts, sum of sums, max of maxes — through the
-    * shared [[StateMerge]] discipline. */
-  def merge(spark: SparkSession, partialRollup: DataFrame, rollupPath: String): Unit =
-    StateMerge.mergeOverwrite(spark, partialRollup, rollupPath)(
+    * shared [[StateMerge]] discipline. Streaming callers pass the
+    * micro-batch id so a foreachBatch retry cannot double-count the sums
+    * (StateMerge stamps and skips replays); batch callers omit it. */
+  def merge(spark: SparkSession, partialRollup: DataFrame, rollupPath: String,
+            batchId: Long = -1L): Unit =
+    StateMerge.mergeOverwrite(spark, partialRollup, rollupPath, batchId)(
       _.groupBy(col("event_type"), col("d"))
         .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"),
              max(col("max_cents")).as("max_cents")))

@@ -882,12 +882,12 @@ object Extended {
         .option("maxFilesPerTrigger", "2").parquet(landing)
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           val partial = batch.toDF()
             .groupBy(col("l_returnflag"), col("l_linestatus"))
             .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
           graft.operators.StateMerge.mergeOverwrite(
-            batch.sparkSession, partial, mvPath)(
+            batch.sparkSession, partial, mvPath, batchId)(
             _.groupBy(col("l_returnflag"), col("l_linestatus"))
               .agg(sum(col("sum_qty_cents")).as("sum_qty_cents"),
                    sum(col("cnt")).as("cnt")))

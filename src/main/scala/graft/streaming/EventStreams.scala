@@ -268,7 +268,7 @@ object EventStreams {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val partial = batch.toDF()
           .groupBy(window(col("ts"), "1 hour").getField("start")
               .cast(TimestampNTZType).as("window_start"),
@@ -276,7 +276,7 @@ object EventStreams {
           .agg(count(lit(1)).as("n"),
                sum(col("value").cast(DecimalType(18, 2)))
                  .cast(DecimalType(18, 2)).as("sum_dec"))
-        mergeTumbling(batch.sparkSession, partial, statePath)
+        mergeTumbling(batch.sparkSession, partial, statePath, batchId)
       }
       .start()
     q.awaitTermination()
@@ -286,8 +286,8 @@ object EventStreams {
     * counts, sum of exact decimal sums (both associative, so merged state
     * ≡ one-shot aggregation regardless of slicing). */
   private def mergeTumbling(spark: SparkSession, partial: DataFrame,
-                            statePath: String): Unit =
-    graft.operators.StateMerge.mergeOverwrite(spark, partial, statePath)(
+                            statePath: String, batchId: Long = -1L): Unit =
+    graft.operators.StateMerge.mergeOverwrite(spark, partial, statePath, batchId)(
       _.groupBy(col("window_start"), col("event_type"))
         .agg(sum(col("n")).as("n"),
           sum(col("sum_dec")).cast(DecimalType(18, 2)).as("sum_dec")))
@@ -367,9 +367,9 @@ object EventStreams {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.RollupState.merge(batch.sparkSession,
-          graft.operators.RollupState.partial(batch.toDF()), rollupPath)
+          graft.operators.RollupState.partial(batch.toDF()), rollupPath, batchId)
       }
       .start()
     q.awaitTermination()

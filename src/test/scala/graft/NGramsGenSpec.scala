@@ -62,14 +62,32 @@ class NGramsGenSpec extends AnyFunSuite {
     assert(got.forall(_._2 != null), "schema declares gram non-null")
   }
 
-  test("ngrams_gen rejects a non-literal n at bind time") {
+  test("ngrams_gen rejects a non-constant n as an ANALYSIS error, not a raw throw") {
     Seq((1L, "a b c")).toDF("doc_id", "text")
       .select($"doc_id", split($"text", " ").as("ts"), size($"ts").as("k"))
       .createOrReplaceTempView("ngs_bad")
-    val e = intercept[Exception] {
+    // a per-row n (column reference) must fail through checkInputDataTypes
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT * FROM ngs_bad LATERAL VIEW ngrams_gen(ts, k) g AS pos, gram")
         .collect()
     }
     assert(e.getMessage.toLowerCase.contains("literal"))
+    // so must a non-positive n — also an AnalysisException, never IAE
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM ngs_bad LATERAL VIEW ngrams_gen(ts, 0) g AS pos, gram")
+        .collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("positive"))
+  }
+
+  test("ngrams_gen accepts a constant-foldable non-literal n (1 + 2)") {
+    Seq((1L, "a b c d")).toDF("doc_id", "text")
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .createOrReplaceTempView("ngs_fold")
+    val got = spark.sql(
+      "SELECT pos, gram FROM ngs_fold LATERAL VIEW ngrams_gen(ts, 1 + 2) g AS pos, gram ORDER BY pos")
+      .as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "a b c"), (2, "b c d")),
+      "a foldable n must behave exactly like the folded literal")
   }
 }
