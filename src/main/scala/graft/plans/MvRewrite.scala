@@ -1,5 +1,9 @@
 package graft.plans
 
+import java.util.Locale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -22,18 +26,38 @@ object MvCatalog {
     *   roots; a catalog identity replaces this at scale)
     * @param groupCols      the MV's grouping columns (base-table names;
     *   the MV stores them under the same names)
-    * @param sumMeasures    canonical SQL of a base-side measure expression
-    *   (as produced by `Expression.sql` on the analyzed tree) → the MV
-    *   column holding its per-group exact SUM
+    * @param sumMeasures    ANALYZED base-side measure expression trees →
+    *   the MV column holding each measure's per-group exact SUM. Matched
+    *   structurally (identifier-case-insensitive, literal-case-PRESERVING
+    *   — see [[MvRewrite.sameMeasure]]), never by SQL-string comparison;
+    *   register both the analyzed and optimized spelling via
+    *   [[measureExprs]] so the matcher meets the query's tree in either
+    *   state.
     * @param countCol       MV column holding the per-group `count(*)`
     * @param mv             analyzed logical plan scanning the MV itself
+    *   (re-instantiated with fresh exprIds at every substitution, so one
+    *   view can appear in several branches of one query)
     */
   final case class MvDef(
       basePathSuffix: String,
       groupCols: Set[String],
-      sumMeasures: Map[String, String],
+      sumMeasures: Seq[(Expression, String)],
       countCol: String,
       mv: LogicalPlan)
+
+  /** The analyzed and optimized expression trees of measure `c` over
+    * `df` — the ONE spelling of the registration contract, shared by the
+    * library queries and the specs (a registration derived from the
+    * engine's own trees can never drift from the matcher). */
+  def measureExprs(df: DataFrame, c: Column): Seq[Expression] = {
+    val qe = df.select(c.as("__graft_mv_measure")).queryExecution
+    Seq(qe.analyzed, qe.optimizedPlan).collect {
+      case p: Project => p.projectList.head match {
+        case a: Alias => a.child
+        case other => other
+      }
+    }.distinct
+  }
 
   @volatile private var defs: Seq[MvDef] = Nil
   def register(d: MvDef): Unit = synchronized { defs = defs :+ d }
@@ -46,21 +70,28 @@ object MvCatalog {
   * "aggregate navigator" every warehouse engine grows. A query grouping by
   * a SUBSET of an MV's grouping columns re-aggregates the MV's per-group
   * partials: `sum(x)` becomes `sum(mv.sum_x)`, `count(*)` becomes
-  * `sum(mv.cnt)`. Why this matters at 100 TB: the rewritten scan reads the
-  * MV's |group-domain| rows instead of the corpus — the same partial-
+  * `sum(mv.cnt)`. ROLLUP / CUBE / GROUPING SETS over the MV's columns
+  * rewrite too: the Expand that replicates each input row per grouping
+  * set replays over the MV's group rows instead of the corpus (the
+  * partial sums re-aggregate per set exactly as the flat case does). Why
+  * this matters at 100 TB: the rewritten scan reads the MV's
+  * |group-domain| rows instead of the corpus — the same partial-
   * aggregation algebra q63's incremental rollup maintains by hand, applied
   * transparently to any query that matches.
   *
   * Soundness conditions (all checked; anything else is left untouched):
   *   - the aggregate's child is the registered base relation (optionally
-  *     under a Project) — matched by file-source root path;
+  *     under a Project, an admissible Filter, and for rollup/cube the
+  *     Expand) — matched by file-source root path;
   *   - every grouping expression resolves to a bare base column contained
-  *     in the MV's grouping set;
+  *     in the MV's grouping set (for Expand shapes: every non-literal
+  *     projection expression resolves to a grouping column or a
+  *     registered measure);
   *   - every aggregate is a plain `sum` over a registered measure
-  *     expression (matched by canonical `Expression.sql` through the
-  *     Project, so `sum(cast(round(l_quantity*100) as bigint))` matches
-  *     however the query spells it) or `count(*)` / `count(1)` — no
-  *     DISTINCT, no FILTER clauses;
+  *     expression — matched STRUCTURALLY on the analyzed expression tree
+  *     (identifier case is normalized, literal values and their case are
+  *     preserved, so `'A'` never matches `'a'`) — or `count(*)` /
+  *     `count(1)`; no DISTINCT, no FILTER clauses;
   *   - an interposed Filter is replayed against the MV iff its
   *     (deterministic) predicate references ONLY grouping columns —
   *     whole-group selection commutes with the pre-aggregation; a
@@ -72,9 +103,15 @@ object MvCatalog {
   *     ulp, and this engine's contract is bit-equality (Tables scaladoc).
   *
   * The rewritten Aggregate reproduces the original output attributes
-  * (names AND exprIds — the [[LatestWinsRewrite]] discipline), so parent
-  * operators never notice. Idempotent under AQE's logical re-optimization:
-  * the MV's own path never matches `basePathSuffix`.
+  * (names, exprIds, data types AND nullability — `count(*)`'s
+  * non-nullable Long stays non-nullable via KnownNotNull, sound because a
+  * group only exists where at least one MV partial row does), so parent
+  * operators never notice. When SEVERAL registered views match, the one
+  * with the fewest grouping columns wins — the coarsest sufficient grain
+  * is the smallest scan (grain size is the only cost signal a partial-sum
+  * MV needs; ties keep registration order). Idempotent under AQE's
+  * logical re-optimization: the MV's own path never matches
+  * `basePathSuffix`.
   */
 object MvRewrite extends Rule[LogicalPlan] {
 
@@ -82,12 +119,32 @@ object MvRewrite extends Rule[LogicalPlan] {
     if (MvCatalog.all.isEmpty) plan
     else plan.transformUp {
       case agg: Aggregate =>
-        MvCatalog.all.view.flatMap(d => rewrite(agg, d)).headOption.getOrElse(agg)
+        // all sufficient views compete; the coarsest grain reads the
+        // fewest rows (first registration wins ties — deterministic)
+        val candidates = MvCatalog.all.flatMap(d => rewrite(agg, d).map(d -> _))
+        if (candidates.isEmpty) agg else candidates.minBy(_._1.groupCols.size)._2
     }
 
-  /** Strip qualifiers/backticks so `Expression.sql` compares stably. */
-  private def canon(e: Expression): String =
-    e.sql.replace("`", "").toLowerCase(java.util.Locale.ROOT)
+  // ---- structural measure matching --------------------------------------
+
+  /** Pin every attribute to a case-normalized name-derived exprId, then
+    * canonicalize: two trees compare equal iff they are the same
+    * computation over same-named columns. Identifiers are matched
+    * case-insensitively; literals keep their exact value (and case), so
+    * a measure containing `'A'` can never match a query using `'a'` —
+    * the soundness hole string-lowercasing had. */
+  private def normalized(e: Expression): Expression = e.transformUp {
+    case a: AttributeReference =>
+      val n = a.name.toLowerCase(Locale.ROOT)
+      AttributeReference(n, a.dataType, nullable = true)(
+        exprId = ExprId(n.hashCode.toLong & 0x7fffffffL), qualifier = Nil)
+  }.canonicalized
+
+  private def sameMeasure(registered: Expression, query: Expression): Boolean =
+    normalized(registered) == normalized(query)
+
+  private def matchMeasure(d: MvCatalog.MvDef, resolved: Expression): Option[String] =
+    d.sumMeasures.collectFirst { case (m, c) if sameMeasure(m, resolved) => c }
 
   private def exactSum(t: org.apache.spark.sql.types.DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType => true
@@ -95,30 +152,21 @@ object MvRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** Re-aggregate under the ORIGINAL output contract: the replacement
-    * must reproduce the original alias's exprId AND data type — a
-    * re-aggregated decimal sum widens precision (p+10 → p+20), and a
-    * parent operator reading the stale narrower type through the reused
-    * exprId would misdecode the row. Cast back when the types differ
-    * (only reachable for decimals; an overflow past the original
-    * precision would have overflowed the original query too). */
-  private def reAgg(fn: Sum, orig: Alias): NamedExpression = {
-    val e = fn.toAggregateExpression()
-    val body = if (e.dataType == orig.dataType) e else Cast(e, orig.dataType)
-    Alias(body, orig.name)(exprId = orig.exprId, qualifier = orig.qualifier)
+  // ---- shared plumbing ---------------------------------------------------
+
+  /** A fresh-exprId instance of the MV plan, so the same registered view
+    * can be spliced into several branches of one query (e.g. a self-join
+    * of two rewritten aggregates) without duplicate attribute ids. */
+  private def freshMv(p: LogicalPlan): LogicalPlan = p match {
+    case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
+    case other => other
   }
 
-  private def rewrite(agg: Aggregate, d: MvCatalog.MvDef): Option[LogicalPlan] = {
-    // ---- locate the base relation, optionally under Project / Filter ----
-    // A Filter is admissible only when its predicate touches NOTHING but
-    // the MV's grouping columns: such a predicate partitions whole MV
-    // groups, so it commutes with the pre-aggregation and can be replayed
-    // verbatim against the MV. A predicate on any other column selects
-    // WITHIN groups, which the MV's partial sums have already collapsed —
-    // never rewritable.
-    // By rule time, pushdown has usually moved the Filter BELOW the
-    // Project — accept it on either side.
-    val (projList, filterCond, rel) = agg.child match {
+  /** Match the base relation under an optional Project / Filter (either
+    * nesting order — pushdown moves the Filter below the Project). */
+  private def matchChild(plan: LogicalPlan)
+      : (Option[Seq[NamedExpression]], Option[Expression], Option[LogicalRelation]) =
+    plan match {
       case lr: LogicalRelation => (None, None, Some(lr))
       case Filter(c, lr: LogicalRelation) => (None, Some(c), Some(lr))
       case Project(pl, lr: LogicalRelation) => (Some(pl), None, Some(lr))
@@ -126,9 +174,11 @@ object MvRewrite extends Rule[LogicalPlan] {
       case Filter(c, Project(pl, lr: LogicalRelation)) => (Some(pl), Some(c), Some(lr))
       case _ => (None, None, None)
     }
-    // path-component anchored: "/x/lineitem.parquet" matches the suffix
-    // "lineitem.parquet", "/x/archived_lineitem.parquet" must NOT
-    val isBase = rel.exists(_.relation match {
+
+  /** Path-component anchored: "/x/lineitem.parquet" matches the suffix
+    * "lineitem.parquet", "/x/archived_lineitem.parquet" must NOT. */
+  private def isBase(rel: Option[LogicalRelation], d: MvCatalog.MvDef): Boolean =
+    rel.exists(_.relation match {
       case fs: HadoopFsRelation =>
         fs.location.rootPaths.exists { p =>
           val s = p.toString
@@ -136,7 +186,65 @@ object MvRewrite extends Rule[LogicalPlan] {
         }
       case _ => false
     })
-    if (!isBase) return None
+
+  /** Reproduce the original attribute's nullability contract: the
+    * replacement value is never actually null where the original was
+    * non-nullable (a group exists only where ≥1 MV partial row does),
+    * but parquet-sourced MV attributes are DECLARED nullable — without
+    * the wrap, parents holding the reused exprId would see stale
+    * metadata and nullability-sensitive optimizations could misfire. */
+  private def withNullability(e: Expression, wantNullable: Boolean): Expression =
+    if (!wantNullable && e.nullable) KnownNotNull(e) else e
+
+  /** Re-aggregate under the ORIGINAL output contract: the replacement
+    * must reproduce the original alias's exprId, data type AND
+    * nullability — a re-aggregated decimal sum widens precision
+    * (p+10 → p+20), and a parent operator reading the stale narrower
+    * type through the reused exprId would misdecode the row. Cast back
+    * when the types differ (only reachable for decimals; an overflow
+    * past the original precision would have overflowed the original
+    * query too). */
+  private def reAgg(fn: Sum, orig: Alias): NamedExpression = {
+    val e = fn.toAggregateExpression()
+    val cast = if (e.dataType == orig.dataType) e else Cast(e, orig.dataType)
+    Alias(withNullability(cast, orig.child.nullable), orig.name)(
+      exprId = orig.exprId, qualifier = orig.qualifier)
+  }
+
+  /** Replay an admissible filter against the MV: deterministic, and
+    * every referenced column resolves to an MV grouping column. */
+  private def reboundFilter(cond: Option[Expression],
+                            resolve: Expression => Expression,
+                            d: MvCatalog.MvDef,
+                            mvAttr: String => Option[Attribute],
+                            mv: LogicalPlan): Option[LogicalPlan] = cond match {
+    case None => Some(mv)
+    case Some(c) if c.deterministic =>
+      var ok = true
+      val rebound = c.transform {
+        case a: AttributeReference =>
+          resolve(a) match {
+            case b: AttributeReference if d.groupCols(b.name) && mvAttr(b.name).isDefined =>
+              mvAttr(b.name).get
+            case _ => ok = false; a
+          }
+      }
+      if (ok) Some(Filter(rebound, mv)) else None
+    case _ => None
+  }
+
+  private def rewrite(agg: Aggregate, d: MvCatalog.MvDef): Option[LogicalPlan] =
+    agg.child match {
+      case e: Expand => rewriteExpand(agg, e, d)
+      case _ => rewriteFlat(agg, d)
+    }
+
+  // ---- the flat GROUP BY shape -------------------------------------------
+
+  private def rewriteFlat(agg: Aggregate, d: MvCatalog.MvDef): Option[LogicalPlan] = {
+    val (projList, filterCond, rel) = matchChild(agg.child)
+    if (!isBase(rel, d)) return None
+    val mv = freshMv(d.mv)
 
     // resolve an attribute through the optional Project to its defining expr
     val defOf: Map[ExprId, Expression] = projList
@@ -151,7 +259,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
 
     val mvAttrByName: Map[String, Attribute] =
-      d.mv.output.map(a => a.name -> a).toMap
+      mv.output.map(a => a.name -> a).toMap
     def mvAttr(name: String): Option[Attribute] = mvAttrByName.get(name)
 
     // ---- grouping: bare base columns within the MV's grouping set -------
@@ -170,15 +278,16 @@ object MvRewrite extends Rule[LogicalPlan] {
         // grouping passthrough
         resolve(a) match {
           case b: AttributeReference if d.groupCols(b.name) =>
-            mvAttr(b.name).map(m => Alias(m, a.name)(exprId = a.exprId,
-              qualifier = a.qualifier))
+            mvAttr(b.name).map(m =>
+              Alias(withNullability(m, a.nullable), a.name)(exprId = a.exprId,
+                qualifier = a.qualifier))
           case _ => None
         }
       case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _), _) =>
         mvAttr(d.countCol).map(m => reAgg(Sum(m), al))
       case al @ Alias(AggregateExpression(Sum(child, _), _, false, None, _), _)
           if exactSum(child.dataType) =>
-        d.sumMeasures.get(canon(resolve(child)))
+        matchMeasure(d, resolve(child))
           .flatMap(mvAttr)
           .map(m => reAgg(Sum(m), al))
       case _ => None
@@ -188,22 +297,122 @@ object MvRewrite extends Rule[LogicalPlan] {
     val newGrouping = groupBase.get.flatMap(g => mvAttr(g.name))
     if (newGrouping.length != groupBase.get.length) return None
 
-    // ---- replay an admissible filter against the MV ---------------------
-    val newChild: Option[LogicalPlan] = filterCond match {
-      case None => Some(d.mv)
-      case Some(cond) if cond.deterministic =>
-        var ok = true
-        val rebound = cond.transform {
-          case a: AttributeReference =>
-            resolve(a) match {
-              case b: AttributeReference if d.groupCols(b.name) && mvAttr(b.name).isDefined =>
-                mvAttr(b.name).get
-              case _ => ok = false; a
+    reboundFilter(filterCond, resolve, d, mvAttr, mv)
+      .map(c => Aggregate(newGrouping, rewritten.map(_.get), c))
+  }
+
+  // ---- the ROLLUP / CUBE / GROUPING SETS shape ---------------------------
+
+  /** Rewrite `Aggregate(..., Expand(projections, output, base))` to the
+    * same Aggregate over `Expand(projections', output', mv)`. The Expand
+    * positions the aggregate's grouping expressions read (the per-set
+    * grouping columns and the grouping-id literals) are KEPT with their
+    * exprIds, their projections remapped to the MV's grouping columns;
+    * raw measure-input passthrough positions (the base column a
+    * `sum(expr(col))` reads ABOVE the Expand) are resolved through the
+    * Expand into the full measure expression, matched against the
+    * registry, and replaced by appended passthroughs of the MV's
+    * partial-sum / count columns; unreferenced positions are dropped.
+    * Summing a partial-sum column per grouping set is exactly the flat
+    * case's algebra applied per set, so every set's totals re-aggregate
+    * correctly from the one MV. */
+  private def rewriteExpand(agg: Aggregate, exp: Expand,
+                            d: MvCatalog.MvDef): Option[LogicalPlan] = {
+    val (projList, filterCond, rel) = matchChild(exp.child)
+    if (!isBase(rel, d)) return None
+    val mv = freshMv(d.mv)
+
+    val defOf: Map[ExprId, Expression] = projList
+      .map(_.collect {
+        case a: AttributeReference => a.exprId -> (a: Expression)
+        case al: Alias => al.exprId -> al.child
+      }.toMap)
+      .getOrElse(Map.empty)
+    def resolve(e: Expression): Expression = e match {
+      case a: AttributeReference => defOf.getOrElse(a.exprId, a)
+      case other => other
+    }
+
+    val mvAttrByName: Map[String, Attribute] =
+      mv.output.map(a => a.name -> a).toMap
+    def mvAttr(name: String): Option[Attribute] = mvAttrByName.get(name)
+
+    // ---- classify every Expand output position --------------------------
+    // keep: all-literal (grouping id) or per-set grouping column (null in
+    //   excluded sets) — projections remapped to the MV grouping column
+    // passthrough: the same expression in EVERY projection — recorded so
+    //   sums above the Expand resolve through it; dropped from the output
+    //   unless something still references it after the rewrite
+    val width = exp.output.length
+    if (exp.projections.exists(_.length != width)) return None
+    val keptCols = scala.collection.mutable.LinkedHashMap[Int, Seq[Expression]]()
+    val expandDef = scala.collection.mutable.Map[ExprId, Expression]()
+    var refused = false
+    (0 until width).foreach { i =>
+      val outAttr = exp.output(i)
+      val exprsAtI = exp.projections.map(_(i))
+      val uniform = exprsAtI.distinct.size == 1
+      if (uniform && !exprsAtI.head.isInstanceOf[Literal])
+        expandDef(outAttr.exprId) = resolve(exprsAtI.head)
+      if (exprsAtI.forall(_.isInstanceOf[Literal])) keptCols(i) = exprsAtI
+      else {
+        val mapped = exprsAtI.map {
+          case nul @ Literal(null, _) => Some(nul: Expression) // excluded-set slot
+          case e =>
+            resolve(e) match {
+              case b: AttributeReference if d.groupCols(b.name) =>
+                mvAttr(b.name).filter(_.dataType == e.dataType)
+                  .map(withNullability(_, e.nullable))
+              case _ => None
             }
         }
-        if (ok) Some(Filter(rebound, d.mv)) else None
+        if (mapped.forall(_.isDefined)) keptCols(i) = mapped.map(_.get)
+        else if (!uniform) refused = true // neither grouping nor passthrough
+      }
+    }
+    if (refused) return None
+    val keptIds: Set[ExprId] = keptCols.keysIterator.map(i => exp.output(i).exprId).toSet
+
+    // ---- rewrite the parent aggregate list ------------------------------
+    // appended passthroughs: one new Expand output attr per MV column a
+    // rewritten aggregate needs (partial sums, the count) — the SAME
+    // value in every projection row, so each grouping set re-aggregates
+    // the partials replicated into it
+    val appended = scala.collection.mutable.LinkedHashMap[String, AttributeReference]()
+    def passAttr(mvColName: String): Option[AttributeReference] =
+      mvAttr(mvColName).map { m =>
+        appended.getOrElseUpdate(mvColName,
+          AttributeReference("__graft_mv_" + mvColName, m.dataType, m.nullable)())
+      }
+    def resolveDeep(e: Expression): Expression = resolve(e.transformUp {
+      case a: AttributeReference if expandDef.contains(a.exprId) => expandDef(a.exprId)
+    })
+    val rewritten: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+      case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _), _) =>
+        passAttr(d.countCol).map(c => reAgg(Sum(c), al))
+      case al @ Alias(AggregateExpression(Sum(child, _), _, false, None, _), _)
+          if exactSum(child.dataType) =>
+        matchMeasure(d, resolveDeep(child)).flatMap(passAttr)
+          .map(m => reAgg(Sum(m), al))
+      case ne if !ne.exists(_.isInstanceOf[AggregateExpression]) &&
+          ne.references.forall(r => keptIds(r.exprId)) =>
+        Some(ne) // grouping restore / grouping_id arithmetic — unchanged
       case _ => None
     }
-    newChild.map(c => Aggregate(newGrouping, rewritten.map(_.get), c))
+    if (rewritten.exists(_.isEmpty)) return None
+    // every grouping expression must also read only kept positions
+    if (!agg.groupingExpressions.forall(_.references.forall(r => keptIds(r.exprId))))
+      return None
+
+    reboundFilter(filterCond, resolve, d, mvAttr, mv).map { base =>
+      val keptIdx = keptCols.keysIterator.toSeq
+      val outAttrs = keptIdx.map(exp.output) ++ appended.values
+      val projRows = exp.projections.indices.map { r =>
+        keptIdx.map(i => keptCols(i)(r)) ++
+          appended.keysIterator.map(c => mvAttr(c).get: Expression)
+      }
+      Aggregate(agg.groupingExpressions, rewritten.map(_.get),
+        Expand(projRows, outAttrs, base))
+    }
   }
 }

@@ -743,19 +743,6 @@ object Extended {
     * would forbid the rewrite — regrouping reorders float addition). */
   private def qtyCents = round(col("l_quantity") * 100).cast("long")
 
-  /** Canonical SQL of `c` over `df`, as [[graft.plans.MvRewrite]] compares
-    * it — computed from the engine's own analyzed/optimized trees so the
-    * registration can never drift from the matcher. */
-  private def measureSqls(df: DataFrame, c: org.apache.spark.sql.Column): Seq[String] = {
-    def strip(s: String) = s.replace("`", "").toLowerCase(java.util.Locale.ROOT)
-    val qe = df.select(c.as("m")).queryExecution
-    Seq(qe.analyzed, qe.optimizedPlan).collect {
-      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
-        strip(p.projectList.head.asInstanceOf[
-          org.apache.spark.sql.catalyst.expressions.Alias].child.sql)
-    }.distinct
-  }
-
   /** Build the per-(flag, status) lineitem MV at `mvPath` — the shared
     * fixture for q89/q91 (q92 maintains the same view by stream). */
   private[graft] def buildLineitemMv(spark: SparkSession, dir: String,
@@ -773,8 +760,9 @@ object Extended {
     graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
       basePathSuffix = "lineitem.parquet",
       groupCols = Set("l_returnflag", "l_linestatus"),
-      sumMeasures = measureSqls(t(spark, dir, "lineitem"), qtyCents)
-        .map(_ -> "sum_qty_cents").toMap,
+      sumMeasures = graft.plans.MvCatalog
+        .measureExprs(t(spark, dir, "lineitem"), qtyCents)
+        .map(_ -> "sum_qty_cents"),
       countCol = "cnt",
       mv = spark.read.parquet(mvPath).queryExecution.analyzed))
 
@@ -912,6 +900,152 @@ object Extended {
 
   /** Maintained + rewritten ≡ one-shot over the base: q89's oracle. */
   val q92Sql: String = q89Sql
+
+  // ---- Q99: the maintenance loop (append + compact + swap), scored -------
+
+  /** Q99 — TABLE MAINTENANCE END-TO-END under the oracle: the ingest
+    * loop a long-lived keyed table actually runs. Seven dedup-append
+    * micro-batches (slice 0 re-delivered — the conflict skip must drop
+    * it) accumulate small files through [[graft.operators.Maintenance
+    * .appendCycle]], which self-triggers compaction past `maxFiles` and
+    * swaps the rewritten table in via the checked backup-rename dance; a
+    * final maxFiles=1 cycle forces one more compaction so the scored
+    * read crosses a post-swap table. The require gates pin the physical
+    * contract (file count collapsed; no transient siblings survive); the
+    * DuckDB oracle (each document exactly once) catches any row lost or
+    * duplicated by a swap. At 100 TB the same loop runs per partition
+    * with the swap a catalog pointer flip — compaction is what keeps the
+    * scan unit at target file size forever. */
+  def q99Compaction(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q99_").toFile
+    try {
+      val table = new java.io.File(tmp, "docs").getAbsolutePath
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      (0 until 7).foreach { i =>
+        graft.operators.Maintenance.appendCycle(spark,
+          docs.filter(pmod(col("doc_id"), lit(7)) === i), table,
+          keys = Seq("doc_id"), tieBreak = Nil,
+          maxFiles = 4, targetFileBytes = Long.MaxValue)
+        if (i == 0) graft.operators.Maintenance.appendCycle(spark, // re-delivery
+          docs.filter(pmod(col("doc_id"), lit(7)) === 0), table,
+          keys = Seq("doc_id"), tieBreak = Nil,
+          maxFiles = 4, targetFileBytes = Long.MaxValue)
+      }
+      val finalFiles = graft.operators.Maintenance.appendCycle(spark,
+        docs.limit(0), table, keys = Seq("doc_id"), tieBreak = Nil,
+        maxFiles = 1, targetFileBytes = Long.MaxValue)
+      require(finalFiles == 1L,
+        s"q99: the closing cycle must compact to one file, saw $finalFiles")
+      require(!new java.io.File(table + "__compacting").exists &&
+              !new java.io.File(table + "__precompact").exists,
+        "q99: transient compaction siblings must not survive the swap")
+      val read = spark.read.parquet(table)
+      val rows = read.collectAsList()
+      spark.createDataFrame(rows, read.schema).orderBy(col("doc_id"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** The maintained table is exactly the keyed corpus, once per key. */
+  val q99Sql: String =
+    "SELECT doc_id, source, text FROM documents ORDER BY doc_id"
+
+  // ---- Q100: ROLLUP answered from the MV (Expand-aware rewrite), scored --
+
+  /** Q100 — ROLLUP FROM THE MATERIALIZED VIEW: q89's registered
+    * per-(flag, status) view answers a two-level ROLLUP — per-(flag,
+    * status) totals, per-flag subtotals, and the grand total — through
+    * [[graft.plans.MvRewrite]]'s Expand-aware path: the grouping-set
+    * replication replays over the MV's |group-domain| rows, each set
+    * re-aggregating the stored partial sums (`sum(x)` → `sum(mv.sum_x)`
+    * per set, `count(*)` → `sum(mv.cnt)`). The plan is require'd to scan
+    * the MV, keep the Expand, and never touch the base table; the oracle
+    * runs the same ROLLUP over the base in DuckDB. At 100 TB this is the
+    * difference between replicating the corpus ×(levels+1) through the
+    * Expand and replicating a few hundred MV rows. */
+  def q100MvRollup(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q100_").toFile
+    try {
+      val mvPath = new java.io.File(tmp, "lineitem_mv").getAbsolutePath
+      buildLineitemMv(spark, dir, mvPath)
+      registerLineitemMv(spark, dir, mvPath)
+      try {
+        val res = t(spark, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("n_items"))
+          .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+                  coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+                  col("sum_qty_cents"), col("n_items"))
+        val plan = res.queryExecution.executedPlan.toString
+        require(plan.contains("lineitem_mv"),
+          s"q100 must be answered from the materialized view:\n$plan")
+        require(!plan.contains("lineitem.parquet"),
+          s"q100 must not touch the base table:\n$plan")
+        require(plan.contains("Expand"),
+          s"q100's grouping-set replication must survive the rewrite:\n$plan")
+        val rows = res.collectAsList()
+        spark.createDataFrame(rows, res.schema).orderBy(col("flag"), col("status"))
+      } finally graft.plans.MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  val q100Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+      |  count(*) AS n_items
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin
+
+  // ---- Q101: overlapping-view choice (coarsest sufficient grain), scored -
+
+  /** Q101 — MV OVERLAP COSTING under the oracle: BOTH the per-(flag,
+    * status) view and a coarser per-flag view are registered (fine one
+    * first — a first-match rule would stop there); the per-flag query
+    * must be answered from the COARSER view, whose grain is the smaller
+    * scan (grain size is the only cost signal a partial-sum MV needs).
+    * The plan is require'd to scan the flag-grain view and neither the
+    * fine view nor the base; the oracle is q89's base-table aggregation,
+    * so a wrong-view rewrite that changed the answer would also flip the
+    * hash. At 100 TB choosing the wrong sufficient view is reading a
+    * |flag×status| table where a |flag| table answers — here that is a
+    * few rows, at scale it is the difference between a metadata read and
+    * a real scan. */
+  def q101MvChoice(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q101_").toFile
+    try {
+      val fine = new java.io.File(tmp, "lineitem_mv").getAbsolutePath
+      val coarse = new java.io.File(tmp, "lineitem_mv_flag").getAbsolutePath
+      val li = t(spark, dir, "lineitem")
+      buildLineitemMv(spark, dir, fine)
+      li.groupBy(col("l_returnflag"))
+        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+        .write.parquet(coarse)
+      registerLineitemMv(spark, dir, fine)
+      graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("l_returnflag"),
+        sumMeasures = graft.plans.MvCatalog.measureExprs(li, qtyCents)
+          .map(_ -> "sum_qty_cents"),
+        countCol = "cnt",
+        mv = spark.read.parquet(coarse).queryExecution.analyzed))
+      try {
+        val res = li.groupBy(col("l_returnflag"))
+          .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("n_items"))
+        val plan = res.queryExecution.executedPlan.toString
+        require(plan.contains("lineitem_mv_flag"),
+          s"q101 must choose the coarser sufficient view:\n$plan")
+        require(!plan.contains("lineitem_mv/") && !plan.contains("lineitem_mv]"),
+          s"q101 must not scan the finer view when a coarser one suffices:\n$plan")
+        require(!plan.contains("lineitem.parquet"),
+          s"q101 must not touch the base table:\n$plan")
+        val rows = res.collectAsList()
+        spark.createDataFrame(rows, res.schema).orderBy(col("l_returnflag"))
+      } finally graft.plans.MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** Whichever view answers, the contract is the base aggregation. */
+  val q101Sql: String = q89Sql
 
   // ---- Q86: schema evolution (mergeSchema scan), scored ------------------
 

@@ -114,17 +114,10 @@ class MvRewriteSpec extends AnyFunSuite {
         .write.parquet(coarse)
       graft.queries.Extended.registerLineitemMv(spark, sf, fine)
       // second view at the coarser (status)-only grain
-      val qe = li.select(qtyCents.as("m")).queryExecution
-      val sqls = Seq(qe.analyzed, qe.optimizedPlan).collect {
-        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
-          p.projectList.head.asInstanceOf[
-            org.apache.spark.sql.catalyst.expressions.Alias].child.sql
-            .replace("`", "").toLowerCase(java.util.Locale.ROOT)
-      }.distinct
       MvCatalog.register(MvCatalog.MvDef(
         basePathSuffix = "lineitem.parquet",
         groupCols = Set("l_linestatus"),
-        sumMeasures = sqls.map(_ -> "sum_qty_cents").toMap,
+        sumMeasures = MvCatalog.measureExprs(li, qtyCents).map(_ -> "sum_qty_cents"),
         countCol = "cnt",
         mv = spark.read.parquet(coarse).queryExecution.analyzed))
       try {
@@ -140,6 +133,149 @@ class MvRewriteSpec extends AnyFunSuite {
         assert(got == want, "whichever view wins, the answer must be the base answer")
       } finally MvCatalog.clear()
     } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  test("ROLLUP over the MV's grain is answered from the MV (Expand-aware rewrite)") {
+    withMv { _ =>
+      val li = Tables.t(spark, sf, "lineitem")
+      def q(d: org.apache.spark.sql.DataFrame) = d
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(qtyCents).as("s"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      val viaMv = q(li)
+      val plan = viaMv.queryExecution.executedPlan.toString
+      assert(plan.contains("lineitem_mv"), s"rollup must scan the MV:\n$plan")
+      assert(!plan.contains("lineitem.parquet"), s"rollup must not scan the base:\n$plan")
+      assert(plan.contains("Expand"), "the grouping-set replication must survive the rewrite")
+      val got = viaMv.collect().toSeq
+      MvCatalog.clear()
+      assert(got == q(li).collect().toSeq && got.nonEmpty,
+        "per-set totals re-aggregated from partial sums must equal the base rollup")
+    }
+  }
+
+  test("CUBE and grouping-id arithmetic rewrite too; a mixed-grain rollup refuses") {
+    withMv { _ =>
+      val li = Tables.t(spark, sf, "lineitem")
+      def q(d: org.apache.spark.sql.DataFrame) = d
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+      val viaMv = q(li)
+      assert(viaMv.queryExecution.executedPlan.toString.contains("lineitem_mv"))
+      val got = viaMv.collect().toSeq
+      // mixed grain: one rollup column outside the MV's grouping set
+      val finer = li.rollup(col("l_returnflag"), col("l_partkey"))
+        .agg(sum(qtyCents).as("s"))
+      assert(!finer.queryExecution.executedPlan.toString.contains("lineitem_mv"),
+        "a grouping-set column outside the MV grain must block the rewrite")
+      MvCatalog.clear()
+      assert(got == q(li).collect().toSeq && got.nonEmpty)
+    }
+  }
+
+  test("overlap costing: when several views suffice, the coarsest grain is chosen") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvchoice_").toFile
+    try {
+      val li = Tables.t(spark, sf, "lineitem")
+      val fine = new java.io.File(tmp, "lineitem_mv").getAbsolutePath
+      val coarse = new java.io.File(tmp, "lineitem_mv_flag").getAbsolutePath
+      graft.queries.Extended.buildLineitemMv(spark, sf, fine)
+      li.groupBy(col("l_returnflag"))
+        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+        .write.parquet(coarse)
+      // register FINE first — first-match would pick it; costing must not
+      graft.queries.Extended.registerLineitemMv(spark, sf, fine)
+      MvCatalog.register(MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("l_returnflag"),
+        sumMeasures = MvCatalog.measureExprs(li, qtyCents).map(_ -> "sum_qty_cents"),
+        countCol = "cnt",
+        mv = spark.read.parquet(coarse).queryExecution.analyzed))
+      try {
+        val q = li.groupBy(col("l_returnflag"))
+          .agg(sum(qtyCents).as("s"), count(lit(1)).as("n"))
+        val plan = q.queryExecution.executedPlan.toString
+        assert(plan.contains("lineitem_mv_flag"),
+          s"the coarser (smaller) sufficient view must win:\n$plan")
+        assert(!plan.contains("lineitem_mv/") && !plan.contains("lineitem_mv]"),
+          s"the finer view must not be scanned when a coarser one suffices:\n$plan")
+        val got = q.orderBy(col("l_returnflag")).collect().toSeq
+        MvCatalog.clear()
+        val want = li.groupBy(col("l_returnflag"))
+          .agg(sum(qtyCents).as("s"), count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag")).collect().toSeq
+        assert(got == want, "whichever view wins, the answer must be the base answer")
+        // the finer view still answers when it is the only sufficient one
+        graft.queries.Extended.registerLineitemMv(spark, sf, fine)
+        MvCatalog.register(MvCatalog.MvDef(
+          basePathSuffix = "lineitem.parquet",
+          groupCols = Set("l_returnflag"),
+          sumMeasures = MvCatalog.measureExprs(li, qtyCents).map(_ -> "sum_qty_cents"),
+          countCol = "cnt",
+          mv = spark.read.parquet(coarse).queryExecution.analyzed))
+        val byStatus = li.groupBy(col("l_linestatus")).agg(sum(qtyCents).as("s"))
+        assert(byStatus.queryExecution.executedPlan.toString.contains("lineitem_mv"),
+          "the flag-only view cannot answer a status grouping; the fine view must")
+      } finally MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  test("measure matching preserves literal case: 'A' never matches 'a'") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvlit_").toFile
+    try {
+      val li = Tables.t(spark, sf, "lineitem")
+      val mvPath = new java.io.File(tmp, "lineitem_mv_cond").getAbsolutePath
+      // a measure CONTAINING a string literal — the shape the lowercased-SQL
+      // canon would have matched case-insensitively (the soundness hole)
+      def condQty(flag: String) =
+        when(col("l_returnflag") === flag, round(col("l_quantity") * 100).cast("long"))
+          .otherwise(0L)
+      li.groupBy(col("l_linestatus"))
+        .agg(sum(condQty("A")).as("sum_a"), count(lit(1)).as("cnt"))
+        .write.parquet(mvPath)
+      MvCatalog.register(MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("l_linestatus"),
+        sumMeasures = MvCatalog.measureExprs(li, condQty("A")).map(_ -> "sum_a"),
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed))
+      try {
+        val exact = li.groupBy(col("l_linestatus")).agg(sum(condQty("A")).as("s"))
+        assert(exact.queryExecution.executedPlan.toString.contains("lineitem_mv_cond"),
+          "the identical measure (same literal, same case) must match")
+        val lower = li.groupBy(col("l_linestatus")).agg(sum(condQty("a")).as("s"))
+        assert(!lower.queryExecution.executedPlan.toString.contains("lineitem_mv_cond"),
+          "a measure differing ONLY in string-literal case must NOT match")
+        // identifier case stays insensitive (it names the same column)
+        val idCase = li.groupBy(col("L_LINESTATUS"))
+          .agg(sum(when(col("L_RETURNFLAG") === "A",
+            round(col("L_QUANTITY") * 100).cast("long")).otherwise(0L)).as("s"))
+        assert(idCase.queryExecution.executedPlan.toString.contains("lineitem_mv_cond"),
+          "identifier case must remain insensitive")
+      } finally MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  test("self-join of two rewritten aggregates: fresh MV exprIds per substitution") {
+    withMv { _ =>
+      val li = Tables.t(spark, sf, "lineitem")
+      val agg1 = li.groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s1"))
+      val agg2 = li.groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s2"))
+      val joined = agg1.join(agg2, Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("lineitem_mv"), "both branches rewrite")
+      val got = joined.collect().toSeq
+      MvCatalog.clear()
+      val want = li.groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s1"))
+        .join(li.groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s2")),
+          Seq("l_returnflag"))
+        .orderBy(col("l_returnflag")).collect().toSeq
+      assert(got == want && got.nonEmpty,
+        "the same MV spliced into two branches must analyze and execute cleanly")
+    }
   }
 
   test("empty registry is a strict no-op") {
