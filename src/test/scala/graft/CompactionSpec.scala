@@ -117,6 +117,36 @@ class CompactionSpec extends AnyFunSuite {
     } finally Fs.deleteTree(new java.io.File(tmp))
   }
 
+  test("appendCycle recovers from a crashed prior compaction's stale siblings") {
+    // fault injection: a previous process died mid-compaction, leaving
+    // garbage at BOTH transient sibling paths. The next cycle must clear
+    // them (the swap pre-deletes), produce the correct table, and leave
+    // no siblings — stale state must never leak into the live table.
+    val tmp = Files.createTempDirectory("graft-swap-crash").toFile.getAbsolutePath
+    try {
+      val docs = Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
+      val table = s"$tmp/table"
+      graft.operators.Maintenance.appendCycle(spark,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), table,
+        keys = Seq("doc_id"), tieBreak = Nil,
+        maxFiles = 100, targetFileBytes = Long.MaxValue)
+      // simulate the crash leftovers: a half-written tmp dir and a stale
+      // backup holding WRONG (truncated) data that must not be resurrected
+      docs.limit(3).write.parquet(table + "__compacting")
+      docs.limit(1).write.parquet(table + "__precompact")
+      // next cycle triggers a real compaction (maxFiles=1)
+      graft.operators.Maintenance.appendCycle(spark,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), table,
+        keys = Seq("doc_id"), tieBreak = Nil,
+        maxFiles = 1, targetFileBytes = Long.MaxValue)
+      assert(!new java.io.File(table + "__compacting").exists, "stale tmp must be cleared")
+      assert(!new java.io.File(table + "__precompact").exists, "stale backup must be cleared")
+      val got = spark.read.parquet(table).orderBy(col("doc_id")).collect().toSeq
+      val want = docs.orderBy(col("doc_id")).collect().toSeq
+      assert(got == want, "stale sibling data must never reach the live table")
+    } finally Fs.deleteTree(new java.io.File(tmp))
+  }
+
   test("compactPartitioned: preserves partCol=value layout and contents") {
     val tmp = Files.createTempDirectory("graft-compact-part").toFile.getAbsolutePath
     try {

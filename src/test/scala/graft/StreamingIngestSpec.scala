@@ -134,6 +134,14 @@ class StreamingIngestSpec extends AnyFunSuite {
       df.collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
         r.getAs[Long]("asof_orderkey"), r.getAs[Long]("asof_ts_us"))).toSet
     val streamed = rows(spark.read.parquet(out))
+    // DOUBLE DELIVERY: slice 1 re-lands under a new name (the checkpoint
+    // sees a fresh file, so the batch genuinely re-runs) — foreachBatch is
+    // at-least-once, and the DedupAppend sink keyed on event_id must make
+    // the replay a row-level no-op (the q83 law, asserted on THIS sink)
+    land("e1_replay.json", col("event_id") % 3 === 0)
+    EventStreams.asofEnrichStream(spark, landing.toString, ordersPath, out, ckpt)
+    assert(rows(spark.read.parquet(out)) == streamed,
+      "a re-delivered event batch must not append duplicate enriched rows")
     val batch = rows(EventStreams.asofEnrich(events,
       spark.read.parquet(ordersPath)))
     assert(streamed == batch && batch.nonEmpty)
