@@ -5,7 +5,7 @@ import java.util.Locale
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -37,13 +37,20 @@ object MvCatalog {
     * @param mv             analyzed logical plan scanning the MV itself
     *   (re-instantiated with fresh exprIds at every substitution, so one
     *   view can appear in several branches of one query)
+    * @param minMeasures    like `sumMeasures` but for per-group MIN
+    *   columns; min re-aggregates as min-of-mins — a semilattice, so
+    *   order-independent for ANY orderable type (floats included: no
+    *   addition-order hazard, unlike sums)
+    * @param maxMeasures    per-group MAX columns (max-of-maxes)
     */
   final case class MvDef(
       basePathSuffix: String,
       groupCols: Set[String],
       sumMeasures: Seq[(Expression, String)],
       countCol: String,
-      mv: LogicalPlan)
+      mv: LogicalPlan,
+      minMeasures: Seq[(Expression, String)] = Nil,
+      maxMeasures: Seq[(Expression, String)] = Nil)
 
   /** The analyzed and optimized expression trees of measure `c` over
     * `df` — the ONE spelling of the registration contract, shared by the
@@ -87,11 +94,14 @@ object MvCatalog {
   *     in the MV's grouping set (for Expand shapes: every non-literal
   *     projection expression resolves to a grouping column or a
   *     registered measure);
-  *   - every aggregate is a plain `sum` over a registered measure
-  *     expression — matched STRUCTURALLY on the analyzed expression tree
-  *     (identifier case is normalized, literal values and their case are
-  *     preserved, so `'A'` never matches `'a'`) — or `count(*)` /
-  *     `count(1)`; no DISTINCT, no FILTER clauses;
+  *   - every aggregate is a plain `sum`, `min`, or `max` over a measure
+  *     registered for that aggregate kind — matched STRUCTURALLY on the
+  *     analyzed expression tree (identifier case is normalized, literal
+  *     values and their case are preserved, so `'A'` never matches
+  *     `'a'`) — or `count(*)` / `count(1)`; no DISTINCT, no FILTER
+  *     clauses. `min`/`max` re-aggregate as min-of-mins / max-of-maxes —
+  *     semilattices, order-independent for ANY orderable type (no float
+  *     restriction);
   *   - an interposed Filter is replayed against the MV iff its
   *     (deterministic) predicate references ONLY grouping columns —
   *     whole-group selection commutes with the pre-aggregation; a
@@ -143,8 +153,12 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def sameMeasure(registered: Expression, query: Expression): Boolean =
     normalized(registered) == normalized(query)
 
+  private def matchIn(measures: Seq[(Expression, String)],
+                      resolved: Expression): Option[String] =
+    measures.collectFirst { case (m, c) if sameMeasure(m, resolved) => c }
+
   private def matchMeasure(d: MvCatalog.MvDef, resolved: Expression): Option[String] =
-    d.sumMeasures.collectFirst { case (m, c) if sameMeasure(m, resolved) => c }
+    matchIn(d.sumMeasures, resolved)
 
   private def exactSum(t: org.apache.spark.sql.types.DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType => true
@@ -204,7 +218,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     * when the types differ (only reachable for decimals; an overflow
     * past the original precision would have overflowed the original
     * query too). */
-  private def reAgg(fn: Sum, orig: Alias): NamedExpression = {
+  private def reAgg(fn: AggregateFunction, orig: Alias): NamedExpression = {
     val e = fn.toAggregateExpression()
     val cast = if (e.dataType == orig.dataType) e else Cast(e, orig.dataType)
     Alias(withNullability(cast, orig.child.nullable), orig.name)(
@@ -290,6 +304,13 @@ object MvRewrite extends Rule[LogicalPlan] {
         matchMeasure(d, resolve(child))
           .flatMap(mvAttr)
           .map(m => reAgg(Sum(m), al))
+      case al @ Alias(AggregateExpression(Min(child), _, false, None, _), _) =>
+        // min-of-mins: a semilattice, sound for any orderable type
+        matchIn(d.minMeasures, resolve(child)).flatMap(mvAttr)
+          .map(m => reAgg(Min(m), al))
+      case al @ Alias(AggregateExpression(Max(child), _, false, None, _), _) =>
+        matchIn(d.maxMeasures, resolve(child)).flatMap(mvAttr)
+          .map(m => reAgg(Max(m), al))
       case _ => None
     }
     if (rewritten.exists(_.isEmpty)) return None
@@ -394,6 +415,12 @@ object MvRewrite extends Rule[LogicalPlan] {
           if exactSum(child.dataType) =>
         matchMeasure(d, resolveDeep(child)).flatMap(passAttr)
           .map(m => reAgg(Sum(m), al))
+      case al @ Alias(AggregateExpression(Min(child), _, false, None, _), _) =>
+        matchIn(d.minMeasures, resolveDeep(child)).flatMap(passAttr)
+          .map(m => reAgg(Min(m), al))
+      case al @ Alias(AggregateExpression(Max(child), _, false, None, _), _) =>
+        matchIn(d.maxMeasures, resolveDeep(child)).flatMap(passAttr)
+          .map(m => reAgg(Max(m), al))
       case ne if !ne.exists(_.isInstanceOf[AggregateExpression]) &&
           ne.references.forall(r => keptIds(r.exprId)) =>
         Some(ne) // grouping restore / grouping_id arithmetic — unchanged

@@ -714,4 +714,56 @@ object EventTime {
       |  CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
       |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
       |FROM d ORDER BY event_type, day""".stripMargin
+
+  /** Q102 — STATE-STORE INTROSPECTION under the oracle: the operational
+    * "what is my stream remembering?" query, scored. A dedup stream
+    * (q83's operator) runs with a watermark delay far past the data's
+    * span, so NO key is ever evicted and the checkpoint's state store
+    * holds EXACTLY the distinct event ids — which makes the store's
+    * contents deterministic and oracle-checkable. The `statestore` data
+    * source then reads the raw checkpoint (the same surface an operator
+    * uses in production to audit state size, hunt hot keys, or debug a
+    * watermark that isn't advancing), the recovered keys join back to
+    * the events table, and the per-type key census must hash-match
+    * DuckDB's `count(DISTINCT event_id)` over the base table. At 100 TB
+    * the state read scales with STATE (keys × partitions), not stream
+    * history — the introspection stays cheap however long the stream has
+    * run; the one requirement, as with q80/q83, is sizing
+    * `spark.sql.shuffle.partitions` to the state volume because each
+    * shuffle partition is its own store. */
+  def q102StateInspect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q102_").toFile
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val out = new java.io.File(tmp, "deduped").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      val q = graft.streaming.EventStreams
+        .dedupStream(graft.streaming.EventStreams.readEvents(spark, dir),
+          watermark = "3650 days") // >> data span: nothing evicts, state is exact
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val stateKeys = spark.read.format("statestore").load(ckpt)
+        .select(col("key.event_id").as("event_id"))
+      val res = t(spark, dir, "events")
+        .join(stateKeys, Seq("event_id"), "left_semi")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_keys"))
+      val rows = res.collectAsList()
+      require(!rows.isEmpty, "q102: the state store must hold keys")
+      spark.createDataFrame(rows, res.schema).orderBy(col("event_type"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.util.Fs.deleteTree(tmp)
+    }
+  }
+
+  /** With no eviction the store holds every distinct id once — the key
+    * census per type is the base table's distinct-id count. */
+  val q102Sql: String =
+    """SELECT event_type, count(DISTINCT event_id) AS n_keys
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -1047,6 +1047,65 @@ object Extended {
   /** Whichever view answers, the contract is the base aggregation. */
   val q101Sql: String = q89Sql
 
+  // ---- Q103: MIN/MAX measures from the MV, scored -------------------------
+
+  /** Q103 — MIN/MAX FROM THE MATERIALIZED VIEW: the view additionally
+    * stores per-group `min`/`max` partials, and the coarser query's
+    * `min(x)` / `max(x)` re-aggregate as min-of-mins / max-of-maxes —
+    * SEMILATTICES, order-independent for any orderable type, which is
+    * why the raw DOUBLE `min(l_quantity)` is rewritable here while a
+    * raw double SUM is refused (regrouping a sum reorders float
+    * addition; regrouping a min still selects the same element). The
+    * plan is require'd to scan only the MV; the oracle recomputes all
+    * five aggregates from the base table in DuckDB. */
+  def q103MvMinmax(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q103_").toFile
+    try {
+      val mvPath = new java.io.File(tmp, "lineitem_mv_stats").getAbsolutePath
+      val li = t(spark, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"),
+             min(qtyCents).as("min_qty_cents"), max(qtyCents).as("max_qty_cents"),
+             min(col("l_quantity")).as("min_qty"))
+        .write.parquet(mvPath)
+      graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        sumMeasures = graft.plans.MvCatalog.measureExprs(li, qtyCents)
+          .map(_ -> "sum_qty_cents"),
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+        minMeasures = graft.plans.MvCatalog.measureExprs(li, qtyCents)
+          .map(_ -> "min_qty_cents") ++
+          graft.plans.MvCatalog.measureExprs(li, col("l_quantity"))
+            .map(_ -> "min_qty"),
+        maxMeasures = graft.plans.MvCatalog.measureExprs(li, qtyCents)
+          .map(_ -> "max_qty_cents")))
+      try {
+        val res = li.groupBy(col("l_returnflag"))
+          .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("n_items"),
+               min(qtyCents).as("min_qty_cents"), max(qtyCents).as("max_qty_cents"),
+               min(col("l_quantity")).as("min_qty"))
+        val plan = res.queryExecution.executedPlan.toString
+        require(plan.contains("lineitem_mv_stats"),
+          s"q103 must be answered from the materialized view:\n$plan")
+        require(!plan.contains("lineitem.parquet"),
+          s"q103 must not touch the base table:\n$plan")
+        val rows = res.collectAsList()
+        spark.createDataFrame(rows, res.schema).orderBy(col("l_returnflag"))
+      } finally graft.plans.MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  val q103Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+      |  count(*) AS n_items,
+      |  CAST(min(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS min_qty_cents,
+      |  CAST(max(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS max_qty_cents,
+      |  min(l_quantity) AS min_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- Q86: schema evolution (mergeSchema scan), scored ------------------
 
   /** Q86 — SCHEMA EVOLUTION under the oracle: a table whose early files

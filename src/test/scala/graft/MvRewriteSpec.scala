@@ -278,6 +278,64 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("min/max re-aggregate from the MV (doubles included); unregistered kinds refuse") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvminmax_").toFile
+    try {
+      val li = Tables.t(spark, sf, "lineitem")
+      val mvPath = new java.io.File(tmp, "lineitem_mv_stats").getAbsolutePath
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"),
+             min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+        .write.parquet(mvPath)
+      MvCatalog.register(MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        sumMeasures = MvCatalog.measureExprs(li, qtyCents).map(_ -> "sum_qty_cents"),
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+        minMeasures = MvCatalog.measureExprs(li, col("l_quantity")).map(_ -> "min_qty"),
+        maxMeasures = MvCatalog.measureExprs(li, col("l_quantity")).map(_ -> "max_qty")))
+      try {
+        // a raw DOUBLE min/max rewrites (semilattice — no addition-order
+        // hazard), even though the same column's raw SUM must refuse
+        def q(d: org.apache.spark.sql.DataFrame) = d.groupBy(col("l_returnflag"))
+          .agg(min(col("l_quantity")).as("lo"), max(col("l_quantity")).as("hi"))
+          .orderBy(col("l_returnflag"))
+        val viaMv = q(li)
+        assert(viaMv.queryExecution.executedPlan.toString.contains("lineitem_mv_stats"))
+        val got = viaMv.collect().toSeq
+        // ...and inside a ROLLUP through the Expand path
+        val roll = li.rollup(col("l_returnflag"))
+          .agg(min(col("l_quantity")).as("lo"), count(lit(1)).as("n"))
+        assert(roll.queryExecution.executedPlan.toString.contains("lineitem_mv_stats"),
+          "min must re-aggregate per grouping set through the Expand path")
+        // refusals: raw double sum; min of an UNREGISTERED measure
+        val sumDouble = li.groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
+        assert(!sumDouble.queryExecution.executedPlan.toString.contains("lineitem_mv_stats"))
+        val minOther = li.groupBy(col("l_returnflag")).agg(min(col("l_extendedprice")).as("m"))
+        assert(!minOther.queryExecution.executedPlan.toString.contains("lineitem_mv_stats"))
+        MvCatalog.clear()
+        assert(got == q(li).collect().toSeq && got.nonEmpty)
+      } finally MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  test("HAVING (filter above the aggregate) composes with the rewrite") {
+    withMv { _ =>
+      val li = Tables.t(spark, sf, "lineitem")
+      def q(d: org.apache.spark.sql.DataFrame) = d.groupBy(col("l_returnflag"))
+        .agg(sum(qtyCents).as("s"), count(lit(1)).as("n"))
+        .filter(col("n") > 100) // HAVING — sits ABOVE the rewritten Aggregate
+        .orderBy(col("l_returnflag"))
+      val viaMv = q(li)
+      assert(viaMv.queryExecution.executedPlan.toString.contains("lineitem_mv"),
+        "a parent HAVING filter must not disturb the rewrite (output contract held)")
+      val got = viaMv.collect().toSeq
+      MvCatalog.clear()
+      assert(got == q(li).collect().toSeq && got.nonEmpty)
+    }
+  }
+
   test("empty registry is a strict no-op") {
     val plan = Tables.t(spark, sf, "lineitem")
       .groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s"))
