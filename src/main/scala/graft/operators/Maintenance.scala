@@ -29,6 +29,18 @@ object Maintenance {
                   keys: Seq[String], tieBreak: Seq[String],
                   maxFiles: Long, targetFileBytes: Long): Long = {
     require(maxFiles > 0, s"maxFiles must be > 0, got $maxFiles")
+    locally {
+      // crash recovery: a previous process that died BETWEEN the two swap
+      // renames left the table under the backup name with the live path
+      // absent — restore it, or this append would re-create the table
+      // from one batch and silently orphan the history
+      val live = new Path(path)
+      val backup = new Path(path + "__precompact")
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(live) && fs.exists(backup) && !fs.rename(backup, live))
+        throw new java.io.IOException(
+          s"compaction recovery: could not restore $backup -> $live")
+    }
     DedupAppend.append(spark, batch, path, keys, tieBreak)
     if (Compaction.dataFileCount(spark, path) > maxFiles) {
       val tmp = new Path(path + "__compacting")

@@ -55,6 +55,14 @@ object StateMerge {
                     (combine: DataFrame => DataFrame): Unit = {
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup0 = new Path(path + "__premerge")
+    // crash recovery: a previous process that died BETWEEN the two swap
+    // renames left the state under the backup name with the live path
+    // absent — restore it, or this merge would silently bootstrap from
+    // empty and lose the history
+    if (!fs.exists(live) && fs.exists(backup0) && !fs.rename(backup0, live))
+      throw new java.io.IOException(
+        s"state merge recovery: could not restore $backup0 -> $live")
     val exists = fs.exists(live)
     if (batchId >= 0 && exists && lastMergedBatch(spark, path).exists(batchId <= _))
       return // replayed micro-batch: its partials are already in the state

@@ -147,6 +147,28 @@ class CompactionSpec extends AnyFunSuite {
     } finally Fs.deleteTree(new java.io.File(tmp))
   }
 
+  test("appendCycle restores a table stranded at the backup name (crash between renames)") {
+    val tmp = Files.createTempDirectory("graft-swap-strand").toFile.getAbsolutePath
+    try {
+      val docs = Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
+      val table = s"$tmp/table"
+      graft.operators.Maintenance.appendCycle(spark,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), table,
+        keys = Seq("doc_id"), tieBreak = Nil,
+        maxFiles = 100, targetFileBytes = Long.MaxValue)
+      // the crash window: live→backup succeeded, tmp→live never ran
+      assert(new java.io.File(table).renameTo(new java.io.File(table + "__precompact")))
+      graft.operators.Maintenance.appendCycle(spark,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), table,
+        keys = Seq("doc_id"), tieBreak = Nil,
+        maxFiles = 100, targetFileBytes = Long.MaxValue)
+      val got = spark.read.parquet(table).orderBy(col("doc_id")).collect().toSeq
+      val want = docs.orderBy(col("doc_id")).collect().toSeq
+      assert(got == want, "the stranded history must be restored, not orphaned")
+      assert(!new java.io.File(table + "__precompact").exists)
+    } finally Fs.deleteTree(new java.io.File(tmp))
+  }
+
   test("compactPartitioned: preserves partCol=value layout and contents") {
     val tmp = Files.createTempDirectory("graft-compact-part").toFile.getAbsolutePath
     try {

@@ -99,6 +99,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(withInstruments.count(_._2 == "GOES-P: EXIS 1.0-8.0") == 2)
   }
 
+  test("dsv2: fetch parallelism scales with the url list (one partition each at N=48)") {
+    // the scale knob for the custom source IS the url list: planInputPartitions
+    // emits one executor-side fetch per url, so a 1000-executor cluster is fed
+    // by sharding the endpoint list — pin that the planning stays 1:1 at a
+    // cluster-ish partition count and rows survive the fan-in exactly once
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_scale_")
+    val n = 48
+    val urls = (0 until n).map { i =>
+      val p = dir.resolve(s"u$i.json")
+      java.nio.file.Files.writeString(p, Parity.jsonBody(Parity.batchA))
+      p.toUri.toString
+    }
+    val df = spark.read.format("graft-http-json")
+      .schema(Donki.flrSchema)
+      .option("urls", urls.mkString(","))
+      .load()
+    assert(df.rdd.getNumPartitions == n, "one fetch partition per url")
+    assert(df.count() == n.toLong * Parity.batchA.length,
+      "every url's rows arrive exactly once")
+    graft.util.Fs.deleteTree(dir.toFile)
+  }
+
   test("dsv2: missing schema fails loudly (no silent inference)") {
     val ex = intercept[Exception] {
       spark.read.format("graft-http-json").option("urls", "file:///nope.json").load()

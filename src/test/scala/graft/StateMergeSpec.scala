@@ -55,6 +55,20 @@ class StateMergeSpec extends AnyFunSuite {
     assert(snapshot(path) == Map("a" -> 1L, "b" -> 2L))
   }
 
+  test("crash between the swap renames: the backup is restored, history survives") {
+    val root = Files.createTempDirectory("graft_sm4_")
+    val path = root.resolve("state").toString
+    StateMerge.mergeOverwrite(spark, partial(1), path, batchId = 0L)(combine)
+    // simulate the crash window: live was renamed to backup, the new dir
+    // never made it in — the live path is ABSENT, history sits at backup
+    assert(new java.io.File(path).renameTo(new java.io.File(path + "__premerge")))
+    StateMerge.mergeOverwrite(spark, partial(10), path, batchId = 1L)(combine)
+    assert(snapshot(path) == Map("a" -> 11L, "b" -> 22L),
+      "the restored history must be merged with, not silently replaced")
+    assert(!new java.io.File(path + "__premerge").exists)
+    assert(!new java.io.File(path + "__merging").exists)
+  }
+
   test("batch form (no batchId) keeps plain merge semantics — every call merges") {
     val path = Files.createTempDirectory("graft_sm3_").resolve("state").toString
     StateMerge.mergeOverwrite(spark, partial(1), path)(combine)
