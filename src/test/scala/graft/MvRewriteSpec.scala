@@ -336,6 +336,81 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("decimal sums re-aggregate with the precision cast back to the original type") {
+    import org.apache.spark.sql.types.DecimalType
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvdec_").toFile
+    try {
+      val orders = Tables.t(spark, sf, "orders")
+      val money = col("o_totalprice").cast(DecimalType(18, 2))
+      val mvPath = new java.io.File(tmp, "orders_mv").getAbsolutePath
+      orders.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(sum(money).as("sum_price"), count(lit(1)).as("cnt"))
+        .write.parquet(mvPath)
+      MvCatalog.register(MvCatalog.MvDef(
+        basePathSuffix = "orders.parquet",
+        groupCols = Set("o_orderpriority", "o_orderstatus"),
+        sumMeasures = MvCatalog.measureExprs(orders, money).map(_ -> "sum_price"),
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed))
+      try {
+        def q(d: org.apache.spark.sql.DataFrame) = d.groupBy(col("o_orderpriority"))
+          .agg(sum(money).as("s"), count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority"))
+        val viaMv = q(orders)
+        assert(viaMv.queryExecution.executedPlan.toString.contains("orders_mv"))
+        // the re-aggregated sum widens decimal(28,2) → (38,2); the rewrite
+        // must cast back so the reused exprId decodes under the ORIGINAL type
+        assert(viaMv.schema("s").dataType == DecimalType(28, 2),
+          s"output type must be the original, got ${viaMv.schema("s").dataType}")
+        val got = q(orders).collect().toSeq
+        MvCatalog.clear()
+        assert(got == q(orders).collect().toSeq && got.nonEmpty,
+          "decimal re-aggregation is exact — values identical to the base sum")
+      } finally MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  test("exhaustive grain × shape equivalence: every grouping shape over the grain matches base") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvexh_").toFile
+    try {
+      val li = Tables.t(spark, sf, "lineitem")
+      val mvPath = new java.io.File(tmp, "lineitem_mv_full").getAbsolutePath
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"),
+             min(qtyCents).as("min_c"), max(qtyCents).as("max_c"))
+        .write.parquet(mvPath)
+      def registerFull(): Unit = MvCatalog.register(MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        sumMeasures = MvCatalog.measureExprs(li, qtyCents).map(_ -> "sum_qty_cents"),
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+        minMeasures = MvCatalog.measureExprs(li, qtyCents).map(_ -> "min_c"),
+        maxMeasures = MvCatalog.measureExprs(li, qtyCents).map(_ -> "max_c")))
+      val aggs = Seq(sum(qtyCents).as("s"), count(lit(1)).as("n"),
+                     min(qtyCents).as("lo"), max(qtyCents).as("hi"))
+      val shapes: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+        "groupBy(flag)" -> (d => d.groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)),
+        "groupBy(status)" -> (d => d.groupBy(col("l_linestatus")).agg(aggs.head, aggs.tail: _*)),
+        "groupBy(flag,status)" -> (d => d.groupBy(col("l_returnflag"), col("l_linestatus")).agg(aggs.head, aggs.tail: _*)),
+        "rollup(flag,status)" -> (d => d.rollup(col("l_returnflag"), col("l_linestatus")).agg(aggs.head, aggs.tail: _*)),
+        "cube(flag,status)" -> (d => d.cube(col("l_returnflag"), col("l_linestatus")).agg(aggs.head, aggs.tail: _*)),
+        "filtered groupBy" -> (d => d.filter(col("l_returnflag") =!= "N")
+          .groupBy(col("l_linestatus")).agg(aggs.head, aggs.tail: _*)))
+      shapes.foreach { case (label, build) =>
+        registerFull()
+        val viaMv = build(li)
+        assert(viaMv.queryExecution.executedPlan.toString.contains("lineitem_mv_full"),
+          s"$label must be answered from the MV")
+        val sortCols = viaMv.columns.map(c => col(c).asc_nulls_first).toIndexedSeq
+        val got = viaMv.orderBy(sortCols: _*).collect().toSeq
+        MvCatalog.clear()
+        val want = build(li).orderBy(sortCols: _*).collect().toSeq
+        assert(got == want && got.nonEmpty, s"$label: MV answer must equal base answer")
+      }
+    } finally { MvCatalog.clear(); graft.util.Fs.deleteTree(tmp) }
+  }
+
   test("empty registry is a strict no-op") {
     val plan = Tables.t(spark, sf, "lineitem")
       .groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s"))
