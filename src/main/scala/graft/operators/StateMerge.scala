@@ -21,6 +21,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * is ≤ the stamped id is skipped as already merged. Batch callers omit
   * the id and keep plain merge semantics.
   *
+  * Contract: batch ids are monotonic only within ONE checkpoint lineage,
+  * so the state directory and its stream's checkpoint are a unit — they
+  * are retained together or deleted together. Pointing a FRESH checkpoint
+  * at existing state was already corruption before this guard (the new
+  * stream re-reads everything and double-counts); the stamp does not
+  * change that, it only closes the retry window within a lineage.
+  *
   * Scale note: the temp-dir write + rename swap is the same checked
   * backup dance [[Maintenance.appendCycle]] uses — the state survives a
   * crash at any point under exactly one of its sibling names, and in a
