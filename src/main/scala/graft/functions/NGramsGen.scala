@@ -48,13 +48,22 @@ case class NGramsGen(child: Expression, n: Expression)
       TypeCheckFailure(
         s"ngrams_gen(tokens, n): n must be an INT literal or constant-foldable " +
           s"INT expression, got ${n.sql}")
-    else if (n.eval(null) == null || n.eval(null).asInstanceOf[Int] < 1)
-      TypeCheckFailure(
-        s"ngrams_gen(tokens, n): n must fold to a positive INT literal value, " +
-          s"got ${n.eval(null)}")
-    else child.dataType match {
-      case ArrayType(StringType, _) => TypeCheckSuccess
-      case t => TypeCheckFailure(s"ngrams_gen needs array<string> tokens, got $t")
+    else scala.util.Try(n.eval(null)) match {
+      // a foldable n can still THROW on evaluation (ANSI division by zero,
+      // ANSI cast failure) — that too must surface as an analysis error,
+      // not a raw runtime exception out of the analyzer
+      case scala.util.Failure(e) =>
+        TypeCheckFailure(
+          s"ngrams_gen(tokens, n): n could not be evaluated to a constant " +
+            s"(${e.getMessage})")
+      case scala.util.Success(v) if v == null || v.asInstanceOf[Int] < 1 =>
+        TypeCheckFailure(
+          s"ngrams_gen(tokens, n): n must fold to a positive INT literal value, " +
+            s"got $v")
+      case _ => child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckSuccess
+        case t => TypeCheckFailure(s"ngrams_gen needs array<string> tokens, got $t")
+      }
     }
   }
 

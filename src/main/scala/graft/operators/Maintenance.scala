@@ -29,45 +29,23 @@ object Maintenance {
                   keys: Seq[String], tieBreak: Seq[String],
                   maxFiles: Long, targetFileBytes: Long): Long = {
     require(maxFiles > 0, s"maxFiles must be > 0, got $maxFiles")
-    locally {
-      // crash recovery: a previous process that died BETWEEN the two swap
-      // renames left the table under the backup name with the live path
-      // absent — restore it, or this append would re-create the table
-      // from one batch and silently orphan the history
-      val live = new Path(path)
-      val backup = new Path(path + "__precompact")
-      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(live) && fs.exists(backup) && !fs.rename(backup, live))
-        throw new java.io.IOException(
-          s"compaction recovery: could not restore $backup -> $live")
-    }
+    val live = new Path(path)
+    val tmp = new Path(path + "__compacting")
+    val backup = new Path(path + "__precompact")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery: restore a table stranded at the backup name (or this
+    // append would re-create the table from one batch and silently orphan
+    // the history) and clear stale transient siblings — a half-written
+    // __compacting from a crash mid-rewrite would otherwise sit next to a
+    // table that never again crosses maxFiles, forever
+    TableSwap.recover(fs, live, tmp, backup, "compaction")
     DedupAppend.append(spark, batch, path, keys, tieBreak)
     if (Compaction.dataFileCount(spark, path) > maxFiles) {
-      val tmp = new Path(path + "__compacting")
-      val backup = new Path(path + "__precompact")
-      val live = new Path(path)
-      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(tmp, true); fs.delete(backup, true)
       Compaction.compact(spark, path, tmp.toString, targetFileBytes)
-      // Swap via backup-rename so the table is recoverable at every step:
-      // live→backup, tmp→live, drop backup. A crash or a false return
-      // between the renames leaves the data intact under exactly one of
-      // the two sibling names (never deleted-with-no-replacement, the
-      // failure mode of delete-then-rename). Rename results are CHECKED —
-      // HDFS-style FileSystems report failure as `false`, not an
-      // exception. In a catalog-backed table format this whole block is
-      // one atomic pointer flip; plain-parquet single-writer documented.
-      if (!fs.rename(live, backup))
-        throw new java.io.IOException(s"compaction swap: rename $live -> $backup failed")
-      if (!fs.rename(tmp, live)) {
-        val restored = fs.rename(backup, live) // put the old table back
-        throw new java.io.IOException(
-          s"compaction swap: rename $tmp -> $live failed" +
-            (if (restored) "; original table restored" else s"; ORIGINAL LEFT AT $backup"))
-      }
-      if (!fs.delete(backup, true))
-        throw new java.io.IOException(
-          s"compaction swap: could not remove backup $backup (table at $path is live and complete)")
+      // checked backup-rename swap (shared TableSwap dance): the table is
+      // recoverable at every step; in a catalog-backed table format this
+      // is one atomic pointer flip; plain-parquet single-writer documented
+      TableSwap.swapInto(fs, live, tmp, backup, liveExists = true, "compaction")
     }
     Compaction.dataFileCount(spark, path)
   }

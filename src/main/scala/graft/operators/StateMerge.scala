@@ -28,8 +28,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * stream re-reads everything and double-counts); the stamp does not
   * change that, it only closes the retry window within a lineage.
   *
-  * Scale note: the temp-dir write + rename swap is the same checked
-  * backup dance [[Maintenance.appendCycle]] uses — the state survives a
+  * Scale note: the temp-dir write + rename swap is the shared
+  * [[TableSwap]] dance ([[Maintenance.appendCycle]] uses the same
+  * helper) — the state survives a
   * crash at any point under exactly one of its sibling names, and in a
   * catalog-backed table format the swap is one atomic pointer flip. The
   * write target is never the read source, so no materialization barrier
@@ -62,16 +63,15 @@ object StateMerge {
                     (combine: DataFrame => DataFrame): Unit = {
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val backup0 = new Path(path + "__premerge")
-    // crash recovery: a previous process that died BETWEEN the two swap
-    // renames left the state under the backup name with the live path
-    // absent — restore it, or this merge would silently bootstrap from
-    // empty and lose the history
-    if (!fs.exists(live) && fs.exists(backup0) && !fs.rename(backup0, live))
-      throw new java.io.IOException(
-        s"state merge recovery: could not restore $backup0 -> $live")
+    val tmp = new Path(path + "__merging")
+    val backup = new Path(path + "__premerge")
+    // crash recovery: restore a state stranded at the backup name (or this
+    // merge would silently bootstrap from empty and lose the history) and
+    // clear stale transient siblings
+    TableSwap.recover(fs, live, tmp, backup, "state merge")
     val exists = fs.exists(live)
-    if (batchId >= 0 && exists && lastMergedBatch(spark, path).exists(batchId <= _))
+    val stampedId = if (exists) lastMergedBatch(spark, path) else None
+    if (batchId >= 0 && stampedId.exists(batchId <= _))
       return // replayed micro-batch: its partials are already in the state
     val existing =
       if (exists) spark.read.parquet(path)
@@ -79,33 +79,19 @@ object StateMerge {
         new java.util.ArrayList[org.apache.spark.sql.Row](), partial.schema)
     val merged = combine(existing.unionByName(partial))
 
-    val tmp = new Path(path + "__merging")
-    val backup = new Path(path + "__premerge")
-    fs.delete(tmp, true); fs.delete(backup, true)
     merged.write.mode("overwrite").parquet(tmp.toString)
-    if (batchId >= 0) {
-      // the marker travels INSIDE the new state dir, so stamp and data
-      // swap in the same rename — no window where one exists without the
-      // other (parquet readers skip underscore-prefixed files)
+    // the marker travels INSIDE the new state dir, so stamp and data swap
+    // in the same rename — no window where one exists without the other
+    // (parquet readers skip underscore-prefixed files). A plain-batch merge
+    // (batchId < 0, e.g. a backfill interleaved with a stream) CARRIES THE
+    // EXISTING STAMP FORWARD — dropping it would reopen the double-count
+    // window for the stream's next retry.
+    val stamp = if (batchId >= 0) Some(batchId) else stampedId
+    stamp.foreach { id =>
       val out = fs.create(new Path(tmp, MarkerName), true)
-      try out.write(batchId.toString.getBytes(StandardCharsets.UTF_8))
+      try out.write(id.toString.getBytes(StandardCharsets.UTF_8))
       finally out.close()
     }
-    // checked backup-rename swap (Maintenance.appendCycle's dance): a crash
-    // or false return at any point leaves the state intact under exactly
-    // one of the sibling names, never deleted-with-no-replacement
-    if (exists && !fs.rename(live, backup))
-      throw new java.io.IOException(s"state merge swap: rename $live -> $backup failed")
-    if (!fs.rename(tmp, live)) {
-      val restored = exists && fs.rename(backup, live)
-      throw new java.io.IOException(
-        s"state merge swap: rename $tmp -> $live failed" +
-          (if (restored) "; previous state restored"
-           else if (exists) s"; PREVIOUS STATE LEFT AT $backup"
-           else ""))
-    }
-    if (exists && !fs.delete(backup, true))
-      throw new java.io.IOException(
-        s"state merge swap: could not remove backup $backup (state at $path is live and complete)")
+    TableSwap.swapInto(fs, live, tmp, backup, exists, "state merge")
   }
 }

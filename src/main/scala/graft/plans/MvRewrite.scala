@@ -142,12 +142,26 @@ object MvRewrite extends Rule[LogicalPlan] {
     * computation over same-named columns. Identifiers are matched
     * case-insensitively; literals keep their exact value (and case), so
     * a measure containing `'A'` can never match a query using `'a'` —
-    * the soundness hole string-lowercasing had. */
+    * the soundness hole string-lowercasing had.
+    *
+    * The pinned id comes from a shared name→id registry, NOT the name's
+    * hashCode: canonicalization erases attribute names and compares by
+    * exprId alone, so a hash collision (`"an".hashCode == "c0".hashCode`
+    * — base-31 makes such pairs routine) would make measures over
+    * DIFFERENT columns canonicalize equal — a silent wrong-answer
+    * rewrite. The registry is
+    * injective by construction (one fresh id per distinct name, ids grow
+    * with the number of distinct column names ever seen — schema-sized,
+    * process-lifetime bounded). */
+  private val pinnedIds = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val pinnedSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def normalized(e: Expression): Expression = e.transformUp {
     case a: AttributeReference =>
       val n = a.name.toLowerCase(Locale.ROOT)
+      val id = pinnedIds.computeIfAbsent(n, _ => pinnedSeq.incrementAndGet()).longValue()
       AttributeReference(n, a.dataType, nullable = true)(
-        exprId = ExprId(n.hashCode.toLong & 0x7fffffffL), qualifier = Nil)
+        exprId = ExprId(id), qualifier = Nil)
   }.canonicalized
 
   private def sameMeasure(registered: Expression, query: Expression): Boolean =

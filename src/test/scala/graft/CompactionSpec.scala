@@ -147,6 +147,35 @@ class CompactionSpec extends AnyFunSuite {
     } finally Fs.deleteTree(new java.io.File(tmp))
   }
 
+  test("appendCycle clears stale crash leftovers even when the cycle does NOT compact") {
+    // a table that never again crosses maxFiles must not carry a
+    // half-written __compacting sibling forever — entry recovery clears
+    // transient siblings on EVERY cycle, not only compacting ones
+    val tmp = Files.createTempDirectory("graft-swap-stale").toFile.getAbsolutePath
+    try {
+      val docs = Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
+      val table = s"$tmp/table"
+      graft.operators.Maintenance.appendCycle(spark,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), table,
+        keys = Seq("doc_id"), tieBreak = Nil,
+        maxFiles = 100, targetFileBytes = Long.MaxValue)
+      docs.limit(3).write.parquet(table + "__compacting")
+      docs.limit(1).write.parquet(table + "__precompact")
+      // maxFiles high enough that this cycle appends without compacting
+      graft.operators.Maintenance.appendCycle(spark,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), table,
+        keys = Seq("doc_id"), tieBreak = Nil,
+        maxFiles = 100, targetFileBytes = Long.MaxValue)
+      assert(!new java.io.File(table + "__compacting").exists,
+        "stale tmp must be cleared by a non-compacting cycle")
+      assert(!new java.io.File(table + "__precompact").exists,
+        "stale backup must be cleared by a non-compacting cycle")
+      val got = spark.read.parquet(table).orderBy(col("doc_id")).collect().toSeq
+      val want = docs.orderBy(col("doc_id")).collect().toSeq
+      assert(got == want)
+    } finally Fs.deleteTree(new java.io.File(tmp))
+  }
+
   test("appendCycle restores a table stranded at the backup name (crash between renames)") {
     val tmp = Files.createTempDirectory("graft-swap-strand").toFile.getAbsolutePath
     try {

@@ -258,6 +258,45 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
+  test("colliding column-name hashCodes never cross-match a measure") {
+    // "an".hashCode == "c0".hashCode == 3117 (base-31 collision between
+    // valid column names): a hash-derived pinned exprId would canonicalize
+    // sum(an) and sum(c0) IDENTICALLY and silently rewrite one to the
+    // other's stored partials — the registry-derived id must keep them
+    // distinct
+    assert("an".hashCode == "c0".hashCode, "fixture invariant")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvcollide_").toFile
+    try {
+      val basePath = new java.io.File(tmp, "collide.parquet").getAbsolutePath
+      spark.range(100).selectExpr(
+        "id % 4 as g", "id as an", "id * 1000 as c0")
+        .write.parquet(basePath)
+      val base = spark.read.parquet(basePath)
+      val mvPath = new java.io.File(tmp, "collide_mv").getAbsolutePath
+      base.groupBy(col("g"))
+        .agg(sum(col("an")).as("sum_c"), count(lit(1)).as("cnt"))
+        .write.parquet(mvPath)
+      MvCatalog.register(MvCatalog.MvDef(
+        basePathSuffix = "collide.parquet",
+        groupCols = Set("g"),
+        sumMeasures = MvCatalog.measureExprs(base, col("an")).map(_ -> "sum_c"),
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed))
+      try {
+        val same = base.groupBy(col("g")).agg(sum(col("an")).as("s"))
+        assert(same.queryExecution.executedPlan.toString.contains("collide_mv"),
+          "the registered measure itself must match")
+        val other = base.groupBy(col("g")).agg(sum(col("c0")).as("s"))
+        assert(!other.queryExecution.executedPlan.toString.contains("collide_mv"),
+          "a DIFFERENT column whose name hashCode collides must NOT match")
+        val want = (0L until 100L).groupBy(_ % 4).view
+          .mapValues(_.map(_ * 1000L).sum).toMap
+        val got = other.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, "the colliding query must compute from base, exactly")
+      } finally MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
   test("self-join of two rewritten aggregates: fresh MV exprIds per substitution") {
     withMv { _ =>
       val li = Tables.t(spark, sf, "lineitem")

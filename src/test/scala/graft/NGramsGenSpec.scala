@@ -80,6 +80,32 @@ class NGramsGenSpec extends AnyFunSuite {
     assert(e2.getMessage.toLowerCase.contains("positive"))
   }
 
+  test("ngrams_gen: a foldable n that THROWS under ANSI is still an analysis error") {
+    // `CAST('x' AS INT)` and `pmod(1, 0)` are foldable IntegerType; under
+    // ANSI their evaluation raises. The check must catch that and fail
+    // through checkInputDataTypes — never let a SparkArithmeticException /
+    // cast error escape the analyzer raw.
+    Seq((1L, "a b c")).toDF("doc_id", "text")
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .createOrReplaceTempView("ngs_ansi")
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(
+          "SELECT * FROM ngs_ansi LATERAL VIEW ngrams_gen(ts, CAST('x' AS INT)) g AS pos, gram")
+          .collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("constant"))
+      val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(
+          "SELECT * FROM ngs_ansi LATERAL VIEW ngrams_gen(ts, pmod(1, 0)) g AS pos, gram")
+          .collect()
+      }
+      assert(e2 != null)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("ngrams_gen accepts a constant-foldable non-literal n (1 + 2)") {
     Seq((1L, "a b c d")).toDF("doc_id", "text")
       .select($"doc_id", split($"text", " ").as("ts"))

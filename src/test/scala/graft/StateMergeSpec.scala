@@ -69,6 +69,21 @@ class StateMergeSpec extends AnyFunSuite {
     assert(!new java.io.File(path + "__merging").exists)
   }
 
+  test("a batch-form merge carries the stream's stamp forward — the replay guard survives a backfill") {
+    val path = Files.createTempDirectory("graft_sm5_").resolve("state").toString
+    StateMerge.mergeOverwrite(spark, partial(1), path, batchId = 5L)(combine)
+    // an interleaved plain-batch merge (a backfill) must NOT erase the
+    // stamp — that would reopen the double-count window for the stream's
+    // next retry of batch 5
+    StateMerge.mergeOverwrite(spark, partial(10), path)(combine)
+    assert(snapshot(path) == Map("a" -> 11L, "b" -> 22L))
+    assert(StateMerge.lastMergedBatch(spark, path).contains(5L),
+      "the backfill erased the stream's replay stamp")
+    StateMerge.mergeOverwrite(spark, partial(1), path, batchId = 5L)(combine)
+    assert(snapshot(path) == Map("a" -> 11L, "b" -> 22L),
+      "the replayed stream batch must still be skipped after the backfill")
+  }
+
   test("batch form (no batchId) keeps plain merge semantics — every call merges") {
     val path = Files.createTempDirectory("graft_sm3_").resolve("state").toString
     StateMerge.mergeOverwrite(spark, partial(1), path)(combine)
