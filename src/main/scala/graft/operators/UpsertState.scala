@@ -34,18 +34,18 @@ object UpsertState {
   }
 
   /** Merge one change batch into the state table at `statePath`
-    * (creating it on first use). Idempotent under batch re-delivery. */
+    * (creating it on first use). Idempotent under batch re-delivery, so
+    * the plain-batch [[StateMerge]] form (no replay stamp) is exact even
+    * under foreachBatch retry — latest-wins is a commutative idempotent
+    * monoid, unlike the sum algebras that need the stamp. Delegating also
+    * buys the crash-safe swap (never an in-place overwrite of the
+    * directory being read) and the FileSystem-API existence probe (a
+    * `java.io.File` probe is local-FS-only and would silently bootstrap
+    * from empty on HDFS/S3). */
   def merge(spark: SparkSession, batch: DataFrame, statePath: String,
-            keys: Seq[String], version: Seq[String]): Unit = {
-    val existing =
-      if (new java.io.File(statePath).exists) spark.read.parquet(statePath)
-      else spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema)
-    val merged = compact(existing.unionByName(batch), keys, version)
-      // materialize before overwriting the directory being read
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(statePath)
-  }
+            keys: Seq[String], version: Seq[String]): Unit =
+    StateMerge.mergeOverwrite(spark, batch, statePath)(
+      df => compact(df, keys, version))
 
   /** The live view: state minus delete tombstones. */
   def current(state: DataFrame, opCol: String, deleteOp: String): DataFrame =
@@ -70,8 +70,10 @@ object UpsertState {
       pmod(hash(keys.map(col): _*), lit(nBuckets)))
     val touched = withBucket.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
+    val statePathH = new org.apache.hadoop.fs.Path(statePath)
+    val stateFs = statePathH.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existingTouched =
-      if (new java.io.File(statePath).exists)
+      if (stateFs.exists(statePathH))
         spark.read.parquet(statePath)
           .filter(col("bucket").isin(touched: _*)) // prunes to touched dirs
       else spark.createDataFrame(

@@ -105,6 +105,16 @@ class StreamingIngestSpec extends AnyFunSuite {
     val live = graft.operators.UpsertState
       .current(spark.read.parquet(state), "event_type", "error")
     assert(live.count() == batch.count(_._2 != "error"))
+    // crash window: the state swap died between renames, stranding the
+    // state at the backup name — the next merge (via the shared TableSwap
+    // recovery) must restore it, not bootstrap from empty
+    assert(new java.io.File(state).renameTo(new java.io.File(state + "__premerge")))
+    land("b1_replay2.json", col("event_id") % 3 === 0)
+    EventStreams.cdcUpsertStream(spark, landing.toString, state, ckpt)
+    assert(snapshot() == batch,
+      "the stranded upsert state must be restored and the replay stay a no-op")
+    assert(!new java.io.File(state + "__premerge").exists)
+    assert(!new java.io.File(state + "__merging").exists)
   }
 
   test("streaming as-of gate: any event slicing folds to the batch enrichment") {
