@@ -30,8 +30,10 @@ object Maintenance {
                   maxFiles: Long, targetFileBytes: Long): Long = {
     require(maxFiles > 0, s"maxFiles must be > 0, got $maxFiles")
     val live = new Path(path)
-    val tmp = new Path(path + "__compacting")
-    val backup = new Path(path + "__precompact")
+    // siblings derive from the normalized Path (trailing-slash-safe; string
+    // concat would nest them inside the live dir)
+    val tmp = live.suffix("__compacting")
+    val backup = live.suffix("__precompact")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // crash recovery: restore a table stranded at the backup name (or this
     // append would re-create the table from one batch and silently orphan

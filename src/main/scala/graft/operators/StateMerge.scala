@@ -63,18 +63,26 @@ object StateMerge {
                     (combine: DataFrame => DataFrame): Unit = {
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(path + "__merging")
-    val backup = new Path(path + "__premerge")
+    // siblings derive from the NORMALIZED path (Path strips a trailing
+    // slash) — string concat on a trailing-slash path would nest them
+    // INSIDE the live dir and every swap rename would fail
+    val tmp = live.suffix("__merging")
+    val backup = live.suffix("__premerge")
     // crash recovery: restore a state stranded at the backup name (or this
     // merge would silently bootstrap from empty and lose the history) and
     // clear stale transient siblings
     TableSwap.recover(fs, live, tmp, backup, "state merge")
-    val exists = fs.exists(live)
+    // data-file-aware: an empty pre-created directory is NOT state — read
+    // it and the bootstrap would throw instead of starting fresh
+    val exists = DedupAppend.exists(spark, live.toString)
+    if (!exists && fs.exists(live) && !fs.delete(live, true))
+      throw new java.io.IOException(
+        s"state merge: could not clear empty pre-created dir $live")
     val stampedId = if (exists) lastMergedBatch(spark, path) else None
     if (batchId >= 0 && stampedId.exists(batchId <= _))
       return // replayed micro-batch: its partials are already in the state
     val existing =
-      if (exists) spark.read.parquet(path)
+      if (exists) spark.read.parquet(live.toString)
       else spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), partial.schema)
     val merged = combine(existing.unionByName(partial))

@@ -51,7 +51,11 @@ object TableSwap {
     if (liveExists && !fs.rename(live, backup))
       throw new java.io.IOException(s"$what swap: rename $live -> $backup failed")
     if (!fs.rename(tmp, live)) {
-      val restored = liveExists && fs.rename(backup, live)
+      // best-effort restore: some FileSystems (S3A) THROW on rename rather
+      // than returning false — a throwing restore must not mask the
+      // diagnostic below that says where the data actually sits
+      val restored = liveExists &&
+        (try fs.rename(backup, live) catch { case _: java.io.IOException => false })
       throw new java.io.IOException(
         s"$what swap: rename $tmp -> $live failed" +
           (if (restored) "; previous state restored"

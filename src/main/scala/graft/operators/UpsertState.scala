@@ -70,10 +70,11 @@ object UpsertState {
       pmod(hash(keys.map(col): _*), lit(nBuckets)))
     val touched = withBucket.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val statePathH = new org.apache.hadoop.fs.Path(statePath)
-    val stateFs = statePathH.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existingTouched =
-      if (stateFs.exists(statePathH))
+      // data-file-aware probe (an empty pre-created dir must bootstrap,
+      // not throw on schema inference); FileSystem-API, so HDFS/S3 state
+      // is recognized — a java.io.File probe would always say "absent"
+      if (DedupAppend.exists(spark, statePath))
         spark.read.parquet(statePath)
           .filter(col("bucket").isin(touched: _*)) // prunes to touched dirs
       else spark.createDataFrame(

@@ -84,6 +84,25 @@ class StateMergeSpec extends AnyFunSuite {
       "the replayed stream batch must still be skipped after the backfill")
   }
 
+  test("a trailing-slash path still swaps (siblings derive from the normalized path)") {
+    val path = Files.createTempDirectory("graft_sm6_").resolve("state").toString + "/"
+    StateMerge.mergeOverwrite(spark, partial(1), path, batchId = 0L)(combine)
+    StateMerge.mergeOverwrite(spark, partial(10), path, batchId = 1L)(combine)
+    assert(snapshot(path) == Map("a" -> 11L, "b" -> 22L),
+      "string-concat siblings would nest inside the live dir and fail every swap")
+    val clean = path.stripSuffix("/")
+    assert(!new java.io.File(clean + "__merging").exists)
+    assert(!new java.io.File(clean + "__premerge").exists)
+  }
+
+  test("an empty pre-created directory bootstraps instead of failing schema inference") {
+    val path = Files.createTempDirectory("graft_sm7_").resolve("state").toString
+    assert(new java.io.File(path).mkdirs())
+    StateMerge.mergeOverwrite(spark, partial(1), path, batchId = 0L)(combine)
+    assert(snapshot(path) == Map("a" -> 1L, "b" -> 2L),
+      "a dir with no data files is NOT state — the merge must start fresh")
+  }
+
   test("batch form (no batchId) keeps plain merge semantics — every call merges") {
     val path = Files.createTempDirectory("graft_sm3_").resolve("state").toString
     StateMerge.mergeOverwrite(spark, partial(1), path)(combine)
