@@ -24,10 +24,25 @@ case class CosineUnits(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    // analysis-time rejection: a wrong element type must be an
+    // AnalysisException, never a raw throw out of codegen/eval
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"cosine_units needs array<float|double> on both sides, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  // only reachable after checkInputDataTypes accepted the inputs
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case t => throw new IllegalArgumentException(s"cosine_units needs array<float|double>, got $t")
+    case _ => false
   }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -80,5 +95,22 @@ object CosineUnits {
   /** Idempotently register `cosine_units` for SQL/expr use in a session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_units", exprs => CosineUnits(exprs(0), exprs(1)), "built-in")
+      "cosine_units", exprs => {
+        if (exprs.length != 2) throw FunctionArity.wrongNumArgs(
+          "cosine_units", expected = 2, actual = exprs.length)
+        CosineUnits(exprs(0), exprs(1))
+      }, "built-in")
+}
+
+/** Shared wrong-arity analysis error for the imperative registrations —
+  * indexing `exprs(1)` on a short list would surface as a raw
+  * IndexOutOfBoundsException instead of the analyzer's own message. */
+private[functions] object FunctionArity {
+  def wrongNumArgs(name: String, expected: Int, actual: Int)
+      : org.apache.spark.sql.AnalysisException =
+    new org.apache.spark.sql.AnalysisException(
+      "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      Map("functionName" -> s"`$name`", "expectedNum" -> expected.toString,
+        "actualNum" -> actual.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
 }

@@ -114,5 +114,9 @@ object NGramsGen {
     * this first so they work in any session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ngrams_gen", exprs => NGramsGen(exprs(0), exprs(1)), "built-in")
+      "ngrams_gen", exprs => {
+        if (exprs.length != 2) throw FunctionArity.wrongNumArgs(
+          "ngrams_gen", expected = 2, actual = exprs.length)
+        NGramsGen(exprs(0), exprs(1))
+      }, "built-in")
 }

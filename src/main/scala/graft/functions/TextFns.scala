@@ -36,12 +36,17 @@ object TextFns {
   def h31Sql(tokExpr: String): String = s"(${h60Sql(tokExpr)} % $P31)"
 
   /** Order-sensitive document fingerprint: Σ position·h31(token) mod p over
-    * the token sequence (1-based positions). Each product is < 2^47 so the
-    * Long sum is exact; the sum is order-independent in execution while
-    * staying sensitive to token order in the document.
+    * the token sequence (1-based positions). The modulus is applied at
+    * EVERY fold step (mod distributes over addition), keeping the Long
+    * accumulator < 2^31 for documents of ANY length — a raw running sum
+    * would silently wrap past 2^63 around ~90k tokens while the DuckDB
+    * oracle (HUGEINT sum) would not, breaking cross-engine bit-equality.
+    * The per-step form is mathematically identical to `sum(...) % p`, so
+    * the oracle keeps its plain-sum spelling. Order-independent in
+    * execution while staying sensitive to token order in the document.
     * `tokensCol` names an array<string> column. */
   def fingerprintExpr(tokensCol: String): Column = expr(
     s"aggregate(zip_with($tokensCol, sequence(1, size($tokensCol)), " +
-      s"(t, i) -> i * (cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % $P31)), " +
-      s"cast(0 as bigint), (acc, v) -> acc + v) % $P31")
+      s"(t, i) -> (i * (cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % $P31)) % $P31), " +
+      s"cast(0 as bigint), (acc, v) -> (acc + v) % $P31)")
 }

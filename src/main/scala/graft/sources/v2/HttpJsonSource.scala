@@ -147,7 +147,7 @@ object HttpJsonRows {
   /** Parse a JSON body — an array of objects, or a single object — into
     * rows of `schema`. Missing keys and JSON nulls → null. */
   def parse(body: String, schema: StructType): Iterator[InternalRow] = {
-    val root = new ObjectMapper().readTree(body)
+    val root = mapper.readTree(body)
     // Jackson 2.10+: readTree("") returns MissingNode and readTree("null")
     // returns NullNode (never java null) — both must mean zero rows, not
     // one phantom all-null record

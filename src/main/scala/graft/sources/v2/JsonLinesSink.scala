@@ -79,27 +79,48 @@ class JsonLinesTable(tableSchema: StructType, path: String)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
+  // captured on the driver at plan time: the SESSION's Hadoop conf (all
+  // spark.hadoop.* settings — s3a credentials, defaultFS) must reach every
+  // FileSystem handle this source opens; a bare `new Configuration()`
+  // would silently drop them and fail on any non-default filesystem
+  private def sessionConf = new SerializableHadoopConf(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JsonLinesScanBuilder(tableSchema, path)
+    new JsonLinesScanBuilder(tableSchema, path, sessionConf)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new JsonLinesWriteBuilder(info.schema(), path, info.queryId())
+    new JsonLinesWriteBuilder(info.schema(), path, info.queryId(), sessionConf)
+}
+
+/** Minimal serializable Hadoop `Configuration` carrier, so the session's
+  * Hadoop settings travel from the driver into executor-side
+  * writers/readers (the standard write()/readFields round-trip). */
+class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject(); value = new Configuration(false); value.readFields(in)
+  }
 }
 
 // ---- write path --------------------------------------------------------
 
-class JsonLinesWriteBuilder(schema: StructType, path: String, queryId: String)
+class JsonLinesWriteBuilder(schema: StructType, path: String, queryId: String,
+                            conf: SerializableHadoopConf)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new JsonLinesBatchWrite(schema, path, queryId, truncateFirst)
+      new JsonLinesBatchWrite(schema, path, queryId, truncateFirst, conf)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!truncateFirst,
         "graft-jsonl streaming supports append output mode only " +
           "(per-epoch truncate would discard prior epochs' published data)")
-      new JsonLinesStreamingWrite(schema, path)
+      new JsonLinesStreamingWrite(schema, path, conf)
     }
   }
 }
@@ -108,20 +129,39 @@ case class JsonLinesCommitMessage(partitionId: Int, tempFile: Option[String])
     extends WriterCommitMessage
 
 class JsonLinesBatchWrite(schema: StructType, path: String, queryId: String,
-                          truncate: Boolean) extends BatchWrite {
+                          truncate: Boolean, conf: SerializableHadoopConf)
+    extends BatchWrite {
 
   // one winning attempt per partition — the coordinator is what makes
   // "publish only committed files" safe under speculation/retry
   override def useCommitCoordinator(): Boolean = true
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new JsonLinesWriterFactory(schema, path, queryId)
+    new JsonLinesWriterFactory(schema, path, queryId, conf)
 
-  private def fs(p: Path): FileSystem = p.getFileSystem(new Configuration())
+  private def fs(p: Path): FileSystem = p.getFileSystem(conf.value)
 
   private def checkedRename(f: FileSystem, from: Path, to: Path): Unit =
     if (!f.rename(from, to))
       throw new java.io.IOException(s"graft-jsonl commit: rename $from -> $to failed")
+
+  /** Undo half of a truncate swap: drop any published parts carrying
+    * `qid`, move the backup's parts home, remove the backup dir. Used both
+    * for entry-time recovery of a backup stranded by a CRASHED previous
+    * truncate (single-writer: recovery happens on the next write) and for
+    * same-commit rollback when a publish rename throws. Idempotent — a
+    * crash mid-restore re-runs it. */
+  private def restoreBackup(f: FileSystem, dir: Path, backup: Path,
+                            qid: String): Unit = {
+    f.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith(s"part-$qid-"))
+      .foreach(p => if (!f.delete(p, false))
+        throw new java.io.IOException(s"graft-jsonl recovery: cannot drop $p"))
+    f.listStatus(backup).map(_.getPath)
+      .foreach(p => checkedRename(f, p, new Path(dir, p.getName)))
+    if (!f.delete(backup, true))
+      throw new java.io.IOException(s"graft-jsonl recovery: cannot remove $backup")
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
@@ -131,7 +171,15 @@ class JsonLinesBatchWrite(schema: StructType, path: String, queryId: String,
     }
     if (!f.exists(dir) && !f.mkdirs(dir))
       throw new java.io.IOException(s"graft-jsonl commit: cannot create $dir")
-    val backup = new Path(path, s"_backup-$queryId")
+    // entry recovery: a previous truncate that crashed mid-publish left
+    // its backup dir behind — its partially-published parts (named with
+    // ITS query id) are dropped and the old table restored before this
+    // write proceeds, so the failed write's subset is never treated as
+    // the table
+    f.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("_backup-"))
+      .foreach(b => restoreBackup(f, dir, b, b.getName.stripPrefix("_backup-")))
+    val backup = new Path(dir, s"_backup-$queryId")
     if (truncate) {
       // move live parts aside rather than deleting them: recoverable at
       // every step until the new parts are in place
@@ -143,9 +191,23 @@ class JsonLinesBatchWrite(schema: StructType, path: String, queryId: String,
         old.foreach(p => checkedRename(f, p, new Path(backup, p.getName)))
       }
     }
-    // publish exactly the files the winning attempts committed
-    committed.foreach { case (pid, tmp) =>
-      checkedRename(f, tmp, new Path(dir, s"part-$queryId-$pid.jsonl"))
+    // publish exactly the files the winning attempts committed; if a
+    // publish fails midway, roll the swap back (drop this write's parts,
+    // restore the backup) so the previous contents are intact as the
+    // scaladoc promises — abort() only ever sees temp state
+    try {
+      committed.foreach { case (pid, tmp) =>
+        checkedRename(f, tmp, new Path(dir, s"part-$queryId-$pid.jsonl"))
+      }
+    } catch {
+      case e: Throwable =>
+        try {
+          if (truncate && f.exists(backup)) restoreBackup(f, dir, backup, queryId)
+          else f.listStatus(dir).map(_.getPath) // failed append: unpublish
+            .filter(_.getName.startsWith(s"part-$queryId-"))
+            .foreach(p => f.delete(p, false))
+        } catch { case e2: Throwable => e.addSuppressed(e2) }
+        throw e
     }
     if (truncate && f.exists(backup) && !f.delete(backup, true))
       throw new java.io.IOException(
@@ -165,10 +227,11 @@ class JsonLinesBatchWrite(schema: StructType, path: String, queryId: String,
   }
 }
 
-class JsonLinesWriterFactory(schema: StructType, path: String, queryId: String)
+class JsonLinesWriterFactory(schema: StructType, path: String, queryId: String,
+                             conf: SerializableHadoopConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new JsonLinesDataWriter(schema, path, queryId, partitionId, taskId)
+    new JsonLinesDataWriter(schema, path, queryId, partitionId, taskId, conf)
 }
 
 // ---- streaming write path ----------------------------------------------
@@ -181,14 +244,15 @@ class JsonLinesWriterFactory(schema: StructType, path: String, queryId: String)
   * batch after a crash-before-checkpoint into an exactly-once publish,
   * surviving restarts (epoch ids persist in the stream's checkpoint;
   * query/run ids do not). Append output mode only. */
-class JsonLinesStreamingWrite(schema: StructType, path: String)
+class JsonLinesStreamingWrite(schema: StructType, path: String,
+                              conf: SerializableHadoopConf)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new JsonLinesStreamingWriterFactory(schema, path)
+    new JsonLinesStreamingWriterFactory(schema, path, conf)
 
-  private def fs(p: Path): FileSystem = p.getFileSystem(new Configuration())
+  private def fs(p: Path): FileSystem = p.getFileSystem(conf.value)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
@@ -217,6 +281,16 @@ class JsonLinesStreamingWrite(schema: StructType, path: String)
       if (!f.rename(tmp, to))
         throw new java.io.IOException(s"graft-jsonl streaming commit: rename $tmp -> $to failed")
     }
+    // sweep this epoch's STALE partition ids: a crashed attempt may have
+    // published under a different partitioning (shuffle-partition change,
+    // AQE coalescing), and per-pid replacement alone would leave its extra
+    // files permanently published — duplicate rows on every read
+    val fresh = committed.map { case (pid, _) => s"part-epoch-$epochId-$pid.jsonl" }.toSet
+    f.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith(s"part-epoch-$epochId-") && !fresh.contains(p.getName))
+      .foreach(p => if (!f.delete(p, false))
+        throw new java.io.IOException(
+          s"graft-jsonl streaming commit: cannot remove stale $p"))
     f.delete(temp, true)
     // marker last: until it exists a replay re-runs the (idempotent)
     // publish above; once it exists a replay is a no-op
@@ -232,15 +306,17 @@ class JsonLinesStreamingWrite(schema: StructType, path: String)
   }
 }
 
-class JsonLinesStreamingWriterFactory(schema: StructType, path: String)
+class JsonLinesStreamingWriterFactory(schema: StructType, path: String,
+                                      conf: SerializableHadoopConf)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    new JsonLinesDataWriter(schema, path, s"epoch-$epochId", partitionId, taskId)
+    new JsonLinesDataWriter(schema, path, s"epoch-$epochId", partitionId, taskId, conf)
 }
 
 class JsonLinesDataWriter(schema: StructType, path: String, queryId: String,
-                          partitionId: Int, taskId: Long)
+                          partitionId: Int, taskId: Long,
+                          conf: SerializableHadoopConf)
     extends DataWriter[InternalRow] {
 
   private val tempPath =
@@ -249,7 +325,7 @@ class JsonLinesDataWriter(schema: StructType, path: String, queryId: String,
 
   private def ensureOpen(): java.io.BufferedWriter = {
     if (stream == null) {
-      val f = tempPath.getFileSystem(new Configuration())
+      val f = tempPath.getFileSystem(conf.value)
       stream = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
         f.create(tempPath, true), java.nio.charset.StandardCharsets.UTF_8))
     }
@@ -272,7 +348,7 @@ class JsonLinesDataWriter(schema: StructType, path: String, queryId: String,
 
   override def abort(): Unit = {
     if (stream != null) { stream.close(); stream = null }
-    val f = tempPath.getFileSystem(new Configuration())
+    val f = tempPath.getFileSystem(conf.value)
     f.delete(tempPath, false): Unit
   }
 
@@ -282,48 +358,52 @@ class JsonLinesDataWriter(schema: StructType, path: String, queryId: String,
 
 // ---- read-back scan ----------------------------------------------------
 
-class JsonLinesScanBuilder(full: StructType, path: String)
+class JsonLinesScanBuilder(full: StructType, path: String,
+                           conf: SerializableHadoopConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = {
     val dir = new Path(path)
-    val f = dir.getFileSystem(new Configuration())
+    val f = dir.getFileSystem(conf.value)
     val files =
       if (!f.exists(dir)) Array.empty[String]
       else f.listStatus(dir).map(_.getPath)
         .filter(p => p.getName.startsWith("part-"))
         .sortBy(_.getName).map(_.toString)
-    new JsonLinesScan(required, files)
+    new JsonLinesScan(required, files, conf)
   }
 }
 
 case class JsonLinesInputPartition(file: String) extends InputPartition
 
-class JsonLinesScan(required: StructType, files: Array[String])
+class JsonLinesScan(required: StructType, files: Array[String],
+                    conf: SerializableHadoopConf)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => JsonLinesInputPartition(f): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonLinesReaderFactory(required)
+    new JsonLinesReaderFactory(required, conf)
   override def description(): String =
     s"graft-jsonl [${files.length} files, schema=${required.simpleString}]"
 }
 
-class JsonLinesReaderFactory(required: StructType) extends PartitionReaderFactory {
+class JsonLinesReaderFactory(required: StructType, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new JsonLinesPartitionReader(
-      partition.asInstanceOf[JsonLinesInputPartition].file, required)
+      partition.asInstanceOf[JsonLinesInputPartition].file, required, conf)
 }
 
-class JsonLinesPartitionReader(file: String, required: StructType)
+class JsonLinesPartitionReader(file: String, required: StructType,
+                               conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
   private lazy val reader = {
     val p = new Path(file)
-    val f = p.getFileSystem(new Configuration())
+    val f = p.getFileSystem(conf.value)
     new java.io.BufferedReader(new java.io.InputStreamReader(
       f.open(p), java.nio.charset.StandardCharsets.UTF_8))
   }

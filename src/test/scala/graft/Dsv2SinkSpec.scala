@@ -138,7 +138,8 @@ class Dsv2SinkSpec extends AnyFunSuite {
     try {
       import org.apache.spark.sql.types._
       val schema = StructType(Seq(StructField("k", StringType)))
-      val sw = new graft.sources.v2.JsonLinesStreamingWrite(schema, out.getAbsolutePath)
+      val sw = new graft.sources.v2.JsonLinesStreamingWrite(schema, out.getAbsolutePath,
+        new graft.sources.v2.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
       def tempFile(epoch: Long, pid: Int, content: String): String = {
         val d = new java.io.File(out, s"_temporary-epoch-$epoch")
         d.mkdirs()
@@ -168,7 +169,51 @@ class Dsv2SinkSpec extends AnyFunSuite {
         "part-epoch-1-0.jsonl" -> "{\"k\": \"retried\"}\n"))
       // no temp litter
       assert(!out.listFiles().map(_.getName).exists(_.startsWith("_temporary")))
+      // crashed attempt published under a DIFFERENT partitioning (extra
+      // pid 7), then the replay runs with pid 0 only: the stale pid must
+      // be swept or its rows would duplicate on every read
+      java.nio.file.Files.writeString(
+        new java.io.File(out, "part-epoch-2-7.jsonl").toPath, "{\"k\": \"stale-pid\"}\n")
+      sw.commit(2L, Array(msg(2L, 0, "{\"k\": \"e2\"}\n")))
+      assert(published() == Map(
+        "part-epoch-0-0.jsonl" -> "{\"k\": \"first\"}\n",
+        "part-epoch-1-0.jsonl" -> "{\"k\": \"retried\"}\n",
+        "part-epoch-2-0.jsonl" -> "{\"k\": \"e2\"}\n"),
+        "a stale pid from a crashed attempt must not stay published")
     } finally util.Fs.deleteTree(out)
+  }
+
+  test("a truncate that crashed mid-publish is rolled back by the next write") {
+    val dir = tmpDir()
+    try {
+      val a = Donki.readJson(spark, Seq(Parity.jsonBody(Parity.batchA)))
+      val b = Donki.readJson(spark, Seq(Parity.jsonBody(Parity.batchB)))
+      a.write.format("graft-jsonl").mode("overwrite").save(dir.getAbsolutePath)
+      val before = rowSet(readBack(dir))
+      // simulate the crash state a truncate leaves mid-publish: the old
+      // parts sit in _backup-<qid>, a SUBSET of the failed write's parts
+      // (named with its qid) is already published
+      val backup = new java.io.File(dir, "_backup-deadbeef")
+      backup.mkdirs()
+      dir.listFiles().filter(_.getName.startsWith("part-")).foreach { p =>
+        assert(p.renameTo(new java.io.File(backup, p.getName)))
+      }
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, "part-deadbeef-0.jsonl").toPath,
+        "{\"flrID\": \"PARTIAL\", \"catalog\": null, \"instruments\": null, " +
+          "\"beginTime\": null, \"peakTime\": null, \"endTime\": null, " +
+          "\"classType\": null, \"sourceLocation\": null, \"activeRegionNum\": null, " +
+          "\"note\": null, \"submissionTime\": null, \"versionId\": null, \"link\": null}\n")
+      // reader at this instant would see the failed write's subset; the
+      // NEXT write must first restore the old table, then apply itself
+      b.write.format("graft-jsonl").mode("append").save(dir.getAbsolutePath)
+      val after = rowSet(readBack(dir))
+      assert(after == before ++ rowSet(b),
+        "recovery must drop the crashed truncate's subset and restore the old parts")
+      assert(!after.exists(_.toString.contains("PARTIAL")))
+      val names = dir.listFiles().map(_.getName).toSet
+      assert(!names.exists(_.startsWith("_backup")), s"backup litter: $names")
+    } finally util.Fs.deleteTree(dir)
   }
 
   test("scale shape: documents round-trips across many partitions") {

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Aggregators, TextFns}
+
+/** Edge laws for the custom function surface: NaN-safe associativity of
+  * the argmax aggregator, overflow-free fingerprints on pathologically
+  * long documents, and analysis-time rejection (never a raw throw) for
+  * wrong types and wrong arities.
+  */
+class FunctionEdgeSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("MaxByKey merge is associative with NaN values (total order, NaN greatest)") {
+    val a = (Double.NaN, 5L); val b = (7.0, 9L); val c = (3.0, 1L)
+    val m = Aggregators.MaxByKey
+    assert(m.merge(m.merge(a, b), c) == m.merge(a, m.merge(b, c)),
+      "IEEE > comparisons would make the winner depend on merge order")
+    // NaN sorts greatest (how Spark and DuckDB both order doubles), so the
+    // NaN row's key wins regardless of partitioning
+    val maxBy = udaf(Aggregators.MaxByKey)
+    def run(parts: Int): Long =
+      Seq((1L, Double.NaN, 5L), (1L, 7.0, 9L), (1L, 3.0, 1L))
+        .toDF("g", "v", "k").repartition(parts)
+        .groupBy($"g").agg(maxBy($"v", $"k").as("best"))
+        .collect()(0).getAs[Long]("best")
+    assert(run(1) == 5L && run(3) == 5L,
+      "the NaN row must win deterministically under any partitioning")
+  }
+
+  test("fingerprint stays exact on a 200k-token document (per-step modulus)") {
+    // a raw running sum of i*h31 would wrap Long around ~90k tokens;
+    // mod-at-every-step keeps the accumulator < 2^31 at any length
+    val n = 200000
+    val toks = Array.tabulate(n)(i => s"tok${i % 997}")
+    val got = Seq(toks.mkString(" ")).toDF("text")
+      .withColumn("toks", TextFns.tokens($"text"))
+      .select(TextFns.fingerprintExpr("toks").as("fp"))
+      .collect()(0).getLong(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h31(tok: String): Long = {
+      md.reset()
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % TextFns.P31
+    }
+    val cache = toks.distinct.map(t => t -> h31(t)).toMap
+    val want = (toks.iterator.zipWithIndex
+      .map { case (t, i) => BigInt(i + 1) * cache(t) }
+      .sum % TextFns.P31).toLong
+    assert(got == want, "Spark's fold must equal the exact BigInt sum mod p")
+    assert(got >= 0 && got < TextFns.P31)
+  }
+
+  test("cosine_units rejects wrong element types at ANALYSIS, not codegen") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_units(array(1, 2), array(1.0D, 2.0D)) AS c").collect()
+    }
+    assert(e.getMessage.contains("array<float|double>"))
+  }
+
+  test("wrong arity is an analysis error for both imperative registrations") {
+    graft.functions.CosineUnits.register(spark)
+    graft.functions.NGramsGen.register(spark)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_units(array(1.0D)) AS c").collect()
+    }
+    assert(e1.getMessage.contains("cosine_units"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT * FROM (SELECT array('a','b') AS ts) " +
+          "LATERAL VIEW ngrams_gen(ts) g AS pos, gram").collect()
+    }
+    assert(e2.getMessage.contains("ngrams_gen"))
+  }
+}
