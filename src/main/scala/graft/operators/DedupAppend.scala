@@ -33,8 +33,21 @@ object DedupAppend {
   def append(spark: SparkSession, batch: DataFrame, path: String,
              keys: Seq[String], tieBreak: Seq[String],
              partitionCols: Seq[String] = Nil): Unit = {
+    // the survivor order must be TOTAL per key group or determinism is
+    // lost exactly the way dropDuplicates loses it: the keys are the
+    // window's partition columns (constant inside a frame — no tie-break
+    // value), so after the caller's tieBreak the remaining ORDERABLE
+    // payload columns break any residual tie by content (sorted by name
+    // for a stable order; rows still tied are full duplicates, where any
+    // survivor is the same row). Unorderable types (maps) are skipped —
+    // they cannot participate in a sort key.
+    val payloadTie = batch.schema.fields
+      .filter(f => !keys.contains(f.name) && !tieBreak.contains(f.name) &&
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+      .map(_.name).sorted.toSeq
+    val ord = tieBreak ++ payloadTie
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy((tieBreak ++ keys).map(c => col(c).asc_nulls_last): _*)
+      .orderBy((if (ord.nonEmpty) ord else keys).map(c => col(c).asc_nulls_last): _*)
     val inBatch = batch
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

@@ -58,10 +58,15 @@ object Kmv {
     val pairs = groups.select(col("g").as("ga"))
       .crossJoin(groups.select(col("g").as("gb")))
       .filter(col("ga") < col("gb")) // #groups² rows: tiny by construction
-    // union of each pair's sketches, distinct hashes, re-ranked
+    // union of each pair's sketches, distinct hashes, re-ranked. Two
+    // hash-joinable equi legs unioned — the single OR-condition join
+    // (sk.g = ga OR sk.g = gb) cannot be planned as an equi join and
+    // degenerates to a nested loop over pairs × sketch rows
     val wu = Window.partitionBy(col("ga"), col("gb")).orderBy(col("h"))
-    val un = pairs.join(sk, sk("g") === col("ga") || sk("g") === col("gb"))
-      .select(col("ga"), col("gb"), col("h")).distinct()
+    val un = pairs.join(sk, sk("g") === col("ga")).select(col("ga"), col("gb"), col("h"))
+      .unionByName(
+        pairs.join(sk, sk("g") === col("gb")).select(col("ga"), col("gb"), col("h")))
+      .distinct()
       .withColumn("urn", row_number().over(wu).cast(LongType))
     val kEff = un.groupBy(col("ga"), col("gb"))
       .agg(least(lit(k.toLong), max(col("urn"))).as("k_eff"))

@@ -239,7 +239,11 @@ object Similarity {
   def kmeansCentroids(embeddings: DataFrame, k: Int = IvfCentroids,
                       iters: Int = IvfIters): DataFrame = {
     graft.functions.CosineUnits.register(embeddings.sparkSession)
-    var cents = embeddings.filter(col("vec_id") < k)
+    // the k LOWEST ids, not ids < k: with offset/sparse id spaces (an
+    // id-offset append, a sharded scheme) the latter seeds fewer than k —
+    // possibly zero, silently emptying every downstream IVF answer.
+    // orderBy+limit plans as TakeOrdered: bounded by k, deterministic.
+    var cents = embeddings.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
     for (_ <- 0 until iters) {
       val cells = assignCells(embeddings, cents)

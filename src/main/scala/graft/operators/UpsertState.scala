@@ -24,12 +24,24 @@ import org.apache.spark.sql.functions._
   */
 object UpsertState {
 
-  /** One row per key: the payload of the highest-version change. */
+  /** One row per key: the payload of the highest-version change. The
+    * ordering key is the caller's `version` columns EXTENDED by the
+    * remaining orderable payload columns (sorted by name): if two changes
+    * for one key tie on version with different payloads, `max_by` alone
+    * would keep whichever the aggregation met last — fold-order-dependent,
+    * breaking the idempotent-monoid law every streaming caller relies on.
+    * With the content extension, version ties break deterministically by
+    * payload; rows still tied are identical, where any survivor is the
+    * same row. Unorderable payload types (maps) are skipped. */
   def compact(changes: DataFrame, keys: Seq[String], version: Seq[String]): DataFrame = {
     val payload = changes.columns.filterNot(keys.contains).toSeq
+    val contentTie = changes.schema.fields
+      .filter(f => !keys.contains(f.name) && !version.contains(f.name) &&
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+      .map(_.name).sorted.toSeq
     changes.groupBy(keys.map(col): _*)
-      .agg(max_by(struct(payload.map(col): _*), struct(version.map(col): _*))
-        .as("last"))
+      .agg(max_by(struct(payload.map(col): _*),
+        struct((version ++ contentTie).map(col): _*)).as("last"))
       .select(keys.map(col) ++ payload.map(c => col(s"last.$c").as(c)): _*)
   }
 

@@ -24,8 +24,17 @@ object EventStreams {
     * timestamp the same way the batch loader does. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val physical = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    val physical =
+      try spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          // surface the operational cause instead of a bare
+          // unable-to-infer-schema: the sniff needs at least one landed file
+          throw new IllegalStateException(
+            s"readEvents: no events.parquet file has landed in $dir yet — " +
+              "the stream's schema is sniffed from existing footers, so land " +
+              "one file first (or start the stream after the first delivery)", e)
+      }
     val stream = spark.readStream.schema(physical)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -42,10 +51,16 @@ object EventStreams {
   def tumblingAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
-               col("event_type"))
+      // group by the window COLUMN itself (not its extracted start field):
+      // the extracted field is a derived alias that loses the event-time
+      // metadata, so watermark state eviction would never apply (unbounded
+      // state) and append-mode emission would be rejected — same pitfall
+      // [[slidingAgg]] documents
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
            sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
 
   /** Sliding 1-hour/15-minute window counts/sums — the streaming twin of
     * EventTime.q23SlidingAgg. Each event updates 4 overlapping windows;

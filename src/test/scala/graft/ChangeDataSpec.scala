@@ -31,6 +31,22 @@ class ChangeDataSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("upsert compact: version ties resolve deterministically by content") {
+    import spark.implicits._
+    // two changes for one key TIE on version with different payloads: the
+    // fold-order-independence law must still hold — content breaks the tie
+    def run(rows: Seq[(Long, Long, String)], parts: Int): Set[(Long, Long, String)] =
+      graft.operators.UpsertState.compact(
+        rows.toDF("k", "v", "payload").repartition(parts),
+        keys = Seq("k"), version = Seq("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val fwd = run(Seq((1L, 5L, "alpha"), (1L, 5L, "beta"), (2L, 1L, "x")), 1)
+    val rev = run(Seq((2L, 1L, "x"), (1L, 5L, "beta"), (1L, 5L, "alpha")), 4)
+    assert(fwd == rev, "tied versions must not make the state fold-order-dependent")
+    assert(fwd == Set((1L, 5L, "beta"), (2L, 1L, "x")),
+      "the content-greatest payload wins a version tie (max_by)")
+  }
+
   test("q57: SCD2 intervals chain (valid_to = next valid_from) and close exactly once per key") {
     val rows = ChangeData.q57Scd2(spark, sf)
       .selectExpr("user_id", "change_id",

@@ -147,6 +147,28 @@ class CompactionSpec extends AnyFunSuite {
     } finally Fs.deleteTree(new java.io.File(tmp))
   }
 
+  test("dedup-append survivor is content-deterministic even with no tieBreak") {
+    // two rows share a key with DIFFERENT payloads and no tie-break: the
+    // survivor must be decided by content, not partition order — writing
+    // the same rows in either arrival order yields the identical table
+    val tmp = Files.createTempDirectory("graft-dedup-det").toFile.getAbsolutePath
+    try {
+      import spark.implicits._
+      def run(name: String, rows: Seq[(Long, String)]): Set[(Long, String)] = {
+        val t = s"$tmp/$name"
+        graft.operators.DedupAppend.append(spark,
+          rows.toDF("id", "text").repartition(4), t,
+          keys = Seq("id"), tieBreak = Nil)
+        spark.read.parquet(t).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      }
+      val ab = run("ab", Seq((1L, "bbb"), (1L, "aaa"), (2L, "zzz")))
+      val ba = run("ba", Seq((2L, "zzz"), (1L, "aaa"), (1L, "bbb")))
+      assert(ab == ba, "arrival order must not change the surviving rows")
+      assert(ab == Set((1L, "aaa"), (2L, "zzz")),
+        "the content-smallest row wins the residual tie")
+    } finally Fs.deleteTree(new java.io.File(tmp))
+  }
+
   test("appendCycle clears stale crash leftovers even when the cycle does NOT compact") {
     // a table that never again crosses maxFiles must not carry a
     // half-written __compacting sibling forever — entry recovery clears

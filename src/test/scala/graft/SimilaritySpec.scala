@@ -19,6 +19,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(v - 1.0) < 1e-9)
   }
 
+  test("kmeans seeds are the k LOWEST ids, so offset id spaces still train") {
+    // ids starting at 1_000_000: a `vec_id < k` seed filter would select
+    // ZERO seeds and every IVF answer downstream would silently be empty
+    val shifted = embs.withColumn("vec_id", col("vec_id") + 1000000L)
+    val cents = Similarity.kmeansCentroids(shifted, k = 8, iters = 1)
+    assert(cents.count() == 8, "the k lowest ids must seed regardless of id offset")
+  }
+
   test("cosine is bounded and self-similarity is ~1") {
     val self = embs.limit(20)
       .withColumn("c", Similarity.cosineR("embedding", "embedding"))

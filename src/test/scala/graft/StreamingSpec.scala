@@ -23,6 +23,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("tumblingAgg keeps event-time semantics: append output mode is accepted") {
+    // grouping by window(...).getField("start") strips the event-time
+    // metadata — append mode would throw at analysis and watermark state
+    // eviction would never apply; grouping by the window column keeps both
+    val q = EventStreams.tumblingAgg(EventStreams.readEvents(spark, sf))
+      .writeStream.outputMode("append").format("memory").queryName("tumbling_append_ok")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    // bounded input: the final watermark closes all but the last window(s)
+    assert(spark.table("tumbling_append_ok").count() > 0,
+      "closed windows must emit under append mode")
+  }
+
   test("scored q70 (maintained tumbling rollup via writeStream) equals batch q15 row for row") {
     val got = EventTime.q70StreamTumbling(spark, sf).collect().toSeq
     val want = EventTime.q15TumblingAgg(spark, sf).collect().toSeq
