@@ -35,13 +35,13 @@ object Curation {
     * contamination-audit scale — not the corpus.
     */
   def decontaminate(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    // positional shingles WITHOUT the distinct (see scale note above)
+    graft.functions.NGramsGen.register(corpus.sparkSession)
+    // positional shingles WITHOUT the distinct (see scale note above) —
+    // the ONE shingling spelling (ngrams_gen, as TextDedup.shingles):
+    // streams grams straight out of the token array, size<k edge included
     val corpusSh = corpus.select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .filter(size(col("ts")) >= k)
-      .select(col("doc_id"), col("ts"),
-        explode(expr(s"sequence(1, size(ts) - ${k - 1})")).as("i"))
-      .select(col("doc_id"),
-        concat_ws(" ", (0 until k).map(j => expr(s"element_at(ts, i + $j)")): _*).as("shingle"))
+      .selectExpr("doc_id", s"ngrams_gen(ts, $k) AS (i, shingle)")
+      .select(col("doc_id"), col("shingle"))
     val probeSh = TextDedup.shingles(probes, k)
       .select(col("doc_id").as("probe_id"), col("shingle"))
     corpusSh
@@ -446,13 +446,12 @@ object Curation {
     * window minima over a total per-doc order. */
   def winnow(docs: DataFrame, k: Int, window: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.NGramsGen.register(docs.sparkSession)
     val pos = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .filter(size(col("ts")) >= k)
-      .select(col("doc_id"), col("ts"), (size(col("ts")) - (k - 1)).as("m"),
-        explode(expr(s"sequence(1, size(ts) - ${k - 1})")).as("i"))
+      .select(col("doc_id"), (size(col("ts")) - (k - 1)).as("m"), col("ts"))
+      .selectExpr("doc_id", "m", s"ngrams_gen(ts, $k) AS (i, g)")
       .select(col("doc_id"), col("m"), col("i"),
-        graft.functions.TextFns.h31(
-          concat_ws(" ", (0 until k).map(j => expr(s"element_at(ts, i + $j)")): _*)).as("h"))
+        graft.functions.TextFns.h31(col("g")).as("h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(Window.currentRow, window - 1)
     pos.withColumn("fp", min(col("h")).over(w))
@@ -949,11 +948,13 @@ object Curation {
     * by the doc, never the corpus. */
   def deconExcise(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
+    graft.functions.NGramsGen.register(corpus.sparkSession)
+    // shared shingling spelling; this operator's positions are 0-based
+    // (token offsets for excision), so shift the generator's 1-based pos
     def shingled(d: DataFrame) = d
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .filter(size(col("ts")) >= k)
-      .withColumn("i", explode(expr(s"sequence(0, size(ts) - $k)")))
-      .withColumn("s", concat_ws(" ", expr(s"slice(ts, i + 1, $k)")))
+      .selectExpr("doc_id", s"ngrams_gen(ts, $k) AS (pos1, s)")
+      .select(col("doc_id"), (col("pos1") - 1).as("i"), col("s"))
     val probeSet = shingled(probes).select(col("s")).distinct()
     val covered = shingled(corpus).select(col("doc_id"), col("i"), col("s"))
       .join(broadcast(probeSet), "s")
@@ -1114,13 +1115,11 @@ object Curation {
   def retrieveTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                    maxDfFrac: Double, termK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.NGramsGen.register(corpus.sparkSession)
     def terms(d: DataFrame): DataFrame =
       d.select(col("doc_id"), split(col("text"), " ").as("ts"))
-        .filter(size(col("ts")) >= termK)
-        .select(col("doc_id"), col("ts"),
-          explode(expr(s"sequence(1, size(ts) - ${termK - 1})")).as("i"))
-        .select(col("doc_id"),
-          concat_ws(" ", (0 until termK).map(j => expr(s"element_at(ts, i + $j)")): _*).as("tok"))
+        .selectExpr("doc_id", s"ngrams_gen(ts, $termK) AS (i, tok)")
+        .select(col("doc_id"), col("tok"))
     val qTok = terms(queries.select(col("doc_id"), col("text")))
       .select(col("doc_id").as("q_id"), col("tok")).distinct()
     val qVocab = qTok.select(col("tok")).distinct()
