@@ -206,7 +206,9 @@ object Profile {
           val exch = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r.findAllIn(p).size
           println(s"PLAN $n joins=$joins exchanges=$exch codegenSpans=${"WholeStageCodegen".r.findAllIn(p).size}")
         }
-      case _ => println("usage: Profile simhash|minhash|asof|new|explain")
+      case _ => println(
+        "usage: Profile clusters|simhash|minhash|minhash-persist|asof|" +
+          "x35|x35jobs|x37|new|explain|explain-new")
     }
     spark.stop()
   }

@@ -34,7 +34,9 @@ object PipelineDemo {
       spark, Donki.flrSchema, flaky, Parity.jsonBody(Parity.batchA),
       retries = 2, delayMs = 10L)
     println(s"[demo] fetch live=$live (fallback engaged=${!live})")
-    val table = Files.createTempDirectory("graft_demo_").toString + "/solar_flare_data"
+    val demoTmp = Files.createTempDirectory("graft_demo_")
+    graft.util.Fs.deleteOnExit(demoTmp.toFile)
+    val table = demoTmp.toString + "/solar_flare_data"
     DedupAppend.append(spark, Donki.project(raw), table,
       keys = Seq("flr_id"), tieBreak = Seq("class_type", "link"))
     DedupAppend.append(spark, Donki.project(raw), table,
@@ -95,7 +97,9 @@ object PipelineDemo {
     val shards = graft.operators.Curation.shardAssign(gated, 8)
     val skew = shards.agg(
       (max(col("total_tokens")) - min(col("total_tokens"))).as("d")).first().getLong(0)
-    val mTable = Files.createTempDirectory("graft_demo_m_").toString + "/docs"
+    val demoTmpM = Files.createTempDirectory("graft_demo_m_")
+    graft.util.Fs.deleteOnExit(demoTmpM.toFile)
+    val mTable = demoTmpM.toString + "/docs"
     val fileCounts = (0 until 4).map { i =>
       graft.operators.Maintenance.appendCycle(spark,
         docs.filter(pmod(col("doc_id"), lit(4)) === i), mTable,

@@ -56,7 +56,11 @@ object Donki {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(spark.createDataset(bodies))
-      .cache() // Spark disallows filtering a just-parsed corrupt column uncached
+      // Spark disallows filtering a just-parsed corrupt column without
+      // materializing first; localCheckpoint (not cache) so the blocks are
+      // reclaimed by the context cleaner instead of pinning cache-manager
+      // storage for the session's lifetime, one entry per ingest call
+      .localCheckpoint(true)
     val good = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
     val quarantined = raw.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record"))

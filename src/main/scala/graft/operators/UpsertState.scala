@@ -94,10 +94,9 @@ object UpsertState {
     val merged = compact(existingTouched.unionByName(withBucket),
         keys :+ "bucket", version)
       .localCheckpoint(true) // materialize before overwriting dirs being read
-    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    try {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    graft.util.Confs.withConfs(spark,
+      "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
       merged.write.mode("overwrite").partitionBy("bucket").parquet(statePath)
-    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    }
   }
 }

@@ -83,8 +83,7 @@ object ChangeData {
         .select(col("user_id"), col("event_type").as("last_type"),
           col("cents").as("last_cents"))
       // one row per user: materialize so the temp state/checkpoint can drop
-      val rows = res.collectAsList()
-      spark.createDataFrame(rows, res.schema).orderBy(col("user_id"))
+      graft.util.Materialize.sorted(res, col("user_id"))
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
@@ -117,8 +116,7 @@ object ChangeData {
         .select(col("user_id"), col("event_type").as("last_type"),
           col("cents").as("last_cents"))
       // one row per user: materialize so the temp tree drops eagerly
-      val rows = res.collectAsList()
-      spark.createDataFrame(rows, res.schema).orderBy(col("user_id"))
+      graft.util.Materialize.sorted(res, col("user_id"))
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
@@ -181,6 +179,14 @@ object ChangeData {
     val ranged = pts
       .repartitionByRange(col("event_type"), col("t"), col("delta"), col("event_id"))
       .withColumn("rng", spark_partition_id())
+      // PIN the partition labels: this frame feeds BOTH the offsets
+      // aggregate and the join below, and spark_partition_id over a range
+      // exchange is only consistent across the two consumers while the
+      // exchange is reused — a re-executed RangePartitioner re-samples
+      // with a fresh seed and could label the same row differently,
+      // silently corrupting offset+local. Materializing makes the labels
+      // a fact, not a replayable computation.
+      .localCheckpoint(true)
     val wLocal = Window.partitionBy(col("rng"), col("event_type"))
       .orderBy(col("t"), col("delta"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -561,9 +567,7 @@ object ChangeData {
         .select(col("event_type"), col("d"), col("n"),
           col("sum_cents"), col("max_cents"))
       // rollup-sized (types × days): materialize so the temp tree drops
-      val rows = res.collectAsList()
-      spark.createDataFrame(rows, res.schema)
-        .orderBy(col("event_type"), col("d"))
+      graft.util.Materialize.sorted(res, col("event_type"), col("d"))
     } finally graft.util.Fs.deleteTree(tmp)
   }
 

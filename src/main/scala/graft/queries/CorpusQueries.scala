@@ -590,8 +590,7 @@ object CorpusQueries {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
       // NumShards rows: materialize so the temp state/checkpoint can drop
-      val rows = res.collectAsList()
-      spark.createDataFrame(rows, res.schema).orderBy(col("shard"))
+      graft.util.Materialize.sorted(res, col("shard"))
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
@@ -819,8 +818,7 @@ object CorpusQueries {
         .select(col("doc_id"), col("n_segs"), col("n_dup_segs"),
           col("n_tokens_kept"))
       // one row per doc: materialize so the temp landing/corpus drop
-      val rows = res.collectAsList()
-      spark.createDataFrame(rows, res.schema).orderBy(col("doc_id"))
+      graft.util.Materialize.sorted(res, col("doc_id"))
     } finally graft.util.Fs.deleteTree(tmp)
   }
 

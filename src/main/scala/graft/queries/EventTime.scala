@@ -248,9 +248,7 @@ object EventTime {
           col("sum_dec").cast(DoubleType).as("sum_value"))
       // materialize (hours × types rows) so the temp state/checkpoint tree
       // can be removed eagerly (q35's reasoning)
-      val rows = res.collectAsList()
-      spark.createDataFrame(rows, res.schema)
-        .orderBy(col("window_start"), col("event_type"))
+      graft.util.Materialize.sorted(res, col("window_start"), col("event_type"))
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
@@ -289,9 +287,7 @@ object EventTime {
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       // materialize (langs × sources rows) so the temp tree drops eagerly
-      val rows = res.collectAsList()
-      spark.createDataFrame(rows, res.schema)
-        .orderBy(col("lang"), col("source"))
+      graft.util.Materialize.sorted(res, col("lang"), col("source"))
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
@@ -321,9 +317,7 @@ object EventTime {
     // overhead — size the stream's partitioning to the state, not the
     // session default (a stream pins its partitioning at checkpoint
     // creation, so this is also the knob a real deployment sets)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try graft.util.Confs.withConfs(spark, "spark.sql.shuffle.partitions" -> "8") {
       val out = new java.io.File(tmp, "pairs").getAbsolutePath
       val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
       val q = graft.streaming.EventStreams
@@ -336,12 +330,8 @@ object EventTime {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"), sum(col("gap_us")).as("sum_gap_us"))
       // one row per user: materialize so the temp sink/checkpoint can drop
-      val rows = res.collectAsList()
-      spark.createDataFrame(rows, res.schema).orderBy(col("user_id"))
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      graft.util.Fs.deleteTree(tmp)
-    }
+      graft.util.Materialize.sorted(res, col("user_id"))
+    } finally graft.util.Fs.deleteTree(tmp)
   }
 
   val q80Sql: String =
@@ -383,8 +373,7 @@ object EventTime {
       val res = spark.read.parquet(out)
       // materialize (bounded by the landed event table, q57's output size)
       // so the temp orders/checkpoint tree can drop eagerly
-      val rows = res.collectAsList()
-      spark.createDataFrame(rows, res.schema).orderBy(col("event_id"))
+      graft.util.Materialize.sorted(res, col("event_id"))
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
@@ -421,9 +410,7 @@ object EventTime {
   def q88StreamSession(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft_q88_").toFile
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try graft.util.Confs.withConfs(spark, "spark.sql.shuffle.partitions" -> "8") {
       val landing = new java.io.File(tmp, "landing").getAbsolutePath
       val out = new java.io.File(tmp, "sessions").getAbsolutePath
       val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
@@ -446,13 +433,8 @@ object EventTime {
           col("session_end").cast("timestamp_ntz").as("session_end"),
           col("n_events"))
       // session-count-sized: materialize so the temp tree drops eagerly
-      val rows = res.collectAsList()
-      spark.createDataFrame(rows, res.schema)
-        .orderBy(col("user_id"), col("session_start"))
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      graft.util.Fs.deleteTree(tmp)
-    }
+      graft.util.Materialize.sorted(res, col("user_id"), col("session_start"))
+    } finally graft.util.Fs.deleteTree(tmp)
   }
 
   /** Streamed sessions ≡ batch sessions: q34's oracle verbatim. */
@@ -471,9 +453,7 @@ object EventTime {
   def q90StreamSliding(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft_q90_").toFile
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try graft.util.Confs.withConfs(spark, "spark.sql.shuffle.partitions" -> "8") {
       val landing = new java.io.File(tmp, "landing").getAbsolutePath
       val out = new java.io.File(tmp, "windows").getAbsolutePath
       val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
@@ -495,13 +475,8 @@ object EventTime {
         .select(col("window_start").cast("timestamp_ntz").as("window_start"),
           col("event_type"), col("n"), col("sum_value"))
       // (hours×4 slides × types) rows: materialize so the temp tree drops
-      val rows = res.collectAsList()
-      spark.createDataFrame(rows, res.schema)
-        .orderBy(col("window_start"), col("event_type"))
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      graft.util.Fs.deleteTree(tmp)
-    }
+      graft.util.Materialize.sorted(res, col("window_start"), col("event_type"))
+    } finally graft.util.Fs.deleteTree(tmp)
   }
 
   /** Streamed sliding windows ≡ batch: q23's oracle verbatim. */
@@ -525,9 +500,7 @@ object EventTime {
     * maintenance, and now (flat)MapGroupsWithState. */
   def q97StreamStateful(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_q97_").toFile
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try graft.util.Confs.withConfs(spark, "spark.sql.shuffle.partitions" -> "8") {
       val landing = new java.io.File(tmp, "landing").getAbsolutePath
       val ev = t(spark, dir, "events").select(col("user_id"), col("ts"))
       val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
@@ -543,12 +516,8 @@ object EventTime {
         .agg(count(lit(1)).as("n_sessions"),
           sum(col("n_events")).as("n_events"))
       // one row per user: materialize so the temp landing drops eagerly
-      val rows = res.collectAsList()
-      spark.createDataFrame(rows, res.schema).orderBy(col("user_id"))
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      graft.util.Fs.deleteTree(tmp)
-    }
+      graft.util.Materialize.sorted(res, col("user_id"))
+    } finally graft.util.Fs.deleteTree(tmp)
   }
 
   /** Closed sessions ≡ batch sessionization: q16's oracle verbatim. */
@@ -601,9 +570,7 @@ object EventTime {
   def q93StreamAnti(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft_q93_").toFile
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try graft.util.Confs.withConfs(spark, "spark.sql.shuffle.partitions" -> "8") {
       val out = new java.io.File(tmp, "kept").getAbsolutePath
       val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
       val block = t(spark, dir, "orders")
@@ -621,12 +588,8 @@ object EventTime {
           countDistinct(col("user_id")).as("n_users"),
           sumMoney2(col("value")).as("sum_value"))
       // one row per event type: materialize so the temp tree drops
-      val rows = res.collectAsList()
-      spark.createDataFrame(rows, res.schema).orderBy(col("event_type"))
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      graft.util.Fs.deleteTree(tmp)
-    }
+      graft.util.Materialize.sorted(res, col("event_type"))
+    } finally graft.util.Fs.deleteTree(tmp)
   }
 
   val q93Sql: String =
@@ -669,9 +632,7 @@ object EventTime {
     val tmp = java.nio.file.Files.createTempDirectory("graft_q83_").toFile
     // one small state store per shuffle partition: size the stream's
     // partitioning to the state volume (q80's reasoning), not the default
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try graft.util.Confs.withConfs(spark, "spark.sql.shuffle.partitions" -> "8") {
       val out = new java.io.File(tmp, "deduped").getAbsolutePath
       val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
       val once = graft.streaming.EventStreams.readEvents(spark, dir)
@@ -688,12 +649,8 @@ object EventTime {
           sumMoney2(col("value")).as("sum_value"))
       // one row per event type: materialize so the temp sink/checkpoint
       // tree can drop eagerly
-      val rows = res.collectAsList()
-      spark.createDataFrame(rows, res.schema).orderBy(col("event_type"))
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      graft.util.Fs.deleteTree(tmp)
-    }
+      graft.util.Materialize.sorted(res, col("event_type"))
+    } finally graft.util.Fs.deleteTree(tmp)
   }
 
   /** Single-delivery rollup — n must equal n_ids (every duplicate gone). */
@@ -734,9 +691,7 @@ object EventTime {
   def q102StateInspect(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft_q102_").toFile
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try graft.util.Confs.withConfs(spark, "spark.sql.shuffle.partitions" -> "8") {
       val out = new java.io.File(tmp, "deduped").getAbsolutePath
       val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
       val q = graft.streaming.EventStreams
@@ -755,10 +710,7 @@ object EventTime {
       val rows = res.collectAsList()
       require(!rows.isEmpty, "q102: the state store must hold keys")
       spark.createDataFrame(rows, res.schema).orderBy(col("event_type"))
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      graft.util.Fs.deleteTree(tmp)
-    }
+    } finally graft.util.Fs.deleteTree(tmp)
   }
 
   /** With no eviction the store holds every distinct id once — the key

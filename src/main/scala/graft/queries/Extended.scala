@@ -274,9 +274,7 @@ object Extended {
              sumMoney2(col("o_totalprice")).as("revenue"))
       // aggregate is segments × statuses rows — materialize so the temp
       // catalog tables and files can be dropped eagerly (q35's reasoning)
-      val rows = res.collectAsList()
-      spark.createDataFrame(rows, res.schema)
-        .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+      graft.util.Materialize.sorted(res, col("c_mktsegment"), col("o_orderstatus"))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       prevOrdering match {
@@ -325,8 +323,7 @@ object Extended {
       val res = joined.groupBy(col("ship_month"))
         .agg(count(lit(1)).as("n_items"),
              sumMoney2(col("l_extendedprice")).as("revenue"))
-      val rows = res.collectAsList()
-      spark.createDataFrame(rows, res.schema).orderBy(col("ship_month"))
+      graft.util.Materialize.sorted(res, col("ship_month"))
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
@@ -348,8 +345,7 @@ object Extended {
       val res = prunedDayAgg(spark, path, "2024-01-15")
       // materialize the handful of aggregate rows so the temp tree can be
       // removed eagerly (same reasoning as Parity.p2DedupAppend)
-      val rows = res.collectAsList()
-      spark.createDataFrame(rows, res.schema).orderBy(col("event_type"))
+      graft.util.Materialize.sorted(res, col("event_type"))
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
@@ -657,8 +653,7 @@ object Extended {
         .agg(count(lit(1)).as("n_nations"),
              min(col("n_name")).as("first_nation"),
              sum(col("n_nationkey").cast(LongType)).as("key_sum"))
-      val rows = res.collectAsList()
-      spark.createDataFrame(rows, res.schema).orderBy(col("r_name"))
+      graft.util.Materialize.sorted(res, col("r_name"))
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
@@ -695,9 +690,7 @@ object Extended {
       // without this AQE coalesces the small partitions into the hot one's
       // neighborhood and the skew signal drowns at test scale
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+    graft.util.Confs.withConfs(spark, confs: _*) {
       // AQE splits a skewed reduce partition at MAPPER boundaries, and the
       // test tables read as a single parquet split — one mapper is
       // unsplittable no matter how skewed. The repartition stands in for
@@ -720,9 +713,6 @@ object Extended {
       require(plan.contains("skew=true"),
         s"AQE skew-join must engage on the hot key:\n$plan")
       spark.createDataFrame(rows, res.schema).orderBy(col("nation"))
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 
@@ -792,8 +782,7 @@ object Extended {
           s"q89 must be answered from the materialized view:\n$plan")
         require(!plan.contains("lineitem.parquet"),
           s"q89 must not touch the base table:\n$plan")
-        val rows = res.collectAsList()
-        spark.createDataFrame(rows, res.schema).orderBy(col("l_returnflag"))
+        graft.util.Materialize.sorted(res, col("l_returnflag"))
       } finally graft.plans.MvCatalog.clear()
     } finally graft.util.Fs.deleteTree(tmp)
   }
@@ -828,8 +817,7 @@ object Extended {
           s"q91 must be answered from the materialized view:\n$plan")
         require(!plan.contains("lineitem.parquet"),
           s"q91 must not touch the base table:\n$plan")
-        val rows = res.collectAsList()
-        spark.createDataFrame(rows, res.schema).orderBy(col("l_linestatus"))
+        graft.util.Materialize.sorted(res, col("l_linestatus"))
       } finally graft.plans.MvCatalog.clear()
     } finally graft.util.Fs.deleteTree(tmp)
   }
@@ -892,8 +880,7 @@ object Extended {
           s"q92 must be answered from the STREAM-MAINTAINED view:\n$plan")
         require(!plan.contains("lineitem.parquet"),
           s"q92 must not touch the base table:\n$plan")
-        val rows = res.collectAsList()
-        spark.createDataFrame(rows, res.schema).orderBy(col("l_returnflag"))
+        graft.util.Materialize.sorted(res, col("l_returnflag"))
       } finally graft.plans.MvCatalog.clear()
     } finally graft.util.Fs.deleteTree(tmp)
   }
@@ -940,8 +927,7 @@ object Extended {
               !new java.io.File(table + "__precompact").exists,
         "q99: transient compaction siblings must not survive the swap")
       val read = spark.read.parquet(table)
-      val rows = read.collectAsList()
-      spark.createDataFrame(rows, read.schema).orderBy(col("doc_id"))
+      graft.util.Materialize.sorted(read, col("doc_id"))
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
@@ -982,8 +968,7 @@ object Extended {
           s"q100 must not touch the base table:\n$plan")
         require(plan.contains("Expand"),
           s"q100's grouping-set replication must survive the rewrite:\n$plan")
-        val rows = res.collectAsList()
-        spark.createDataFrame(rows, res.schema).orderBy(col("flag"), col("status"))
+        graft.util.Materialize.sorted(res, col("flag"), col("status"))
       } finally graft.plans.MvCatalog.clear()
     } finally graft.util.Fs.deleteTree(tmp)
   }
@@ -1038,8 +1023,7 @@ object Extended {
           s"q101 must not scan the finer view when a coarser one suffices:\n$plan")
         require(!plan.contains("lineitem.parquet"),
           s"q101 must not touch the base table:\n$plan")
-        val rows = res.collectAsList()
-        spark.createDataFrame(rows, res.schema).orderBy(col("l_returnflag"))
+        graft.util.Materialize.sorted(res, col("l_returnflag"))
       } finally graft.plans.MvCatalog.clear()
     } finally graft.util.Fs.deleteTree(tmp)
   }
@@ -1091,8 +1075,7 @@ object Extended {
           s"q103 must be answered from the materialized view:\n$plan")
         require(!plan.contains("lineitem.parquet"),
           s"q103 must not touch the base table:\n$plan")
-        val rows = res.collectAsList()
-        spark.createDataFrame(rows, res.schema).orderBy(col("l_returnflag"))
+        graft.util.Materialize.sorted(res, col("l_returnflag"))
       } finally graft.plans.MvCatalog.clear()
     } finally graft.util.Fs.deleteTree(tmp)
   }
@@ -1139,8 +1122,7 @@ object Extended {
              sumMoney2(col("o_totalprice")).as("revenue"),
              min(col("o_orderkey")).as("min_key"))
       // one row per priority value: materialize so the temp table drops
-      val rows = res.collectAsList()
-      spark.createDataFrame(rows, res.schema).orderBy(col("priority"))
+      graft.util.Materialize.sorted(res, col("priority"))
     } finally graft.util.Fs.deleteTree(tmp)
   }
 

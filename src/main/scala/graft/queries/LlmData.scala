@@ -251,8 +251,12 @@ object LlmData {
   def sharedCentroids(spark: SparkSession, dir: String): DataFrame = {
     val path = centroidCache.computeIfAbsent(
       (spark.sparkContext.applicationId, dir), _ => {
-        val out = java.nio.file.Files.createTempDirectory("graft_cents")
-          .toString + "/centroids.parquet"
+        val tmp = java.nio.file.Files.createTempDirectory("graft_cents")
+        // shared for the JVM's lifetime (that's the point of the cache),
+        // so cleanup is a shutdown hook — without it every battery run
+        // leaks one parquet tree per (app, dir) key to /tmp forever
+        graft.util.Fs.deleteOnExit(tmp.toFile)
+        val out = tmp.toString + "/centroids.parquet"
         Similarity.kmeansCentroids(embs(spark, dir))
           .write.mode("overwrite").parquet(out)
         out
@@ -283,8 +287,7 @@ object LlmData {
       val res = Similarity.ivfTopKFromIndex(spark, idx,
         e.filter(col("vec_id") < 10), 5)
       // k × probes rows: materialize so the temp index tree drops eagerly
-      val rows = res.collectAsList()
-      spark.createDataFrame(rows, res.schema).orderBy(col("p_id"), col("rn"))
+      graft.util.Materialize.sorted(res, col("p_id"), col("rn"))
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
@@ -419,8 +422,9 @@ object LlmData {
         val d =
           if (modulus <= 1) docs(spark, dir)
           else docs(spark, dir).filter(pmod(col("doc_id"), lit(modulus)) === 0)
-        val out = java.nio.file.Files.createTempDirectory(s"graft_labels_m$modulus")
-          .toString + "/labels.parquet"
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_labels_m$modulus")
+        graft.util.Fs.deleteOnExit(tmp.toFile) // JVM-lifetime cache; see sharedCentroids
+        val out = tmp.toString + "/labels.parquet"
         TextDedup.nearDupClusters(d, JaccThreshold)
           .write.mode("overwrite").parquet(out)
         out
@@ -945,8 +949,7 @@ object LlmData {
       val res = spark.read.parquet(pairs)
         .select(col("a_id"), col("b_id"), col("jacc"))
       // pair-set-sized: materialize so the temp corpus/checkpoint drop
-      val rows = res.collectAsList()
-      spark.createDataFrame(rows, res.schema).orderBy(col("a_id"), col("b_id"))
+      graft.util.Materialize.sorted(res, col("a_id"), col("b_id"))
     } finally graft.util.Fs.deleteTree(tmp)
   }
 

@@ -151,8 +151,7 @@ object Parity {
       // non-empty dirs). Driver-side collect is fine here: this is the
       // hand-authored parity fixture, not a data-path operator.
       val read = spark.read.parquet(path)
-      val rows = read.collectAsList()
-      spark.createDataFrame(rows, read.schema).orderBy(col("flr_id"))
+      graft.util.Materialize.sorted(read, col("flr_id"))
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
@@ -170,14 +169,21 @@ object Parity {
   /** P3 — the reference's one analytical query (`SELECT * FROM
     * solar_flare_data`, reference documentation.md:411) over the ingested,
     * deduplicated table, with the surrogate id. */
-  def p3FullScan(spark: SparkSession, dir: String): DataFrame = {
+  /** The ONE dedup-then-id spelling p3/p4/p5 share: first row per flr_id
+    * under the (class_type, link) tie-break, then the surrogate id. The
+    * three queries score against the SAME oracle SQL, so the tie-break
+    * must never drift between them — edit it here, once. */
+  private def dedupWithId(projected: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("flr_id"))
       .orderBy(col("class_type").asc_nulls_last, col("link").asc_nulls_last,
                col("flr_id").asc_nulls_last)
+    Donki.withId(projected.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn"))
+  }
+
+  def p3FullScan(spark: SparkSession, dir: String): DataFrame = {
     val all = Donki.project(Donki.readJson(spark, Seq(jsonBody(batchA), jsonBody(batchB))))
-    val deduped = all.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-    Donki.withId(deduped).orderBy(col("id"))
+    dedupWithId(all).orderBy(col("id"))
   }
 
   val p3Sql: String =
@@ -207,16 +213,9 @@ object Parity {
         .schema(Donki.flrSchema)
         .option("urls", s"file://${fa.getAbsolutePath},file://${fb.getAbsolutePath}")
         .load()
-      val w = Window.partitionBy(col("flr_id"))
-        .orderBy(col("class_type").asc_nulls_last, col("link").asc_nulls_last,
-                 col("flr_id").asc_nulls_last)
-      val deduped = Donki.project(raw)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
       // fixture-sized result: materialize so the temp payload files drop
-      val res = Donki.withId(deduped)
-      val rows = res.collectAsList()
-      spark.createDataFrame(rows, res.schema).orderBy(col("id"))
+      val res = dedupWithId(Donki.project(raw))
+      graft.util.Materialize.sorted(res, col("id"))
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
@@ -244,16 +243,9 @@ object Parity {
       raw.write.format("graft-jsonl").mode("overwrite").save(table)
       val back = spark.read.format("graft-jsonl")
         .schema(Donki.flrSchema).load(table)
-      val w = Window.partitionBy(col("flr_id"))
-        .orderBy(col("class_type").asc_nulls_last, col("link").asc_nulls_last,
-                 col("flr_id").asc_nulls_last)
-      val deduped = Donki.project(back)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
       // fixture-sized result: materialize so the temp table drops eagerly
-      val res = Donki.withId(deduped)
-      val rows = res.collectAsList()
-      spark.createDataFrame(rows, res.schema).orderBy(col("id"))
+      val res = dedupWithId(Donki.project(back))
+      graft.util.Materialize.sorted(res, col("id"))
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
@@ -289,8 +281,7 @@ object Parity {
       val read = spark.read.parquet(table)
       // fixture-sized result: materialize so the temp tree drops eagerly
       val res = Donki.withId(read)
-      val rows = res.collectAsList()
-      spark.createDataFrame(rows, res.schema).orderBy(col("id"))
+      graft.util.Materialize.sorted(res, col("id"))
     } finally graft.util.Fs.deleteTree(tmp)
   }
 

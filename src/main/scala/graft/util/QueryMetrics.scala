@@ -25,7 +25,7 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * {{{
   * val m = QueryMetrics.register(spark)
   * df.count()
-  * m.snapshot.head.metric("numOutputRows")   // rows the scan produced
+  * m.snapshot.head.metric("numOutputRows")   // summed across ALL operators
   * }}}
   *
   * Listener callbacks fire asynchronously on the listener bus;
@@ -48,14 +48,25 @@ object QueryMetrics {
 
   /** All nodes of the runtime plan, descending through the AQE root's
     * current physical plan and into materialized query stages (a plain
-    * `children` walk sees only stubs once AQE re-plans). */
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-    val nested = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case s: QueryStageExec        => Seq(s.plan)
-      case _                        => Seq.empty
-    }
-    p +: (p.children ++ nested).flatMap(allNodes)
+    * `children` walk sees only stubs once AQE re-plans). Each node is
+    * visited ONCE by identity: a reused query stage / exchange appears
+    * under every reuse wrapper, and without the dedup its metrics would
+    * be summed once per reuse — double-counted bytes/rows in logLine for
+    * any self-join shape. */
+  private def allNodes(root: SparkPlan): Seq[SparkPlan] = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      if (!seen.add(p)) Seq.empty
+      else {
+        val nested = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case s: QueryStageExec        => Seq(s.plan)
+          case _                        => Seq.empty
+        }
+        p +: (p.children ++ nested).flatMap(walk)
+      }
+    walk(root)
   }
 
   private[util] def collect(qe: QueryExecution): Map[String, Long] =
