@@ -25,7 +25,12 @@ object Bench {
     * prints the one-line JSON record and returns the per-query seconds
     * (-1.0 sentinel for a failed query). */
   def runBattery(spark: SparkSession, sfDir: String): Map[String, Double] = {
+    // SPARK_GRAFT_ONLY=q1,x29,... times a subset (local iteration on a
+    // regression); unset = the full battery the driver records
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // The dedup pipelines localCheckpoint intermediate frames; their RDD
     // blocks outlive the query's action and would accumulate in executor
     // storage memory across a 50+-query battery (measured: a 2.6× battery

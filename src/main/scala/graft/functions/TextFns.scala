@@ -45,6 +45,28 @@ object TextFns {
     * the oracle keeps its plain-sum spelling. Order-independent in
     * execution while staying sensitive to token order in the document.
     * `tokensCol` names an array<string> column. */
+  /** Positional word k-grams: every column of `df` plus `(posCol,
+    * gramCol)` — 1-based position and the space-joined k-gram. The ONE
+    * shingling spelling the batch operators share, expressed in
+    * codegen'd built-ins as a two-step (explode the position range, THEN
+    * build each gram per exploded row): no intermediate all-grams array
+    * per doc, and no interpreted eval — the CodegenFallback `ngrams_gen`
+    * generator measured 1.6× slower in shingle-heavy paths (x38), so the
+    * generator remains the SQL/LATERAL-VIEW surface (x89) while this is
+    * the DataFrame hot path. Same semantics as ngrams_gen (size<k docs
+    * emit nothing; concat_ws skips null tokens) — the equivalence is
+    * law-tested in NGramsGenSpec. */
+  def explodeShingles(df: org.apache.spark.sql.DataFrame, tsCol: String, k: Int,
+                      posCol: String = "__pos", gramCol: String = "__gram")
+      : org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    df.filter(size(col(tsCol)) >= k)
+      .withColumn(posCol, explode(expr(s"sequence(1, size($tsCol) - ${k - 1})")))
+      // k direct lookups, no per-row slice allocation
+      .withColumn(gramCol, concat_ws(" ",
+        (0 until k).map(j => expr(s"element_at($tsCol, $posCol + $j)")): _*))
+  }
+
   def fingerprintExpr(tokensCol: String): Column = expr(
     s"aggregate(zip_with($tokensCol, sequence(1, size($tokensCol)), " +
       s"(t, i) -> (i * (cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % $P31)) % $P31), " +

@@ -229,7 +229,10 @@ object CorpusStats {
       .agg(sum(col("tf")).as("n_bigrams"),
            expr("sum(tf * w) div sum(tf)").as("score_e12"),
            sum(col("oov")).as("n_oov"))
-      .localCheckpoint(true) // read by the corpus mean AND the final join
+    // deliberately NOT materialized before the two consumers (mean + final
+    // join): the expensive stages end in shuffles whose outputs Spark
+    // reuses, so the "second pass" skips straight to the final stage —
+    // measured 2× SLOWER with localCheckpoint (x73 1.09 s → 2.23 s)
     val mean = scored.agg(expr("sum(score_e12) div count(*)").as("mean_e12"))
     scored.crossJoin(broadcast(mean)) // single-row corpus mean
       .select(col("doc_id"), col("n_bigrams"), col("score_e12"), col("n_oov"),

@@ -35,12 +35,11 @@ object Curation {
     * contamination-audit scale — not the corpus.
     */
   def decontaminate(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    graft.functions.NGramsGen.register(corpus.sparkSession)
     // positional shingles WITHOUT the distinct (see scale note above) —
-    // the ONE shingling spelling (ngrams_gen, as TextDedup.shingles):
-    // streams grams straight out of the token array, size<k edge included
-    val corpusSh = corpus.select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .selectExpr("doc_id", s"ngrams_gen(ts, $k) AS (i, shingle)")
+    // the ONE shingling spelling (TextFns.explodeShingles, codegen'd)
+    val corpusSh = graft.functions.TextFns.explodeShingles(
+        corpus.select(col("doc_id"), split(col("text"), " ").as("ts")), "ts", k,
+        gramCol = "shingle")
       .select(col("doc_id"), col("shingle"))
     val probeSh = TextDedup.shingles(probes, k)
       .select(col("doc_id").as("probe_id"), col("shingle"))
@@ -446,10 +445,10 @@ object Curation {
     * window minima over a total per-doc order. */
   def winnow(docs: DataFrame, k: Int, window: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.functions.NGramsGen.register(docs.sparkSession)
-    val pos = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .select(col("doc_id"), (size(col("ts")) - (k - 1)).as("m"), col("ts"))
-      .selectExpr("doc_id", "m", s"ngrams_gen(ts, $k) AS (i, g)")
+    val pos = graft.functions.TextFns.explodeShingles(
+        docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .select(col("doc_id"), (size(col("ts")) - (k - 1)).as("m"), col("ts")),
+        "ts", k, posCol = "i", gramCol = "g")
       .select(col("doc_id"), col("m"), col("i"),
         graft.functions.TextFns.h31(col("g")).as("h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
@@ -948,12 +947,11 @@ object Curation {
     * by the doc, never the corpus. */
   def deconExcise(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
-    graft.functions.NGramsGen.register(corpus.sparkSession)
     // shared shingling spelling; this operator's positions are 0-based
-    // (token offsets for excision), so shift the generator's 1-based pos
-    def shingled(d: DataFrame) = d
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .selectExpr("doc_id", s"ngrams_gen(ts, $k) AS (pos1, s)")
+    // (token offsets for excision), so shift the helper's 1-based pos
+    def shingled(d: DataFrame) = graft.functions.TextFns.explodeShingles(
+        d.select(col("doc_id"), split(col("text"), " ").as("ts")), "ts", k,
+        posCol = "pos1", gramCol = "s")
       .select(col("doc_id"), (col("pos1") - 1).as("i"), col("s"))
     val probeSet = shingled(probes).select(col("s")).distinct()
     val covered = shingled(corpus).select(col("doc_id"), col("i"), col("s"))
@@ -1115,10 +1113,10 @@ object Curation {
   def retrieveTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                    maxDfFrac: Double, termK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.functions.NGramsGen.register(corpus.sparkSession)
     def terms(d: DataFrame): DataFrame =
-      d.select(col("doc_id"), split(col("text"), " ").as("ts"))
-        .selectExpr("doc_id", s"ngrams_gen(ts, $termK) AS (i, tok)")
+      graft.functions.TextFns.explodeShingles(
+        d.select(col("doc_id"), split(col("text"), " ").as("ts")), "ts", termK,
+        gramCol = "tok")
         .select(col("doc_id"), col("tok"))
     val qTok = terms(queries.select(col("doc_id"), col("text")))
       .select(col("doc_id").as("q_id"), col("tok")).distinct()

@@ -77,12 +77,9 @@ object TextDedup {
   def shingles(docs: DataFrame, n: Int): DataFrame = {
     // fallback registration so the operator works in sessions built
     // without the GraftExtensions config (the CosineUnits contract)
-    graft.functions.NGramsGen.register(docs.sparkSession)
-    docs.select(col("doc_id"), tokens(col("text")).as("ts"))
-      // ngrams_gen streams (pos, gram) rows straight out of the token
-      // array — no per-row position sequence to materialize, and the
-      // size<n edge is the generator's contract (no separate filter)
-      .selectExpr("doc_id", s"ngrams_gen(ts, $n) AS (pos, shingle)")
+    graft.functions.TextFns.explodeShingles(
+        docs.select(col("doc_id"), tokens(col("text")).as("ts")), "ts", n,
+        gramCol = "shingle")
       .select(col("doc_id"), col("shingle"))
       .distinct()
   }
