@@ -5,7 +5,7 @@ import java.util.Locale
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -42,6 +42,12 @@ object MvCatalog {
     *   order-independent for ANY orderable type (floats included: no
     *   addition-order hazard, unlike sums)
     * @param maxMeasures    per-group MAX columns (max-of-maxes)
+    * @param avgMeasures    measure tree → (per-group SUM column, per-group
+    *   NON-NULL COUNT column — `count(measure)`, not `count(*)`: avg
+    *   divides by the non-null count, and the two differ wherever the
+    *   measure is null). `avg` re-aggregates as
+    *   sum-of-sums / sum-of-counts; decimal measures only (exact,
+    *   order-independent totals — see [[MvRewrite.reAvg]])
     */
   final case class MvDef(
       basePathSuffix: String,
@@ -50,7 +56,8 @@ object MvCatalog {
       countCol: String,
       mv: LogicalPlan,
       minMeasures: Seq[(Expression, String)] = Nil,
-      maxMeasures: Seq[(Expression, String)] = Nil)
+      maxMeasures: Seq[(Expression, String)] = Nil,
+      avgMeasures: Seq[(Expression, (String, String))] = Nil)
 
   /** The analyzed and optimized expression trees of measure `c` over
     * `df` — the ONE spelling of the registration contract, shared by the
@@ -94,14 +101,24 @@ object MvCatalog {
   *     in the MV's grouping set (for Expand shapes: every non-literal
   *     projection expression resolves to a grouping column or a
   *     registered measure);
-  *   - every aggregate is a plain `sum`, `min`, or `max` over a measure
-  *     registered for that aggregate kind — matched STRUCTURALLY on the
-  *     analyzed expression tree (identifier case is normalized, literal
-  *     values and their case are preserved, so `'A'` never matches
-  *     `'a'`) — or `count(*)` / `count(1)`; no DISTINCT, no FILTER
-  *     clauses. `min`/`max` re-aggregate as min-of-mins / max-of-maxes —
-  *     semilattices, order-independent for ANY orderable type (no float
-  *     restriction);
+  *   - every output column is a deterministic, subquery-free expression
+  *     over rewritable aggregates and grouping columns (post-aggregate
+  *     arithmetic like `avg(x) * 1e6` or `sum(a) / count(*)` that
+  *     CollapseProject folds into the Aggregate rewrites node-by-node —
+  *     each nested aggregate is replaced under its exact type/nullability
+  *     contract, so the surrounding tree re-types identically);
+  *   - every aggregate is a plain `sum`, `min`, `max`, or `avg` over a
+  *     measure registered for that aggregate kind — matched STRUCTURALLY
+  *     on the analyzed expression tree (identifier case is normalized,
+  *     literal values and their case are preserved, so `'A'` never
+  *     matches `'a'`) — or `count(*)` / `count(1)`; no DISTINCT, no
+  *     FILTER clauses. `min`/`max` re-aggregate as min-of-mins /
+  *     max-of-maxes — semilattices, order-independent for ANY orderable
+  *     type (no float restriction); `avg` re-aggregates as sum-of-sums
+  *     over sum-of-NON-NULL-counts (a per-measure count column the view
+  *     must store — `count(*)` overcounts null measures), decimal
+  *     measures only, replaying Average's own divide algebra
+  *     operand-type-exactly ([[reAvg]]);
   *   - an interposed Filter is replayed against the MV iff its
   *     (deterministic) predicate references ONLY grouping columns —
   *     whole-group selection commutes with the pre-aggregation; a
@@ -174,6 +191,10 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def matchMeasure(d: MvCatalog.MvDef, resolved: Expression): Option[String] =
     matchIn(d.sumMeasures, resolved)
 
+  private def matchPair(measures: Seq[(Expression, (String, String))],
+                        resolved: Expression): Option[(String, String)] =
+    measures.collectFirst { case (m, cols) if sameMeasure(m, resolved) => cols }
+
   private def exactSum(t: org.apache.spark.sql.types.DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType => true
     case _: DecimalType => true
@@ -224,20 +245,86 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def withNullability(e: Expression, wantNullable: Boolean): Expression =
     if (!wantNullable && e.nullable) KnownNotNull(e) else e
 
-  /** Re-aggregate under the ORIGINAL output contract: the replacement
-    * must reproduce the original alias's exprId, data type AND
+  /** Re-aggregate under the ORIGINAL node's contract: the replacement
+    * must reproduce the original AggregateExpression's data type AND
     * nullability — a re-aggregated decimal sum widens precision
-    * (p+10 → p+20), and a parent operator reading the stale narrower
-    * type through the reused exprId would misdecode the row. Cast back
-    * when the types differ (only reachable for decimals; an overflow
-    * past the original precision would have overflowed the original
-    * query too). */
-  private def reAgg(fn: AggregateFunction, orig: Alias): NamedExpression = {
+    * (p+10 → p+20), and a parent expression reading the stale narrower
+    * type would misdecode the value. Cast back when the types differ
+    * (only reachable for decimals; an overflow past the original
+    * precision would have overflowed the original query too). */
+  private def reAggE(fn: AggregateFunction, orig: AggregateExpression): Expression = {
     val e = fn.toAggregateExpression()
     val cast = if (e.dataType == orig.dataType) e else Cast(e, orig.dataType)
-    Alias(withNullability(cast, orig.child.nullable), orig.name)(
-      exprId = orig.exprId, qualifier = orig.qualifier)
+    withNullability(cast, orig.nullable)
   }
+
+  /** Re-aggregate an `avg(x: decimal(p,s))` from the MV's per-group
+    * (sum, NON-NULL count) partials, replicating Spark's own Average
+    * algebra OPERAND-TYPE-EXACTLY. Average evaluates
+    * `Divide(sum: decimal(p+10,s), count cast decimal(20,0), LEGACY)
+    *   .cast(decimal(p+4,s+4))`,
+    * so the replacement casts the re-summed partials back to
+    * decimal(p+10,s) — value-exact: same scale, and a total past p+10
+    * digits would have nulled the original sum buffer too — and the
+    * re-summed counts to decimal(20,0), then applies the IDENTICAL divide
+    * and final cast. Both paths are then the same expression over the
+    * same exact totals: bit-equality by construction, with no dependence
+    * on the divide's internal rounding cascade. Decimal measures only —
+    * decimal addition is order-independent so the re-summed total is
+    * exact; a float avg would reorder float addition and is refused like
+    * a float sum. The non-null count matters: `avg` skips nulls, so
+    * dividing by the MV's `count(*)` would undercount any group whose
+    * measure has nulls — hence the dedicated per-measure count column.
+    *
+    * Eval modes: Average's internal divide is LEGACY under BOTH legacy
+    * and ANSI sessions (null on /0, never an error) — mirrored here
+    * verbatim; the sum-overflow and final-cast behavior follow the
+    * session conf identically on both paths (the `Sum`/`Cast` built here
+    * pick up the same SQLConf the original aggregate was analyzed
+    * under). Only `try_avg` (EvalMode.TRY) has different
+    * NULL-on-intermediate-overflow semantics, and the match refuses it. */
+  private def reAvgE(childType: DecimalType, sumCol: Attribute, cntCol: Attribute,
+                     orig: AggregateExpression): Expression = {
+    // DecimalType.bounded(p+10, s) — Average's sumDataType (bounded is
+    // private[sql]; MAX_PRECISION = 38, scale already ≤ 38)
+    val sumDT = DecimalType(
+      math.min(childType.precision + 10, DecimalType.MAX_PRECISION), childType.scale)
+    val num = Cast(Sum(sumCol).toAggregateExpression(), sumDT)
+    val den = Cast(Sum(cntCol).toAggregateExpression(), DecimalType(20, 0))
+    val out = Cast(Divide(num, den, EvalMode.LEGACY), orig.dataType)
+    withNullability(out, orig.nullable)
+  }
+
+  /** Rewrite ONE AggregateExpression from the MV's partials — the single
+    * matcher both the flat and the Expand paths call (`resolveM` resolves
+    * the measure child through whatever sits between the aggregate and
+    * the base relation; `attr` locates the MV column in the rewritten
+    * plan: the MV scan's attribute in the flat case, the appended Expand
+    * passthrough in the grouping-sets case). None = this aggregate is
+    * not re-aggregable from the registered partials, which refuses the
+    * whole rewrite. */
+  private def rewriteAggExpr(d: MvCatalog.MvDef, ae: AggregateExpression,
+                             resolveM: Expression => Expression,
+                             attr: String => Option[Attribute]): Option[Expression] =
+    ae match {
+      case AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _) =>
+        attr(d.countCol).map(m => reAggE(Sum(m), ae))
+      case AggregateExpression(Sum(child, _), _, false, None, _)
+          if exactSum(child.dataType) =>
+        matchMeasure(d, resolveM(child)).flatMap(attr).map(m => reAggE(Sum(m), ae))
+      case AggregateExpression(Min(child), _, false, None, _) =>
+        // min-of-mins: a semilattice, sound for any orderable type
+        matchIn(d.minMeasures, resolveM(child)).flatMap(attr).map(m => reAggE(Min(m), ae))
+      case AggregateExpression(Max(child), _, false, None, _) =>
+        matchIn(d.maxMeasures, resolveM(child)).flatMap(attr).map(m => reAggE(Max(m), ae))
+      case AggregateExpression(av @ Average(child, _), _, false, None, _)
+          if av.evalMode != EvalMode.TRY && child.dataType.isInstanceOf[DecimalType] =>
+        matchPair(d.avgMeasures, resolveM(child)).flatMap { case (sumC, cntC) =>
+          for (s <- attr(sumC); c <- attr(cntC))
+            yield reAvgE(child.dataType.asInstanceOf[DecimalType], s, c, ae)
+        }
+      case _ => None
+    }
 
   /** Replay an admissible filter against the MV: deterministic, and
     * every referenced column resolves to an MV grouping column. */
@@ -301,30 +388,34 @@ object MvRewrite extends Rule[LogicalPlan] {
     if (groupBase.isEmpty) return None
 
     // ---- aggregate list: rewrite each output column ---------------------
-    val rewritten: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+    // Outputs may be ARBITRARY deterministic trees over rewritable
+    // aggregates and grouping columns (CollapseProject folds post-agg
+    // arithmetic like `avg(x) * 1e6` INTO the Aggregate before this rule
+    // sees it — the TPC-H Q1 shape): recurse, replacing each nested
+    // AggregateExpression from the partials and remapping every other
+    // attribute to its MV grouping column. Subqueries and nondeterminism
+    // refuse — their results are not a function of the group's partials.
+    def rwTree(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => rewriteAggExpr(d, ae, resolve, mvAttr)
       case a: AttributeReference =>
-        // grouping passthrough
         resolve(a) match {
           case b: AttributeReference if d.groupCols(b.name) =>
-            mvAttr(b.name).map(m =>
-              Alias(withNullability(m, a.nullable), a.name)(exprId = a.exprId,
-                qualifier = a.qualifier))
+            mvAttr(b.name).map(m => withNullability(m, a.nullable))
           case _ => None
         }
-      case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _), _) =>
-        mvAttr(d.countCol).map(m => reAgg(Sum(m), al))
-      case al @ Alias(AggregateExpression(Sum(child, _), _, false, None, _), _)
-          if exactSum(child.dataType) =>
-        matchMeasure(d, resolve(child))
-          .flatMap(mvAttr)
-          .map(m => reAgg(Sum(m), al))
-      case al @ Alias(AggregateExpression(Min(child), _, false, None, _), _) =>
-        // min-of-mins: a semilattice, sound for any orderable type
-        matchIn(d.minMeasures, resolve(child)).flatMap(mvAttr)
-          .map(m => reAgg(Min(m), al))
-      case al @ Alias(AggregateExpression(Max(child), _, false, None, _), _) =>
-        matchIn(d.maxMeasures, resolve(child)).flatMap(mvAttr)
-          .map(m => reAgg(Max(m), al))
+      case other if other.deterministic && !other.isInstanceOf[PlanExpression[_]] =>
+        val kids = other.children.map(rwTree)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+      case _ => None
+    }
+    val rewritten: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        // grouping passthrough keeps the output attribute's exprId
+        rwTree(a).map(m => Alias(m, a.name)(exprId = a.exprId, qualifier = a.qualifier))
+      case al: Alias =>
+        rwTree(al.child).map(c =>
+          Alias(c, al.name)(exprId = al.exprId, qualifier = al.qualifier))
       case _ => None
     }
     if (rewritten.exists(_.isEmpty)) return None
@@ -422,22 +513,25 @@ object MvRewrite extends Rule[LogicalPlan] {
     def resolveDeep(e: Expression): Expression = resolve(e.transformUp {
       case a: AttributeReference if expandDef.contains(a.exprId) => expandDef(a.exprId)
     })
+    // Outputs may be arbitrary deterministic trees over rewritable
+    // aggregates and kept Expand positions (grouping restore /
+    // grouping_id arithmetic / post-agg arithmetic CollapseProject folded
+    // in): recurse as in the flat path — kept positions keep their
+    // exprIds, so their references pass through verbatim.
+    def rwTree(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => rewriteAggExpr(d, ae, resolveDeep, passAttr)
+      case a: AttributeReference => if (keptIds(a.exprId)) Some(a) else None
+      case other if other.deterministic && !other.isInstanceOf[PlanExpression[_]] =>
+        val kids = other.children.map(rwTree)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+      case _ => None
+    }
     val rewritten: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
-      case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _), _) =>
-        passAttr(d.countCol).map(c => reAgg(Sum(c), al))
-      case al @ Alias(AggregateExpression(Sum(child, _), _, false, None, _), _)
-          if exactSum(child.dataType) =>
-        matchMeasure(d, resolveDeep(child)).flatMap(passAttr)
-          .map(m => reAgg(Sum(m), al))
-      case al @ Alias(AggregateExpression(Min(child), _, false, None, _), _) =>
-        matchIn(d.minMeasures, resolveDeep(child)).flatMap(passAttr)
-          .map(m => reAgg(Min(m), al))
-      case al @ Alias(AggregateExpression(Max(child), _, false, None, _), _) =>
-        matchIn(d.maxMeasures, resolveDeep(child)).flatMap(passAttr)
-          .map(m => reAgg(Max(m), al))
-      case ne if !ne.exists(_.isInstanceOf[AggregateExpression]) &&
-          ne.references.forall(r => keptIds(r.exprId)) =>
-        Some(ne) // grouping restore / grouping_id arithmetic — unchanged
+      case a: AttributeReference => if (keptIds(a.exprId)) Some(a) else None
+      case al: Alias =>
+        rwTree(al.child).map(c =>
+          Alias(c, al.name)(exprId = al.exprId, qualifier = al.qualifier))
       case _ => None
     }
     if (rewritten.exists(_.isEmpty)) return None

@@ -1089,6 +1089,75 @@ object Extended {
       |  min(l_quantity) AS min_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- Q104: AVG measures from the MV, scored -----------------------------
+
+  /** Q104 — AVG FROM THE MATERIALIZED VIEW: the view stores each avg
+    * measure's per-group exact decimal SUM and per-group NON-NULL COUNT
+    * (`count(measure)`, not `count(*)` — avg skips nulls, and the two
+    * counts differ wherever the measure is null), and the coarser query's
+    * `avg(x)` re-aggregates as sum-of-sums over sum-of-counts, replaying
+    * Spark Average's own divide algebra operand-type-exactly
+    * ([[graft.plans.MvRewrite.reAvg]]) so the rewritten answer is
+    * BIT-equal to the base computation, not merely close. Decimal
+    * measures only: decimal totals are order-independent under
+    * regrouping; a raw double avg stays refused like a raw double sum.
+    * The plan is require'd to scan only the MV; the oracle recomputes the
+    * average from the base table in DuckDB as the integer-exact HALF_UP
+    * rounding of sum/count in micro-dollar units — single-rounding
+    * equals Spark's fixed-scale decimal cascade whenever the group count
+    * is below 10^6 (exact-rational boundary argument; group counts here
+    * are corpus-bounded). At 100 TB this is the aggregate-navigator
+    * answering the most common aggregate after sum/count from a
+    * |group-domain|-row view instead of the corpus. */
+  def q104MvAvg(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q104_").toFile
+    try {
+      val mvPath = new java.io.File(tmp, "lineitem_mv_avg").getAbsolutePath
+      val li = t(spark, dir, "lineitem")
+      val priceDec = dec2(col("l_extendedprice"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(priceDec).as("sum_price"),
+             count(col("l_extendedprice")).as("cnt_price"),
+             count(lit(1)).as("cnt"))
+        .write.parquet(mvPath)
+      graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        sumMeasures = Nil,
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+        avgMeasures = graft.plans.MvCatalog.measureExprs(li, priceDec)
+          .map(_ -> ("sum_price", "cnt_price"))))
+      try {
+        val agged = li.groupBy(col("l_returnflag"))
+          .agg(avg(priceDec).as("avg_price"), count(lit(1)).as("n_items"))
+        // exact integer micros: avg is decimal(22,6), ×10^6 is integral
+        val res = agged.select(col("l_returnflag"),
+          (col("avg_price") * lit(1000000)).cast(LongType).as("avg_price_micros"),
+          col("n_items"))
+        val plan = res.queryExecution.executedPlan.toString
+        require(plan.contains("lineitem_mv_avg"),
+          s"q104 must be answered from the materialized view:\n$plan")
+        require(!plan.contains("lineitem.parquet"),
+          s"q104 must not touch the base table:\n$plan")
+        graft.util.Materialize.sorted(res, col("l_returnflag"))
+      } finally graft.plans.MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** Integer-exact HALF_UP of (sum_cents·10^4)/cnt: floor((2a+b)/(2b)). */
+  val q104Sql: String =
+    """WITH g AS (
+      |  SELECT l_returnflag,
+      |         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS s_cents,
+      |         COUNT(l_extendedprice) AS c,
+      |         COUNT(*) AS n_items
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  CAST((2 * s_cents * 10000 + c) // (2 * c) AS BIGINT) AS avg_price_micros,
+      |  n_items
+      |FROM g ORDER BY l_returnflag""".stripMargin
+
   // ---- Q86: schema evolution (mergeSchema scan), scored ------------------
 
   /** Q86 — SCHEMA EVOLUTION under the oracle: a table whose early files

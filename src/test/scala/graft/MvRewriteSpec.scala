@@ -359,6 +359,98 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
+  test("avg re-aggregates from the MV bit-exactly, incl. null measures and all-null groups") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvavg_").toFile
+    try {
+      // groups of 142/143 rows with thirds as values → repeating decimals
+      // exercise the scale-6 rounding path; id%5 nulls make count(m) ≠
+      // count(*) in every group (dividing by count(*) would be wrong and
+      // flip the equality below); group 6 is ALL null → avg must be null
+      val basePath = new java.io.File(tmp, "avgbase.parquet").getAbsolutePath
+      spark.range(1000).selectExpr(
+        "id % 7 as g", "id % 3 as h", "CAST(id AS DOUBLE) as dm",
+        """CASE WHEN id % 7 = 6 THEN NULL WHEN id % 5 = 0 THEN NULL
+          |ELSE CAST(CAST(id * 7 + 1 AS DECIMAL(18,2)) / 3 AS DECIMAL(18,2))
+          |END as m""".stripMargin)
+        .write.parquet(basePath)
+      val base = spark.read.parquet(basePath)
+      val mvPath = new java.io.File(tmp, "avg_mv").getAbsolutePath
+      base.groupBy(col("g"), col("h"))
+        .agg(sum(col("m")).as("sum_m"), count(col("m")).as("cnt_m"),
+             count(lit(1)).as("cnt"))
+        .write.parquet(mvPath)
+      MvCatalog.register(MvCatalog.MvDef(
+        basePathSuffix = "avgbase.parquet",
+        groupCols = Set("g", "h"),
+        sumMeasures = Nil,
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+        avgMeasures = MvCatalog.measureExprs(base, col("m"))
+          .map(_ -> ("sum_m", "cnt_m"))))
+      try {
+        def q(d: org.apache.spark.sql.DataFrame) = d.groupBy(col("g"))
+          .agg(avg(col("m")).as("a"), count(lit(1)).as("n"))
+          .orderBy(col("g"))
+        val viaMv = q(base)
+        assert(viaMv.queryExecution.executedPlan.toString.contains("avg_mv"),
+          "avg over a registered (sum, non-null-count) pair must rewrite")
+        val got = viaMv.collect().toSeq
+        assert(got.exists(r => r.getLong(0) == 6L && r.isNullAt(1)),
+          "an all-null group's avg must stay null through the MV path")
+        // ...and per grouping set through the Expand path
+        val roll = base.rollup(col("g")).agg(avg(col("m")).as("a"))
+        assert(roll.queryExecution.executedPlan.toString.contains("avg_mv"),
+          "avg must re-aggregate per grouping set through the Expand path")
+        val gotRoll = roll.orderBy(col("g")).collect().toSeq
+        // refusals: a raw DOUBLE avg (float addition would regroup), and
+        // avg(DISTINCT) (not re-aggregable from sums)
+        val dbl = base.groupBy(col("g")).agg(avg(col("dm")).as("a"))
+        assert(!dbl.queryExecution.executedPlan.toString.contains("avg_mv"),
+          "a raw double avg must refuse like a raw double sum")
+        val dst = base.groupBy(col("g")).agg(expr("avg(DISTINCT m)").as("a"))
+        assert(!dst.queryExecution.executedPlan.toString.contains("avg_mv"),
+          "avg(DISTINCT) must refuse")
+        MvCatalog.clear()
+        // bit-equality: Row equality compares java BigDecimals — scale
+        // AND value must match the base computation exactly
+        assert(got == q(base).collect().toSeq && got.nonEmpty)
+        assert(gotRoll ==
+          base.rollup(col("g")).agg(avg(col("m")).as("a"))
+            .orderBy(col("g")).collect().toSeq)
+      } finally MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  test("arithmetic OVER aggregates rewrites node-by-node (CollapseProject'd outputs)") {
+    withMv { _ =>
+      val li = Tables.t(spark, sf, "lineitem")
+      // post-agg arithmetic is folded INTO the Aggregate by CollapseProject
+      // before the rule runs — the TPC-H Q1 shape: each nested aggregate
+      // must be replaced from the partials under its exact type contract
+      def q(d: org.apache.spark.sql.DataFrame) = d.groupBy(col("l_returnflag"))
+        .agg(sum(qtyCents).as("s"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          (col("s") / col("n")).as("mean_cents"),
+          (col("n") * 2 + 1).as("n2"))
+        .orderBy(col("l_returnflag"))
+      val viaMv = q(li)
+      assert(viaMv.queryExecution.executedPlan.toString.contains("lineitem_mv"),
+        "aggregates nested in output arithmetic must still rewrite")
+      val got = viaMv.collect().toSeq
+      // ...and through the Expand path
+      val roll = li.rollup(col("l_returnflag"))
+        .agg((sum(qtyCents) + count(lit(1))).as("mix"))
+      assert(roll.queryExecution.executedPlan.toString.contains("lineitem_mv"),
+        "nested aggregates rewrite per grouping set too")
+      val gotRoll = roll.orderBy(col("l_returnflag")).collect().toSeq
+      MvCatalog.clear()
+      assert(got == q(li).collect().toSeq && got.nonEmpty)
+      assert(gotRoll == li.rollup(col("l_returnflag"))
+        .agg((sum(qtyCents) + count(lit(1))).as("mix"))
+        .orderBy(col("l_returnflag")).collect().toSeq)
+    }
+  }
+
   test("HAVING (filter above the aggregate) composes with the rewrite") {
     withMv { _ =>
       val li = Tables.t(spark, sf, "lineitem")
