@@ -111,8 +111,11 @@ object MvCatalog {
   *     measure registered for that aggregate kind — matched STRUCTURALLY
   *     on the analyzed expression tree (identifier case is normalized,
   *     literal values and their case are preserved, so `'A'` never
-  *     matches `'a'`) — or `count(*)` / `count(1)`; no DISTINCT, no
-  *     FILTER clauses. `min`/`max` re-aggregate as min-of-mins /
+  *     matches `'a'`) — or `count(*)` / `count(1)` — or
+  *     `count(DISTINCT g)` where `g` is an MV GROUPING column (the view
+  *     holds exactly the distinct grain combinations, so the distinct
+  *     count re-aggregates exactly); any other DISTINCT and any FILTER
+  *     clause refuses. `min`/`max` re-aggregate as min-of-mins /
   *     max-of-maxes — semilattices, order-independent for ANY orderable
   *     type (no float restriction); `avg` re-aggregates as sum-of-sums
   *     over sum-of-NON-NULL-counts (a per-measure count column the view
@@ -309,6 +312,21 @@ object MvRewrite extends Rule[LogicalPlan] {
     ae match {
       case AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _) =>
         attr(d.countCol).map(m => reAggE(Sum(m), ae))
+      case AggregateExpression(Count(Seq(child)), _, true, None, _) =>
+        // count(DISTINCT g) over a GROUPING column: the MV holds exactly
+        // the distinct grain combinations, so counting the stored
+        // grouping column's distinct values re-aggregates EXACTLY —
+        // including null groups (groupBy keeps a null group; both
+        // count(DISTINCT)s skip it identically). Any other distinct
+        // aggregate stays refused — the MV has collapsed those values.
+        resolveM(child) match {
+          case b: AttributeReference if d.groupCols(b.name) =>
+            attr(b.name).map { m =>
+              val e = Count(Seq(m)).toAggregateExpression(isDistinct = true)
+              withNullability(e, ae.nullable)
+            }
+          case _ => None
+        }
       case AggregateExpression(Sum(child, _), _, false, None, _)
           if exactSum(child.dataType) =>
         matchMeasure(d, resolveM(child)).flatMap(attr).map(m => reAggE(Sum(m), ae))

@@ -1145,6 +1145,47 @@ object Extended {
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
+  // ---- Q105: COUNT(DISTINCT grain column) from the MV, scored ------------
+
+  /** Q105 — DISTINCT GRAIN COUNT FROM THE MATERIALIZED VIEW: the view's
+    * rows ARE the distinct (flag, status) combinations, so
+    * `count(DISTINCT l_linestatus)` per flag re-aggregates exactly as the
+    * distinct count of the view's stored grouping column — the one
+    * DISTINCT aggregate a partial-sum MV can answer (every other DISTINCT
+    * is refused: the view has collapsed those values; the refusal law
+    * lives in MvRewriteSpec). Scored alongside a sum and a count(*) from
+    * the same view so the mixed distinct/non-distinct aggregate planning
+    * runs through the rewritten plan. At 100 TB: "how many distinct
+    * sub-categories does each category have" answered from a
+    * |grain|-row view instead of a corpus-wide distinct shuffle. */
+  def q105MvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q105_").toFile
+    try {
+      val mvPath = new java.io.File(tmp, "lineitem_mv").getAbsolutePath
+      buildLineitemMv(spark, dir, mvPath)
+      registerLineitemMv(spark, dir, mvPath)
+      try {
+        val res = t(spark, dir, "lineitem").groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_linestatus")).as("n_status"),
+               sum(qtyCents).as("sum_qty_cents"),
+               count(lit(1)).as("n_items"))
+        val plan = res.queryExecution.executedPlan.toString
+        require(plan.contains("lineitem_mv"),
+          s"q105 must be answered from the materialized view:\n$plan")
+        require(!plan.contains("lineitem.parquet"),
+          s"q105 must not touch the base table:\n$plan")
+        graft.util.Materialize.sorted(res, col("l_returnflag"))
+      } finally graft.plans.MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  val q105Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_status,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+      |  count(*) AS n_items
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Integer-exact HALF_UP of (sum_cents·10^4)/cnt: floor((2a+b)/(2b)). */
   val q104Sql: String =
     """WITH g AS (

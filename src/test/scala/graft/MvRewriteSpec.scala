@@ -421,6 +421,29 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
+  test("count(DISTINCT grain column) rewrites; any other DISTINCT still refuses") {
+    withMv { _ =>
+      val li = Tables.t(spark, sf, "lineitem")
+      def q(d: org.apache.spark.sql.DataFrame) = d.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_linestatus")).as("n_status"),
+             count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+      val viaMv = q(li)
+      assert(viaMv.queryExecution.executedPlan.toString.contains("lineitem_mv"),
+        "the MV's rows ARE the distinct grain combinations")
+      val got = viaMv.collect().toSeq
+      // a distinct over a NON-grain column must keep refusing — the MV
+      // collapsed those values (this doubles the pre-existing refusal law
+      // now that one distinct shape is admissible)
+      val other = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n"))
+      assert(!other.queryExecution.executedPlan.toString.contains("lineitem_mv"),
+        "count(DISTINCT non-grain) is not answerable from the view")
+      MvCatalog.clear()
+      assert(got == q(li).collect().toSeq && got.nonEmpty)
+    }
+  }
+
   test("arithmetic OVER aggregates rewrites node-by-node (CollapseProject'd outputs)") {
     withMv { _ =>
       val li = Tables.t(spark, sf, "lineitem")
