@@ -537,7 +537,17 @@ object MvRewrite extends Rule[LogicalPlan] {
     // in): recurse as in the flat path — kept positions keep their
     // exprIds, so their references pass through verbatim.
     def rwTree(e: Expression): Option[Expression] = e match {
-      case ae: AggregateExpression => rewriteAggExpr(d, ae, resolveDeep, passAttr)
+      case ae: AggregateExpression
+          if ae.references.forall(r => expandDef.contains(r.exprId)) =>
+        // aggregate args may only read UNIFORM passthrough positions:
+        // a per-set grouping slot (nulled in excluded sets) carries the
+        // base column's NAME, and the structural matcher pins by name —
+        // without this guard an aggregate wired to a per-set slot would
+        // silently match the raw column's partials. Spark's grouping-set
+        // analysis always points aggregate args at raw passthroughs, so
+        // this refuses only malformed shapes.
+        rewriteAggExpr(d, ae, resolveDeep, passAttr)
+      case _: AggregateExpression => None // failed the guard — never recurse
       case a: AttributeReference => if (keptIds(a.exprId)) Some(a) else None
       case other if other.deterministic && !other.isInstanceOf[PlanExpression[_]] =>
         val kids = other.children.map(rwTree)
