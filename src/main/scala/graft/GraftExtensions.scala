@@ -41,8 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cosine_units(a, b) - deterministic integer-unit cosine similarity of two float/double arrays",
         ""),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 2,
-          s"cosine_units requires exactly 2 arguments (two array columns), got ${exprs.length}")
+        if (exprs.length != 2) throw graft.functions.FunctionArity
+          .wrongNumArgs("cosine_units", expected = 2, actual = exprs.length)
         graft.functions.CosineUnits(exprs(0), exprs(1))
       }))
     ext.injectFunction((
@@ -54,8 +54,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "ngrams_gen(tokens, n) - generator: one (pos, gram) row per n-token shingle of an array<string>",
         ""),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 2,
-          s"ngrams_gen requires exactly 2 arguments (tokens array, n literal), got ${exprs.length}")
+        if (exprs.length != 2) throw graft.functions.FunctionArity
+          .wrongNumArgs("ngrams_gen", expected = 2, actual = exprs.length)
         graft.functions.NGramsGen(exprs(0), exprs(1))
       }))
     ext.injectFunction((
@@ -67,8 +67,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "checksum_agg(str) - order-independent content checksum: sum of h31(str) mod (2^31-1) over the group",
         ""),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 1,
-          s"checksum_agg requires exactly 1 argument (a string column), got ${exprs.length}")
+        if (exprs.length != 1) throw graft.functions.FunctionArity
+          .wrongNumArgs("checksum_agg", expected = 1, actual = exprs.length)
         graft.functions.ChecksumAgg(exprs(0)).toAggregateExpression()
       }))
   }

@@ -102,10 +102,11 @@ object CosineUnits {
       }, "built-in")
 }
 
-/** Shared wrong-arity analysis error for the imperative registrations —
-  * indexing `exprs(1)` on a short list would surface as a raw
-  * IndexOutOfBoundsException instead of the analyzer's own message. */
-private[functions] object FunctionArity {
+/** Shared wrong-arity analysis error for every function registration
+  * path (imperative AND [[graft.GraftExtensions]] builders) — indexing
+  * `exprs(1)` on a short list or a bare `require` would surface as a raw
+  * runtime exception instead of the analyzer's own message. */
+private[graft] object FunctionArity {
   def wrongNumArgs(name: String, expected: Int, actual: Int)
       : org.apache.spark.sql.AnalysisException =
     new org.apache.spark.sql.AnalysisException(

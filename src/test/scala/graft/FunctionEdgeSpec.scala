@@ -75,4 +75,15 @@ class FunctionEdgeSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("ngrams_gen"))
   }
+
+  test("wrong arity is an analysis error through the extension builders too") {
+    // checksum_agg reaches this suite only via the GraftExtensions
+    // builder (no imperative replacement above), pinning that the
+    // extension path raises the analyzer's WRONG_NUM_ARGS rather than a
+    // raw require() IllegalArgumentException
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT checksum_agg('a', 'b') AS c").collect()
+    }
+    assert(e.getMessage.contains("checksum_agg"))
+  }
 }
