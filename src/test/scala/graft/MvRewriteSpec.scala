@@ -444,6 +444,63 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a STREAM-MAINTAINED view answers avg exactly (IVM of per-measure counts)") {
+    import org.apache.spark.sql.streaming.Trigger
+    // the q92 composition extended to avg: per-measure NON-NULL counts
+    // merge by the same associative algebra as sums (sum of partial
+    // counts), so a view maintained micro-batch by micro-batch answers
+    // avg bit-exactly — merged state ≡ one-shot regardless of slicing
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvavgstr_").toFile
+    try {
+      val basePath = new java.io.File(tmp, "avgbase.parquet").getAbsolutePath
+      spark.range(1000).selectExpr(
+        "id % 7 as g", "id % 3 as h",
+        """CASE WHEN id % 5 = 0 THEN NULL
+          |ELSE CAST(CAST(id * 7 + 1 AS DECIMAL(18,2)) / 3 AS DECIMAL(18,2))
+          |END as m""".stripMargin)
+        .repartition(4).write.parquet(basePath)
+      val base = spark.read.parquet(basePath)
+      val mvPath = new java.io.File(tmp, "avg_mv").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      val q = spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1").parquet(basePath)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val partial = batch.toDF().groupBy(col("g"), col("h"))
+            .agg(sum(col("m")).as("sum_m"), count(col("m")).as("cnt_m"),
+                 count(lit(1)).as("cnt"))
+          graft.operators.StateMerge.mergeOverwrite(
+            batch.sparkSession, partial, mvPath, batchId)(
+            _.groupBy(col("g"), col("h"))
+              .agg(sum(col("sum_m")).as("sum_m"), sum(col("cnt_m")).as("cnt_m"),
+                   sum(col("cnt")).as("cnt")))
+        }
+        .start()
+      q.awaitTermination()
+      MvCatalog.register(MvCatalog.MvDef(
+        basePathSuffix = "avgbase.parquet",
+        groupCols = Set("g", "h"),
+        sumMeasures = Nil,
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+        avgMeasures = MvCatalog.measureExprs(base, col("m"))
+          .map(_ -> ("sum_m", "cnt_m"))))
+      try {
+        def query(d: org.apache.spark.sql.DataFrame) = d.groupBy(col("g"))
+          .agg(avg(col("m")).as("a"), count(lit(1)).as("n"))
+          .orderBy(col("g"))
+        val viaMv = query(base)
+        assert(viaMv.queryExecution.executedPlan.toString.contains("avg_mv"),
+          "avg must be answered from the stream-maintained view")
+        val got = viaMv.collect().toSeq
+        MvCatalog.clear()
+        assert(got == query(base).collect().toSeq && got.nonEmpty,
+          "stream-maintained partials must reproduce the one-shot avg bit-exactly")
+      } finally MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
   test("arithmetic OVER aggregates rewrites node-by-node (CollapseProject'd outputs)") {
     withMv { _ =>
       val li = Tables.t(spark, sf, "lineitem")
