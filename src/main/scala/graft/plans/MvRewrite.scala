@@ -97,10 +97,14 @@ object MvCatalog {
   *   - the aggregate's child is the registered base relation (optionally
   *     under a Project, an admissible Filter, and for rollup/cube the
   *     Expand) — matched by file-source root path;
-  *   - every grouping expression resolves to a bare base column contained
-  *     in the MV's grouping set (for Expand shapes: every non-literal
-  *     projection expression resolves to a grouping column or a
-  *     registered measure);
+  *   - every grouping expression is a deterministic, subquery-free tree
+  *     over columns in the MV's grouping set — bare grain columns or
+  *     DERIVED groupings (`year(date)` over a date-grain view, a status
+  *     bucketing), rebound onto the MV's stored grouping columns; a
+  *     GLOBAL aggregate refuses (an empty base yields one row, an empty
+  *     MV zero). For Expand shapes: every non-literal projection
+  *     expression resolves to a bare grouping column or a registered
+  *     measure;
   *   - every output column is a deterministic, subquery-free expression
   *     over rewritable aggregates and grouping columns (post-aggregate
   *     arithmetic like `avg(x) * 1e6` or `sum(a) / count(*)` that
@@ -275,7 +279,11 @@ object MvRewrite extends Rule[LogicalPlan] {
     * on the divide's internal rounding cascade. Decimal measures only —
     * decimal addition is order-independent so the re-summed total is
     * exact; a float avg would reorder float addition and is refused like
-    * a float sum. The non-null count matters: `avg` skips nulls, so
+    * a float sum. INTEGRAL avg is refused too, unlike integral SUM:
+    * Spark's Sum over integers accumulates in LongType (exact), but its
+    * Average accumulates the sum buffer in DOUBLE — past 2^53 the base
+    * answer is itself addition-order-dependent, so no rewrite can be
+    * bit-faithful to it. The non-null count matters: `avg` skips nulls, so
     * dividing by the MV's `count(*)` would undercount any group whose
     * measure has nulls — hence the dedicated per-measure count column.
     *
@@ -395,15 +403,43 @@ object MvRewrite extends Rule[LogicalPlan] {
       mv.output.map(a => a.name -> a).toMap
     def mvAttr(name: String): Option[Attribute] = mvAttrByName.get(name)
 
-    // ---- grouping: bare base columns within the MV's grouping set -------
-    val groupBase: Option[Seq[AttributeReference]] =
-      Some(agg.groupingExpressions).filter(_.nonEmpty).flatMap { ges =>
-        val rs = ges.map(resolve)
-        if (rs.forall { case a: AttributeReference => d.groupCols(a.name); case _ => false })
-          Some(rs.map(_.asInstanceOf[AttributeReference]))
-        else None
+    // shared rebinding recursion: replace nested aggregates via `aggs`,
+    // remap every other attribute to its MV grouping column, recurse
+    // through deterministic subquery-free nodes, refuse anything else
+    def rw(e: Expression,
+           aggs: AggregateExpression => Option[Expression]): Option[Expression] =
+      e match {
+        case ae: AggregateExpression => aggs(ae)
+        case a: AttributeReference =>
+          resolve(a) match {
+            case b: AttributeReference if d.groupCols(b.name) =>
+              mvAttr(b.name).map(m => withNullability(m, a.nullable))
+            case _: AttributeReference => None // base column outside the grain
+            case derived =>
+              // Project-defined expression (the analyzer extracts derived
+              // groupings into `_groupingexpression` aliases below the
+              // Aggregate) — rebind its tree; its leaves are base attrs
+              rw(derived, aggs)
+          }
+        case other if other.deterministic && !other.isInstanceOf[PlanExpression[_]] =>
+          val kids = other.children.map(rw(_, aggs))
+          if (kids.exists(_.isEmpty)) None
+          else Some(other.withNewChildren(kids.map(_.get)))
+        case _ => None
       }
-    if (groupBase.isEmpty) return None
+
+    // ---- grouping: deterministic expressions over the MV's grain --------
+    // Bare grain columns are the common case; DERIVED groupings (a status
+    // bucketing, year(date) over a date-grain view) rebind the same tree
+    // onto the MV's grouping columns — sound because every base row of
+    // one grain group evaluates the expression identically, so grain
+    // partials re-aggregate into exactly the derived groups. A GLOBAL
+    // aggregate (no GROUP BY) must refuse: over an EMPTY base it returns
+    // one row (count 0) while the empty MV would return zero rows.
+    if (agg.groupingExpressions.isEmpty) return None
+    val newGrouping: Seq[Option[Expression]] =
+      agg.groupingExpressions.map(rw(_, _ => None))
+    if (newGrouping.exists(_.isEmpty)) return None
 
     // ---- aggregate list: rewrite each output column ---------------------
     // Outputs may be ARBITRARY deterministic trees over rewritable
@@ -413,20 +449,8 @@ object MvRewrite extends Rule[LogicalPlan] {
     // AggregateExpression from the partials and remapping every other
     // attribute to its MV grouping column. Subqueries and nondeterminism
     // refuse — their results are not a function of the group's partials.
-    def rwTree(e: Expression): Option[Expression] = e match {
-      case ae: AggregateExpression => rewriteAggExpr(d, ae, resolve, mvAttr)
-      case a: AttributeReference =>
-        resolve(a) match {
-          case b: AttributeReference if d.groupCols(b.name) =>
-            mvAttr(b.name).map(m => withNullability(m, a.nullable))
-          case _ => None
-        }
-      case other if other.deterministic && !other.isInstanceOf[PlanExpression[_]] =>
-        val kids = other.children.map(rwTree)
-        if (kids.exists(_.isEmpty)) None
-        else Some(other.withNewChildren(kids.map(_.get)))
-      case _ => None
-    }
+    def rwTree(e: Expression): Option[Expression] =
+      rw(e, ae => rewriteAggExpr(d, ae, resolve, mvAttr))
     val rewritten: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
       case a: AttributeReference =>
         // grouping passthrough keeps the output attribute's exprId
@@ -438,11 +462,8 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
     if (rewritten.exists(_.isEmpty)) return None
 
-    val newGrouping = groupBase.get.flatMap(g => mvAttr(g.name))
-    if (newGrouping.length != groupBase.get.length) return None
-
     reboundFilter(filterCond, resolve, d, mvAttr, mv)
-      .map(c => Aggregate(newGrouping, rewritten.map(_.get), c))
+      .map(c => Aggregate(newGrouping.map(_.get), rewritten.map(_.get), c))
   }
 
   // ---- the ROLLUP / CUBE / GROUPING SETS shape ---------------------------

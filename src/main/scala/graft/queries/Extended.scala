@@ -1186,6 +1186,46 @@ object Extended {
       |  count(*) AS n_items
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- Q106: derived grouping over the MV grain, scored -------------------
+
+  /** Q106 — GROUP BY AN EXPRESSION OF THE GRAIN from the MV: the query
+    * groups the base table by a DERIVED bucketing of a grain column
+    * (`returnflag = 'N' → open / closed` — the shape of `year(date)`
+    * over a date-grain view, the classic aggregate-navigator ask), and
+    * the rewrite rebinds the same expression onto the view's stored
+    * grouping column — sound because every base row of one grain group
+    * evaluates the expression identically, so the grain partials
+    * re-aggregate into exactly the derived groups. The plan is require'd
+    * to scan only the MV; the oracle computes the bucketing from base in
+    * DuckDB. At 100 TB this is "monthly revenue answered from the daily
+    * view" without re-scanning the corpus. */
+  def q106MvGroupExpr(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q106_").toFile
+    try {
+      val mvPath = new java.io.File(tmp, "lineitem_mv").getAbsolutePath
+      buildLineitemMv(spark, dir, mvPath)
+      registerLineitemMv(spark, dir, mvPath)
+      try {
+        val bucket = when(col("l_returnflag") === "N", lit("open"))
+          .otherwise(lit("closed"))
+        val res = t(spark, dir, "lineitem").groupBy(bucket.as("flag_bucket"))
+          .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("n_items"))
+        val plan = res.queryExecution.executedPlan.toString
+        require(plan.contains("lineitem_mv"),
+          s"q106 must be answered from the materialized view:\n$plan")
+        require(!plan.contains("lineitem.parquet"),
+          s"q106 must not touch the base table:\n$plan")
+        graft.util.Materialize.sorted(res, col("flag_bucket"))
+      } finally graft.plans.MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  val q106Sql: String =
+    """SELECT CASE WHEN l_returnflag = 'N' THEN 'open' ELSE 'closed' END AS flag_bucket,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+      |  count(*) AS n_items
+      |FROM lineitem GROUP BY 1 ORDER BY flag_bucket""".stripMargin
+
   /** Integer-exact HALF_UP of (sum_cents·10^4)/cnt: floor((2a+b)/(2b)). */
   val q104Sql: String =
     """WITH g AS (

@@ -421,6 +421,33 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
+  test("grouping by an EXPRESSION of grain columns rewrites; non-grain or nondeterministic refuses") {
+    withMv { _ =>
+      val li = Tables.t(spark, sf, "lineitem")
+      def q(d: org.apache.spark.sql.DataFrame) = d
+        .groupBy(concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("k"))
+        .agg(sum(qtyCents).as("s"), count(lit(1)).as("n"))
+        .orderBy(col("k"))
+      val viaMv = q(li)
+      assert(viaMv.queryExecution.executedPlan.toString.contains("lineitem_mv"),
+        "a derived grouping over grain columns must rebind onto the view")
+      val got = viaMv.collect().toSeq
+      // refusals: an expression over a NON-grain column; a nondeterministic
+      // grouping; a global aggregate (empty-base edge: one row vs zero)
+      val fine = li.groupBy(substring(col("l_shipdate").cast("string"), 1, 4).as("y"))
+        .agg(sum(qtyCents).as("s"))
+      assert(!fine.queryExecution.executedPlan.toString.contains("lineitem_mv"))
+      val rnd = li.groupBy((col("l_returnflag") === "N" && rand() > 2).as("b"))
+        .agg(sum(qtyCents).as("s"))
+      assert(!rnd.queryExecution.executedPlan.toString.contains("lineitem_mv"))
+      val global = li.agg(sum(qtyCents).as("s"), count(lit(1)).as("n"))
+      assert(!global.queryExecution.executedPlan.toString.contains("lineitem_mv"),
+        "a GLOBAL aggregate must refuse (empty base returns one row, empty MV zero)")
+      MvCatalog.clear()
+      assert(got == q(li).collect().toSeq && got.nonEmpty)
+    }
+  }
+
   test("count(DISTINCT grain column) rewrites; any other DISTINCT still refuses") {
     withMv { _ =>
       val li = Tables.t(spark, sf, "lineitem")
