@@ -127,10 +127,11 @@ object MvCatalog {
   *     measures only, replaying Average's own divide algebra
   *     operand-type-exactly ([[reAvg]]);
   *   - an interposed Filter is replayed against the MV iff its
-  *     (deterministic) predicate references ONLY grouping columns —
-  *     whole-group selection commutes with the pre-aggregation; a
-  *     predicate on any other column selects WITHIN groups the MV has
-  *     already collapsed, so it blocks the rewrite;
+  *     (deterministic, subquery-free) predicate is a FUNCTION OF THE
+  *     GRAIN — bare grouping columns or derived expressions of them —
+  *     since whole-group selection commutes with the pre-aggregation; a
+  *     predicate touching any other column selects WITHIN groups the MV
+  *     has already collapsed, so it blocks the rewrite;
   *   - the summed type is integral or decimal: exact and order-independent
   *     under re-aggregation. FLOAT/DOUBLE sums are NOT rewritten — a
   *     regrouped float sum changes addition order and therefore the last
@@ -352,26 +353,45 @@ object MvRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** Replay an admissible filter against the MV: deterministic, and
-    * every referenced column resolves to an MV grouping column. */
+  /** Rebind a deterministic, subquery-free tree from base-side attributes
+    * onto the MV: nested AggregateExpressions go through `aggs`
+    * (refuse-all for grouping and filter trees), grain-column references
+    * map to the MV's stored columns, Project-defined attributes (the
+    * analyzer's `_groupingexpression` extraction) recurse into their
+    * defining tree. None = not a function of the grain (and, where
+    * `aggs` allows them, the registered partials). */
+  private def rebindTree(d: MvCatalog.MvDef,
+                         resolve: Expression => Expression,
+                         mvAttr: String => Option[Attribute])
+                        (e: Expression,
+                         aggs: AggregateExpression => Option[Expression])
+      : Option[Expression] =
+    e match {
+      case ae: AggregateExpression => aggs(ae)
+      case a: AttributeReference =>
+        resolve(a) match {
+          case b: AttributeReference if d.groupCols(b.name) =>
+            mvAttr(b.name).map(m => withNullability(m, a.nullable))
+          case _: AttributeReference => None // base column outside the grain
+          case derived => rebindTree(d, resolve, mvAttr)(derived, aggs)
+        }
+      case other if other.deterministic && !other.isInstanceOf[PlanExpression[_]] =>
+        val kids = other.children.map(rebindTree(d, resolve, mvAttr)(_, aggs))
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+      case _ => None
+    }
+
+  /** Replay an admissible filter against the MV: deterministic and a
+    * function of the grain — bare grouping columns or derived
+    * expressions of them (whole-group selection commutes with the
+    * pre-aggregation either way; a predicate on any finer column
+    * selects WITHIN collapsed groups and refuses via the rebind). */
   private def reboundFilter(cond: Option[Expression],
-                            resolve: Expression => Expression,
-                            d: MvCatalog.MvDef,
-                            mvAttr: String => Option[Attribute],
+                            rebind: Expression => Option[Expression],
                             mv: LogicalPlan): Option[LogicalPlan] = cond match {
     case None => Some(mv)
-    case Some(c) if c.deterministic =>
-      var ok = true
-      val rebound = c.transform {
-        case a: AttributeReference =>
-          resolve(a) match {
-            case b: AttributeReference if d.groupCols(b.name) && mvAttr(b.name).isDefined =>
-              mvAttr(b.name).get
-            case _ => ok = false; a
-          }
-      }
-      if (ok) Some(Filter(rebound, mv)) else None
-    case _ => None
+    case Some(c) => rebind(c).map(Filter(_, mv))
   }
 
   private def rewrite(agg: Aggregate, d: MvCatalog.MvDef): Option[LogicalPlan] =
@@ -403,30 +423,11 @@ object MvRewrite extends Rule[LogicalPlan] {
       mv.output.map(a => a.name -> a).toMap
     def mvAttr(name: String): Option[Attribute] = mvAttrByName.get(name)
 
-    // shared rebinding recursion: replace nested aggregates via `aggs`,
-    // remap every other attribute to its MV grouping column, recurse
-    // through deterministic subquery-free nodes, refuse anything else
+    // the shared rebinding recursion ([[rebindTree]]), closed over this
+    // match's resolver and MV attributes
     def rw(e: Expression,
            aggs: AggregateExpression => Option[Expression]): Option[Expression] =
-      e match {
-        case ae: AggregateExpression => aggs(ae)
-        case a: AttributeReference =>
-          resolve(a) match {
-            case b: AttributeReference if d.groupCols(b.name) =>
-              mvAttr(b.name).map(m => withNullability(m, a.nullable))
-            case _: AttributeReference => None // base column outside the grain
-            case derived =>
-              // Project-defined expression (the analyzer extracts derived
-              // groupings into `_groupingexpression` aliases below the
-              // Aggregate) — rebind its tree; its leaves are base attrs
-              rw(derived, aggs)
-          }
-        case other if other.deterministic && !other.isInstanceOf[PlanExpression[_]] =>
-          val kids = other.children.map(rw(_, aggs))
-          if (kids.exists(_.isEmpty)) None
-          else Some(other.withNewChildren(kids.map(_.get)))
-        case _ => None
-      }
+      rebindTree(d, resolve, mvAttr)(e, aggs)
 
     // ---- grouping: deterministic expressions over the MV's grain --------
     // Bare grain columns are the common case; DERIVED groupings (a status
@@ -462,7 +463,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
     if (rewritten.exists(_.isEmpty)) return None
 
-    reboundFilter(filterCond, resolve, d, mvAttr, mv)
+    reboundFilter(filterCond, rw(_, _ => None), mv)
       .map(c => Aggregate(newGrouping.map(_.get), rewritten.map(_.get), c))
   }
 
@@ -588,7 +589,8 @@ object MvRewrite extends Rule[LogicalPlan] {
     if (!agg.groupingExpressions.forall(_.references.forall(r => keptIds(r.exprId))))
       return None
 
-    reboundFilter(filterCond, resolve, d, mvAttr, mv).map { base =>
+    reboundFilter(filterCond,
+        rebindTree(d, resolve, mvAttr)(_, _ => None), mv).map { base =>
       val keptIdx = keptCols.keysIterator.toSeq
       val outAttrs = keptIdx.map(exp.output) ++ appended.values
       val projRows = exp.projections.indices.map { r =>

@@ -87,12 +87,27 @@ class MvRewriteSpec extends AnyFunSuite {
         .groupBy(col("l_linestatus")).agg(sum(qtyCents).as("s"))
       assert(!finer.queryExecution.executedPlan.toString.contains("lineitem_mv"),
         "a within-group predicate must block the rewrite")
-      // value check for the replayed filter
+      // a DERIVED predicate of grain columns (still whole-group
+      // selection) replays too; mixing in a finer column blocks
+      val derived = li.filter(concat(col("l_returnflag"), col("l_linestatus")) =!= "NO")
+        .groupBy(col("l_linestatus")).agg(sum(qtyCents).as("s"))
+      assert(derived.queryExecution.executedPlan.toString.contains("lineitem_mv"),
+        "a predicate that is a function of the grain must replay")
+      val mixed = li.filter(concat(col("l_returnflag"), col("l_shipdate").cast("string")) =!= "NO")
+        .groupBy(col("l_linestatus")).agg(sum(qtyCents).as("s"))
+      assert(!mixed.queryExecution.executedPlan.toString.contains("lineitem_mv"),
+        "a predicate touching any finer column must block")
+      val gotDerived = derived.orderBy(col("l_linestatus")).collect().toSeq
+      // value check for the replayed filters
       MvCatalog.clear()
       val direct = li.filter(col("l_returnflag") === "R")
         .groupBy(col("l_linestatus")).agg(sum(qtyCents).as("s"))
       assert(onGrain.orderBy(col("l_linestatus")).collect().toSeq ==
         direct.orderBy(col("l_linestatus")).collect().toSeq)
+      assert(gotDerived ==
+        li.filter(concat(col("l_returnflag"), col("l_linestatus")) =!= "NO")
+          .groupBy(col("l_linestatus")).agg(sum(qtyCents).as("s"))
+          .orderBy(col("l_linestatus")).collect().toSeq)
     }
   }
 
