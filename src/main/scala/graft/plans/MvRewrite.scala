@@ -47,7 +47,7 @@ object MvCatalog {
     *   divides by the non-null count, and the two differ wherever the
     *   measure is null). `avg` re-aggregates as
     *   sum-of-sums / sum-of-counts; decimal measures only (exact,
-    *   order-independent totals — see [[MvRewrite.reAvg]])
+    *   order-independent totals — see [[MvRewrite.reAvgE]])
     */
   final case class MvDef(
       basePathSuffix: String,
@@ -125,7 +125,7 @@ object MvCatalog {
   *     over sum-of-NON-NULL-counts (a per-measure count column the view
   *     must store — `count(*)` overcounts null measures), decimal
   *     measures only, replaying Average's own divide algebra
-  *     operand-type-exactly ([[reAvg]]);
+  *     operand-type-exactly ([[reAvgE]]);
   *   - an interposed Filter is replayed against the MV iff its
   *     (deterministic, subquery-free) predicate is a FUNCTION OF THE
   *     GRAIN — bare grouping columns or derived expressions of them —
@@ -353,34 +353,45 @@ object MvRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** Rebind a deterministic, subquery-free tree from base-side attributes
-    * onto the MV: nested AggregateExpressions go through `aggs`
-    * (refuse-all for grouping and filter trees), grain-column references
-    * map to the MV's stored columns, Project-defined attributes (the
-    * analyzer's `_groupingexpression` extraction) recurse into their
-    * defining tree. None = not a function of the grain (and, where
-    * `aggs` allows them, the registered partials). */
+  /** THE tree walk both paths share: rebuild a deterministic,
+    * subquery-free tree with its AggregateExpression nodes replaced via
+    * `aggs` and its attribute leaves via `attrs`; refuse (None) anything
+    * either handler refuses, and every nondeterministic or
+    * plan-carrying node. */
+  private def rebindWith(attrs: AttributeReference => Option[Expression],
+                         aggs: AggregateExpression => Option[Expression])
+                        (e: Expression): Option[Expression] =
+    e match {
+      case ae: AggregateExpression => aggs(ae)
+      case a: AttributeReference => attrs(a)
+      case other if other.deterministic && !other.isInstanceOf[PlanExpression[_]] =>
+        val kids = other.children.map(rebindWith(attrs, aggs))
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+      case _ => None
+    }
+
+  /** The flat path's instantiation of [[rebindWith]]: grain-column
+    * references map to the MV's stored columns, Project-defined
+    * attributes (the analyzer's `_groupingexpression` extraction)
+    * recurse into their defining tree, other base columns refuse.
+    * None = not a function of the grain (and, where `aggs` allows them,
+    * the registered partials). */
   private def rebindTree(d: MvCatalog.MvDef,
                          resolve: Expression => Expression,
                          mvAttr: String => Option[Attribute])
                         (e: Expression,
                          aggs: AggregateExpression => Option[Expression])
-      : Option[Expression] =
-    e match {
-      case ae: AggregateExpression => aggs(ae)
-      case a: AttributeReference =>
-        resolve(a) match {
-          case b: AttributeReference if d.groupCols(b.name) =>
-            mvAttr(b.name).map(m => withNullability(m, a.nullable))
-          case _: AttributeReference => None // base column outside the grain
-          case derived => rebindTree(d, resolve, mvAttr)(derived, aggs)
-        }
-      case other if other.deterministic && !other.isInstanceOf[PlanExpression[_]] =>
-        val kids = other.children.map(rebindTree(d, resolve, mvAttr)(_, aggs))
-        if (kids.exists(_.isEmpty)) None
-        else Some(other.withNewChildren(kids.map(_.get)))
-      case _ => None
-    }
+      : Option[Expression] = {
+    def attrs(a: AttributeReference): Option[Expression] =
+      resolve(a) match {
+        case b: AttributeReference if d.groupCols(b.name) =>
+          mvAttr(b.name).map(m => withNullability(m, a.nullable))
+        case _: AttributeReference => None // base column outside the grain
+        case derived => rebindWith(attrs, aggs)(derived)
+      }
+    rebindWith(attrs, aggs)(e)
+  }
 
   /** Replay an admissible filter against the MV: deterministic and a
     * function of the grain — bare grouping columns or derived
@@ -556,27 +567,23 @@ object MvRewrite extends Rule[LogicalPlan] {
     // Outputs may be arbitrary deterministic trees over rewritable
     // aggregates and kept Expand positions (grouping restore /
     // grouping_id arithmetic / post-agg arithmetic CollapseProject folded
-    // in): recurse as in the flat path — kept positions keep their
-    // exprIds, so their references pass through verbatim.
-    def rwTree(e: Expression): Option[Expression] = e match {
-      case ae: AggregateExpression
-          if ae.references.forall(r => expandDef.contains(r.exprId)) =>
-        // aggregate args may only read UNIFORM passthrough positions:
-        // a per-set grouping slot (nulled in excluded sets) carries the
-        // base column's NAME, and the structural matcher pins by name —
-        // without this guard an aggregate wired to a per-set slot would
-        // silently match the raw column's partials. Spark's grouping-set
-        // analysis always points aggregate args at raw passthroughs, so
-        // this refuses only malformed shapes.
-        rewriteAggExpr(d, ae, resolveDeep, passAttr)
-      case _: AggregateExpression => None // failed the guard — never recurse
-      case a: AttributeReference => if (keptIds(a.exprId)) Some(a) else None
-      case other if other.deterministic && !other.isInstanceOf[PlanExpression[_]] =>
-        val kids = other.children.map(rwTree)
-        if (kids.exists(_.isEmpty)) None
-        else Some(other.withNewChildren(kids.map(_.get)))
-      case _ => None
-    }
+    // in): the shared walk with this path's leaf handlers — kept
+    // positions keep their exprIds, so their references pass through
+    // verbatim; aggregate args may only read UNIFORM passthrough
+    // positions (a per-set grouping slot, nulled in excluded sets,
+    // carries the base column's NAME and the structural matcher pins by
+    // name — without the guard an aggregate wired to a per-set slot
+    // would silently match the raw column's partials; Spark's
+    // grouping-set analysis always points aggregate args at raw
+    // passthroughs, so the guard refuses only malformed shapes).
+    def rwTree(e: Expression): Option[Expression] =
+      rebindWith(
+        a => if (keptIds(a.exprId)) Some(a) else None,
+        {
+          case ae if ae.references.forall(r => expandDef.contains(r.exprId)) =>
+            rewriteAggExpr(d, ae, resolveDeep, passAttr)
+          case _ => None // failed the guard — never recurse
+        })(e)
     val rewritten: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
       case a: AttributeReference => if (keptIds(a.exprId)) Some(a) else None
       case al: Alias =>

@@ -1097,7 +1097,7 @@ object Extended {
     * counts differ wherever the measure is null), and the coarser query's
     * `avg(x)` re-aggregates as sum-of-sums over sum-of-counts, replaying
     * Spark Average's own divide algebra operand-type-exactly
-    * ([[graft.plans.MvRewrite.reAvg]]) so the rewritten answer is
+    * ([[graft.plans.MvRewrite.reAvgE]]) so the rewritten answer is
     * BIT-equal to the base computation, not merely close. Decimal
     * measures only: decimal totals are order-independent under
     * regrouping; a raw double avg stays refused like a raw double sum.
@@ -1115,9 +1115,13 @@ object Extended {
       val mvPath = new java.io.File(tmp, "lineitem_mv_avg").getAbsolutePath
       val li = t(spark, dir, "lineitem")
       val priceDec = dec2(col("l_extendedprice"))
+      // cnt_price MUST be count(measure) — count of the DECIMAL cast, not
+      // the raw double: a non-null double whose cast nulls (NaN, overflow
+      // past 16 digits) is skipped by avg(priceDec) but would be counted
+      // by count(l_extendedprice), silently skewing the rewritten divide
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(priceDec).as("sum_price"),
-             count(col("l_extendedprice")).as("cnt_price"),
+             count(priceDec).as("cnt_price"),
              count(lit(1)).as("cnt"))
         .write.parquet(mvPath)
       graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
@@ -1231,7 +1235,7 @@ object Extended {
     """WITH g AS (
       |  SELECT l_returnflag,
       |         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS s_cents,
-      |         COUNT(l_extendedprice) AS c,
+      |         COUNT(CAST(l_extendedprice AS DECIMAL(18,2))) AS c,
       |         COUNT(*) AS n_items
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag,
