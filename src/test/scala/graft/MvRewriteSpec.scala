@@ -627,10 +627,12 @@ class MvRewriteSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft_mvexh_").toFile
     try {
       val li = Tables.t(spark, sf, "lineitem")
+      val priceDec = graft.Tables.dec2(col("l_extendedprice"))
       val mvPath = new java.io.File(tmp, "lineitem_mv_full").getAbsolutePath
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"),
-             min(qtyCents).as("min_c"), max(qtyCents).as("max_c"))
+             min(qtyCents).as("min_c"), max(qtyCents).as("max_c"),
+             sum(priceDec).as("sum_p"), count(priceDec).as("cnt_p"))
         .write.parquet(mvPath)
       def registerFull(): Unit = MvCatalog.register(MvCatalog.MvDef(
         basePathSuffix = "lineitem.parquet",
@@ -639,9 +641,15 @@ class MvRewriteSpec extends AnyFunSuite {
         countCol = "cnt",
         mv = spark.read.parquet(mvPath).queryExecution.analyzed,
         minMeasures = MvCatalog.measureExprs(li, qtyCents).map(_ -> "min_c"),
-        maxMeasures = MvCatalog.measureExprs(li, qtyCents).map(_ -> "max_c")))
+        maxMeasures = MvCatalog.measureExprs(li, qtyCents).map(_ -> "max_c"),
+        avgMeasures = MvCatalog.measureExprs(li, priceDec).map(_ -> ("sum_p", "cnt_p"))))
+      // all SIX aggregate kinds in every shape: sum, count(*), min, max,
+      // avg (decimal), count(DISTINCT grain column)
       val aggs = Seq(sum(qtyCents).as("s"), count(lit(1)).as("n"),
-                     min(qtyCents).as("lo"), max(qtyCents).as("hi"))
+                     min(qtyCents).as("lo"), max(qtyCents).as("hi"),
+                     avg(priceDec).as("ap"),
+                     countDistinct(col("l_linestatus")).as("nd"))
+      val derivedKey = concat(col("l_returnflag"), lit("/"), col("l_linestatus"))
       val shapes: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
         "groupBy(flag)" -> (d => d.groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)),
         "groupBy(status)" -> (d => d.groupBy(col("l_linestatus")).agg(aggs.head, aggs.tail: _*)),
@@ -649,6 +657,9 @@ class MvRewriteSpec extends AnyFunSuite {
         "rollup(flag,status)" -> (d => d.rollup(col("l_returnflag"), col("l_linestatus")).agg(aggs.head, aggs.tail: _*)),
         "cube(flag,status)" -> (d => d.cube(col("l_returnflag"), col("l_linestatus")).agg(aggs.head, aggs.tail: _*)),
         "filtered groupBy" -> (d => d.filter(col("l_returnflag") =!= "N")
+          .groupBy(col("l_linestatus")).agg(aggs.head, aggs.tail: _*)),
+        "groupBy(derived expr)" -> (d => d.groupBy(derivedKey.as("k")).agg(aggs.head, aggs.tail: _*)),
+        "derived-filtered groupBy" -> (d => d.filter(derivedKey =!= "N/O")
           .groupBy(col("l_linestatus")).agg(aggs.head, aggs.tail: _*)))
       shapes.foreach { case (label, build) =>
         registerFull()
