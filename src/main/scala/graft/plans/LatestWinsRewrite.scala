@@ -19,7 +19,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Soundness conditions (all checked; anything else is left untouched):
   *   - exactly one window expression: `row_number()` — rank/lag users keep
   *     their window;
-  *   - the filter is `rn = 1` / `1 = rn` / `rn <= 1` and nothing else;
+  *   - ONE conjunct of the filter is the top-1 predicate on rn
+  *     (`rn = 1` / `1 = rn` / `rn <= 1` / `rn < 2` and their commutes);
+  *     any REMAINING conjuncts must not reference rn and are replayed as
+  *     a Filter above the aggregate (the reproduced exprIds keep them
+  *     valid) — the common `WHERE rn = 1 AND <payload predicate>` shape
+  *     that predicate pushdown cannot split below the window;
   *   - the partition spec is non-empty attributes (a GLOBAL top-1 must not
   *     become an always-one-row aggregate on empty input);
   *   - uniform default-null-ordered sort direction: all-DESC+NULLS LAST →
@@ -34,7 +39,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * class, no semantic change. The rewritten node reproduces the window's
   * exact output attributes (same exprIds), with `rn` rebound to literal 1.
   */
-object LatestWinsRewrite extends Rule[LogicalPlan] {
+object LatestWinsRewrite extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case Filter(cond, w: Window) =>
@@ -44,6 +50,17 @@ object LatestWinsRewrite extends Rule[LogicalPlan] {
       rewrite(cond, w).map(agg => Project(projList, agg)).getOrElse(f)
   }
 
+  /** Is `c` the top-1 predicate on `rn`? All four spellings + commutes. */
+  private def isTopOnePred(c: Expression, rn: Attribute): Boolean = c match {
+    case EqualTo(l: AttributeReference, Literal(1, _)) => l.semanticEquals(rn)
+    case EqualTo(Literal(1, _), r: AttributeReference) => r.semanticEquals(rn)
+    case LessThanOrEqual(l: AttributeReference, Literal(1, _)) => l.semanticEquals(rn)
+    case GreaterThanOrEqual(Literal(1, _), r: AttributeReference) => r.semanticEquals(rn)
+    case LessThan(l: AttributeReference, Literal(2, _)) => l.semanticEquals(rn)
+    case GreaterThan(Literal(2, _), r: AttributeReference) => r.semanticEquals(rn)
+    case _ => false
+  }
+
   private def rewrite(cond: Expression, w: Window): Option[LogicalPlan] = {
     val rnAliasOpt = w.windowExpressions match {
       case Seq(a @ Alias(WindowExpression(RowNumber(), _), _)) => Some(a)
@@ -51,12 +68,12 @@ object LatestWinsRewrite extends Rule[LogicalPlan] {
     }
     rnAliasOpt.flatMap { rnAlias =>
       val rn = rnAlias.toAttribute
-      val isTopOne = cond match {
-        case EqualTo(l: AttributeReference, Literal(1, _)) => l.semanticEquals(rn)
-        case EqualTo(Literal(1, _), r: AttributeReference) => r.semanticEquals(rn)
-        case LessThanOrEqual(l: AttributeReference, Literal(1, _)) => l.semanticEquals(rn)
-        case _ => false
-      }
+      // exactly one conjunct selects top-1; the rest must not touch rn
+      // and survive as a residual Filter above the aggregate
+      val (topOne, residual) =
+        splitConjunctivePredicates(cond).partition(isTopOnePred(_, rn))
+      val isTopOne = topOne.size == 1 &&
+        residual.forall(!_.references.exists(_.semanticEquals(rn)))
       val part = w.partitionSpec
       val order = w.orderSpec
       val partOk = part.nonEmpty && part.forall(_.isInstanceOf[AttributeReference])
@@ -79,7 +96,9 @@ object LatestWinsRewrite extends Rule[LogicalPlan] {
               exprId = a.exprId, qualifier = a.qualifier)
         }
         val rnOut = Alias(Literal(1), rnAlias.name)(exprId = rnAlias.exprId)
-        Some(Aggregate(partAttrs, dataCols :+ rnOut, w.child))
+        val agg = Aggregate(partAttrs, dataCols :+ rnOut, w.child)
+        Some(if (residual.isEmpty) agg
+             else Filter(residual.reduce(And), agg))
       }
     }
   }

@@ -65,6 +65,42 @@ class LatestWinsRewriteSpec extends AnyFunSuite {
     assert(first.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == want)
   }
 
+  test("rn=1 AND a payload predicate rewrites with the residual replayed above") {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    // a payload predicate can't push below the window (it would change
+    // WHICH row is top-1 only if pushed — above, it filters the winners),
+    // so the filter arrives as one conjunction; the rule must split it
+    def q(d: DataFrame) = d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("cents") > 0)
+      .select(col("user_id"), col("event_type"), col("cents"))
+    val plan = optimized(q(changes))
+    assert(!plan.contains("Window") && plan.contains("max_by"),
+      s"the conjunctive top-1 shape must rewrite:\n$plan")
+    val got = q(changes).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val conf = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(conf)
+    try {
+      spark.conf.set(conf, "graft.plans.LatestWinsRewrite")
+      val want = q(changes).collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == want && want.nonEmpty,
+        "residual-filter rewrite must preserve the window form's answer")
+    } finally prev.fold(spark.conf.unset(conf))(spark.conf.set(conf, _))
+    // the rn<2 spelling maps too
+    val lt = changes.withColumn("rn", row_number().over(w)).filter(col("rn") < 2)
+    assert(!optimized(lt).contains("Window") && optimized(lt).contains("max_by"))
+    // but a second conjunct that READS rn must refuse. (The top-1 side
+    // must be the rn<2 spelling here: with rn=1, ConstantPropagation
+    // substitutes rn→1 into the other conjunct and folds it away before
+    // this rule ever runs — correctly leaving a plain top-1.)
+    val readsRn = changes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") < 2 && col("rn") + col("cents") > lit(0))
+    assert(optimized(readsRn).contains("Window"),
+      "a residual conjunct referencing rn must keep the window")
+  }
+
   test("shapes the rule must NOT touch keep their window") {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us").desc, col("event_id").desc)
