@@ -6,6 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -19,11 +20,31 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType,
   */
 object MvCatalog {
 
+  /** An inner equi-join base for a view materialized over TWO tables
+    * (the star-join MV — at 100 TB the view pre-pays the fact-side
+    * shuffle once at build time instead of per query). Matched
+    * structurally: both relations by path suffix (either orientation),
+    * and the query's join condition must be EXACTLY the registered
+    * equi-key set — equality of relations, not containment, so the
+    * rewrite is sound by construction.
+    *
+    * @param leftSuffix  path suffix of one base relation
+    * @param rightSuffix path suffix of the other
+    * @param keyPairs    the equi-join key columns, one (leftCol,
+    *   rightCol) name pair per conjunct (case-insensitive)
+    */
+  final case class JoinSpec(
+      leftSuffix: String,
+      rightSuffix: String,
+      keyPairs: Seq[(String, String)])
+
   /** One materialized aggregate.
     *
     * @param basePathSuffix matched against the END of the base relation's
     *   file-source root path (the engine's tables are single parquet
-    *   roots; a catalog identity replaces this at scale)
+    *   roots; a catalog identity replaces this at scale). Ignored when
+    *   `baseJoin` is set — a join view never answers single-table
+    *   queries (its rows are join-filtered and join-duplicated)
     * @param groupCols      the MV's grouping columns (base-table names;
     *   the MV stores them under the same names)
     * @param sumMeasures    ANALYZED base-side measure expression trees →
@@ -48,6 +69,17 @@ object MvCatalog {
     *   measure is null). `avg` re-aggregates as
     *   sum-of-sums / sum-of-counts; decimal measures only (exact,
     *   order-independent totals — see [[MvRewrite.reAvgE]])
+    * @param baseJoin       when set, the view is materialized over an
+    *   inner equi-join of two tables ([[JoinSpec]]); the matcher then
+    *   requires the query's pre-aggregate subtree to be THE SAME join
+    * @param viewFilters    predicate conjuncts BAKED INTO the view's
+    *   definition (each inner Seq = the spellings of ONE conjunct, via
+    *   [[measureExprs]]). A query rewrites only if it contains a
+    *   conjunct structurally equal to EVERY baked-in conjunct (the view
+    *   holds a subset of the base — a query over more rows than the
+    *   view has can never be answered from it); matching query
+    *   conjuncts are absorbed (already applied at build time), the rest
+    *   replay against the view iff they are grain functions
     */
   final case class MvDef(
       basePathSuffix: String,
@@ -57,7 +89,9 @@ object MvCatalog {
       mv: LogicalPlan,
       minMeasures: Seq[(Expression, String)] = Nil,
       maxMeasures: Seq[(Expression, String)] = Nil,
-      avgMeasures: Seq[(Expression, (String, String))] = Nil)
+      avgMeasures: Seq[(Expression, (String, String))] = Nil,
+      baseJoin: Option[JoinSpec] = None,
+      viewFilters: Seq[Seq[Expression]] = Nil)
 
   /** The analyzed and optimized expression trees of measure `c` over
     * `df` — the ONE spelling of the registration contract, shared by the
@@ -94,9 +128,21 @@ object MvCatalog {
   * transparently to any query that matches.
   *
   * Soundness conditions (all checked; anything else is left untouched):
-  *   - the aggregate's child is the registered base relation (optionally
-  *     under a Project, an admissible Filter, and for rollup/cube the
-  *     Expand) — matched by file-source root path;
+  *   - the aggregate's child is the registered base relation — matched by
+  *     file-source root path under any Project/Filter stack (and for
+  *     rollup/cube the Expand) — or, for a view registered over an INNER
+  *     EQUI-JOIN ([[MvCatalog.JoinSpec]]), exactly that join: both
+  *     relations matched by path in either side order, the join
+  *     condition equal as a set to the registered key pairs (equality of
+  *     relations, never containment), and no column name shared between
+  *     the two sides (grain/measure matching is name-keyed);
+  *   - every predicate conjunct BAKED INTO the view's definition
+  *     ([[MvCatalog.MvDef.viewFilters]]) appears structurally in the
+  *     query (the view stores a subset of the base — absorbed conjuncts
+  *     were applied at build time); an `IsNotNull` the subtree already
+  *     guarantees (inner-join key, operand of an absorbed
+  *     null-intolerant conjunct — the optimizer's own inferred
+  *     constraints) is dropped;
   *   - every grouping expression is a deterministic, subquery-free tree
   *     over columns in the MV's grouping set — bare grain columns or
   *     DERIVED groupings (`year(date)` over a date-grain view, a status
@@ -219,30 +265,128 @@ object MvRewrite extends Rule[LogicalPlan] {
     case other => other
   }
 
-  /** Match the base relation under an optional Project / Filter (either
-    * nesting order — pushdown moves the Filter below the Project). */
-  private def matchChild(plan: LogicalPlan)
-      : (Option[Seq[NamedExpression]], Option[Expression], Option[LogicalRelation]) =
-    plan match {
-      case lr: LogicalRelation => (None, None, Some(lr))
-      case Filter(c, lr: LogicalRelation) => (None, Some(c), Some(lr))
-      case Project(pl, lr: LogicalRelation) => (Some(pl), None, Some(lr))
-      case Project(pl, Filter(c, lr: LogicalRelation)) => (Some(pl), Some(c), Some(lr))
-      case Filter(c, Project(pl, lr: LogicalRelation)) => (Some(pl), Some(c), Some(lr))
-      case _ => (None, None, None)
+  /** Split a conjunction into its conjuncts. */
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConj(l) ++ splitConj(r)
+    case other => Seq(other)
+  }
+
+  /** Peel any stack of Project / Filter layers down to the first other
+    * node, collecting every project definition (attr → defining tree)
+    * and every filter conjunct along the way. Pushdown freely reorders
+    * and splits these layers, so the matcher must accept any stack. */
+  private def peel(plan: LogicalPlan)
+      : (Map[ExprId, Expression], Seq[Expression], LogicalPlan) = {
+    var defs = Map.empty[ExprId, Expression]
+    var conj = Vector.empty[Expression]
+    var cur = plan
+    var done = false
+    while (!done) cur match {
+      case Project(pl, child) =>
+        defs ++= pl.collect {
+          case a: AttributeReference => a.exprId -> (a: Expression)
+          case al: Alias => al.exprId -> al.child
+        }
+        cur = child
+      case Filter(c, child) =>
+        conj ++= splitConj(c); cur = child
+      case _ => done = true
     }
+    (defs, conj, cur)
+  }
+
+  /** Substitute project definitions to a fixpoint: Project layers may
+    * stack (each definition referencing attributes a LOWER layer
+    * defines), so one-step lookup is not enough. ExprIds are unique and
+    * definitions acyclic — the chain is bounded by the peel depth. */
+  private def mkResolve(defs: Map[ExprId, Expression]): Expression => Expression = {
+    def step(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference => defs.getOrElse(a.exprId, a)
+    }
+    e => {
+      var cur = e
+      var next = step(cur)
+      var fuel = 20
+      while (next != cur && fuel > 0) { cur = next; next = step(cur); fuel -= 1 }
+      next
+    }
+  }
 
   /** Path-component anchored: "/x/lineitem.parquet" matches the suffix
     * "lineitem.parquet", "/x/archived_lineitem.parquet" must NOT. */
-  private def isBase(rel: Option[LogicalRelation], d: MvCatalog.MvDef): Boolean =
-    rel.exists(_.relation match {
+  private def relMatches(lr: LogicalRelation, suffix: String): Boolean =
+    lr.relation match {
       case fs: HadoopFsRelation =>
         fs.location.rootPaths.exists { p =>
           val s = p.toString
-          s == d.basePathSuffix || s.endsWith("/" + d.basePathSuffix)
+          s == suffix || s.endsWith("/" + suffix)
         }
       case _ => false
-    })
+    }
+
+  /** The matched pre-aggregate subtree: a resolver from query
+    * attributes to base-column trees, every filter conjunct found
+    * anywhere in the subtree, and (join bases) the lowercased key
+    * column names — whose inferred IsNotNulls the inner join itself
+    * implies. */
+  private final case class BaseMatch(
+      resolve: Expression => Expression,
+      conjuncts: Seq[Expression],
+      joinKeyCols: Set[String])
+
+  /** Match the aggregate's child against the registered base: a single
+    * relation, or (for a [[MvCatalog.JoinSpec]] def) an inner equi-join
+    * of the two registered relations on EXACTLY the registered key set
+    * — either side order, any admissible Project/Filter stack above the
+    * join and on each side (inner-join filters commute with the join,
+    * so side conjuncts and above-join conjuncts are one pool). */
+  private def matchBase(plan: LogicalPlan, d: MvCatalog.MvDef): Option[BaseMatch] =
+    d.baseJoin match {
+      case None =>
+        val (defs, conj, core) = peel(plan)
+        core match {
+          case lr: LogicalRelation if relMatches(lr, d.basePathSuffix) =>
+            Some(BaseMatch(mkResolve(defs), conj, Set.empty))
+          case _ => None
+        }
+      case Some(js) =>
+        val (defs0, conj0, core) = peel(plan)
+        core match {
+          case Join(l, r, Inner, Some(cond), _) =>
+            val (ldefs, lconj, lcore) = peel(l)
+            val (rdefs, rconj, rcore) = peel(r)
+            (lcore, rcore) match {
+              case (llr: LogicalRelation, rlr: LogicalRelation)
+                  if (relMatches(llr, js.leftSuffix) && relMatches(rlr, js.rightSuffix)) ||
+                     (relMatches(llr, js.rightSuffix) && relMatches(rlr, js.leftSuffix)) =>
+                // name-keyed grain/measure matching requires every base
+                // column name to identify ONE side
+                val lnames = llr.output.map(_.name.toLowerCase(Locale.ROOT)).toSet
+                val rnames = rlr.output.map(_.name.toLowerCase(Locale.ROOT)).toSet
+                if ((lnames & rnames).nonEmpty) return None
+                val resolve = mkResolve(defs0 ++ ldefs ++ rdefs)
+                // the join condition must be EXACTLY the registered
+                // equi-key set (unordered pairs; Cast-wrapped or
+                // non-equi conjuncts refuse)
+                val got: Seq[Option[Set[String]]] = splitConj(cond).map {
+                  case EqualTo(a, b) => (resolve(a), resolve(b)) match {
+                    case (x: AttributeReference, y: AttributeReference) =>
+                      Some(Set(x.name.toLowerCase(Locale.ROOT),
+                               y.name.toLowerCase(Locale.ROOT)))
+                    case _ => None
+                  }
+                  case _ => None
+                }
+                val want: Set[Set[String]] = js.keyPairs.map { case (a, b) =>
+                  Set(a.toLowerCase(Locale.ROOT), b.toLowerCase(Locale.ROOT))
+                }.toSet
+                if (got.exists(_.isEmpty) || got.flatten.toSet != want) return None
+                Some(BaseMatch(resolve, conj0 ++ lconj ++ rconj, want.flatten))
+              case _ => None
+            }
+          case _ => None
+        }
+    }
 
   /** Reproduce the original attribute's nullability contract: the
     * replacement value is never actually null where the original was
@@ -393,16 +537,61 @@ object MvRewrite extends Rule[LogicalPlan] {
     rebindWith(attrs, aggs)(e)
   }
 
-  /** Replay an admissible filter against the MV: deterministic and a
-    * function of the grain — bare grouping columns or derived
-    * expressions of them (whole-group selection commutes with the
-    * pre-aggregation either way; a predicate on any finer column
-    * selects WITHIN collapsed groups and refuses via the rebind). */
-  private def reboundFilter(cond: Option[Expression],
-                            rebind: Expression => Option[Expression],
-                            mv: LogicalPlan): Option[LogicalPlan] = cond match {
-    case None => Some(mv)
-    case Some(c) => rebind(c).map(Filter(_, mv))
+  /** TRUE result of `pred` implies the attribute is non-null: the top
+    * node is IsNotNull, a non-null-safe comparison, or IN, and the
+    * attribute is one of its operands (possibly Cast-wrapped) — a null
+    * attribute makes such a predicate evaluate to null/false, never
+    * TRUE. Deliberately minimal: this is only used to absorb the
+    * optimizer's own InferFiltersFromConstraints output, which derives
+    * IsNotNull from exactly these shapes. */
+  private def impliesNotNull(pred: Expression, id: ExprId): Boolean = {
+    def isAttr(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.exprId == id
+      case c: Cast => isAttr(c.child)
+      case _ => false
+    }
+    pred match {
+      case IsNotNull(x) => isAttr(x)
+      case _: EqualNullSafe => false
+      case c: BinaryComparison => c.children.exists(isAttr)
+      case In(v, _) => isAttr(v)
+      case _ => false
+    }
+  }
+
+  /** Admit the matched subtree's filter conjuncts against the view.
+    * Three sound fates per conjunct (anything else refuses the rewrite):
+    *   - ABSORBED: structurally equal to a conjunct baked into the
+    *     view's definition — already applied at build time. Every
+    *     baked-in conjunct must be matched by the query, or the query
+    *     ranges over rows the view never stored and cannot rewrite;
+    *   - IMPLIED: an `IsNotNull(c)` the remaining plan already
+    *     guarantees — `c` is an inner-join key (null keys never joined
+    *     into the view) or an operand of an absorbed null-intolerant
+    *     conjunct. These are the optimizer's own inferred constraints;
+    *   - REPLAYED: a deterministic function of the grain — whole-group
+    *     selection commutes with the pre-aggregation, so it filters the
+    *     view's group rows instead (a predicate on any finer column
+    *     selects WITHIN collapsed groups and refuses via the rebind). */
+  private def admitFilters(d: MvCatalog.MvDef, bm: BaseMatch,
+                           rebind: Expression => Option[Expression],
+                           mv: LogicalPlan): Option[LogicalPlan] = {
+    val resolved = bm.conjuncts.map(bm.resolve)
+    if (d.viewFilters.exists(g => !resolved.exists(c => g.exists(sameMeasure(_, c)))))
+      return None // the view is missing rows this query needs
+    val (absorbed, rest) = resolved.partition(c =>
+      d.viewFilters.exists(_.exists(sameMeasure(_, c))))
+    def implied(a: AttributeReference): Boolean =
+      bm.joinKeyCols(a.name.toLowerCase(Locale.ROOT)) ||
+        absorbed.exists(impliesNotNull(_, a.exprId))
+    val residual = rest.filterNot {
+      case IsNotNull(a: AttributeReference) => implied(a)
+      case _ => false
+    }
+    val rebound = residual.map(rebind)
+    if (rebound.exists(_.isEmpty)) None
+    else if (rebound.isEmpty) Some(mv)
+    else Some(Filter(rebound.map(_.get).reduce(And), mv))
   }
 
   private def rewrite(agg: Aggregate, d: MvCatalog.MvDef): Option[LogicalPlan] =
@@ -414,21 +603,9 @@ object MvRewrite extends Rule[LogicalPlan] {
   // ---- the flat GROUP BY shape -------------------------------------------
 
   private def rewriteFlat(agg: Aggregate, d: MvCatalog.MvDef): Option[LogicalPlan] = {
-    val (projList, filterCond, rel) = matchChild(agg.child)
-    if (!isBase(rel, d)) return None
+    val bm = matchBase(agg.child, d).getOrElse(return None)
+    val resolve = bm.resolve
     val mv = freshMv(d.mv)
-
-    // resolve an attribute through the optional Project to its defining expr
-    val defOf: Map[ExprId, Expression] = projList
-      .map(_.collect {
-        case a: AttributeReference => a.exprId -> (a: Expression)
-        case al: Alias => al.exprId -> al.child
-      }.toMap)
-      .getOrElse(Map.empty)
-    def resolve(e: Expression): Expression = e match {
-      case a: AttributeReference => defOf.getOrElse(a.exprId, a)
-      case other => other
-    }
 
     val mvAttrByName: Map[String, Attribute] =
       mv.output.map(a => a.name -> a).toMap
@@ -474,7 +651,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
     if (rewritten.exists(_.isEmpty)) return None
 
-    reboundFilter(filterCond, rw(_, _ => None), mv)
+    admitFilters(d, bm, rw(_, _ => None), mv)
       .map(c => Aggregate(newGrouping.map(_.get), rewritten.map(_.get), c))
   }
 
@@ -495,20 +672,9 @@ object MvRewrite extends Rule[LogicalPlan] {
     * correctly from the one MV. */
   private def rewriteExpand(agg: Aggregate, exp: Expand,
                             d: MvCatalog.MvDef): Option[LogicalPlan] = {
-    val (projList, filterCond, rel) = matchChild(exp.child)
-    if (!isBase(rel, d)) return None
+    val bm = matchBase(exp.child, d).getOrElse(return None)
+    val resolve = bm.resolve
     val mv = freshMv(d.mv)
-
-    val defOf: Map[ExprId, Expression] = projList
-      .map(_.collect {
-        case a: AttributeReference => a.exprId -> (a: Expression)
-        case al: Alias => al.exprId -> al.child
-      }.toMap)
-      .getOrElse(Map.empty)
-    def resolve(e: Expression): Expression = e match {
-      case a: AttributeReference => defOf.getOrElse(a.exprId, a)
-      case other => other
-    }
 
     val mvAttrByName: Map[String, Attribute] =
       mv.output.map(a => a.name -> a).toMap
@@ -596,7 +762,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     if (!agg.groupingExpressions.forall(_.references.forall(r => keptIds(r.exprId))))
       return None
 
-    reboundFilter(filterCond,
+    admitFilters(d, bm,
         rebindTree(d, resolve, mvAttr)(_, _ => None), mv).map { base =>
       val keptIdx = keptCols.keysIterator.toSeq
       val outAttrs = keptIdx.map(exp.output) ++ appended.values

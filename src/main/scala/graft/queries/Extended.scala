@@ -1243,6 +1243,220 @@ object Extended {
       |  n_items
       |FROM g ORDER BY l_returnflag""".stripMargin
 
+  // ---- Q107: JOIN materialized view, scored -------------------------------
+
+  /** Build + register the lineitem⋈orders view: per-(priority, flag)
+    * partial sums of the INNER EQUI-JOIN — the star-join MV. Shared by
+    * q107 and MvRewriteSpec so the spec exercises the production
+    * registration contract, not a copy. */
+  private[graft] def buildJoinMv(spark: SparkSession, dir: String,
+                                 mvPath: String): Unit =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+      .write.parquet(mvPath)
+
+  private[graft] def registerJoinMv(spark: SparkSession, dir: String,
+                                    mvPath: String): Unit =
+    graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
+      basePathSuffix = "lineitem.parquet", // unused: baseJoin matches instead
+      groupCols = Set("o_orderpriority", "l_returnflag"),
+      sumMeasures = graft.plans.MvCatalog
+        .measureExprs(t(spark, dir, "lineitem"), qtyCents)
+        .map(_ -> "sum_qty_cents"),
+      countCol = "cnt",
+      mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+      baseJoin = Some(graft.plans.MvCatalog.JoinSpec(
+        "lineitem.parquet", "orders.parquet",
+        Seq("l_orderkey" -> "o_orderkey")))))
+
+  /** Q107 — the JOIN MATERIALIZED VIEW under the oracle: a per-(priority,
+    * flag) aggregate of `lineitem INNER JOIN orders` is persisted and
+    * registered with its [[graft.plans.MvCatalog.JoinSpec]]; the scored
+    * query then joins the BASE tables, filters one priority, and groups
+    * by flag — and [[graft.plans.MvRewrite]] must answer it from the view
+    * without touching EITHER base table (require'd for both paths). The
+    * matcher demands the exact registered join: both relations by path in
+    * either side order and the equi-key set as registered — equality of
+    * relations, so the rewrite is sound with no containment reasoning.
+    * The oracle recomputes the join + aggregate in DuckDB. Why this is
+    * the round's 100 TB headline: a fact-fact join is the most expensive
+    * shuffle in the warehouse, and the join MV pre-pays it ONCE at build
+    * time — every matching query thereafter reads a |grain|-row view
+    * instead of re-shuffling the corpus. */
+  def q107MvJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q107_").toFile
+    try {
+      val mvPath = new java.io.File(tmp, "lineitem_orders_mv").getAbsolutePath
+      buildJoinMv(spark, dir, mvPath)
+      registerJoinMv(spark, dir, mvPath)
+      try {
+        val res = t(spark, dir, "lineitem")
+          .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(col("l_returnflag"))
+          .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("n_items"))
+        val plan = res.queryExecution.executedPlan.toString
+        require(plan.contains("lineitem_orders_mv"),
+          s"q107 must be answered from the join view:\n$plan")
+        require(!plan.contains("lineitem.parquet"),
+          s"q107 must not touch the lineitem base table:\n$plan")
+        require(!plan.contains("orders.parquet"),
+          s"q107 must not touch the orders base table:\n$plan")
+        graft.util.Materialize.sorted(res, col("l_returnflag"))
+      } finally graft.plans.MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  val q107Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- Q108: FILTERED materialized view, scored ---------------------------
+
+  /** The baked-in predicate of q108's filtered view — ONE spelling shared
+    * by the build, the registration, and the scored query, so the three
+    * can never drift. */
+  private def lowDiscount = col("l_discount") <= lit(0.04)
+
+  private[graft] def buildDiscountMv(spark: SparkSession, dir: String,
+                                     mvPath: String): Unit =
+    t(spark, dir, "lineitem").filter(lowDiscount)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+      .write.parquet(mvPath)
+
+  private[graft] def registerDiscountMv(spark: SparkSession, dir: String,
+                                        mvPath: String): Unit =
+    graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
+      basePathSuffix = "lineitem.parquet",
+      groupCols = Set("l_returnflag", "l_linestatus"),
+      sumMeasures = graft.plans.MvCatalog
+        .measureExprs(t(spark, dir, "lineitem"), qtyCents)
+        .map(_ -> "sum_qty_cents"),
+      countCol = "cnt",
+      mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+      viewFilters = Seq(graft.plans.MvCatalog
+        .measureExprs(t(spark, dir, "lineitem"), lowDiscount))))
+
+  /** Q108 — the FILTERED MATERIALIZED VIEW under the oracle: the view is
+    * built over `lineitem WHERE l_discount <= 0.04` — a NON-grain
+    * predicate baked into its definition — and registered with that
+    * conjunct in [[graft.plans.MvCatalog.MvDef.viewFilters]]. The scored
+    * query repeats the baked-in conjunct (ABSORBED: the view already
+    * applied it at build time) plus a grain conjunct (REPLAYED against
+    * the view's group rows), and must be answered from the view alone
+    * (require'd). Containment is by structural conjunct equality — the
+    * query must carry every baked-in conjunct or the view is missing rows
+    * it needs and the rewrite refuses (the refusal laws live in
+    * MvRewriteSpec); the optimizer's own inferred `IsNotNull(l_discount)`
+    * is absorbed as implied by the null-intolerant discount comparison.
+    * At 100 TB: filtered views are how a warehouse serves its hot
+    * slices — "this quarter", "this tenant" — from a view of just those
+    * rows, without trusting any predicate-implication prover. */
+  def q108MvFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q108_").toFile
+    try {
+      val mvPath = new java.io.File(tmp, "lineitem_mv_disc").getAbsolutePath
+      buildDiscountMv(spark, dir, mvPath)
+      registerDiscountMv(spark, dir, mvPath)
+      try {
+        val res = t(spark, dir, "lineitem")
+          .filter(lowDiscount && col("l_returnflag") === "R")
+          .groupBy(col("l_linestatus"))
+          .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("n_items"))
+        val plan = res.queryExecution.executedPlan.toString
+        require(plan.contains("lineitem_mv_disc"),
+          s"q108 must be answered from the filtered view:\n$plan")
+        require(!plan.contains("lineitem.parquet"),
+          s"q108 must not touch the base table:\n$plan")
+        graft.util.Materialize.sorted(res, col("l_linestatus"))
+      } finally graft.plans.MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  val q108Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+      |  count(*) AS n_items
+      |FROM lineitem WHERE l_discount <= 0.04 AND l_returnflag = 'R'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // ---- Q109: streamed JOIN-view maintenance + rewrite, scored -------------
+
+  /** Q109 — INCREMENTAL MAINTENANCE OF THE JOIN VIEW, end to end: the
+    * fact table (lineitem) lands as a REAL multi-batch stream
+    * (maxFilesPerTrigger=2), each micro-batch joins the STATIC dimension
+    * (orders) and folds its per-(priority, flag) partial aggregate into
+    * the view by [[graft.operators.StateMerge]]'s associative algebra.
+    * Sound because an inner join against a static dimension distributes
+    * over fact deltas — (∪ᵢ Δᵢ) ⋈ O = ∪ᵢ (Δᵢ ⋈ O) — so merged partials ≡
+    * the one-shot join aggregate under ANY batch slicing (the delta-join
+    * cross terms that make general two-sided join IVM hard vanish when
+    * one side is fixed). The maintained table then registers with its
+    * [[graft.plans.MvCatalog.JoinSpec]] and the scored query — the base
+    * tables joined, filtered, re-grouped — is require'd to be answered
+    * from the maintained view, never from either base, while the DuckDB
+    * oracle recomputes the join aggregate from the bases. This is the
+    * production star-schema shape at 100 TB: facts stream in, the dim
+    * join is paid once per delta (broadcast-sized dim), and every
+    * matching query reads a |grain|-row view. */
+  def q109StreamJoinMv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q109_").toFile
+    try {
+      val landing = new java.io.File(tmp, "landing").getAbsolutePath
+      val mvPath = new java.io.File(tmp, "lineitem_orders_mv").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      val li = t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      li.repartition(4).write.parquet(landing)
+      val q = spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "2").parquet(landing)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val dim = t(batch.sparkSession, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority"))
+          val partial = batch.toDF()
+            .join(dim, col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("o_orderpriority"), col("l_returnflag"))
+            .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+          graft.operators.StateMerge.mergeOverwrite(
+            batch.sparkSession, partial, mvPath, batchId)(
+            _.groupBy(col("o_orderpriority"), col("l_returnflag"))
+              .agg(sum(col("sum_qty_cents")).as("sum_qty_cents"),
+                   sum(col("cnt")).as("cnt")))
+        }
+        .start()
+      q.awaitTermination()
+      registerJoinMv(spark, dir, mvPath)
+      try {
+        val res = t(spark, dir, "lineitem")
+          .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(col("l_returnflag"))
+          .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("n_items"))
+        val plan = res.queryExecution.executedPlan.toString
+        require(plan.contains("lineitem_orders_mv"),
+          s"q109 must be answered from the STREAM-MAINTAINED join view:\n$plan")
+        require(!plan.contains("lineitem.parquet"),
+          s"q109 must not touch the lineitem base table:\n$plan")
+        require(!plan.contains("orders.parquet"),
+          s"q109 must not touch the orders base table:\n$plan")
+        graft.util.Materialize.sorted(res, col("l_returnflag"))
+      } finally graft.plans.MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** Maintained + rewritten ≡ one-shot over the bases: q107's oracle. */
+  val q109Sql: String = q107Sql
+
   // ---- Q86: schema evolution (mergeSchema scan), scored ------------------
 
   /** Q86 — SCHEMA EVOLUTION under the oracle: a table whose early files

@@ -681,4 +681,156 @@ class MvRewriteSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("lineitem_mv"))
   }
+
+  // ---- join views ----------------------------------------------------------
+
+  private def withJoinMv(f: => Unit): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvspec_").toFile
+    try {
+      val mvPath = new java.io.File(tmp, "lineitem_orders_mv").getAbsolutePath
+      graft.queries.Extended.buildJoinMv(spark, sf, mvPath)
+      graft.queries.Extended.registerJoinMv(spark, sf, mvPath)
+      try f finally MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  test("join view answers the join aggregate, either side order, value-equal to base") {
+    withJoinMv {
+      val li = Tables.t(spark, sf, "lineitem")
+      val ord = Tables.t(spark, sf, "orders")
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("l_returnflag"))
+          .agg(sum(qtyCents).as("s"), count(lit(1)).as("n"))
+      val asRegistered = agg(li.join(ord, col("l_orderkey") === col("o_orderkey")))
+      assert(asRegistered.queryExecution.executedPlan.toString
+        .contains("lineitem_orders_mv"))
+      // sides swapped AND the equality commuted: the key-pair match is
+      // unordered on both axes
+      val swapped = agg(ord.join(li, col("o_orderkey") === col("l_orderkey")))
+      assert(swapped.queryExecution.executedPlan.toString
+        .contains("lineitem_orders_mv"))
+      val got = asRegistered.orderBy(col("l_returnflag")).collect().toSeq
+      assert(got == swapped.orderBy(col("l_returnflag")).collect().toSeq)
+      MvCatalog.clear()
+      val want = agg(li.join(ord, col("l_orderkey") === col("o_orderkey")))
+        .orderBy(col("l_returnflag")).collect().toSeq
+      assert(got == want && got.nonEmpty)
+    }
+  }
+
+  test("join view refuses: wrong keys, extra keys, non-inner, non-grain filter") {
+    withJoinMv {
+      val li = Tables.t(spark, sf, "lineitem")
+      val ord = Tables.t(spark, sf, "orders")
+      def planOf(df: org.apache.spark.sql.DataFrame): String =
+        df.groupBy(col("l_returnflag"))
+          .agg(sum(qtyCents).as("s")).queryExecution.executedPlan.toString
+      // a DIFFERENT join key is a different relation
+      assert(!planOf(li.join(ord, col("l_orderkey") === col("o_custkey")))
+        .contains("lineitem_orders_mv"), "wrong key must refuse")
+      // an EXTRA equi conjunct restricts the relation further
+      assert(!planOf(li.join(ord, col("l_orderkey") === col("o_orderkey") &&
+          col("l_suppkey") === col("o_custkey")))
+        .contains("lineitem_orders_mv"), "extra key must refuse")
+      // outer joins keep unmatched rows the inner-join view never stored
+      assert(!planOf(li.join(ord, col("l_orderkey") === col("o_orderkey"),
+          "left_outer"))
+        .contains("lineitem_orders_mv"), "outer join must refuse")
+      // a filter on a non-grain column of either side selects within
+      // collapsed groups
+      assert(!planOf(li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("o_totalprice") > 1000.0))
+        .contains("lineitem_orders_mv"), "non-grain filter must refuse")
+      // a grain filter (on the orders-side grain column) replays
+      assert(planOf(li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("o_orderpriority") === "1-URGENT"))
+        .contains("lineitem_orders_mv"), "grain filter must replay")
+    }
+  }
+
+  test("a join view never answers a single-table query over either base") {
+    withJoinMv {
+      // the view's rows are join-filtered AND join-duplicated: a plain
+      // lineitem aggregate would double-count multi-line orders' partials
+      // and drop never-ordered rows — the matcher must gate on the shape
+      val plan = Tables.t(spark, sf, "lineitem")
+        .groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("lineitem_orders_mv"))
+    }
+  }
+
+  // ---- filtered views -------------------------------------------------------
+
+  private def withDiscMv(f: => Unit): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvspec_").toFile
+    try {
+      val mvPath = new java.io.File(tmp, "lineitem_mv_disc").getAbsolutePath
+      graft.queries.Extended.buildDiscountMv(spark, sf, mvPath)
+      graft.queries.Extended.registerDiscountMv(spark, sf, mvPath)
+      try f finally MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  test("filtered view: the baked-in conjunct is absorbed, missing or altered refuses") {
+    withDiscMv {
+      val li = Tables.t(spark, sf, "lineitem")
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("l_linestatus"))
+          .agg(sum(qtyCents).as("s"), count(lit(1)).as("n"))
+      // exactly the baked-in predicate: absorbed, answered from the view
+      val exact = agg(li.filter(col("l_discount") <= lit(0.04)))
+      assert(exact.queryExecution.executedPlan.toString.contains("lineitem_mv_disc"))
+      val got = exact.orderBy(col("l_linestatus")).collect().toSeq
+      // WITHOUT the conjunct the query needs rows the view never stored
+      assert(!agg(li).queryExecution.executedPlan.toString
+        .contains("lineitem_mv_disc"), "unfiltered query must refuse")
+      // a DIFFERENT literal is a different row set (even a WIDER one)
+      assert(!agg(li.filter(col("l_discount") <= lit(0.05)))
+        .queryExecution.executedPlan.toString
+        .contains("lineitem_mv_disc"), "altered literal must refuse")
+      // a STRICTER extra non-grain conjunct selects within groups
+      assert(!agg(li.filter(col("l_discount") <= lit(0.04) &&
+          col("l_quantity") > 10))
+        .queryExecution.executedPlan.toString
+        .contains("lineitem_mv_disc"), "extra non-grain conjunct must refuse")
+      MvCatalog.clear()
+      val want = agg(li.filter(col("l_discount") <= lit(0.04)))
+        .orderBy(col("l_linestatus")).collect().toSeq
+      assert(got == want && got.nonEmpty)
+    }
+  }
+
+  test("ROLLUP composes over join and filtered views (shared Expand path)") {
+    // the Expand path and the flat path share matchBase/admitFilters, so
+    // grouping sets over the new view kinds must come for free — pinned
+    // here rather than assumed
+    withJoinMv {
+      val li = Tables.t(spark, sf, "lineitem")
+      val ord = Tables.t(spark, sf, "orders")
+      def roll = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .rollup(col("o_orderpriority"), col("l_returnflag"))
+        .agg(sum(qtyCents).as("s"), count(lit(1)).as("n"))
+      val plan = roll.queryExecution.executedPlan.toString
+      assert(plan.contains("lineitem_orders_mv") && plan.contains("Expand"))
+      val got = roll.orderBy(col("o_orderpriority"), col("l_returnflag"))
+        .collect().toSeq
+      MvCatalog.clear()
+      assert(got == roll.orderBy(col("o_orderpriority"), col("l_returnflag"))
+        .collect().toSeq && got.nonEmpty)
+    }
+    withDiscMv {
+      val li = Tables.t(spark, sf, "lineitem")
+      def roll = li.filter(col("l_discount") <= lit(0.04))
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(qtyCents).as("s"), count(lit(1)).as("n"))
+      val plan = roll.queryExecution.executedPlan.toString
+      assert(plan.contains("lineitem_mv_disc") && plan.contains("Expand"))
+      val got = roll.orderBy(col("l_returnflag"), col("l_linestatus"))
+        .collect().toSeq
+      MvCatalog.clear()
+      assert(got == roll.orderBy(col("l_returnflag"), col("l_linestatus"))
+        .collect().toSeq && got.nonEmpty)
+    }
+  }
 }
