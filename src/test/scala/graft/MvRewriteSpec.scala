@@ -801,6 +801,53 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("min/avg measures re-aggregate from a JOIN view, from either side's columns") {
+    // rewriteAggExpr is shared by every def kind, so the full measure
+    // family must work over a join base too — pinned, not assumed; the
+    // two min measures come from OPPOSITE sides of the join
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvjoinstats_").toFile
+    try {
+      val li = Tables.t(spark, sf, "lineitem")
+      val ord = Tables.t(spark, sf, "orders")
+      val priceDec = col("l_extendedprice").cast("decimal(18,2)")
+      val mvPath = new java.io.File(tmp, "join_mv_stats").getAbsolutePath
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"), col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+             min(col("l_quantity")).as("min_qty"),
+             min(col("o_totalprice")).as("min_total"),
+             sum(priceDec).as("sum_price"), count(priceDec).as("cnt_price"))
+        .write.parquet(mvPath)
+      MvCatalog.register(MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("o_orderpriority", "l_returnflag"),
+        sumMeasures = Nil,
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+        minMeasures =
+          MvCatalog.measureExprs(li, col("l_quantity")).map(_ -> "min_qty") ++
+          MvCatalog.measureExprs(ord, col("o_totalprice")).map(_ -> "min_total"),
+        avgMeasures = MvCatalog.measureExprs(li, priceDec)
+          .map(_ -> ("sum_price", "cnt_price")),
+        baseJoin = Some(MvCatalog.JoinSpec(
+          "lineitem.parquet", "orders.parquet",
+          Seq("l_orderkey" -> "o_orderkey")))))
+      try {
+        def q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("l_quantity")).as("lo_qty"),
+               min(col("o_totalprice")).as("lo_total"),
+               avg(priceDec).as("avg_price"), count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+        val viaMv = q
+        assert(viaMv.queryExecution.executedPlan.toString.contains("join_mv_stats"))
+        val got = viaMv.collect().toSeq
+        MvCatalog.clear()
+        assert(got == q.collect().toSeq && got.nonEmpty)
+      } finally MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
   test("ROLLUP composes over join and filtered views (shared Expand path)") {
     // the Expand path and the flat path share matchBase/admitFilters, so
     // grouping sets over the new view kinds must come for free — pinned
