@@ -298,7 +298,12 @@ object MvRewrite extends Rule[LogicalPlan] {
   /** Substitute project definitions to a fixpoint: Project layers may
     * stack (each definition referencing attributes a LOWER layer
     * defines), so one-step lookup is not enough. ExprIds are unique and
-    * definitions acyclic — the chain is bounded by the peel depth. */
+    * definitions acyclic, so a substitution chain visits each distinct
+    * definition at most once — `defs.size + 1` steps PROVABLY reach the
+    * fixpoint (a constant budget could instead stop early on a deep
+    * stack and hand the name-keyed matchers a partially-resolved tree
+    * whose project-local attribute shadows a base column's name — a
+    * wrong rewrite, not a refusal). */
   private def mkResolve(defs: Map[ExprId, Expression]): Expression => Expression = {
     def step(e: Expression): Expression = e.transformUp {
       case a: AttributeReference => defs.getOrElse(a.exprId, a)
@@ -306,7 +311,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     e => {
       var cur = e
       var next = step(cur)
-      var fuel = 20
+      var fuel = defs.size + 1
       while (next != cur && fuel > 0) { cur = next; next = step(cur); fuel -= 1 }
       next
     }
@@ -577,10 +582,18 @@ object MvRewrite extends Rule[LogicalPlan] {
                            rebind: Expression => Option[Expression],
                            mv: LogicalPlan): Option[LogicalPlan] = {
     val resolved = bm.conjuncts.map(bm.resolve)
-    if (d.viewFilters.exists(g => !resolved.exists(c => g.exists(sameMeasure(_, c)))))
+    // one pass over the (baked-in group × query conjunct) matrix serves
+    // both the coverage check and the absorbed/rest partition
+    val groupsOf: Seq[Seq[Int]] =
+      if (d.viewFilters.isEmpty) resolved.map(_ => Nil)
+      else resolved.map(c =>
+        d.viewFilters.indices.filter(i => d.viewFilters(i).exists(sameMeasure(_, c))))
+    if (d.viewFilters.indices.exists(i => !groupsOf.exists(_.contains(i))))
       return None // the view is missing rows this query needs
-    val (absorbed, rest) = resolved.partition(c =>
-      d.viewFilters.exists(_.exists(sameMeasure(_, c))))
+    val (absorbedIdx, restIdx) =
+      resolved.indices.partition(i => groupsOf(i).nonEmpty)
+    val absorbed = absorbedIdx.map(resolved)
+    val rest = restIdx.map(resolved)
     def implied(a: AttributeReference): Boolean =
       bm.joinKeyCols(a.name.toLowerCase(Locale.ROOT)) ||
         absorbed.exists(impliesNotNull(_, a.exprId))

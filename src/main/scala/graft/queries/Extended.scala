@@ -1271,6 +1271,29 @@ object Extended {
         "lineitem.parquet", "orders.parquet",
         Seq("l_orderkey" -> "o_orderkey")))))
 
+  /** The scored join-view query shape shared by q107 (batch-built view)
+    * and q109 (stream-maintained view): join the BASE tables, filter one
+    * priority, group by flag — require'd to be answered from the
+    * registered view, never from either base. One spelling so the two
+    * scored paths can never drift from their shared oracle (q109Sql
+    * aliases q107Sql). */
+  private def joinMvQuery(spark: SparkSession, dir: String,
+                          qname: String): DataFrame = {
+    val res = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("n_items"))
+    val plan = res.queryExecution.executedPlan.toString
+    require(plan.contains("lineitem_orders_mv"),
+      s"$qname must be answered from the join view:\n$plan")
+    require(!plan.contains("lineitem.parquet"),
+      s"$qname must not touch the lineitem base table:\n$plan")
+    require(!plan.contains("orders.parquet"),
+      s"$qname must not touch the orders base table:\n$plan")
+    graft.util.Materialize.sorted(res, col("l_returnflag"))
+  }
+
   /** Q107 — the JOIN MATERIALIZED VIEW under the oracle: a per-(priority,
     * flag) aggregate of `lineitem INNER JOIN orders` is persisted and
     * registered with its [[graft.plans.MvCatalog.JoinSpec]]; the scored
@@ -1291,21 +1314,8 @@ object Extended {
       val mvPath = new java.io.File(tmp, "lineitem_orders_mv").getAbsolutePath
       buildJoinMv(spark, dir, mvPath)
       registerJoinMv(spark, dir, mvPath)
-      try {
-        val res = t(spark, dir, "lineitem")
-          .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-          .filter(col("o_orderpriority") === "1-URGENT")
-          .groupBy(col("l_returnflag"))
-          .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("n_items"))
-        val plan = res.queryExecution.executedPlan.toString
-        require(plan.contains("lineitem_orders_mv"),
-          s"q107 must be answered from the join view:\n$plan")
-        require(!plan.contains("lineitem.parquet"),
-          s"q107 must not touch the lineitem base table:\n$plan")
-        require(!plan.contains("orders.parquet"),
-          s"q107 must not touch the orders base table:\n$plan")
-        graft.util.Materialize.sorted(res, col("l_returnflag"))
-      } finally graft.plans.MvCatalog.clear()
+      try joinMvQuery(spark, dir, "q107")
+      finally graft.plans.MvCatalog.clear()
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
@@ -1436,21 +1446,8 @@ object Extended {
         .start()
       q.awaitTermination()
       registerJoinMv(spark, dir, mvPath)
-      try {
-        val res = t(spark, dir, "lineitem")
-          .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-          .filter(col("o_orderpriority") === "1-URGENT")
-          .groupBy(col("l_returnflag"))
-          .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("n_items"))
-        val plan = res.queryExecution.executedPlan.toString
-        require(plan.contains("lineitem_orders_mv"),
-          s"q109 must be answered from the STREAM-MAINTAINED join view:\n$plan")
-        require(!plan.contains("lineitem.parquet"),
-          s"q109 must not touch the lineitem base table:\n$plan")
-        require(!plan.contains("orders.parquet"),
-          s"q109 must not touch the orders base table:\n$plan")
-        graft.util.Materialize.sorted(res, col("l_returnflag"))
-      } finally graft.plans.MvCatalog.clear()
+      try joinMvQuery(spark, dir, "q109")
+      finally graft.plans.MvCatalog.clear()
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
