@@ -20,22 +20,24 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType,
   */
 object MvCatalog {
 
-  /** An inner equi-join base for a view materialized over TWO tables
+  /** An inner equi-join base for a view materialized over N tables
     * (the star-join MV — at 100 TB the view pre-pays the fact-side
-    * shuffle once at build time instead of per query). Matched
-    * structurally: both relations by path suffix (either orientation),
-    * and the query's join condition must be EXACTLY the registered
-    * equi-key set — equality of relations, not containment, so the
-    * rewrite is sound by construction.
+    * shuffles once at build time instead of per query). Matched
+    * structurally: inner joins are associative AND commutative, so the
+    * query's join tree is FLATTENED — any tree over the same relation
+    * set with the same equi-conjunct set computes the same relation —
+    * and both sets must EQUAL the registration (each relation matched
+    * by path suffix to exactly one registered suffix, the pooled join
+    * conjuncts equal as a set of unordered name pairs). Equality of
+    * relations, not containment, so the rewrite is sound by
+    * construction and immune to join reordering.
     *
-    * @param leftSuffix  path suffix of one base relation
-    * @param rightSuffix path suffix of the other
-    * @param keyPairs    the equi-join key columns, one (leftCol,
-    *   rightCol) name pair per conjunct (case-insensitive)
+    * @param suffixes path suffixes of the base relations (2+)
+    * @param keyPairs the equi-join key columns, one unordered name pair
+    *   per conjunct (case-insensitive)
     */
   final case class JoinSpec(
-      leftSuffix: String,
-      rightSuffix: String,
+      suffixes: Seq[String],
       keyPairs: Seq[(String, String)])
 
   /** One materialized aggregate.
@@ -70,8 +72,9 @@ object MvCatalog {
     *   sum-of-sums / sum-of-counts; decimal measures only (exact,
     *   order-independent totals — see [[MvRewrite.reAvgE]])
     * @param baseJoin       when set, the view is materialized over an
-    *   inner equi-join of two tables ([[JoinSpec]]); the matcher then
+    *   inner equi-join of N tables ([[JoinSpec]]); the matcher then
     *   requires the query's pre-aggregate subtree to be THE SAME join
+    *   (flattened — any bracketing, any side order)
     * @param viewFilters    predicate conjuncts BAKED INTO the view's
     *   definition (each inner Seq = the spellings of ONE conjunct, via
     *   [[measureExprs]]). A query rewrites only if it contains a
@@ -131,11 +134,13 @@ object MvCatalog {
   *   - the aggregate's child is the registered base relation — matched by
   *     file-source root path under any Project/Filter stack (and for
   *     rollup/cube the Expand) — or, for a view registered over an INNER
-  *     EQUI-JOIN ([[MvCatalog.JoinSpec]]), exactly that join: both
-  *     relations matched by path in either side order, the join
-  *     condition equal as a set to the registered key pairs (equality of
+  *     EQUI-JOIN of N tables ([[MvCatalog.JoinSpec]]), exactly that join
+  *     FLATTENED (inner joins are associative and commutative, so any
+  *     bracketing/side order is the same relation): each relation matched
+  *     by path to exactly one registered suffix, the pooled join
+  *     conjuncts equal as a set to the registered key pairs (equality of
   *     relations, never containment), and no column name shared between
-  *     the two sides (grain/measure matching is name-keyed);
+  *     any two relations (grain/measure matching is name-keyed);
   *   - every predicate conjunct BAKED INTO the view's definition
   *     ([[MvCatalog.MvDef.viewFilters]]) appears structurally in the
   *     query (the view stores a subset of the base — absorbed conjuncts
@@ -355,42 +360,55 @@ object MvRewrite extends Rule[LogicalPlan] {
           case _ => None
         }
       case Some(js) =>
-        val (defs0, conj0, core) = peel(plan)
-        core match {
-          case Join(l, r, Inner, Some(cond), _) =>
-            val (ldefs, lconj, lcore) = peel(l)
-            val (rdefs, rconj, rcore) = peel(r)
-            (lcore, rcore) match {
-              case (llr: LogicalRelation, rlr: LogicalRelation)
-                  if (relMatches(llr, js.leftSuffix) && relMatches(rlr, js.rightSuffix)) ||
-                     (relMatches(llr, js.rightSuffix) && relMatches(rlr, js.leftSuffix)) =>
-                // name-keyed grain/measure matching requires every base
-                // column name to identify ONE side
-                val lnames = llr.output.map(_.name.toLowerCase(Locale.ROOT)).toSet
-                val rnames = rlr.output.map(_.name.toLowerCase(Locale.ROOT)).toSet
-                if ((lnames & rnames).nonEmpty) return None
-                val resolve = mkResolve(defs0 ++ ldefs ++ rdefs)
-                // the join condition must be EXACTLY the registered
-                // equi-key set (unordered pairs; Cast-wrapped or
-                // non-equi conjuncts refuse)
-                val got: Seq[Option[Set[String]]] = splitConj(cond).map {
-                  case EqualTo(a, b) => (resolve(a), resolve(b)) match {
-                    case (x: AttributeReference, y: AttributeReference) =>
-                      Some(Set(x.name.toLowerCase(Locale.ROOT),
-                               y.name.toLowerCase(Locale.ROOT)))
-                    case _ => None
-                  }
-                  case _ => None
-                }
-                val want: Set[Set[String]] = js.keyPairs.map { case (a, b) =>
-                  Set(a.toLowerCase(Locale.ROOT), b.toLowerCase(Locale.ROOT))
-                }.toSet
-                if (got.exists(_.isEmpty) || got.flatten.toSet != want) return None
-                Some(BaseMatch(resolve, conj0 ++ lconj ++ rconj, want.flatten))
-              case _ => None
-            }
+        // flatten the all-Inner join tree (any shape — pushdown inserts
+        // Project/Filter layers between joins, ReorderJoin re-brackets),
+        // pooling relations, project defs, filter conjuncts, and join
+        // conjuncts; anything but Inner-with-condition refuses
+        val rels = Seq.newBuilder[LogicalRelation]
+        var defs = Map.empty[ExprId, Expression]
+        var conj = Vector.empty[Expression]
+        var joinConds = Vector.empty[Expression]
+        def flatten(p: LogicalPlan): Boolean = {
+          val (d, c, core) = peel(p)
+          defs ++= d; conj ++= c
+          core match {
+            case Join(l, r, Inner, Some(cond), _) =>
+              joinConds ++= splitConj(cond); flatten(l) && flatten(r)
+            case lr: LogicalRelation => rels += lr; true
+            case _ => false
+          }
+        }
+        if (!flatten(plan)) return None
+        val relSeq = rels.result()
+        if (relSeq.size != js.suffixes.size || joinConds.isEmpty) return None
+        // each relation must match EXACTLY one registered suffix and the
+        // assignment must cover every suffix exactly once
+        val assigned: Seq[Seq[Int]] = relSeq.map(lr =>
+          js.suffixes.indices.filter(i => relMatches(lr, js.suffixes(i))))
+        if (assigned.exists(_.size != 1) ||
+            assigned.flatten.distinct.size != js.suffixes.size) return None
+        // name-keyed grain/measure matching requires every base column
+        // name to identify ONE relation
+        val nameSets = relSeq.map(_.output.map(_.name.toLowerCase(Locale.ROOT)).toSet)
+        if (nameSets.map(_.size).sum != nameSets.flatten.toSet.size) return None
+        val resolve = mkResolve(defs)
+        // the pooled join conjuncts must be EXACTLY the registered
+        // equi-key set (unordered pairs; Cast-wrapped or non-equi
+        // conjuncts refuse)
+        val got: Seq[Option[Set[String]]] = joinConds.map {
+          case EqualTo(a, b) => (resolve(a), resolve(b)) match {
+            case (x: AttributeReference, y: AttributeReference) =>
+              Some(Set(x.name.toLowerCase(Locale.ROOT),
+                       y.name.toLowerCase(Locale.ROOT)))
+            case _ => None
+          }
           case _ => None
         }
+        val want: Set[Set[String]] = js.keyPairs.map { case (a, b) =>
+          Set(a.toLowerCase(Locale.ROOT), b.toLowerCase(Locale.ROOT))
+        }.toSet
+        if (got.exists(_.isEmpty) || got.flatten.toSet != want) return None
+        Some(BaseMatch(resolve, conj, want.flatten))
     }
 
   /** Reproduce the original attribute's nullability contract: the

@@ -1268,7 +1268,7 @@ object Extended {
       countCol = "cnt",
       mv = spark.read.parquet(mvPath).queryExecution.analyzed,
       baseJoin = Some(graft.plans.MvCatalog.JoinSpec(
-        "lineitem.parquet", "orders.parquet",
+        Seq("lineitem.parquet", "orders.parquet"),
         Seq("l_orderkey" -> "o_orderkey")))))
 
   /** The scored join-view query shape shared by q107 (batch-built view)
@@ -1453,6 +1453,70 @@ object Extended {
 
   /** Maintained + rewritten ≡ one-shot over the bases: q107's oracle. */
   val q109Sql: String = q107Sql
+
+  // ---- Q110: N-way STAR-JOIN view, scored ----------------------------------
+
+  /** Q110 — the THREE-TABLE STAR view under the oracle: a per-(segment,
+    * priority) aggregate of `lineitem ⋈ orders ⋈ customer` is registered
+    * with a 3-relation [[graft.plans.MvCatalog.JoinSpec]]; the scored
+    * query joins the bases IN A DIFFERENT BRACKETING (orders⋈customer
+    * first, then lineitem — inner joins are associative and commutative,
+    * so the matcher FLATTENS both to the same relation set + equi-key
+    * set), filters one segment, and regroups by priority. Require'd to
+    * touch NONE of the three base tables; the oracle recomputes the
+    * 3-way join aggregate in DuckDB. At 100 TB this is the full star
+    * schema: the view pre-pays BOTH dimension shuffles, and the flatten
+    * makes the rewrite immune to join-order differences between the
+    * view's definition and the user's query (or the CBO's reordering). */
+  def q110MvStar(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q110_").toFile
+    try {
+      val mvPath = new java.io.File(tmp, "star_mv").getAbsolutePath
+      val li = t(spark, dir, "lineitem")
+      val ord = t(spark, dir, "orders")
+      val cust = t(spark, dir, "customer")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+        .write.parquet(mvPath)
+      graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet", // unused: baseJoin matches instead
+        groupCols = Set("c_mktsegment", "o_orderpriority"),
+        sumMeasures = graft.plans.MvCatalog.measureExprs(li, qtyCents)
+          .map(_ -> "sum_qty_cents"),
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+        baseJoin = Some(graft.plans.MvCatalog.JoinSpec(
+          Seq("lineitem.parquet", "orders.parquet", "customer.parquet"),
+          Seq("l_orderkey" -> "o_orderkey", "o_custkey" -> "c_custkey")))))
+      try {
+        // deliberately the OTHER bracketing: dim⋈dim first, fact last
+        val res = ord.join(cust, col("o_custkey") === col("c_custkey"))
+          .join(li, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("c_mktsegment") === "BUILDING")
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("n_items"))
+        val plan = res.queryExecution.executedPlan.toString
+        require(plan.contains("star_mv"),
+          s"q110 must be answered from the star view:\n$plan")
+        Seq("lineitem.parquet", "orders.parquet", "customer.parquet").foreach(b =>
+          require(!plan.contains(b),
+            s"q110 must not touch the $b base table:\n$plan"))
+        graft.util.Materialize.sorted(res, col("o_orderpriority"))
+      } finally graft.plans.MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  val q110Sql: String =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // ---- Q86: schema evolution (mergeSchema scan), scored ------------------
 

@@ -830,7 +830,7 @@ class MvRewriteSpec extends AnyFunSuite {
         avgMeasures = MvCatalog.measureExprs(li, priceDec)
           .map(_ -> ("sum_price", "cnt_price")),
         baseJoin = Some(MvCatalog.JoinSpec(
-          "lineitem.parquet", "orders.parquet",
+          Seq("lineitem.parquet", "orders.parquet"),
           Seq("l_orderkey" -> "o_orderkey")))))
       try {
         def q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -844,6 +844,49 @@ class MvRewriteSpec extends AnyFunSuite {
         val got = viaMv.collect().toSeq
         MvCatalog.clear()
         assert(got == q.collect().toSeq && got.nonEmpty)
+      } finally MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  test("a 3-relation star view refuses subset and superset joins") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvstar_").toFile
+    try {
+      val li = Tables.t(spark, sf, "lineitem")
+      val ord = Tables.t(spark, sf, "orders")
+      val cust = Tables.t(spark, sf, "customer")
+      val supp = Tables.t(spark, sf, "supplier")
+      val mvPath = new java.io.File(tmp, "star_mv").getAbsolutePath
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+        .write.parquet(mvPath)
+      MvCatalog.register(MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("c_mktsegment", "o_orderpriority"),
+        sumMeasures = MvCatalog.measureExprs(li, qtyCents).map(_ -> "sum_qty_cents"),
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+        baseJoin = Some(MvCatalog.JoinSpec(
+          Seq("lineitem.parquet", "orders.parquet", "customer.parquet"),
+          Seq("l_orderkey" -> "o_orderkey", "o_custkey" -> "c_custkey")))))
+      try {
+        def planOf(df: org.apache.spark.sql.DataFrame): String =
+          df.groupBy(col("o_orderpriority")).agg(sum(qtyCents).as("s"))
+            .queryExecution.executedPlan.toString
+        // a 2-relation SUBSET of the star is a different relation (the
+        // customer inner join drops orders with no customer row)
+        assert(!planOf(li.join(ord, col("l_orderkey") === col("o_orderkey")))
+          .contains("star_mv"), "subset join must refuse")
+        // a SUPERSET (4th table) restricts/duplicates further
+        assert(!planOf(li.join(ord, col("l_orderkey") === col("o_orderkey"))
+            .join(cust, col("o_custkey") === col("c_custkey"))
+            .join(supp, col("l_suppkey") === col("s_suppkey")))
+          .contains("star_mv"), "superset join must refuse")
+        // the registered set in ANY bracketing rewrites
+        assert(planOf(ord.join(cust, col("o_custkey") === col("c_custkey"))
+            .join(li, col("l_orderkey") === col("o_orderkey")))
+          .contains("star_mv"), "re-bracketed star must match")
       } finally MvCatalog.clear()
     } finally graft.util.Fs.deleteTree(tmp)
   }
