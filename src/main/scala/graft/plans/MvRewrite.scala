@@ -392,23 +392,37 @@ object MvRewrite extends Rule[LogicalPlan] {
         val nameSets = relSeq.map(_.output.map(_.name.toLowerCase(Locale.ROOT)).toSet)
         if (nameSets.map(_.size).sum != nameSets.flatten.toSet.size) return None
         val resolve = mkResolve(defs)
-        // the pooled join conjuncts must be EXACTLY the registered
-        // equi-key set (unordered pairs; Cast-wrapped or non-equi
-        // conjuncts refuse)
-        val got: Seq[Option[Set[String]]] = joinConds.map {
-          case EqualTo(a, b) => (resolve(a), resolve(b)) match {
-            case (x: AttributeReference, y: AttributeReference) =>
-              Some(Set(x.name.toLowerCase(Locale.ROOT),
-                       y.name.toLowerCase(Locale.ROOT)))
-            case _ => None
-          }
-          case _ => None
-        }
+        // each join conjunct is either one of the registered equi keys
+        // (EqualTo over bare base attributes, unordered) or — inner
+        // joins only — equivalent to a post-join FILTER conjunct:
+        // `join ON (K ∧ E)` ≡ `filter E over (join ON K)`, and
+        // PushPredicateThroughJoin exploits exactly that to move
+        // two-sided filters INTO the condition, so the matcher moves
+        // them back out into the conjunct pool (where they must absorb,
+        // be implied, or replay as grain functions like any filter).
+        // The registered key set must be matched EXACTLY.
         val want: Set[Set[String]] = js.keyPairs.map { case (a, b) =>
           Set(a.toLowerCase(Locale.ROOT), b.toLowerCase(Locale.ROOT))
         }.toSet
-        if (got.exists(_.isEmpty) || got.flatten.toSet != want) return None
-        Some(BaseMatch(resolve, conj, want.flatten))
+        var keysSeen = Set.empty[Set[String]]
+        val extraConj = Vector.newBuilder[Expression]
+        joinConds.foreach { c =>
+          val asKey = c match {
+            case EqualTo(a, b) => (resolve(a), resolve(b)) match {
+              case (x: AttributeReference, y: AttributeReference) =>
+                Some(Set(x.name.toLowerCase(Locale.ROOT),
+                         y.name.toLowerCase(Locale.ROOT))).filter(want)
+              case _ => None
+            }
+            case _ => None
+          }
+          asKey match {
+            case Some(p) => keysSeen += p
+            case None => extraConj += c
+          }
+        }
+        if (keysSeen != want) return None
+        Some(BaseMatch(resolve, conj ++ extraConj.result(), want.flatten))
     }
 
   /** Reproduce the original attribute's nullability contract: the

@@ -623,6 +623,48 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
+  /** The exhaustive soundness net, shared by every base kind: all SIX
+    * aggregate kinds (sum, count(*), min, max, decimal avg,
+    * count(DISTINCT grain column)) in all EIGHT query shapes (three flat
+    * groupings, rollup, cube, grain-filtered, derived grouping,
+    * derived-filtered) over `base`, each shape asserted plan-uses-the-MV
+    * AND value-equal to the catalog-cleared base computation. `g1`/`g2`
+    * are the view's grain columns; `ex1`/`exD` are real values the
+    * filtered shapes exclude. */
+  private def exhaustiveShapes(mvName: String, register: () => Unit,
+                               base: => org.apache.spark.sql.DataFrame,
+                               g1: String, g2: String,
+                               ex1: String, exD: String,
+                               priceDec: org.apache.spark.sql.Column): Unit = {
+    val aggs = Seq(sum(qtyCents).as("s"), count(lit(1)).as("n"),
+                   min(qtyCents).as("lo"), max(qtyCents).as("hi"),
+                   avg(priceDec).as("ap"),
+                   countDistinct(col(g2)).as("nd"))
+    val derivedKey = concat(col(g1), lit("/"), col(g2))
+    val shapes: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+      s"groupBy($g1)" -> (d => d.groupBy(col(g1)).agg(aggs.head, aggs.tail: _*)),
+      s"groupBy($g2)" -> (d => d.groupBy(col(g2)).agg(aggs.head, aggs.tail: _*)),
+      "groupBy(both)" -> (d => d.groupBy(col(g1), col(g2)).agg(aggs.head, aggs.tail: _*)),
+      "rollup" -> (d => d.rollup(col(g1), col(g2)).agg(aggs.head, aggs.tail: _*)),
+      "cube" -> (d => d.cube(col(g1), col(g2)).agg(aggs.head, aggs.tail: _*)),
+      "filtered groupBy" -> (d => d.filter(col(g1) =!= ex1)
+        .groupBy(col(g2)).agg(aggs.head, aggs.tail: _*)),
+      "groupBy(derived expr)" -> (d => d.groupBy(derivedKey.as("k")).agg(aggs.head, aggs.tail: _*)),
+      "derived-filtered groupBy" -> (d => d.filter(derivedKey =!= exD)
+        .groupBy(col(g2)).agg(aggs.head, aggs.tail: _*)))
+    shapes.foreach { case (label, build) =>
+      register()
+      val viaMv = build(base)
+      assert(viaMv.queryExecution.executedPlan.toString.contains(mvName),
+        s"$mvName: $label must be answered from the MV")
+      val sortCols = viaMv.columns.map(c => col(c).asc_nulls_first).toIndexedSeq
+      val got = viaMv.orderBy(sortCols: _*).collect().toSeq
+      MvCatalog.clear()
+      val want = build(base).orderBy(sortCols: _*).collect().toSeq
+      assert(got == want && got.nonEmpty, s"$mvName: $label must equal base answer")
+    }
+  }
+
   test("exhaustive grain × shape equivalence: every grouping shape over the grain matches base") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_mvexh_").toFile
     try {
@@ -643,36 +685,63 @@ class MvRewriteSpec extends AnyFunSuite {
         minMeasures = MvCatalog.measureExprs(li, qtyCents).map(_ -> "min_c"),
         maxMeasures = MvCatalog.measureExprs(li, qtyCents).map(_ -> "max_c"),
         avgMeasures = MvCatalog.measureExprs(li, priceDec).map(_ -> ("sum_p", "cnt_p"))))
-      // all SIX aggregate kinds in every shape: sum, count(*), min, max,
-      // avg (decimal), count(DISTINCT grain column)
-      val aggs = Seq(sum(qtyCents).as("s"), count(lit(1)).as("n"),
-                     min(qtyCents).as("lo"), max(qtyCents).as("hi"),
-                     avg(priceDec).as("ap"),
-                     countDistinct(col("l_linestatus")).as("nd"))
-      val derivedKey = concat(col("l_returnflag"), lit("/"), col("l_linestatus"))
-      val shapes: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
-        "groupBy(flag)" -> (d => d.groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)),
-        "groupBy(status)" -> (d => d.groupBy(col("l_linestatus")).agg(aggs.head, aggs.tail: _*)),
-        "groupBy(flag,status)" -> (d => d.groupBy(col("l_returnflag"), col("l_linestatus")).agg(aggs.head, aggs.tail: _*)),
-        "rollup(flag,status)" -> (d => d.rollup(col("l_returnflag"), col("l_linestatus")).agg(aggs.head, aggs.tail: _*)),
-        "cube(flag,status)" -> (d => d.cube(col("l_returnflag"), col("l_linestatus")).agg(aggs.head, aggs.tail: _*)),
-        "filtered groupBy" -> (d => d.filter(col("l_returnflag") =!= "N")
-          .groupBy(col("l_linestatus")).agg(aggs.head, aggs.tail: _*)),
-        "groupBy(derived expr)" -> (d => d.groupBy(derivedKey.as("k")).agg(aggs.head, aggs.tail: _*)),
-        "derived-filtered groupBy" -> (d => d.filter(derivedKey =!= "N/O")
-          .groupBy(col("l_linestatus")).agg(aggs.head, aggs.tail: _*)))
-      shapes.foreach { case (label, build) =>
-        registerFull()
-        val viaMv = build(li)
-        assert(viaMv.queryExecution.executedPlan.toString.contains("lineitem_mv_full"),
-          s"$label must be answered from the MV")
-        val sortCols = viaMv.columns.map(c => col(c).asc_nulls_first).toIndexedSeq
-        val got = viaMv.orderBy(sortCols: _*).collect().toSeq
-        MvCatalog.clear()
-        val want = build(li).orderBy(sortCols: _*).collect().toSeq
-        assert(got == want && got.nonEmpty, s"$label: MV answer must equal base answer")
-      }
+      exhaustiveShapes("lineitem_mv_full", () => registerFull(), li,
+        "l_returnflag", "l_linestatus", "N", "N/O", priceDec)
     } finally { MvCatalog.clear(); graft.util.Fs.deleteTree(tmp) }
+  }
+
+  test("exhaustive grain × shape equivalence holds over JOIN and FILTERED views too") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val ord = Tables.t(spark, sf, "orders")
+    val priceDec = graft.Tables.dec2(col("l_extendedprice"))
+    // the join view: same six kinds, grain spanning both sides
+    val tmpJ = java.nio.file.Files.createTempDirectory("graft_mvexhj_").toFile
+    try {
+      val mvPath = new java.io.File(tmpJ, "join_mv_full").getAbsolutePath
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      joined.groupBy(col("o_orderpriority"), col("l_returnflag"))
+        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"),
+             min(qtyCents).as("min_c"), max(qtyCents).as("max_c"),
+             sum(priceDec).as("sum_p"), count(priceDec).as("cnt_p"))
+        .write.parquet(mvPath)
+      def registerJ(): Unit = MvCatalog.register(MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("o_orderpriority", "l_returnflag"),
+        sumMeasures = MvCatalog.measureExprs(li, qtyCents).map(_ -> "sum_qty_cents"),
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+        minMeasures = MvCatalog.measureExprs(li, qtyCents).map(_ -> "min_c"),
+        maxMeasures = MvCatalog.measureExprs(li, qtyCents).map(_ -> "max_c"),
+        avgMeasures = MvCatalog.measureExprs(li, priceDec).map(_ -> ("sum_p", "cnt_p")),
+        baseJoin = Some(MvCatalog.JoinSpec(
+          Seq("lineitem.parquet", "orders.parquet"),
+          Seq("l_orderkey" -> "o_orderkey")))))
+      exhaustiveShapes("join_mv_full", () => registerJ(), joined,
+        "o_orderpriority", "l_returnflag", "1-URGENT", "1-URGENT/N", priceDec)
+    } finally { MvCatalog.clear(); graft.util.Fs.deleteTree(tmpJ) }
+    // the filtered view: the baked-in conjunct rides along in every shape
+    val tmpF = java.nio.file.Files.createTempDirectory("graft_mvexhf_").toFile
+    try {
+      val disc = col("l_discount") <= lit(0.04)
+      val mvPath = new java.io.File(tmpF, "disc_mv_full").getAbsolutePath
+      li.filter(disc).groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"),
+             min(qtyCents).as("min_c"), max(qtyCents).as("max_c"),
+             sum(priceDec).as("sum_p"), count(priceDec).as("cnt_p"))
+        .write.parquet(mvPath)
+      def registerF(): Unit = MvCatalog.register(MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        sumMeasures = MvCatalog.measureExprs(li, qtyCents).map(_ -> "sum_qty_cents"),
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+        minMeasures = MvCatalog.measureExprs(li, qtyCents).map(_ -> "min_c"),
+        maxMeasures = MvCatalog.measureExprs(li, qtyCents).map(_ -> "max_c"),
+        avgMeasures = MvCatalog.measureExprs(li, priceDec).map(_ -> ("sum_p", "cnt_p")),
+        viewFilters = Seq(MvCatalog.measureExprs(li, disc))))
+      exhaustiveShapes("disc_mv_full", () => registerF(), li.filter(disc),
+        "l_returnflag", "l_linestatus", "N", "N/O", priceDec)
+    } finally { MvCatalog.clear(); graft.util.Fs.deleteTree(tmpF) }
   }
 
   test("empty registry is a strict no-op") {
