@@ -83,6 +83,12 @@ object MvCatalog {
     *   view has can never be answered from it); matching query
     *   conjuncts are absorbed (already applied at build time), the rest
     *   replay against the view iff they are grain functions
+    * @param baseUnion      when set, the view is materialized over a
+    *   UNION ALL of these relations (path-suffix MULTISET — a repeated
+    *   suffix means that table's rows count twice, as stored); the
+    *   matcher flattens the query's union and requires the multiset,
+    *   per-position trees, and per-child filters to line up
+    *   ([[MvRewrite.matchUnion]]). The hot/cold partitioned-corpus view
     */
   final case class MvDef(
       basePathSuffix: String,
@@ -94,7 +100,8 @@ object MvCatalog {
       maxMeasures: Seq[(Expression, String)] = Nil,
       avgMeasures: Seq[(Expression, (String, String))] = Nil,
       baseJoin: Option[JoinSpec] = None,
-      viewFilters: Seq[Seq[Expression]] = Nil)
+      viewFilters: Seq[Seq[Expression]] = Nil,
+      baseUnion: Option[Seq[String]] = None)
 
   /** The analyzed and optimized expression trees of measure `c` over
     * `df` — the ONE spelling of the registration contract, shared by the
@@ -352,6 +359,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     * so side conjuncts and above-join conjuncts are one pool). */
   private def matchBase(plan: LogicalPlan, d: MvCatalog.MvDef): Option[BaseMatch] =
     d.baseJoin match {
+      case None if d.baseUnion.isDefined => matchUnion(plan, d.baseUnion.get)
       case None =>
         val (defs, conj, core) = peel(plan)
         core match {
@@ -424,6 +432,69 @@ object MvRewrite extends Rule[LogicalPlan] {
         if (keysSeen != want) return None
         Some(BaseMatch(resolve, conj ++ extraConj.result(), want.flatten))
     }
+
+  /** Match a UNION ALL of the registered relations. Union-all is
+    * associative and commutative, so the flattened child list must match
+    * the registered suffix MULTISET 1:1 (the same table may legitimately
+    * appear twice — its rows then count twice, exactly as the view
+    * stored them). Soundness of the two distribution laws the optimizer
+    * exploits, inverted here:
+    *   - per OUTPUT POSITION, every child's resolved tree must be
+    *     structurally equal (PushProjectionThroughUnion distributes the
+    *     same pruning or derived-grouping projection into each child;
+    *     children computing DIFFERENT trees at one position are a
+    *     by-position union of different things — refuse);
+    *   - per-child filter conjunct SETS must be structurally equal
+    *     (`Filter p over Union` ≡ union of identically-filtered
+    *     children; asymmetric child filters select different
+    *     sub-relations — refuse). The shared set joins the conjunct
+    *     pool once (child 0's copy).
+    * Resolution afterwards runs through child 0's definitions — sound
+    * because Union.output carries child 0's exprIds and the alignment
+    * check just proved every other child computes the same trees. */
+  private def matchUnion(plan: LogicalPlan, suffixes: Seq[String]): Option[BaseMatch] = {
+    val (defs0, conj0, core) = peel(plan)
+    def flat(p: LogicalPlan): Option[Seq[LogicalPlan]] = p match {
+      case u: Union if !u.byName =>
+        val parts = u.children.map(flat)
+        if (parts.exists(_.isEmpty)) None else Some(parts.flatten.flatten)
+      case other => Some(Seq(other))
+    }
+    core match {
+      case u: Union if !u.byName =>
+        val children = flat(u).getOrElse(return None)
+        if (children.size != suffixes.size) return None
+        val peeled = children.map(peel)
+        peeled.foreach { case (_, _, c) =>
+          if (!c.isInstanceOf[LogicalRelation]) return None }
+        val rels = peeled.map(_._3.asInstanceOf[LogicalRelation])
+        // multiset assignment: each child matches exactly one DISTINCT
+        // suffix; per-suffix child counts equal the registered counts
+        val assigned: Seq[Seq[String]] =
+          rels.map(lr => suffixes.distinct.filter(s => relMatches(lr, s)))
+        if (assigned.exists(_.size != 1)) return None
+        if (assigned.map(_.head).groupBy(identity).view.mapValues(_.size).toMap !=
+            suffixes.groupBy(identity).view.mapValues(_.size).toMap) return None
+        val resolvers = peeled.map(p => mkResolve(p._1))
+        val width = u.output.length
+        if (children.exists(_.output.length != width)) return None
+        val aligned = (0 until width).forall { i =>
+          val ref = resolvers.head(children.head.output(i))
+          resolvers.indices.tail.forall(k =>
+            sameMeasure(ref, resolvers(k)(children(k).output(i))))
+        }
+        if (!aligned) return None
+        val rconj: Seq[Seq[Expression]] =
+          peeled.indices.map(k => peeled(k)._2.map(resolvers(k)))
+        val sameConj = rconj.tail.forall(cs =>
+          cs.forall(c => rconj.head.exists(sameMeasure(_, c))) &&
+          rconj.head.forall(c => cs.exists(sameMeasure(_, c))))
+        if (!sameConj) return None
+        Some(BaseMatch(mkResolve(defs0 ++ peeled.head._1),
+          conj0 ++ peeled.head._2, Set.empty))
+      case _ => None
+    }
+  }
 
   /** Reproduce the original attribute's nullability contract: the
     * replacement value is never actually null where the original was

@@ -1518,6 +1518,72 @@ object Extended {
       |WHERE c_mktsegment = 'BUILDING'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- Q111: UNION-ALL (hot/cold) view, scored -----------------------------
+
+  /** Q111 — the PARTITIONED-CORPUS VIEW under the oracle: lineitem is
+    * split into a "cold" archive and a "hot" tail (two parquet tables —
+    * how a 100 TB corpus actually lives), a per-(flag, status) aggregate
+    * of their UNION ALL is materialized, and the registration names the
+    * union's suffix MULTISET in [[graft.plans.MvCatalog.MvDef.baseUnion]].
+    * The scored query unions the two base tables (hot side first —
+    * union-all is commutative and the matcher flattens), filters one
+    * flag, regroups by status, and must be answered from the view alone,
+    * touching NEITHER base table (require'd). Matching is by suffix
+    * multiset + per-position tree alignment + per-child filter-set
+    * equality — the inverse of the optimizer's own
+    * PushProjectionThroughUnion / PushDownPredicate distribution, so
+    * pushed-down shapes still match. The oracle recomputes from the
+    * UNSPLIT lineitem (cold ∪ hot = every row exactly once, by the
+    * disjoint split). At 100 TB this is the view over this-quarter +
+    * archive that answers dashboard aggregates without scanning either. */
+  def q111MvUnion(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q111_").toFile
+    try {
+      val coldPath = new java.io.File(tmp, "li_cold.parquet").getAbsolutePath
+      val hotPath = new java.io.File(tmp, "li_hot.parquet").getAbsolutePath
+      val mvPath = new java.io.File(tmp, "union_mv").getAbsolutePath
+      val li = t(spark, dir, "lineitem")
+      li.filter(pmod(col("l_orderkey"), lit(2)) === 0).write.parquet(coldPath)
+      li.filter(pmod(col("l_orderkey"), lit(2)) =!= 0).write.parquet(hotPath)
+      val cold = spark.read.parquet(coldPath)
+      val hot = spark.read.parquet(hotPath)
+      cold.union(hot)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+        .write.parquet(mvPath)
+      graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
+        basePathSuffix = "li_cold.parquet", // unused: baseUnion matches instead
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        sumMeasures = graft.plans.MvCatalog.measureExprs(cold, qtyCents)
+          .map(_ -> "sum_qty_cents"),
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+        baseUnion = Some(Seq("li_cold.parquet", "li_hot.parquet"))))
+      try {
+        // deliberately the OTHER child order: union-all is commutative
+        val res = hot.union(cold)
+          .filter(col("l_returnflag") === "R")
+          .groupBy(col("l_linestatus"))
+          .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("n_items"))
+        val plan = res.queryExecution.executedPlan.toString
+        require(plan.contains("union_mv"),
+          s"q111 must be answered from the union view:\n$plan")
+        Seq("li_cold.parquet", "li_hot.parquet").foreach(b =>
+          require(!plan.contains(b),
+            s"q111 must not touch the $b base table:\n$plan"))
+        graft.util.Materialize.sorted(res, col("l_linestatus"))
+      } finally graft.plans.MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** cold ∪ hot = lineitem exactly once (disjoint split on l_orderkey). */
+  val q111Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+      |  count(*) AS n_items
+      |FROM lineitem WHERE l_returnflag = 'R'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   // ---- Q86: schema evolution (mergeSchema scan), scored ------------------
 
   /** Q86 — SCHEMA EVOLUTION under the oracle: a table whose early files

@@ -719,6 +719,35 @@ class MvRewriteSpec extends AnyFunSuite {
       exhaustiveShapes("join_mv_full", () => registerJ(), joined,
         "o_orderpriority", "l_returnflag", "1-URGENT", "1-URGENT/N", priceDec)
     } finally { MvCatalog.clear(); graft.util.Fs.deleteTree(tmpJ) }
+    // the union view: per-position alignment must survive the pushdown
+    // of derived-grouping projections and grain filters into each child
+    val tmpU = java.nio.file.Files.createTempDirectory("graft_mvexhu_").toFile
+    try {
+      val coldPath = new java.io.File(tmpU, "li_cold.parquet").getAbsolutePath
+      val hotPath = new java.io.File(tmpU, "li_hot.parquet").getAbsolutePath
+      val mvPath = new java.io.File(tmpU, "union_mv_full").getAbsolutePath
+      li.filter(pmod(col("l_orderkey"), lit(2)) === 0).write.parquet(coldPath)
+      li.filter(pmod(col("l_orderkey"), lit(2)) =!= 0).write.parquet(hotPath)
+      val cold = spark.read.parquet(coldPath)
+      val hot = spark.read.parquet(hotPath)
+      cold.union(hot).groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"),
+             min(qtyCents).as("min_c"), max(qtyCents).as("max_c"),
+             sum(priceDec).as("sum_p"), count(priceDec).as("cnt_p"))
+        .write.parquet(mvPath)
+      def registerU(): Unit = MvCatalog.register(MvCatalog.MvDef(
+        basePathSuffix = "li_cold.parquet",
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        sumMeasures = MvCatalog.measureExprs(cold, qtyCents).map(_ -> "sum_qty_cents"),
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+        minMeasures = MvCatalog.measureExprs(cold, qtyCents).map(_ -> "min_c"),
+        maxMeasures = MvCatalog.measureExprs(cold, qtyCents).map(_ -> "max_c"),
+        avgMeasures = MvCatalog.measureExprs(cold, priceDec).map(_ -> ("sum_p", "cnt_p")),
+        baseUnion = Some(Seq("li_cold.parquet", "li_hot.parquet"))))
+      exhaustiveShapes("union_mv_full", () => registerU(), hot.union(cold),
+        "l_returnflag", "l_linestatus", "N", "N/O", priceDec)
+    } finally { MvCatalog.clear(); graft.util.Fs.deleteTree(tmpU) }
     // the filtered view: the baked-in conjunct rides along in every shape
     val tmpF = java.nio.file.Files.createTempDirectory("graft_mvexhf_").toFile
     try {
@@ -917,6 +946,31 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
+  test("an aggregate inside an IN-subquery is answered from the MV") {
+    // OptimizeSubqueries re-runs the full optimizer (injected rules
+    // included) on subquery plans, and RewritePredicateSubquery turns
+    // the IN into a semi-join whose right side IS the aggregate — either
+    // way the rewrite must reach it; pinned, not assumed
+    withMv { _ =>
+      val li = Tables.t(spark, sf, "lineitem")
+      li.createOrReplaceTempView("li_mvsub")
+      try {
+        def q = spark.sql(
+          """SELECT l_returnflag, count(*) AS n FROM li_mvsub
+            |WHERE l_returnflag IN (
+            |  SELECT l_returnflag FROM li_mvsub
+            |  GROUP BY l_returnflag
+            |  HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 1000)
+            |GROUP BY l_returnflag""".stripMargin)
+        assert(q.queryExecution.executedPlan.toString.contains("lineitem_mv"),
+          "the subquery's grain aggregate must be answered from the MV")
+        val got = q.orderBy(col("l_returnflag")).collect().toSeq
+        MvCatalog.clear()
+        assert(got == q.orderBy(col("l_returnflag")).collect().toSeq && got.nonEmpty)
+      } finally spark.catalog.dropTempView("li_mvsub")
+    }
+  }
+
   test("a 3-relation star view refuses subset and superset joins") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_mvstar_").toFile
     try {
@@ -956,6 +1010,53 @@ class MvRewriteSpec extends AnyFunSuite {
         assert(planOf(ord.join(cust, col("o_custkey") === col("c_custkey"))
             .join(li, col("l_orderkey") === col("o_orderkey")))
           .contains("star_mv"), "re-bracketed star must match")
+      } finally MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  test("a union view refuses subset, multiset-mismatch, and asymmetric-filter unions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvunion_").toFile
+    try {
+      val li = Tables.t(spark, sf, "lineitem")
+      val coldPath = new java.io.File(tmp, "li_cold.parquet").getAbsolutePath
+      val hotPath = new java.io.File(tmp, "li_hot.parquet").getAbsolutePath
+      val mvPath = new java.io.File(tmp, "union_mv").getAbsolutePath
+      li.filter(pmod(col("l_orderkey"), lit(2)) === 0).write.parquet(coldPath)
+      li.filter(pmod(col("l_orderkey"), lit(2)) =!= 0).write.parquet(hotPath)
+      val cold = spark.read.parquet(coldPath)
+      val hot = spark.read.parquet(hotPath)
+      cold.union(hot).groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+        .write.parquet(mvPath)
+      MvCatalog.register(MvCatalog.MvDef(
+        basePathSuffix = "li_cold.parquet",
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        sumMeasures = MvCatalog.measureExprs(cold, qtyCents).map(_ -> "sum_qty_cents"),
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+        baseUnion = Some(Seq("li_cold.parquet", "li_hot.parquet"))))
+      try {
+        def planOf(df: org.apache.spark.sql.DataFrame): String =
+          df.groupBy(col("l_linestatus")).agg(sum(qtyCents).as("s"))
+            .queryExecution.executedPlan.toString
+        // one child alone is a sub-relation the view over-counts
+        assert(!planOf(hot).contains("union_mv"), "single child must refuse")
+        // the same table twice is a DIFFERENT multiset (rows doubled)
+        assert(!planOf(cold.union(cold)).contains("union_mv"),
+          "multiset mismatch must refuse")
+        // a third copy is a superset multiset
+        assert(!planOf(cold.union(hot).union(hot)).contains("union_mv"),
+          "superset multiset must refuse")
+        // an ASYMMETRIC child filter selects a different sub-relation —
+        // it cannot be commuted out of the union (non-grain, so it also
+        // can't replay); must refuse
+        assert(!planOf(cold.filter(col("l_quantity") > 10).union(hot))
+          .contains("union_mv"), "asymmetric child filter must refuse")
+        // the SAME filter on both children commutes out and replays/
+        // refuses as one pooled conjunct: grain filter rewrites
+        assert(planOf(cold.filter(col("l_returnflag") === "R")
+            .union(hot.filter(col("l_returnflag") === "R")))
+          .contains("union_mv"), "symmetric grain filter must replay")
       } finally MvCatalog.clear()
     } finally graft.util.Fs.deleteTree(tmp)
   }
