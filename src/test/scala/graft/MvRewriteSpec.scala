@@ -1061,6 +1061,48 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
+  test("a FILTERED JOIN view composes: baked non-grain conjunct absorbed over the join base") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvjf_").toFile
+    try {
+      val li = Tables.t(spark, sf, "lineitem")
+      val ord = Tables.t(spark, sf, "orders")
+      val bigOrder = col("o_totalprice") > lit(1000.0)
+      val mvPath = new java.io.File(tmp, "join_mv_big").getAbsolutePath
+      li.join(ord, col("l_orderkey") === col("o_orderkey")).filter(bigOrder)
+        .groupBy(col("o_orderpriority"), col("l_returnflag"))
+        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+        .write.parquet(mvPath)
+      MvCatalog.register(MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("o_orderpriority", "l_returnflag"),
+        sumMeasures = MvCatalog.measureExprs(li, qtyCents).map(_ -> "sum_qty_cents"),
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+        baseJoin = Some(MvCatalog.JoinSpec(
+          Seq("lineitem.parquet", "orders.parquet"),
+          Seq("l_orderkey" -> "o_orderkey"))),
+        viewFilters = Seq(MvCatalog.measureExprs(ord, bigOrder))))
+      try {
+        def agg(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("l_returnflag"))
+            .agg(sum(qtyCents).as("s"), count(lit(1)).as("n"))
+        val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        // baked conjunct repeated (pushed into the orders side by the
+        // optimizer — the pool reunites it): absorbed, answered from
+        // the view
+        val viaMv = agg(joined.filter(bigOrder))
+        assert(viaMv.queryExecution.executedPlan.toString.contains("join_mv_big"))
+        val got = viaMv.orderBy(col("l_returnflag")).collect().toSeq
+        // without the conjunct the view is missing rows
+        assert(!agg(joined).queryExecution.executedPlan.toString
+          .contains("join_mv_big"), "unfiltered join query must refuse")
+        MvCatalog.clear()
+        assert(got == agg(joined.filter(bigOrder))
+          .orderBy(col("l_returnflag")).collect().toSeq && got.nonEmpty)
+      } finally MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
   test("ROLLUP composes over join and filtered views (shared Expand path)") {
     // the Expand path and the flat path share matchBase/admitFilters, so
     // grouping sets over the new view kinds must come for free — pinned
