@@ -118,7 +118,19 @@ object MvCatalog {
   }
 
   @volatile private var defs: Seq[MvDef] = Nil
-  def register(d: MvDef): Unit = synchronized { defs = defs :+ d }
+  def register(d: MvDef): Unit = synchronized {
+    // a def is over exactly ONE base kind: both set would silently win
+    // as a join and answer join-shaped queries from union-built rows; a
+    // <2-relation union/join can never match (flatten always yields ≥2
+    // leaves) — a dead registration nothing downstream would flag
+    require(d.baseJoin.isEmpty || d.baseUnion.isEmpty,
+      "an MvDef is over ONE base kind: baseJoin and baseUnion are exclusive")
+    require(d.baseUnion.forall(_.size >= 2),
+      "baseUnion needs at least two relation suffixes")
+    require(d.baseJoin.forall(_.suffixes.size >= 2),
+      "baseJoin needs at least two relation suffixes")
+    defs = defs :+ d
+  }
   def clear(): Unit = synchronized { defs = Nil }
   def all: Seq[MvDef] = defs
 }
@@ -341,6 +353,18 @@ object MvRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** Exactly-one-suffix MULTISET assignment, shared by the join and
+    * union matchers: every relation matches exactly one distinct
+    * registered suffix, and per-suffix relation counts equal the
+    * registered multiplicities. */
+  private def suffixAssignment(rels: Seq[LogicalRelation],
+                               suffixes: Seq[String]): Boolean = {
+    val assigned = rels.map(lr => suffixes.distinct.filter(s => relMatches(lr, s)))
+    assigned.forall(_.size == 1) &&
+      assigned.map(_.head).groupBy(identity).view.mapValues(_.size).toMap ==
+        suffixes.groupBy(identity).view.mapValues(_.size).toMap
+  }
+
   /** The matched pre-aggregate subtree: a resolver from query
     * attributes to base-column trees, every filter conjunct found
     * anywhere in the subtree, and (join bases) the lowercased key
@@ -389,12 +413,7 @@ object MvRewrite extends Rule[LogicalPlan] {
         if (!flatten(plan)) return None
         val relSeq = rels.result()
         if (relSeq.size != js.suffixes.size || joinConds.isEmpty) return None
-        // each relation must match EXACTLY one registered suffix and the
-        // assignment must cover every suffix exactly once
-        val assigned: Seq[Seq[Int]] = relSeq.map(lr =>
-          js.suffixes.indices.filter(i => relMatches(lr, js.suffixes(i))))
-        if (assigned.exists(_.size != 1) ||
-            assigned.flatten.distinct.size != js.suffixes.size) return None
+        if (!suffixAssignment(relSeq, js.suffixes)) return None
         // name-keyed grain/measure matching requires every base column
         // name to identify ONE relation
         val nameSets = relSeq.map(_.output.map(_.name.toLowerCase(Locale.ROOT)).toSet)
@@ -468,13 +487,7 @@ object MvRewrite extends Rule[LogicalPlan] {
         peeled.foreach { case (_, _, c) =>
           if (!c.isInstanceOf[LogicalRelation]) return None }
         val rels = peeled.map(_._3.asInstanceOf[LogicalRelation])
-        // multiset assignment: each child matches exactly one DISTINCT
-        // suffix; per-suffix child counts equal the registered counts
-        val assigned: Seq[Seq[String]] =
-          rels.map(lr => suffixes.distinct.filter(s => relMatches(lr, s)))
-        if (assigned.exists(_.size != 1)) return None
-        if (assigned.map(_.head).groupBy(identity).view.mapValues(_.size).toMap !=
-            suffixes.groupBy(identity).view.mapValues(_.size).toMap) return None
+        if (!suffixAssignment(rels, suffixes)) return None
         val resolvers = peeled.map(p => mkResolve(p._1))
         val width = u.output.length
         if (children.exists(_.output.length != width)) return None

@@ -1536,29 +1536,52 @@ object Extended {
     * UNSPLIT lineitem (cold ∪ hot = every row exactly once, by the
     * disjoint split). At 100 TB this is the view over this-quarter +
     * archive that answers dashboard aggregates without scanning either. */
+  /** Split lineitem into the cold/hot parquet pair — ONE base scan
+    * (cached across the two writes), a disjoint partition on
+    * l_orderkey. Shared by q111 and MvRewriteSpec so the specs exercise
+    * the production fixture, not a copy. */
+  private[graft] def splitHotCold(spark: SparkSession, dir: String,
+                                  coldPath: String, hotPath: String): Unit = {
+    val li = t(spark, dir, "lineitem").cache()
+    try {
+      li.filter(pmod(col("l_orderkey"), lit(2)) === 0).write.parquet(coldPath)
+      li.filter(pmod(col("l_orderkey"), lit(2)) =!= 0).write.parquet(hotPath)
+    } finally li.unpersist()
+  }
+
+  /** Build + register the per-(flag, status) view over cold ∪ hot — the
+    * ONE spelling of q111's union registration contract, shared with the
+    * spec's refusal laws. */
+  private[graft] def buildUnionMv(spark: SparkSession, coldPath: String,
+                                  hotPath: String, mvPath: String): Unit =
+    spark.read.parquet(coldPath).union(spark.read.parquet(hotPath))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+      .write.parquet(mvPath)
+
+  private[graft] def registerUnionMv(spark: SparkSession, dir: String,
+                                     mvPath: String): Unit =
+    graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
+      basePathSuffix = "li_cold.parquet", // unused: baseUnion matches instead
+      groupCols = Set("l_returnflag", "l_linestatus"),
+      sumMeasures = graft.plans.MvCatalog
+        .measureExprs(t(spark, dir, "lineitem"), qtyCents)
+        .map(_ -> "sum_qty_cents"),
+      countCol = "cnt",
+      mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+      baseUnion = Some(Seq("li_cold.parquet", "li_hot.parquet"))))
+
   def q111MvUnion(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_q111_").toFile
     try {
       val coldPath = new java.io.File(tmp, "li_cold.parquet").getAbsolutePath
       val hotPath = new java.io.File(tmp, "li_hot.parquet").getAbsolutePath
       val mvPath = new java.io.File(tmp, "union_mv").getAbsolutePath
-      val li = t(spark, dir, "lineitem")
-      li.filter(pmod(col("l_orderkey"), lit(2)) === 0).write.parquet(coldPath)
-      li.filter(pmod(col("l_orderkey"), lit(2)) =!= 0).write.parquet(hotPath)
+      splitHotCold(spark, dir, coldPath, hotPath)
+      buildUnionMv(spark, coldPath, hotPath, mvPath)
+      registerUnionMv(spark, dir, mvPath)
       val cold = spark.read.parquet(coldPath)
       val hot = spark.read.parquet(hotPath)
-      cold.union(hot)
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
-        .write.parquet(mvPath)
-      graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
-        basePathSuffix = "li_cold.parquet", // unused: baseUnion matches instead
-        groupCols = Set("l_returnflag", "l_linestatus"),
-        sumMeasures = graft.plans.MvCatalog.measureExprs(cold, qtyCents)
-          .map(_ -> "sum_qty_cents"),
-        countCol = "cnt",
-        mv = spark.read.parquet(mvPath).queryExecution.analyzed,
-        baseUnion = Some(Seq("li_cold.parquet", "li_hot.parquet"))))
       try {
         // deliberately the OTHER child order: union-all is commutative
         val res = hot.union(cold)

@@ -726,8 +726,7 @@ class MvRewriteSpec extends AnyFunSuite {
       val coldPath = new java.io.File(tmpU, "li_cold.parquet").getAbsolutePath
       val hotPath = new java.io.File(tmpU, "li_hot.parquet").getAbsolutePath
       val mvPath = new java.io.File(tmpU, "union_mv_full").getAbsolutePath
-      li.filter(pmod(col("l_orderkey"), lit(2)) === 0).write.parquet(coldPath)
-      li.filter(pmod(col("l_orderkey"), lit(2)) =!= 0).write.parquet(hotPath)
+      graft.queries.Extended.splitHotCold(spark, sf, coldPath, hotPath)
       val cold = spark.read.parquet(coldPath)
       val hot = spark.read.parquet(hotPath)
       cold.union(hot).groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -1017,24 +1016,15 @@ class MvRewriteSpec extends AnyFunSuite {
   test("a union view refuses subset, multiset-mismatch, and asymmetric-filter unions") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_mvunion_").toFile
     try {
-      val li = Tables.t(spark, sf, "lineitem")
       val coldPath = new java.io.File(tmp, "li_cold.parquet").getAbsolutePath
       val hotPath = new java.io.File(tmp, "li_hot.parquet").getAbsolutePath
       val mvPath = new java.io.File(tmp, "union_mv").getAbsolutePath
-      li.filter(pmod(col("l_orderkey"), lit(2)) === 0).write.parquet(coldPath)
-      li.filter(pmod(col("l_orderkey"), lit(2)) =!= 0).write.parquet(hotPath)
+      // the production fixture/registration path q111 also uses
+      graft.queries.Extended.splitHotCold(spark, sf, coldPath, hotPath)
+      graft.queries.Extended.buildUnionMv(spark, coldPath, hotPath, mvPath)
+      graft.queries.Extended.registerUnionMv(spark, sf, mvPath)
       val cold = spark.read.parquet(coldPath)
       val hot = spark.read.parquet(hotPath)
-      cold.union(hot).groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
-        .write.parquet(mvPath)
-      MvCatalog.register(MvCatalog.MvDef(
-        basePathSuffix = "li_cold.parquet",
-        groupCols = Set("l_returnflag", "l_linestatus"),
-        sumMeasures = MvCatalog.measureExprs(cold, qtyCents).map(_ -> "sum_qty_cents"),
-        countCol = "cnt",
-        mv = spark.read.parquet(mvPath).queryExecution.analyzed,
-        baseUnion = Some(Seq("li_cold.parquet", "li_hot.parquet"))))
       try {
         def planOf(df: org.apache.spark.sql.DataFrame): String =
           df.groupBy(col("l_linestatus")).agg(sum(qtyCents).as("s"))
