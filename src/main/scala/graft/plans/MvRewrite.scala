@@ -159,7 +159,12 @@ object MvCatalog {
   *     by path to exactly one registered suffix, the pooled join
   *     conjuncts equal as a set to the registered key pairs (equality of
   *     relations, never containment), and no column name shared between
-  *     any two relations (grain/measure matching is name-keyed);
+  *     any two relations (grain/measure matching is name-keyed) — or,
+  *     for a view registered over a UNION ALL
+  *     ([[MvCatalog.MvDef.baseUnion]]), exactly that union FLATTENED:
+  *     suffix multiset 1:1, per-output-position structural tree
+  *     alignment across children, per-child filter-set equality
+  *     ([[matchUnion]]);
   *   - every predicate conjunct BAKED INTO the view's definition
   *     ([[MvCatalog.MvDef.viewFilters]]) appears structurally in the
   *     query (the view stores a subset of the base — absorbed conjuncts
