@@ -1536,17 +1536,20 @@ object Extended {
     * UNSPLIT lineitem (cold ∪ hot = every row exactly once, by the
     * disjoint split). At 100 TB this is the view over this-quarter +
     * archive that answers dashboard aggregates without scanning either. */
-  /** Split lineitem into the cold/hot parquet pair — ONE base scan
-    * (cached across the two writes), a disjoint partition on
-    * l_orderkey. Shared by q111 and MvRewriteSpec so the specs exercise
-    * the production fixture, not a copy. */
+  /** Split lineitem into the cold/hot parquet pair — a disjoint
+    * partition on l_orderkey. Shared by q111 and MvRewriteSpec so the
+    * specs exercise the production fixture, not a copy.
+    *
+    * Two plain columnar scans, deliberately NOT cached: caching the base
+    * frame across the two writes measured q111 at 3.36–3.42 s vs
+    * 1.97–2.06 s uncached (sf0.1, three JVMs each) — materializing every
+    * column into storage memory costs far more than the second parquet
+    * scan it saves. */
   private[graft] def splitHotCold(spark: SparkSession, dir: String,
                                   coldPath: String, hotPath: String): Unit = {
-    val li = t(spark, dir, "lineitem").cache()
-    try {
-      li.filter(pmod(col("l_orderkey"), lit(2)) === 0).write.parquet(coldPath)
-      li.filter(pmod(col("l_orderkey"), lit(2)) =!= 0).write.parquet(hotPath)
-    } finally li.unpersist()
+    val li = t(spark, dir, "lineitem")
+    li.filter(pmod(col("l_orderkey"), lit(2)) === 0).write.parquet(coldPath)
+    li.filter(pmod(col("l_orderkey"), lit(2)) =!= 0).write.parquet(hotPath)
   }
 
   /** Build + register the per-(flag, status) view over cold ∪ hot — the
