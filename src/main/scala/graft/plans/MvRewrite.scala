@@ -5,7 +5,8 @@ import java.util.Locale
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.HllSketchEstimate
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Count, HllSketchAgg, HllUnionAgg, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -89,6 +90,17 @@ object MvCatalog {
     *   matcher flattens the query's union and requires the multiset,
     *   per-position trees, and per-child filters to line up
     *   ([[MvRewrite.matchUnion]]). The hot/cold partitioned-corpus view
+    * @param sketchMeasures measure tree → (MV column holding the
+    *   per-group Datasketches HLL sketch BINARY built by
+    *   `hll_sketch_agg(measure, lgK)`, that lgK). A coarser
+    *   `hll_sketch_estimate(hll_sketch_agg(measure, lgK))` re-aggregates
+    *   as the estimate of `hll_union_agg` over the stored partials —
+    *   HLL registers are MAX-merged, so the union of per-group sketches
+    *   has exactly the one-shot build's registers and the SAME estimate
+    *   (the mergeable-sketch rollup every OLAP store keeps). Only the
+    *   ESTIMATE is contracted: a query outputting raw sketch bytes
+    *   refuses (build-vs-merge serialization is not byte-stable), and a
+    *   different lgK refuses (different register arrays)
     */
   final case class MvDef(
       basePathSuffix: String,
@@ -101,7 +113,8 @@ object MvCatalog {
       avgMeasures: Seq[(Expression, (String, String))] = Nil,
       baseJoin: Option[JoinSpec] = None,
       viewFilters: Seq[Seq[Expression]] = Nil,
-      baseUnion: Option[Seq[String]] = None)
+      baseUnion: Option[Seq[String]] = None,
+      sketchMeasures: Seq[(Expression, (String, Int))] = Nil)
 
   /** The analyzed and optimized expression trees of measure `c` over
     * `df` — the ONE spelling of the registration contract, shared by the
@@ -620,6 +633,17 @@ object MvRewrite extends Rule[LogicalPlan] {
           for (s <- attr(sumC); c <- attr(cntC))
             yield reAvgE(child.dataType.asInstanceOf[DecimalType], s, c, ae)
         }
+      case AggregateExpression(hs: HllSketchAgg, _, false, None, _) =>
+        // hll_sketch_agg over a registered sketch measure with the SAME
+        // lgK re-aggregates as hll_union_agg of the stored partials
+        // (max-merged registers ≡ one-shot build). Only reachable
+        // estimate-wrapped — [[rebindWith]] refuses a bare sketch agg,
+        // whose raw bytes are not build-vs-merge stable.
+        d.sketchMeasures.collectFirst {
+          case (m, (c, lgK)) if lgK == hs.lgConfigK &&
+              sameMeasure(m, resolveM(hs.left)) => c
+        }.flatMap(attr).map(m =>
+          reAggE(HllUnionAgg(m, Literal(false), 0, 0), ae))
       case _ => None
     }
 
@@ -632,7 +656,20 @@ object MvRewrite extends Rule[LogicalPlan] {
                          aggs: AggregateExpression => Option[Expression])
                         (e: Expression): Option[Expression] =
     e match {
-      case ae: AggregateExpression => aggs(ae)
+      // a sketch aggregate is rewritable ONLY under an immediate
+      // estimate: the estimate is a pure function of the sketch's
+      // register values, which max-merge associatively — but the raw
+      // BYTES are not build-vs-merge stable, so a query outputting the
+      // sketch itself refuses below
+      case est: HllSketchEstimate => est.child match {
+        case ae: AggregateExpression
+            if ae.aggregateFunction.isInstanceOf[HllSketchAgg] =>
+          aggs(ae).map(r => est.withNewChildren(Seq(r)))
+        case _ =>
+          rebindWith(attrs, aggs)(est.child).map(c => est.withNewChildren(Seq(c)))
+      }
+      case ae: AggregateExpression =>
+        if (ae.aggregateFunction.isInstanceOf[HllSketchAgg]) None else aggs(ae)
       case a: AttributeReference => attrs(a)
       case other if other.deterministic && !other.isInstanceOf[PlanExpression[_]] =>
         val kids = other.children.map(rebindWith(attrs, aggs))

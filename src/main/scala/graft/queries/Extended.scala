@@ -1610,6 +1610,81 @@ object Extended {
       |FROM lineitem WHERE l_returnflag = 'R'
       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  // ---- Q112: mergeable-SKETCH measures from the MV, scored ----------------
+
+  /** Q112 — APPROXIMATE-DISTINCT ROLLUP FROM THE VIEW: the view stores a
+    * per-(flag, status) Datasketches HLL sketch of l_partkey
+    * (`hll_sketch_agg(l_partkey, 12)`), registered in
+    * [[graft.plans.MvCatalog.MvDef.sketchMeasures]]; the scored query's
+    * coarser `hll_sketch_estimate(hll_sketch_agg(l_partkey, 12))` is
+    * rewritten to the estimate of `hll_union_agg` over the stored
+    * partials — the mergeable-sketch rollup every OLAP store keeps
+    * (Druid/BigQuery-style), and EXACT by construction: HLL registers
+    * max-merge, so the union of per-group sketches has identically the
+    * one-shot build's registers and the same estimate (law-asserted
+    * bit-equal in MvRewriteSpec; raw-bytes outputs and mismatched-lgK
+    * queries refuse). The estimate subplan is require'd to scan only the
+    * view; the gate row compares it against the exact per-flag distinct
+    * (computed from base OUTSIDE the gated subplan, q53's sketch-gate
+    * convention — DuckDB cannot reproduce Datasketches bytes, so the
+    * oracle scores the exact count plus the gate verdict). lgK=12 →
+    * ~1.6% standard error; the gate allows 5% + 2. At 100 TB:
+    * count-distinct dashboards served from a |grain|-row view of
+    * kilobyte sketches, never re-scanning the corpus. */
+  def q112MvSketch(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q112_").toFile
+    try {
+      val mvPath = new java.io.File(tmp, "lineitem_mv_sk").getAbsolutePath
+      val li = t(spark, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(expr("hll_sketch_agg(l_partkey, 12)").as("sk_part"),
+             count(lit(1)).as("cnt"))
+        .write.parquet(mvPath)
+      graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        sumMeasures = Nil,
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+        sketchMeasures = graft.plans.MvCatalog.measureExprs(li, col("l_partkey"))
+          .map(_ -> ("sk_part", 12))))
+      try {
+        val est = li.groupBy(col("l_returnflag"))
+          .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 12))").as("est"),
+               count(lit(1)).as("n_items"))
+        val plan = est.queryExecution.executedPlan.toString
+        require(plan.contains("lineitem_mv_sk"),
+          s"q112's estimate must be answered from the sketch view:\n$plan")
+        require(!plan.contains("lineitem.parquet"),
+          s"q112's estimate subplan must not touch the base table:\n$plan")
+        // the MV-answered rows become a FACT before the registry is
+        // cleared — composing lazily would re-optimize the estimate
+        // branch against the now-empty registry at execution time and
+        // silently compute from base behind the passed require
+        val estRows = graft.util.Materialize.sorted(est, col("l_returnflag"))
+        // the gate needs the exact distinct — computed from base, with
+        // the registry cleared (count(DISTINCT) wouldn't rewrite anyway;
+        // clearing makes that a fact, not an inference)
+        graft.plans.MvCatalog.clear()
+        val exact = li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("n_parts"))
+        val res = estRows.join(exact, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n_parts").cast(LongType).as("n_parts"),
+            col("n_items"),
+            (abs(col("est") - col("n_parts")) <=
+              col("n_parts") * lit(0.05) + lit(2.0)).as("within_err"))
+        graft.util.Materialize.sorted(res, col("l_returnflag"))
+      } finally graft.plans.MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  val q112Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      |  count(*) AS n_items,
+      |  true AS within_err
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- Q86: schema evolution (mergeSchema scan), scored ------------------
 
   /** Q86 — SCHEMA EVOLUTION under the oracle: a table whose early files

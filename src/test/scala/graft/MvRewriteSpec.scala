@@ -1051,6 +1051,52 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
+  test("HLL sketch measures: estimate of union-of-partials equals estimate-from-base exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvsk_").toFile
+    try {
+      val li = Tables.t(spark, sf, "lineitem")
+      val mvPath = new java.io.File(tmp, "lineitem_mv_sk").getAbsolutePath
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(expr("hll_sketch_agg(l_partkey, 12)").as("sk_part"),
+             count(lit(1)).as("cnt"))
+        .write.parquet(mvPath)
+      MvCatalog.register(MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        sumMeasures = Nil,
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+        sketchMeasures = MvCatalog.measureExprs(li, col("l_partkey"))
+          .map(_ -> ("sk_part", 12))))
+      try {
+        def q = li.groupBy(col("l_returnflag"))
+          .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 12))").as("est"),
+               count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+        val viaMv = q
+        assert(viaMv.queryExecution.executedPlan.toString.contains("lineitem_mv_sk"),
+          "the estimate-wrapped sketch aggregate must be answered from the MV")
+        val got = viaMv.collect().toSeq
+        // refusals: raw sketch BYTES are not build-vs-merge stable; a
+        // different lgK has different register arrays; an unregistered
+        // child has no stored partials
+        def planOf(c: org.apache.spark.sql.Column): String =
+          li.groupBy(col("l_returnflag")).agg(c.as("x"))
+            .queryExecution.executedPlan.toString
+        assert(!planOf(expr("hll_sketch_agg(l_partkey, 12)"))
+          .contains("lineitem_mv_sk"), "raw sketch output must refuse")
+        assert(!planOf(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 13))"))
+          .contains("lineitem_mv_sk"), "mismatched lgK must refuse")
+        assert(!planOf(expr("hll_sketch_estimate(hll_sketch_agg(l_suppkey, 12))"))
+          .contains("lineitem_mv_sk"), "unregistered measure must refuse")
+        MvCatalog.clear()
+        // EXACT equality: the union of per-group sketches max-merges to
+        // the one-shot build's registers, so the estimates are identical
+        assert(got == q.collect().toSeq && got.nonEmpty)
+      } finally MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
   test("a FILTERED JOIN view composes: baked non-grain conjunct absorbed over the join base") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_mvjf_").toFile
     try {
