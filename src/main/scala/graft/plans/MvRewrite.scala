@@ -5,7 +5,6 @@ import java.util.Locale
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.HllSketchEstimate
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Count, HllSketchAgg, HllUnionAgg, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -142,6 +141,14 @@ object MvCatalog {
       "baseUnion needs at least two relation suffixes")
     require(d.baseJoin.forall(_.suffixes.size >= 2),
       "baseJoin needs at least two relation suffixes")
+    // a self-join spec (repeated suffix) can never match — the matcher
+    // requires all relation column names pairwise disjoint, impossible
+    // for two instances of one schema; an empty key set would degrade
+    // the condition match to cross-join equivalence
+    require(d.baseJoin.forall(j => j.suffixes.distinct.size == j.suffixes.size),
+      "baseJoin suffixes must be distinct (a self-join view cannot match)")
+    require(d.baseJoin.forall(_.keyPairs.nonEmpty),
+      "baseJoin needs at least one equi-key pair")
     defs = defs :+ d
   }
   def clear(): Unit = synchronized { defs = Nil }
@@ -360,13 +367,19 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 
   /** Path-component anchored: "/x/lineitem.parquet" matches the suffix
-    * "lineitem.parquet", "/x/archived_lineitem.parquet" must NOT. */
+    * "lineitem.parquet", "/x/archived_lineitem.parquet" must NOT. The
+    * relation must have exactly ONE root path: a multi-path scan
+    * (`spark.read.parquet(a, b)`) contains rows the registered table
+    * does not — matching on ANY root would silently drop the other
+    * paths' rows from the rewritten aggregate. */
   private def relMatches(lr: LogicalRelation, suffix: String): Boolean =
     lr.relation match {
       case fs: HadoopFsRelation =>
-        fs.location.rootPaths.exists { p =>
-          val s = p.toString
-          s == suffix || s.endsWith("/" + suffix)
+        fs.location.rootPaths match {
+          case Seq(p) =>
+            val s = p.toString
+            s == suffix || s.endsWith("/" + suffix)
+          case _ => false
         }
       case _ => false
     }
@@ -394,11 +407,13 @@ object MvRewrite extends Rule[LogicalPlan] {
       joinKeyCols: Set[String])
 
   /** Match the aggregate's child against the registered base: a single
-    * relation, or (for a [[MvCatalog.JoinSpec]] def) an inner equi-join
-    * of the two registered relations on EXACTLY the registered key set
-    * — either side order, any admissible Project/Filter stack above the
-    * join and on each side (inner-join filters commute with the join,
-    * so side conjuncts and above-join conjuncts are one pool). */
+    * relation; or (for a [[MvCatalog.JoinSpec]] def) an inner equi-join
+    * of the N registered relations FLATTENED — any bracketing or side
+    * order, any admissible Project/Filter stack above the join and on
+    * each side (inner-join filters commute with the join, so side and
+    * above-join conjuncts are one pool) — on EXACTLY the registered key
+    * set; or (for a [[MvCatalog.MvDef.baseUnion]] def) the registered
+    * UNION ALL ([[matchUnion]]). */
   private def matchBase(plan: LogicalPlan, d: MvCatalog.MvDef): Option[BaseMatch] =
     d.baseJoin match {
       case None if d.baseUnion.isDefined => matchUnion(plan, d.baseUnion.get)

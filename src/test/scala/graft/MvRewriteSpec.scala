@@ -42,6 +42,21 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a multi-root scan containing the base path refuses (extra roots' rows are not in the view)") {
+    withMv { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mvroot_").toFile
+      try {
+        val extra = new java.io.File(tmp, "extra.parquet").getAbsolutePath
+        val li = Tables.t(spark, sf, "lineitem")
+        li.limit(10).write.parquet(extra)
+        val multi = spark.read.parquet(s"$sf/lineitem.parquet", extra)
+          .groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s"))
+        assert(!multi.queryExecution.executedPlan.toString.contains("lineitem_mv"),
+          "a scan with extra root paths has rows the view never stored")
+      } finally graft.util.Fs.deleteTree(tmp)
+    }
+  }
+
   test("no rewrite when a grouping column is outside the MV's grain") {
     withMv { _ =>
       val plan = Tables.t(spark, sf, "lineitem")
