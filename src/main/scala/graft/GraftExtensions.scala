@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.LatestWinsRewrite)
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.ProjectionRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_units"),

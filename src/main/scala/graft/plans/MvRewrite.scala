@@ -372,7 +372,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     * (`spark.read.parquet(a, b)`) contains rows the registered table
     * does not — matching on ANY root would silently drop the other
     * paths' rows from the rewritten aggregate. */
-  private def relMatches(lr: LogicalRelation, suffix: String): Boolean =
+  private[plans] def relMatches(lr: LogicalRelation, suffix: String): Boolean =
     lr.relation match {
       case fs: HadoopFsRelation =>
         fs.location.rootPaths match {

@@ -1685,6 +1685,71 @@ object Extended {
       |  true AS within_err
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- Q113: COVERING PROJECTION (scan substitution), scored --------------
+
+  /** Build + register the (shipdate, flag, quantity) covering projection
+    * of lineitem, SORTED by ship date — shared by q113 and the spec. */
+  private[graft] def buildLineitemProj(spark: SparkSession, dir: String,
+                                       projPath: String): Unit =
+    t(spark, dir, "lineitem")
+      .select(col("l_shipdate"), col("l_returnflag"), col("l_quantity"))
+      .sort(col("l_shipdate"))
+      .write.parquet(projPath)
+
+  private[graft] def registerLineitemProj(spark: SparkSession,
+                                          projPath: String): Unit =
+    graft.plans.ProjectionCatalog.register(graft.plans.ProjectionCatalog.ProjDef(
+      basePathSuffix = "lineitem.parquet",
+      cols = Set("l_shipdate", "l_returnflag", "l_quantity"),
+      proj = spark.read.parquet(projPath).queryExecution.analyzed))
+
+  /** Q113 — the COVERING PROJECTION under the oracle: a narrow copy of
+    * lineitem (3 of its 11 columns), re-SORTED by ship date, registers in
+    * [[graft.plans.ProjectionCatalog]]; the scored query filters a
+    * ship-date year and aggregates per flag over the BASE table, and
+    * [[graft.plans.ProjectionRewrite]] must serve the scan from the
+    * projection instead — require'd to read the projection, never the
+    * base, WITH the date range pushed into the projection scan
+    * (PushedFilters gate). Unlike the MV family this collapses nothing:
+    * the projection keeps the exact row multiset, so the swap is sound
+    * for any consumer; the win is physical — fewer bytes per row, and
+    * the re-sort clusters the filter key so parquet min/max row-group
+    * stats skip everything outside the year. At 100 TB this is the
+    * columnar warehouse's covering index: the hot predicate path reads a
+    * narrow sorted copy, not the 11-column ingest-ordered corpus. The
+    * oracle aggregates the base table in DuckDB. */
+  def q113CoveringProj(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q113_").toFile
+    try {
+      val projPath = new java.io.File(tmp, "lineitem_proj").getAbsolutePath
+      buildLineitemProj(spark, dir, projPath)
+      registerLineitemProj(spark, projPath)
+      try {
+        val res = t(spark, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+                  col("l_shipdate") <  lit("1997-01-01").cast(TimestampType))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("n_items"))
+        val plan = res.queryExecution.executedPlan.toString
+        require(plan.contains("lineitem_proj"),
+          s"q113 must be served from the covering projection:\n$plan")
+        require(!plan.contains("lineitem.parquet"),
+          s"q113 must not touch the base table:\n$plan")
+        require(plan.contains("GreaterThanOrEqual(l_shipdate"),
+          s"q113's date range must be pushed into the projection scan:\n$plan")
+        graft.util.Materialize.sorted(res, col("l_returnflag"))
+      } finally graft.plans.ProjectionCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  val q113Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- Q86: schema evolution (mergeSchema scan), scored ------------------
 
   /** Q86 — SCHEMA EVOLUTION under the oracle: a table whose early files

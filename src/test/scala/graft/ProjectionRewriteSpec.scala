@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.ProjectionCatalog
+
+/** Soundness gates for the covering-projection rewrite: the scan swap
+  * must fire on exactly the covered shapes and leave everything else
+  * untouched (q113 scores the positive path against the DuckDB oracle;
+  * these pin the refusals and the exact row-multiset contract).
+  */
+class ProjectionRewriteSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def qtyCents = round(col("l_quantity") * 100).cast("long")
+  private def yr96 =
+    col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+      col("l_shipdate") < lit("1997-01-01").cast(TimestampType)
+
+  private def withProj(f: => Unit): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_projspec_").toFile
+    try {
+      val projPath = new java.io.File(tmp, "lineitem_proj").getAbsolutePath
+      // the shared build/registration path q113 also uses
+      graft.queries.Extended.buildLineitemProj(spark, sf, projPath)
+      graft.queries.Extended.registerLineitemProj(spark, projPath)
+      try f finally ProjectionCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  test("a covered scan is served from the projection, row-multiset exact") {
+    withProj {
+      val li = Tables.t(spark, sf, "lineitem")
+      // a NON-aggregate consumer: the projection preserves the exact row
+      // multiset, so raw rows must come back identical
+      def rows = li.filter(yr96)
+        .select(col("l_shipdate"), col("l_returnflag"), col("l_quantity"))
+        .orderBy(col("l_shipdate"), col("l_returnflag"), col("l_quantity"))
+      val viaProj = rows
+      val plan = viaProj.queryExecution.executedPlan.toString
+      assert(plan.contains("lineitem_proj") && !plan.contains("lineitem.parquet"))
+      val got = viaProj.collect().toSeq
+      ProjectionCatalog.clear()
+      assert(got == rows.collect().toSeq && got.nonEmpty)
+    }
+  }
+
+  test("an uncovered column blocks the swap (projection is missing it)") {
+    withProj {
+      val li = Tables.t(spark, sf, "lineitem")
+      val priced = li.filter(yr96)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("s"))
+      assert(!priced.queryExecution.executedPlan.toString.contains("lineitem_proj"),
+        "a measure over an uncovered column must read the base table")
+      val filtered = li.filter(col("l_partkey") > 100 && yr96)
+        .groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s"))
+      assert(!filtered.queryExecution.executedPlan.toString.contains("lineitem_proj"),
+        "a predicate on an uncovered column must read the base table")
+    }
+  }
+
+  test("a multi-root scan never matches; the narrowest covering projection wins") {
+    withProj {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_projspec2_").toFile
+      try {
+        // multi-root: extra roots carry rows the projection never stored
+        val extra = new java.io.File(tmp, "extra.parquet").getAbsolutePath
+        Tables.t(spark, sf, "lineitem").limit(10).write.parquet(extra)
+        val multi = spark.read.parquet(s"$sf/lineitem.parquet", extra)
+          .filter(yr96).groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s"))
+        assert(!multi.queryExecution.executedPlan.toString.contains("lineitem_proj"))
+        // a second, NARROWER projection covering the same query must win
+        val narrow = new java.io.File(tmp, "lineitem_proj_narrow").getAbsolutePath
+        Tables.t(spark, sf, "lineitem")
+          .select(col("l_shipdate"), col("l_returnflag"))
+          .sort(col("l_shipdate")).write.parquet(narrow)
+        ProjectionCatalog.register(ProjectionCatalog.ProjDef(
+          "lineitem.parquet", Set("l_shipdate", "l_returnflag"),
+          spark.read.parquet(narrow).queryExecution.analyzed))
+        val counted = Tables.t(spark, sf, "lineitem").filter(yr96)
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        val plan = counted.queryExecution.executedPlan.toString
+        assert(plan.contains("lineitem_proj_narrow"),
+          s"the narrowest sufficient projection must be chosen:\n$plan")
+        val got = counted.orderBy(col("l_returnflag")).collect().toSeq
+        ProjectionCatalog.clear()
+        assert(got == Tables.t(spark, sf, "lineitem").filter(yr96)
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag")).collect().toSeq && got.nonEmpty)
+      } finally graft.util.Fs.deleteTree(tmp)
+    }
+  }
+
+  test("projection and MV compose: the MV answers the aggregate it covers, the projection the rest") {
+    withProj {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_projmv_").toFile
+      try {
+        val mvPath = new java.io.File(tmp, "lineitem_mv").getAbsolutePath
+        graft.queries.Extended.buildLineitemMv(spark, sf, mvPath)
+        graft.queries.Extended.registerLineitemMv(spark, sf, mvPath)
+        try {
+          // grain aggregate, no filter: the MV wins (it runs first and
+          // removes the base scan the projection would have matched)
+          val grain = Tables.t(spark, sf, "lineitem")
+            .groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s"))
+          assert(grain.queryExecution.executedPlan.toString.contains("lineitem_mv"))
+          // a within-group (non-grain) filter refuses the MV but its
+          // columns are covered: the projection serves it
+          val windowed = Tables.t(spark, sf, "lineitem").filter(yr96)
+            .groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s"))
+          val plan = windowed.queryExecution.executedPlan.toString
+          assert(!plan.contains("lineitem_mv") && plan.contains("lineitem_proj"),
+            s"the projection must catch what the MV refuses:\n$plan")
+          val got = windowed.orderBy(col("l_returnflag")).collect().toSeq
+          graft.plans.MvCatalog.clear(); ProjectionCatalog.clear()
+          assert(got == Tables.t(spark, sf, "lineitem").filter(yr96)
+            .groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s"))
+            .orderBy(col("l_returnflag")).collect().toSeq && got.nonEmpty)
+        } finally graft.plans.MvCatalog.clear()
+      } finally graft.util.Fs.deleteTree(tmp)
+    }
+  }
+
+  test("empty registry is a strict no-op") {
+    val plan = Tables.t(spark, sf, "lineitem").filter(yr96)
+      .groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("lineitem_proj"))
+  }
+}
