@@ -37,6 +37,15 @@ object ProjectionCatalog {
   @volatile private var defs: Seq[ProjDef] = Nil
   def register(d: ProjDef): Unit = synchronized {
     require(d.cols.nonEmpty, "a covering projection needs at least one column")
+    // the rewrite's idempotence precondition, enforced rather than
+    // assumed: a projection whose own path matched the base suffix
+    // would re-match its own substitution on every fixed-point
+    // iteration (fresh exprIds each time — the optimizer batch would
+    // never converge)
+    require(!d.proj.exists {
+      case lr: LogicalRelation => MvRewrite.relMatches(lr, d.basePathSuffix)
+      case _ => false
+    }, "the projection's own path must not match the base suffix")
     defs = defs :+ d
   }
   def clear(): Unit = synchronized { defs = Nil }
@@ -56,36 +65,51 @@ object ProjectionCatalog {
   * Soundness conditions (anything else is left untouched):
   *   - the scan is the registered base relation (single root path, same
   *     discipline as [[MvRewrite.relMatches]]);
-  *   - every column the consuming Project/Filter needs is covered. The
-  *     matcher handles the post-pushdown shapes `Project(lr)`,
-  *     `Project(Filter(lr))`, and `Filter(lr)` — for a bare Filter the
-  *     full relation output must be covered, since any parent column
-  *     use is invisible from the Filter node;
+  *   - a Project sits DIRECTLY above the scan (optionally over a pushed
+  *     Filter) — the shapes column pruning always leaves — and every
+  *     column it (and the Filter) needs is covered. A bare
+  *     `Filter(relation)` with no enclosing Project is NOT swapped:
+  *     parent column use is invisible from the Filter node, and a
+  *     full-coverage swap there would also preempt a narrower
+  *     projection the enclosing Project could have chosen;
+  *   - the consuming Project/Filter expressions are deterministic and
+  *     carry no file-identity introspection (`input_file_name()` and
+  *     the block variants observe WHICH files are read; everything else
+  *     sees the identical row multiset — the same visibility caveat
+  *     Spark's own cache and compaction already carry);
   *   - the substitution preserves the original attribute identities
   *     (each needed base attribute is re-aliased from the projection's
   *     same-named column under its ORIGINAL exprId, type, and
   *     nullability), so parents never notice.
   *
-  * When several registered projections cover the query, the one with
-  * the fewest columns wins — the narrowest copy is the smallest scan.
-  * Idempotent: the projection's own path never matches the base suffix,
-  * and a swapped subtree no longer contains the base relation.
+  * Among the registered projections that cover the query, candidates
+  * are tried narrowest-first and the first whose columns alias cleanly
+  * wins — the narrowest copy is the smallest scan, and a mis-registered
+  * candidate (name/type mismatch vs its own parquet) falls through to
+  * the next rather than aborting the swap. Idempotent: registration
+  * rejects a projection whose own path matches the base suffix, and a
+  * swapped subtree no longer contains the base relation.
   */
 object ProjectionRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (ProjectionCatalog.all.isEmpty) plan
     else plan.transformUp {
-      case p @ Project(list, lr: LogicalRelation) =>
+      case p @ Project(list, lr: LogicalRelation) if admissible(list) =>
         swap(lr, p.references).map(s => Project(list, s)).getOrElse(p)
-      case p @ Project(list, f @ Filter(c, lr: LogicalRelation)) =>
+      case p @ Project(list, f @ Filter(c, lr: LogicalRelation))
+          if admissible(list) && admissible(Seq(c)) =>
         swap(lr, p.references ++ f.references)
           .map(s => Project(list, Filter(c, s))).getOrElse(p)
-      case f @ Filter(c, lr: LogicalRelation) =>
-        // a bare Filter's parent may read ANY relation column — require
-        // full coverage of the relation output
-        swap(lr, AttributeSet(lr.output)).map(s => Filter(c, s)).getOrElse(f)
     }
+
+  /** Deterministic and free of file-identity introspection — the two
+    * expression classes that could observe the physical swap. */
+  private def admissible(es: Seq[Expression]): Boolean =
+    es.forall(e => e.deterministic && !e.exists {
+      case _: InputFileName | _: InputFileBlockStart | _: InputFileBlockLength => true
+      case _ => false
+    })
 
   /** A fresh-exprId instance of the projection plan (one projection can
     * serve several branches of one query). */
@@ -94,29 +118,32 @@ object ProjectionRewrite extends Rule[LogicalPlan] {
     case other => other
   }
 
-  /** Replace `lr` by a Project over the narrowest registered covering
-    * projection that carries every needed column, re-aliasing each
-    * needed attribute under its original exprId/type/nullability. */
+  /** Replace `lr` by a Project over a registered covering projection
+    * that carries every needed column, re-aliasing each needed attribute
+    * under its original exprId/type/nullability. Candidates are tried
+    * narrowest-first; one whose parquet schema fails the name/type check
+    * falls through to the next rather than aborting the swap. */
   private def swap(lr: LogicalRelation, needed: AttributeSet): Option[LogicalPlan] = {
     val neededAttrs = lr.output.filter(needed.contains)
     val candidates = ProjectionCatalog.all.filter { d =>
       MvRewrite.relMatches(lr, d.basePathSuffix) &&
         neededAttrs.forall(a => d.cols.exists(_.equalsIgnoreCase(a.name)))
+    }.sortBy(_.cols.size)
+    def tryOne(d: ProjectionCatalog.ProjDef): Option[LogicalPlan] = {
+      val scan = fresh(d.proj)
+      val byName = scan.output
+        .map(a => a.name.toLowerCase(Locale.ROOT) -> a).toMap
+      val aliased: Seq[Option[NamedExpression]] = neededAttrs.map { a =>
+        byName.get(a.name.toLowerCase(Locale.ROOT))
+          .filter(p => p.dataType == a.dataType)
+          .map { p =>
+            val e: Expression = if (!a.nullable && p.nullable) KnownNotNull(p) else p
+            Alias(e, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+          }
+      }
+      if (aliased.exists(_.isEmpty)) None
+      else Some(Project(aliased.map(_.get), scan))
     }
-    if (candidates.isEmpty) return None
-    val d = candidates.minBy(_.cols.size)
-    val scan = fresh(d.proj)
-    val byName = scan.output
-      .map(a => a.name.toLowerCase(Locale.ROOT) -> a).toMap
-    val aliased: Seq[Option[NamedExpression]] = neededAttrs.map { a =>
-      byName.get(a.name.toLowerCase(Locale.ROOT))
-        .filter(p => p.dataType == a.dataType)
-        .map { p =>
-          val e: Expression = if (!a.nullable && p.nullable) KnownNotNull(p) else p
-          Alias(e, a.name)(exprId = a.exprId, qualifier = a.qualifier)
-        }
-    }
-    if (aliased.exists(_.isEmpty)) None
-    else Some(Project(aliased.map(_.get), scan))
+    candidates.view.flatMap(tryOne).headOption
   }
 }

@@ -124,6 +124,56 @@ class ProjectionRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("file-identity consumers refuse; a base-suffix-named projection is rejected at register") {
+    withProj {
+      // input_file_name observes WHICH files are read — the one thing
+      // the physical swap changes; the consumer must keep the base scan
+      val files = Tables.t(spark, sf, "lineitem").filter(yr96)
+        .select(col("l_returnflag"), input_file_name().as("f"))
+      assert(!files.queryExecution.executedPlan.toString.contains("lineitem_proj"),
+        "a file-identity consumer must read the base table")
+      // a projection whose own path matches the base suffix would
+      // re-match its own substitution forever — rejected up front
+      val tmp = java.nio.file.Files.createTempDirectory("graft_projbad_").toFile
+      try {
+        val bad = new java.io.File(tmp, "lineitem.parquet").getAbsolutePath
+        Tables.t(spark, sf, "lineitem").select(col("l_returnflag")).write.parquet(bad)
+        intercept[IllegalArgumentException] {
+          ProjectionCatalog.register(ProjectionCatalog.ProjDef(
+            "lineitem.parquet", Set("l_returnflag"),
+            spark.read.parquet(bad).queryExecution.analyzed))
+        }
+      } finally graft.util.Fs.deleteTree(tmp)
+    }
+  }
+
+  test("a mis-registered narrower candidate falls through to the valid wider one") {
+    withProj {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_projfall_").toFile
+      try {
+        // narrower candidate whose DECLARED cols don't exist in its own
+        // parquet (schema drift) — must fall through, not abort
+        val drifted = new java.io.File(tmp, "lineitem_proj_drift").getAbsolutePath
+        Tables.t(spark, sf, "lineitem")
+          .select(col("l_shipdate").as("ship_ts"), col("l_returnflag").as("flag"))
+          .write.parquet(drifted)
+        ProjectionCatalog.register(ProjectionCatalog.ProjDef(
+          "lineitem.parquet", Set("l_shipdate", "l_returnflag"),
+          spark.read.parquet(drifted).queryExecution.analyzed))
+        val counted = Tables.t(spark, sf, "lineitem").filter(yr96)
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        val plan = counted.queryExecution.executedPlan.toString
+        assert(plan.contains("lineitem_proj") && !plan.contains("lineitem_proj_drift"),
+          s"the drifted candidate must fall through to the valid projection:\n$plan")
+        val got = counted.orderBy(col("l_returnflag")).collect().toSeq
+        ProjectionCatalog.clear()
+        assert(got == Tables.t(spark, sf, "lineitem").filter(yr96)
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag")).collect().toSeq && got.nonEmpty)
+      } finally graft.util.Fs.deleteTree(tmp)
+    }
+  }
+
   test("empty registry is a strict no-op") {
     val plan = Tables.t(spark, sf, "lineitem").filter(yr96)
       .groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s"))
