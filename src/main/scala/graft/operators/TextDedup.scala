@@ -107,11 +107,14 @@ object TextDedup {
     val hashed = docs.select(col("doc_id"), col("text"), sha2(col("text"), 256).as("h"))
     val reps = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("rep_id"))
     // read by both expansion sides + intra: materialize once (same
-    // reasoning as minhashNearDups.members / the shingle table below)
+    // reasoning as minhashNearDups.members / the shingle table below).
+    // reps is O(distinct content) — never hint-broadcast; AQE converts the
+    // shuffle join to a broadcast at runtime when the frame is actually
+    // small, and degrades to a plain shuffle join at corpus scale.
     val members = hashed.select(col("doc_id"), col("h"))
-      .join(broadcast(reps), "h").select(col("doc_id"), col("rep_id"))
+      .join(reps, "h").select(col("doc_id"), col("rep_id"))
       .localCheckpoint(true)
-    val repDocs = hashed.join(broadcast(reps), hashed("doc_id") === reps("rep_id"))
+    val repDocs = hashed.join(reps, hashed("doc_id") === reps("rep_id"))
       .select(col("doc_id"), col("text"))
     // the distinct shingle table feeds three consumers (sizes + both join
     // sides): materialize once, same reasoning as minhashNearDups.members
@@ -124,12 +127,14 @@ object TextDedup {
           .filter(col("ra") < col("rb"))
           .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("c"))
       case Some(cap) =>
-        // stop-shingle path: the hot-shingle set is small by definition of
-        // the cap → broadcast anti-join prunes postings before the
-        // quadratic join; exact re-verify restores true intersections
+        // stop-shingle path: the hot-shingle set is at most |postings|/cap
+        // rows — usually the tiny zipf head, but not BOUNDED, so the
+        // anti-join carries no broadcast hint either (AQE broadcasts it at
+        // runtime when it is in fact small); exact re-verify over full
+        // posting lists restores true intersections
         val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select(col("shingle"))
-        val cold = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+        val cold = sh.join(hot, Seq("shingle"), "left_anti")
         val cand = cold.select(col("shingle"), col("doc_id").as("ra"))
           .join(cold.select(col("shingle"), col("doc_id").as("rb")), "shingle")
           .filter(col("ra") < col("rb"))
@@ -138,14 +143,18 @@ object TextDedup {
           .join(sh.select(col("doc_id").as("rb"), col("shingle")), Seq("rb", "shingle"))
           .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("c"))
     }
+    // sizes is O(distinct docs) and repPairs is O(near-dup pairs): both are
+    // unbounded at corpus scale (a 100 TB crawl has 1e8–1e9 true near-dup
+    // pairs, past any executor broadcast limit), so none of these joins is
+    // hint-broadcast — AQE upgrades them at runtime when genuinely small
     val repPairs = inter
-      .join(broadcast(sizes.select(col("doc_id").as("ra"), col("nsh").as("na"))), "ra")
-      .join(broadcast(sizes.select(col("doc_id").as("rb"), col("nsh").as("nb"))), "rb")
+      .join(sizes.select(col("doc_id").as("ra"), col("nsh").as("na")), "ra")
+      .join(sizes.select(col("doc_id").as("rb"), col("nsh").as("nb")), "rb")
       .withColumn("jacc", col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
       .filter(col("jacc") >= threshold)
       .select(col("ra"), col("rb"), col("jacc"))
     val cross = members.select(col("doc_id").as("da"), col("rep_id").as("ra"))
-      .join(broadcast(repPairs), "ra")
+      .join(repPairs, "ra")
       .join(members.select(col("doc_id").as("db"), col("rep_id").as("rb")), "rb")
       .select(least(col("da"), col("db")).as("a_id"),
               greatest(col("da"), col("db")).as("b_id"), col("jacc"))
@@ -178,10 +187,13 @@ object TextDedup {
                        maxShingleDf: Option[Long] = None): DataFrame = {
     val hashed = docs.select(col("doc_id"), col("text"), sha2(col("text"), 256).as("h"))
     val reps = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("rep_id"))
+    // reps/sizes/repPairs are O(distinct docs) / O(near-dup pairs): no
+    // broadcast hints anywhere on them (same discipline as
+    // [[ngramJaccardPairs]]) — AQE upgrades at runtime when actually small
     val members = hashed.select(col("doc_id"), col("h"))
-      .join(broadcast(reps), "h").select(col("doc_id"), col("rep_id"))
+      .join(reps, "h").select(col("doc_id"), col("rep_id"))
       .localCheckpoint(true)
-    val repDocs = hashed.join(broadcast(reps), hashed("doc_id") === reps("rep_id"))
+    val repDocs = hashed.join(reps, hashed("doc_id") === reps("rep_id"))
       .select(col("doc_id"), col("text"))
     val sh = shingles(repDocs, n).localCheckpoint(true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
@@ -194,7 +206,7 @@ object TextDedup {
       case Some(cap) =>
         val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select(col("shingle"))
-        val cold = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+        val cold = sh.join(hot, Seq("shingle"), "left_anti")
         val cand = cold.select(col("shingle"), col("doc_id").as("ra"))
           .join(cold.select(col("shingle"), col("doc_id").as("rb")), "shingle")
           .filter(col("ra") < col("rb"))
@@ -204,15 +216,15 @@ object TextDedup {
           .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("c"))
     }
     val both = interHalf
-      .join(broadcast(sizes.select(col("doc_id").as("ra"), col("nsh").as("na"))), "ra")
-      .join(broadcast(sizes.select(col("doc_id").as("rb"), col("nsh").as("nb"))), "rb")
+      .join(sizes.select(col("doc_id").as("ra"), col("nsh").as("na")), "ra")
+      .join(sizes.select(col("doc_id").as("rb"), col("nsh").as("nb")), "rb")
     val repPairs = both
       .select(col("ra"), col("rb"), (col("c").cast(DoubleType) / col("na")).as("cont"))
       .unionByName(both.select(col("rb").as("ra"), col("ra").as("rb"),
         (col("c").cast(DoubleType) / col("nb")).as("cont")))
       .filter(col("cont") >= threshold)
     val cross = members.select(col("doc_id").as("a_id"), col("rep_id").as("ra"))
-      .join(broadcast(repPairs), "ra")
+      .join(repPairs, "ra")
       .join(members.select(col("doc_id").as("b_id"), col("rep_id").as("rb")), "rb")
       .select(col("a_id"), col("b_id"), col("cont"))
     val intra = members.select(col("doc_id").as("a_id"), col("rep_id"))
@@ -307,10 +319,11 @@ object TextDedup {
     * verify-after-dedup at sf0.1. */
   /** One representative signature (+ bitmask) per distinct token set. */
   private def repSignatures(docs: DataFrame, groups: DataFrame): DataFrame = {
+    // repDocs is O(distinct content) — plain join, AQE decides broadcast
     val repDocs = docs.join(
       groups.select(col("rep"), col("mask")), docs("doc_id") === col("rep"))
     minhashSignatures(repDocs.select(col("doc_id"), col("text")))
-      .join(broadcast(repDocs.select(col("doc_id"), col("mask"))), "doc_id")
+      .join(repDocs.select(col("doc_id"), col("mask")), "doc_id")
   }
 
   /** Band self-join + in-join exact verification over rep signatures that
@@ -323,6 +336,8 @@ object TextDedup {
     // both sides of the self-join read the banded table: materialize once,
     // or the signature pipeline upstream executes once per side
     val bands = bandKeys(sigsWithMask, Seq("mask")).localCheckpoint(true)
+    // probeMasks is bounded by the incremental contract (distinct masks of
+    // ONE new batch, never corpus-sized) — the only hinted broadcast here
     val lBands = probeMasks.fold(bands)(pm => bands.join(broadcast(pm), "mask"))
     val l = lBands.select(col("key"), col("doc_id").as("a_id"), col("mask").as("a_mask"))
     val r = bands.select(col("key"), col("doc_id").as("b_id"), col("mask").as("b_mask"))
@@ -337,10 +352,13 @@ object TextDedup {
   }
 
   /** Expand verified rep-level pairs back to doc-level pairs via the
-    * member table (doc_id, mask). */
+    * member table (doc_id, mask). repPairs is O(near-dup pairs) — the
+    * answer itself — so it never carries a broadcast hint: at crawl scale
+    * it is 1e8+ rows, far past executor broadcast limits. AQE broadcasts
+    * it at runtime when it measures small. */
   private def expandCross(members: DataFrame, repPairs: DataFrame): DataFrame =
     members.select(col("doc_id").as("da"), col("mask").as("a_mask"))
-      .join(broadcast(repPairs), "a_mask")
+      .join(repPairs, "a_mask")
       .join(members.select(col("doc_id").as("db"), col("mask").as("b_mask")), "b_mask")
       .select(least(col("da"), col("db")).as("a_id"),
               greatest(col("da"), col("db")).as("b_id"), col("jacc"))
@@ -383,10 +401,12 @@ object TextDedup {
   def minhashNearDupsUnbounded(docs: DataFrame, threshold: Double): DataFrame = {
     val (members, groups, verified) = unboundedRepPairs(docs, threshold)
     // rep pair -> setid pair -> doc-level expansion (+ intra jacc=1 pairs).
-    // The rep→setid lookups and the expansion's member joins are SHUFFLE
-    // joins on purpose: groups/members are O(distinct corpus) — at the
-    // 100 TB scale this operator exists for, they are not broadcast-small.
-    // Only the verified pair set (the answer at rep level) broadcasts.
+    // EVERY join here is a plain (shuffle) join: groups/members are
+    // O(distinct corpus) and the verified pair set is O(near-dup pairs) —
+    // at the 100 TB scale this operator exists for, NONE of them is
+    // broadcast-small (a crawl's true near-dup pair set alone is 1e8–1e9
+    // rows). AQE converts any of these joins to a broadcast at runtime
+    // when the measured side is small, so test scale loses nothing.
     val m = members.select(col("doc_id"), col("setid"))
     val g = groups.select(col("rep"), col("setid"))
     val repPairs = verified
@@ -394,7 +414,7 @@ object TextDedup {
       .join(g.select(col("rep").as("rb"), col("setid").as("b_set")), "rb")
       .select(col("a_set"), col("b_set"), col("jacc"))
     val cross = m.select(col("doc_id").as("da"), col("setid").as("a_set"))
-      .join(broadcast(repPairs), "a_set")
+      .join(repPairs, "a_set")
       .join(m.select(col("doc_id").as("db"), col("setid").as("b_set")), "b_set")
       .select(least(col("da"), col("db")).as("a_id"),
               greatest(col("da"), col("db")).as("b_id"), col("jacc"))
@@ -582,15 +602,15 @@ object TextDedup {
     val groups = members.groupBy(col("mask"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("grp_n"))
       .localCheckpoint(true)
-    // verified (a_mask, b_mask) pairs are the TRUE near-dup rep pairs — a
-    // small frame — so they broadcast into the mask→rep mapping joins;
-    // materialized once: several downstream actions would otherwise each
-    // re-run the whole signature+banding pipeline
+    // verified (a_mask, b_mask) pairs are the TRUE near-dup rep pairs —
+    // O(near-dup pairs), unbounded at corpus scale, so no broadcast hint
+    // (AQE decides at runtime); materialized once: several downstream
+    // actions would otherwise each re-run the signature+banding pipeline
     val verified = minhashVerifiedRepPairs(repSignatures(docs, groups), threshold)
       .localCheckpoint(true)
     val m = groups.select(col("rep"), col("mask"))
     val repPairs = m.select(col("mask").as("a_mask"), col("rep").as("ra"))
-      .join(broadcast(verified), "a_mask")
+      .join(verified, "a_mask")
       .join(m.select(col("mask").as("b_mask"), col("rep").as("rb")), "b_mask")
       .select(least(col("ra"), col("rb")).as("a_id"),
               greatest(col("ra"), col("rb")).as("b_id"))
@@ -655,6 +675,8 @@ object TextDedup {
                                  threshold: Double): DataFrame = {
     val all = existingDocs.select(col("doc_id"), col("text"))
       .unionByName(newDocs.select(col("doc_id"), col("text")))
+    // newIds is batch-bounded (the incremental contract: one ingest batch,
+    // never corpus-sized), so its broadcasts below are legitimate hints
     val newIds = newDocs.select(col("doc_id"))
     val members = tokenMasks(all).select(col("doc_id"), col("mask")).localCheckpoint(true)
     val newMembers = members.join(broadcast(newIds), "doc_id")
@@ -758,8 +780,10 @@ object TextDedup {
       .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast(LongType))
       .filter(col("hamming") <= maxDist)
       .select(col("a_sh"), col("b_sh"), col("hamming")).distinct()
+    // sigPairs is O(near-dup signature pairs) — same no-hint discipline as
+    // the MinHash family; AQE broadcasts at runtime when actually small
     val cross = sig.select(col("doc_id").as("da"), col("simhash").as("a_sh"))
-      .join(broadcast(sigPairs), "a_sh")
+      .join(sigPairs, "a_sh")
       .join(sig.select(col("doc_id").as("db"), col("simhash").as("b_sh")), "b_sh")
       .select(least(col("da"), col("db")).as("a_id"),
               greatest(col("da"), col("db")).as("b_id"), col("hamming"))

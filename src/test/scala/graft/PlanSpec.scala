@@ -349,6 +349,41 @@ class PlanSpec extends AnyFunSuite {
       s"no corpus-wide exchange on the shingle string key:\n$plan")
   }
 
+  test("LSH family: no hard-coded broadcast on pair-shaped or corpus-sized frames") {
+    // The 100 TB law. Verified near-dup pairs are O(true pairs) — 1e8–1e9
+    // rows on a crawl — and rep/size/member maps are O(distinct docs):
+    // neither may carry a broadcast HINT (hints override every size check).
+    // With both broadcast thresholds forced to -1, any surviving
+    // BroadcastExchange in the plan can only come from a hint — so the law
+    // is: zero. At real run time AQE's size-measured conversion still
+    // broadcasts these joins when the frames are genuinely small, which is
+    // the intended size-gated behavior.
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+                   "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    keys.foreach(conf.set(_, "-1"))
+    try {
+      val d = Tables.t(spark, sf, "documents").filter(col("doc_id") < 120)
+      val frames = Seq(
+        "minhashNearDupsUnbounded" -> graft.operators.TextDedup.minhashNearDupsUnbounded(d, 0.8),
+        "minhashNearDups"          -> graft.operators.TextDedup.minhashNearDups(d, 0.8),
+        "ngramJaccardPairs"        -> graft.operators.TextDedup.ngramJaccardPairs(d, 3, 0.8),
+        "ngramJaccardPairs(cap)"   -> graft.operators.TextDedup.ngramJaccardPairs(d, 3, 0.8, Some(4L)),
+        "containmentPairs"         -> graft.operators.TextDedup.containmentPairs(d, 5, 0.9),
+        "simhashNearDups"          -> graft.operators.TextDedup.simhashNearDups(d, 3))
+      for ((name, df) <- frames) {
+        val plan = planOf(df)
+        assert(!plan.contains("BroadcastExchange"),
+          s"$name must not hint-broadcast any unbounded frame:\n$plan")
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("q68: corpus-sized steps are hash aggs; the only window is post-aggregation, never per-user") {
     val plan = planOf(graft.queries.EventTime.q68RunningDistinct(spark, sf))
     assert("HashAggregate".r.findAllIn(plan).size >= 4, // 2 aggs × partial+final
