@@ -31,7 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.LatestWinsRewrite)
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
-    ext.injectOptimizerRule(_ => graft.plans.ProjectionRewrite)
+    // pre-CBO (a later batch, once): the physical-copy swap must never
+    // preempt an MV rewrite that only becomes matchable on a later pass
+    // of the shared operator fixpoint — see ProjectionRewrite's scaladoc
+    ext.injectPreCBORule(_ => graft.plans.ProjectionRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_units"),

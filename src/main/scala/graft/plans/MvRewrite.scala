@@ -149,6 +149,18 @@ object MvCatalog {
       "baseJoin suffixes must be distinct (a self-join view cannot match)")
     require(d.baseJoin.forall(_.keyPairs.nonEmpty),
       "baseJoin needs at least one equi-key pair")
+    // the rewrite's idempotence precondition, enforced rather than
+    // assumed (mirroring ProjectionCatalog.register): an MV whose own
+    // plan scans any registered base suffix would re-match its own
+    // substitution on every fixpoint iteration with fresh exprIds —
+    // the optimizer batch would never converge
+    val suffixes = (d.basePathSuffix +:
+      (d.baseJoin.map(_.suffixes).getOrElse(Nil) ++
+       d.baseUnion.getOrElse(Nil))).filter(_.nonEmpty)
+    require(!d.mv.exists {
+      case lr: LogicalRelation => suffixes.exists(s => MvRewrite.relMatches(lr, s))
+      case _ => false
+    }, "the MV's own plan must not scan any registered base suffix")
     defs = defs :+ d
   }
   def clear(): Unit = synchronized { defs = Nil }
@@ -634,8 +646,11 @@ object MvRewrite extends Rule[LogicalPlan] {
             }
           case _ => None
         }
-      case AggregateExpression(Sum(child, _), _, false, None, _)
-          if exactSum(child.dataType) =>
+      case AggregateExpression(s @ Sum(child, _), _, false, None, _)
+          if s.evalContext.evalMode != EvalMode.TRY && exactSum(child.dataType) =>
+        // try_sum refuses (mirroring the Average guard): on overflow TRY
+        // returns NULL while a rebuilt session-mode Sum wraps (LEGACY) or
+        // throws (ANSI) — not bit-faithful to the original
         matchMeasure(d, resolveM(child)).flatMap(attr).map(m => reAggE(Sum(m), ae))
       case AggregateExpression(Min(child), _, false, None, _) =>
         // min-of-mins: a semilattice, sound for any orderable type
@@ -708,7 +723,12 @@ object MvRewrite extends Rule[LogicalPlan] {
     def attrs(a: AttributeReference): Option[Expression] =
       resolve(a) match {
         case b: AttributeReference if d.groupCols(b.name) =>
-          mvAttr(b.name).map(m => withNullability(m, a.nullable))
+          // type equality, consistent with the Expand path and
+          // ProjectionRewrite: a mis-registered MV whose stored grouping
+          // column re-types must refuse, never silently re-type the
+          // output attribute under its reused exprId
+          mvAttr(b.name).filter(_.dataType == b.dataType)
+            .map(m => withNullability(m, a.nullable))
         case _: AttributeReference => None // base column outside the grain
         case derived => rebindWith(attrs, aggs)(derived)
       }

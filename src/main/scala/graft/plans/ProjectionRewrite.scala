@@ -89,6 +89,19 @@ object ProjectionCatalog {
   * the next rather than aborting the swap. Idempotent: registration
   * rejects a projection whose own path matches the base suffix, and a
   * swapped subtree no longer contains the base relation.
+  *
+  * Batch placement: injected as a PRE-CBO rule (once, AFTER the operator
+  * optimization fixpoint that hosts [[MvRewrite]]), never into the shared
+  * fixpoint batch. In a shared batch a scan swap could land on an early
+  * pass while the aggregate above only becomes MV-matchable on a later
+  * one (CollapseProject folding post-agg arithmetic in), permanently
+  * preempting the far cheaper |grain|-row MV rewrite; running after the
+  * fixpoint has converged means the MV rule has exhausted its chances
+  * before any physical-copy swap — the projection then serves exactly
+  * what the MV refused. Rows are correct either way; this is plan-cost
+  * ordering. (Filter pushdown into the swapped scan is unaffected:
+  * PhysicalOperation collects the Project/Filter stack during physical
+  * planning, after this batch.)
   */
 object ProjectionRewrite extends Rule[LogicalPlan] {
 

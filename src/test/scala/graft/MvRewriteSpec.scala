@@ -42,6 +42,93 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("try_sum refuses (TRY eval mode is not bit-faithful to a rebuilt Sum)") {
+    withMv { _ =>
+      // on overflow try_sum returns NULL while a session-mode Sum wraps or
+      // throws — the rewrite must refuse TRY like it refuses try_avg
+      val li = Tables.t(spark, sf, "lineitem")
+      val q = li.groupBy(col("l_returnflag"))
+        .agg(expr("try_sum(cast(round(l_quantity * 100) as bigint))").as("s"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("lineitem_mv"),
+        s"try_sum must not be answered from the view:\n$plan")
+      // and the plain sum STILL rewrites in the same session (the guard
+      // must not over-refuse)
+      val ok = li.groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s"))
+      assert(ok.queryExecution.executedPlan.toString.contains("lineitem_mv"))
+    }
+  }
+
+  test("a re-typed stored grouping column refuses (flat-path type check)") {
+    // a mis-registered MV whose stored grain column's type drifted from
+    // the base must refuse, never silently re-type an output attribute
+    // under its reused exprId
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvtype_").toFile
+    try {
+      val drifted = new java.io.File(tmp, "lineitem_mv_drift").getAbsolutePath
+      Tables.t(spark, sf, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+        // type drift: the stored flag is a 1-char -> int cast
+        .withColumn("l_returnflag", ascii(col("l_returnflag")))
+        .write.parquet(drifted)
+      MvCatalog.register(MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        sumMeasures = graft.plans.MvCatalog
+          .measureExprs(Tables.t(spark, sf, "lineitem"), qtyCents)
+          .map(_ -> "sum_qty_cents"),
+        countCol = "cnt",
+        mv = spark.read.parquet(drifted).queryExecution.analyzed))
+      try {
+        val q = Tables.t(spark, sf, "lineitem")
+          .groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s"))
+        val plan = q.queryExecution.executedPlan.toString
+        assert(!plan.contains("lineitem_mv_drift"),
+          s"a type-drifted grain column must refuse the rewrite:\n$plan")
+      } finally MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  test("registration rejects an MV whose own plan scans a registered base suffix") {
+    // idempotence enforced at register (the ProjectionCatalog discipline):
+    // such a def would re-match its own substitution on every fixpoint pass
+    val li = Tables.t(spark, sf, "lineitem")
+    intercept[IllegalArgumentException] {
+      MvCatalog.register(MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("l_returnflag"),
+        sumMeasures = MvCatalog.measureExprs(li, qtyCents).map(_ -> "s"),
+        countCol = "cnt",
+        mv = li.queryExecution.analyzed)) // scans the base itself
+    }
+    MvCatalog.clear()
+  }
+
+  test("batch ordering: the MV wins over a covering projection for folded post-agg shapes") {
+    // ProjectionRewrite runs pre-CBO (after the operator fixpoint that
+    // hosts MvRewrite), so a shape that only becomes MV-matchable after
+    // CollapseProject folds post-agg arithmetic in can never be preempted
+    // by an earlier-pass scan swap
+    withMv { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mvord_").toFile
+      try {
+        val projPath = new java.io.File(tmp, "lineitem_proj").getAbsolutePath
+        graft.queries.Extended.buildLineitemProj(spark, sf, projPath)
+        graft.queries.Extended.registerLineitemProj(spark, projPath)
+        try {
+          val q = Tables.t(spark, sf, "lineitem")
+            .groupBy(upper(col("l_returnflag")).as("flag"))
+            .agg((sum(qtyCents) * 2).as("s2"),
+                 (count(lit(1)) + 1).as("n1"))
+          val plan = q.queryExecution.executedPlan.toString
+          assert(plan.contains("lineitem_mv") && !plan.contains("lineitem_proj"),
+            s"the |grain|-row MV must win over the physical copy:\n$plan")
+        } finally graft.plans.ProjectionCatalog.clear()
+      } finally graft.util.Fs.deleteTree(tmp)
+    }
+  }
+
   test("a multi-root scan containing the base path refuses (extra roots' rows are not in the view)") {
     withMv { _ =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_mvroot_").toFile
