@@ -735,6 +735,80 @@ object MvRewrite extends Rule[LogicalPlan] {
     rebindWith(attrs, aggs)(e)
   }
 
+  // ---- range subsumption (filtered-view containment) ---------------------
+
+  /** Literal-bounded RANGE shape: (tree, op, bound) with the literal
+    * normalized to the right. Only the four order comparisons — equality
+    * and IN are point shapes ([[pointShape]]). A Literal-vs-Literal
+    * comparison decomposes harmlessly (its "tree" is a literal that can
+    * only match another literal tree). */
+  private def rangeShape(e: Expression): Option[(Expression, String, Literal)] = e match {
+    case LessThan(t, l: Literal)           => Some((t, "<",  l))
+    case LessThanOrEqual(t, l: Literal)    => Some((t, "<=", l))
+    case GreaterThan(t, l: Literal)        => Some((t, ">",  l))
+    case GreaterThanOrEqual(t, l: Literal) => Some((t, ">=", l))
+    case LessThan(l: Literal, t)           => Some((t, ">",  l))
+    case LessThanOrEqual(l: Literal, t)    => Some((t, ">=", l))
+    case GreaterThan(l: Literal, t)        => Some((t, "<",  l))
+    case GreaterThanOrEqual(l: Literal, t) => Some((t, "<=", l))
+    case _ => None
+  }
+
+  /** Literal POINT-SET shape: `t = lit` or `t IN (lits…)`. (InSet — the
+    * optimizer's >10-element form — is not decomposed; such a conjunct
+    * simply never subsumes, a refusal, never an unsoundness.) */
+  private def pointShape(e: Expression): Option[(Expression, Seq[Literal])] = e match {
+    case EqualTo(t, l: Literal) => Some((t, Seq(l)))
+    case EqualTo(l: Literal, t) => Some((t, Seq(l)))
+    case In(t, list) if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+      Some((t, list.map(_.asInstanceOf[Literal])))
+    case _ => None
+  }
+
+  /** Literal-vs-literal comparison, TRUE only when provable: same
+    * non-null-valued dataType and the comparison evaluates true. */
+  private def litTrue(mk: (Expression, Expression) => Expression,
+                      a: Literal, b: Literal): Boolean =
+    a.value != null && b.value != null && a.dataType == b.dataType &&
+      mk(a, b).eval() == true
+
+  /** TRUE iff every row satisfying `query` provably satisfies `view` —
+    * literal range/point containment over the SAME tree (structural
+    * equality via [[sameMeasure]]). All admitted shapes are
+    * null-rejecting on the tree, so a query-passing row has a non-null
+    * tree value inside the view's range: the view stores every row the
+    * query admits. FALSE means "not proven", never "disjoint". */
+  private def subsumes(query: Expression, view: Expression): Boolean = {
+    def satisfies(p: Literal, vop: String, vl: Literal): Boolean = vop match {
+      case "<"  => litTrue(LessThan, p, vl)
+      case "<=" => litTrue(LessThanOrEqual, p, vl)
+      case ">"  => litTrue(LessThan, vl, p)
+      case ">=" => litTrue(LessThanOrEqual, vl, p)
+    }
+    (pointShape(view), rangeShape(view)) match {
+      case (Some((vt, vs)), _) =>
+        pointShape(query).exists { case (qt, qs) =>
+          sameMeasure(vt, qt) &&
+            qs.forall(q => vs.exists(v => litTrue(EqualTo, q, v)))
+        }
+      case (_, Some((vt, vop, vl))) =>
+        pointShape(query).exists { case (qt, qs) =>
+          sameMeasure(vt, qt) && qs.forall(satisfies(_, vop, vl))
+        } || rangeShape(query).exists { case (qt, qop, ql) =>
+          sameMeasure(vt, qt) && ((vop, qop) match {
+            case ("<=", "<=") | ("<=", "<") | ("<", "<")
+                => litTrue(LessThanOrEqual, ql, vl)
+            case ("<", "<=") => litTrue(LessThan, ql, vl)
+            case (">=", ">=") | (">=", ">") | (">", ">")
+                => litTrue(LessThanOrEqual, vl, ql)
+            case (">", ">=") => litTrue(LessThan, vl, ql)
+            case _ => false
+          })
+        }
+      case _ => false
+    }
+  }
+
   /** TRUE result of `pred` implies the attribute is non-null: the top
     * node is IsNotNull, a non-null-safe comparison, or IN, and the
     * attribute is one of its operands (possibly Cast-wrapped) — a null
@@ -761,8 +835,16 @@ object MvRewrite extends Rule[LogicalPlan] {
     * Three sound fates per conjunct (anything else refuses the rewrite):
     *   - ABSORBED: structurally equal to a conjunct baked into the
     *     view's definition — already applied at build time. Every
-    *     baked-in conjunct must be matched by the query, or the query
-    *     ranges over rows the view never stored and cannot rewrite;
+    *     baked-in conjunct must be matched by the query — EQUALLED or
+    *     SUBSUMED ([[subsumes]]: the query's literal range/point set is
+    *     strictly contained in the baked one, so the view stores every
+    *     row the query admits; the "this week over the this-month hot
+    *     slice" shape) — or the query ranges over rows the view never
+    *     stored and cannot rewrite. A merely-subsuming conjunct is NOT
+    *     absorbed: the view holds MORE rows than the query admits, so
+    *     the query's own tighter conjunct replays against the view —
+    *     which demands the filtered tree be a grain function, enforced
+    *     by the rebind exactly like any replayed filter;
     *   - IMPLIED: an `IsNotNull(c)` the remaining plan already
     *     guarantees — `c` is an inner-join key (null keys never joined
     *     into the view) or an operand of an absorbed null-intolerant
@@ -781,7 +863,15 @@ object MvRewrite extends Rule[LogicalPlan] {
       if (d.viewFilters.isEmpty) resolved.map(_ => Nil)
       else resolved.map(c =>
         d.viewFilters.indices.filter(i => d.viewFilters(i).exists(sameMeasure(_, c))))
-    if (d.viewFilters.indices.exists(i => !groupsOf.exists(_.contains(i))))
+    // coverage: every baked conjunct must be equalled or subsumed by
+    // some query conjunct (subsumption proves containment only — the
+    // subsuming conjunct itself stays in the replay set)
+    val covered: Set[Int] =
+      groupsOf.flatten.toSet ++ (
+        if (d.viewFilters.isEmpty) Set.empty[Int]
+        else d.viewFilters.indices.filter(i =>
+          resolved.exists(c => d.viewFilters(i).exists(v => subsumes(c, v)))))
+    if (d.viewFilters.indices.exists(i => !covered(i)))
       return None // the view is missing rows this query needs
     val (absorbedIdx, restIdx) =
       resolved.indices.partition(i => groupsOf(i).nonEmpty)

@@ -1397,6 +1397,74 @@ object Extended {
       |FROM lineitem WHERE l_discount <= 0.04 AND l_returnflag = 'R'
       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  // ---- Q114: RANGE-SUBSUMED filtered view, scored --------------------------
+
+  /** Build + register q114's filtered view: lineitem under the SAME baked
+    * `l_discount <= 0.04` conjunct as q108, but with the filtered column
+    * IN the grain — (l_linestatus, l_discount) — so a strictly tighter
+    * query range can replay against the view's group rows. */
+  private[graft] def buildRangeMv(spark: SparkSession, dir: String,
+                                  mvPath: String): Unit =
+    t(spark, dir, "lineitem").filter(lowDiscount)
+      .groupBy(col("l_linestatus"), col("l_discount"))
+      .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+      .write.parquet(mvPath)
+
+  private[graft] def registerRangeMv(spark: SparkSession, dir: String,
+                                     mvPath: String): Unit =
+    graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
+      basePathSuffix = "lineitem.parquet",
+      groupCols = Set("l_linestatus", "l_discount"),
+      sumMeasures = graft.plans.MvCatalog
+        .measureExprs(t(spark, dir, "lineitem"), qtyCents)
+        .map(_ -> "sum_qty_cents"),
+      countCol = "cnt",
+      mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+      viewFilters = Seq(graft.plans.MvCatalog
+        .measureExprs(t(spark, dir, "lineitem"), lowDiscount))))
+
+  /** Q114 — RANGE SUBSUMPTION over the filtered view, under the oracle:
+    * the view bakes `l_discount <= 0.04` and the scored query asks the
+    * STRICTLY TIGHTER `l_discount <= 0.03` — never spelled in the view.
+    * Conjunct-equality containment (q108) refuses this; the subsumption
+    * prover ([[graft.plans.MvRewrite]]) admits it because the query's
+    * literal range is contained in the baked one, then REPLAYS the
+    * query's own conjunct against the view — sound because the filtered
+    * column is part of the view's grain, so the tighter selection acts
+    * on whole group rows. The plan is require'd to scan only the view;
+    * the DuckDB oracle recomputes from the base. This is the everyday
+    * warehouse hit: a "this week" dashboard answered from the "this
+    * month" hot slice without a view per range. The refusal laws
+    * (overlapping-but-not-contained, different attribute, non-literal
+    * bound, non-grain filtered column) live in MvRewriteSpec. */
+  def q114MvRange(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q114_").toFile
+    try {
+      val mvPath = new java.io.File(tmp, "lineitem_mv_range").getAbsolutePath
+      buildRangeMv(spark, dir, mvPath)
+      registerRangeMv(spark, dir, mvPath)
+      try {
+        val res = t(spark, dir, "lineitem")
+          .filter(col("l_discount") <= lit(0.03))
+          .groupBy(col("l_linestatus"))
+          .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("n_items"))
+        val plan = res.queryExecution.executedPlan.toString
+        require(plan.contains("lineitem_mv_range"),
+          s"q114 must be answered from the filtered view by range subsumption:\n$plan")
+        require(!plan.contains("lineitem.parquet"),
+          s"q114 must not touch the base table:\n$plan")
+        graft.util.Materialize.sorted(res, col("l_linestatus"))
+      } finally graft.plans.MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  val q114Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+      |  count(*) AS n_items
+      |FROM lineitem WHERE l_discount <= 0.03
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   // ---- Q109: streamed JOIN-view maintenance + rewrite, scored -------------
 
   /** Q109 — INCREMENTAL MAINTENANCE OF THE JOIN VIEW, end to end: the

@@ -129,6 +129,68 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("range subsumption: tighter ranges, points and IN-sets rewrite; the boundary cases refuse") {
+    // q114's view: baked `l_discount <= 0.04`, discount IN the grain
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvrange_").toFile
+    try {
+      val mvPath = new java.io.File(tmp, "lineitem_mv_range").getAbsolutePath
+      graft.queries.Extended.buildRangeMv(spark, sf, mvPath)
+      graft.queries.Extended.registerRangeMv(spark, sf, mvPath)
+      try {
+        val li = Tables.t(spark, sf, "lineitem")
+        def agg(pred: org.apache.spark.sql.Column) = li.filter(pred)
+          .groupBy(col("l_linestatus")).agg(sum(qtyCents).as("s"))
+        def hits(pred: org.apache.spark.sql.Column): Boolean =
+          agg(pred).queryExecution.executedPlan.toString.contains("lineitem_mv_range")
+        def valueEqual(pred: org.apache.spark.sql.Column): Unit = {
+          val got = agg(pred).orderBy(col("l_linestatus")).collect().toSeq
+          graft.plans.MvCatalog.clear()
+          try assert(got == agg(pred).orderBy(col("l_linestatus")).collect().toSeq)
+          finally graft.queries.Extended.registerRangeMv(spark, sf, mvPath)
+        }
+        // strictly-contained range, strict-vs-nonstrict boundary, point, IN
+        for (p <- Seq(col("l_discount") <= lit(0.03),
+                      col("l_discount") < lit(0.04),
+                      col("l_discount") === lit(0.02),
+                      col("l_discount").isin(0.01, 0.02))) {
+          assert(hits(p), s"contained predicate must rewrite: $p")
+          valueEqual(p)
+        }
+        // refusals: overlapping-but-not-contained (either spelling),
+        // different attribute, non-literal bound
+        assert(!hits(col("l_discount") <= lit(0.05)))
+        assert(!hits(col("l_discount") < lit(0.05)))
+        assert(!hits(col("l_tax") <= lit(0.03)))
+        assert(!hits(col("l_discount") <= col("l_tax")))
+      } finally graft.plans.MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  test("range subsumption over a NON-grain filtered column refuses (replay has nowhere to act)") {
+    // q108's view bakes the same conjunct but does NOT store l_discount in
+    // the grain: a tighter query range is provably contained, yet its
+    // replay would have to select WITHIN collapsed groups — must refuse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvrange2_").toFile
+    try {
+      val mvPath = new java.io.File(tmp, "lineitem_mv_disc").getAbsolutePath
+      graft.queries.Extended.buildDiscountMv(spark, sf, mvPath)
+      graft.queries.Extended.registerDiscountMv(spark, sf, mvPath)
+      try {
+        val q = Tables.t(spark, sf, "lineitem")
+          .filter(col("l_discount") <= lit(0.03))
+          .groupBy(col("l_linestatus")).agg(sum(qtyCents).as("s"))
+        val plan = q.queryExecution.executedPlan.toString
+        assert(!plan.contains("lineitem_mv_disc"),
+          s"non-grain subsumption must refuse:\n$plan")
+        // while the EXACT baked conjunct still absorbs (the q108 path)
+        val ok = Tables.t(spark, sf, "lineitem")
+          .filter(col("l_discount") <= lit(0.04))
+          .groupBy(col("l_linestatus")).agg(sum(qtyCents).as("s"))
+        assert(ok.queryExecution.executedPlan.toString.contains("lineitem_mv_disc"))
+      } finally graft.plans.MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
   test("a multi-root scan containing the base path refuses (extra roots' rows are not in the view)") {
     withMv { _ =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_mvroot_").toFile
