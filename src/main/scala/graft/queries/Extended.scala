@@ -1465,6 +1465,115 @@ object Extended {
       |FROM lineitem WHERE l_discount <= 0.03
       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  // ---- Q115: hot/cold UNION view, stream-maintained (IVM), scored ---------
+
+  /** Fold one hot micro-batch into the union view's state: idempotent
+    * EXACT-MULTISET append into the HOT TABLE — each batch overwrites its
+    * own `batch=<id>` partition directory, so a foreachBatch retry
+    * rewrites the same rows in place (lineitem has no unique row key in
+    * this corpus, so a key-dedup append would silently drop legitimate
+    * duplicate rows — caught by the slicing law); then the batch's
+    * per-(flag, status) partial folds into the view by the stamped
+    * [[graft.operators.StateMerge]] (replay-safe: id ≤ stamp skips).
+    * Batch-partitioned hot tables are also the production ingest layout.
+    * Shared with MvRewriteSpec's slicing law. */
+  private[graft] def foldHotBatch(batch: DataFrame, batchId: Long,
+                                  hotPath: String, mvPath: String): Unit = {
+    val spark = batch.sparkSession
+    batch.write.mode("overwrite").parquet(s"$hotPath/batch=$batchId")
+    val partial = batch
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+    graft.operators.StateMerge.mergeOverwrite(spark, partial, mvPath, batchId)(
+      _.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("sum_qty_cents")).as("sum_qty_cents"),
+             sum(col("cnt")).as("cnt")))
+  }
+
+  /** Q115 — INCREMENTAL MAINTENANCE OF THE HOT/COLD UNION VIEW, end to
+    * end: the cold archive is fixed and its aggregate BOOTSTRAPS the view
+    * state; the hot tail then lands as a REAL multi-batch stream
+    * (maxFilesPerTrigger=2), and each micro-batch BOTH appends to the hot
+    * table (idempotent batch-partition overwrite — [[foldHotBatch]]) and
+    * folds its per-(flag, status) partial into the view via the stamped
+    * [[graft.operators.StateMerge]]. Sound because the aggregate
+    * distributes over UNION ALL of deltas: agg(cold ∪ ⋃ᵢΔᵢ) re-combines
+    * from agg(cold) and the per-batch partials under ANY slicing (the
+    * MvRewriteSpec slicing law asserts 2-batch ≡ 4-batch ≡ one-shot).
+    * The maintained table then registers as the UNION view over
+    * (cold, hot) — registration sees the maintained hot table — and the
+    * scored query (union the bases, filter a flag, regroup by status) is
+    * require'd to be answered from the view, touching NEITHER base,
+    * while the DuckDB oracle recomputes from the unsplit lineitem. This
+    * is exactly the 100 TB hot/cold shape: the archive aggregate is paid
+    * once, each ingest batch reprices only its own groups, and dashboard
+    * queries over archive ∪ this-quarter read |grain| rows. */
+  def q115UnionIvm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q115_").toFile
+    try {
+      val coldPath = new java.io.File(tmp, "li_cold.parquet").getAbsolutePath
+      val hotPath = new java.io.File(tmp, "li_hot.parquet").getAbsolutePath
+      val landing = new java.io.File(tmp, "landing").getAbsolutePath
+      val mvPath = new java.io.File(tmp, "union_ivm_state").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      val li = t(spark, dir, "lineitem")
+      li.filter(pmod(col("l_orderkey"), lit(2)) === 0).write.parquet(coldPath)
+      li.filter(pmod(col("l_orderkey"), lit(2)) =!= 0)
+        .repartition(4).write.parquet(landing)
+      // bootstrap: the cold archive's aggregate IS the initial view state
+      graft.operators.StateMerge.mergeOverwrite(spark,
+        spark.read.parquet(coldPath)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt")),
+        mvPath)(identity)
+      val hotSchema = spark.read.parquet(landing).schema
+      val q = spark.readStream.schema(hotSchema)
+        .option("maxFilesPerTrigger", "2").parquet(landing)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          foldHotBatch(batch.toDF(), batchId, hotPath, mvPath)
+        }
+        .start()
+      q.awaitTermination()
+      graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
+        basePathSuffix = "li_cold.parquet", // unused: baseUnion matches
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        sumMeasures = graft.plans.MvCatalog
+          .measureExprs(t(spark, dir, "lineitem"), qtyCents)
+          .map(_ -> "sum_qty_cents"),
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+        baseUnion = Some(Seq("li_cold.parquet", "li_hot.parquet"))))
+      try {
+        // the hot table reads with its ingest-batch partition column
+        // dropped (partition discovery appends it last, so the remaining
+        // columns line up positionally with the cold archive)
+        val res = spark.read.parquet(hotPath).drop("batch")
+          .union(spark.read.parquet(coldPath))
+          .filter(col("l_returnflag") === "R")
+          .groupBy(col("l_linestatus"))
+          .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("n_items"))
+        val plan = res.queryExecution.executedPlan.toString
+        require(plan.contains("union_ivm_state"),
+          s"q115 must be answered from the maintained union view:\n$plan")
+        Seq("li_cold.parquet", "li_hot.parquet").foreach(b =>
+          require(!plan.contains(b),
+            s"q115 must not touch the $b base table:\n$plan"))
+        graft.util.Materialize.sorted(res, col("l_linestatus"))
+      } finally graft.plans.MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** cold ∪ streamed hot = lineitem exactly once (disjoint split). */
+  val q115Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+      |  count(*) AS n_items
+      |FROM lineitem WHERE l_returnflag = 'R'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   // ---- Q109: streamed JOIN-view maintenance + rewrite, scored -------------
 
   /** Q109 — INCREMENTAL MAINTENANCE OF THE JOIN VIEW, end to end: the

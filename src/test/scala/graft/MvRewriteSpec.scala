@@ -191,6 +191,42 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
+  test("union-view IVM: any batch slicing of the hot fold equals the one-shot build; replays are no-ops") {
+    // q115's maintenance algebra without the stream harness: agg(cold ∪
+    // ⋃Δᵢ) re-combined from agg(cold) + per-batch partials must equal the
+    // one-shot aggregate under ANY slicing, and a replayed (batchId, rows)
+    // fold must change nothing (DedupAppend keys exist, stamp skips).
+    val li = Tables.t(spark, sf, "lineitem")
+    val cold = li.filter(pmod(col("l_orderkey"), lit(2)) === 0)
+    val hot = li.filter(pmod(col("l_orderkey"), lit(2)) =!= 0)
+    val oneShot = cold.unionByName(hot)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")).collect().toSeq
+    for (k <- Seq(1, 3)) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_ivm$k" + "_").toFile
+      try {
+        val hotPath = new java.io.File(tmp, "hot").getAbsolutePath
+        val mvPath = new java.io.File(tmp, "state").getAbsolutePath
+        graft.operators.StateMerge.mergeOverwrite(spark,
+          cold.groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt")),
+          mvPath)(identity)
+        val slices = (0 until k).map(i =>
+          hot.filter(pmod(col("l_orderkey"), lit(2 * k)) === (2 * i + 1)))
+        slices.zipWithIndex.foreach { case (b, i) =>
+          graft.queries.Extended.foldHotBatch(b, i.toLong, hotPath, mvPath) }
+        // replay the LAST batch verbatim: must be a complete no-op
+        graft.queries.Extended.foldHotBatch(slices.last, (k - 1).toLong, hotPath, mvPath)
+        val got = spark.read.parquet(mvPath)
+          .orderBy(col("l_returnflag"), col("l_linestatus")).collect().toSeq
+        assert(got == oneShot, s"slicing k=$k must equal the one-shot build")
+        assert(spark.read.parquet(hotPath).count() == hot.count(),
+          "the replayed append must not duplicate hot rows")
+      } finally graft.util.Fs.deleteTree(tmp)
+    }
+  }
+
   test("a multi-root scan containing the base path refuses (extra roots' rows are not in the view)") {
     withMv { _ =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_mvroot_").toFile
