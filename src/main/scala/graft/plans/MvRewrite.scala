@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Count, HllSketchAgg, HllUnionAgg, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType,
   */
 object MvCatalog {
 
-  /** An inner equi-join base for a view materialized over N tables
+  /** An equi-join base for a view materialized over N tables
     * (the star-join MV — at 100 TB the view pre-pays the fact-side
     * shuffles once at build time instead of per query). Matched
     * structurally: inner joins are associative AND commutative, so the
@@ -32,13 +32,37 @@ object MvCatalog {
     * relations, not containment, so the rewrite is sound by
     * construction and immune to join reordering.
     *
-    * @param suffixes path suffixes of the base relations (2+)
+    * `outer = true` declares the `fact LEFT JOIN dim` shape instead —
+    * the most common BI aggregate. Outer joins are neither associative
+    * nor condition-splittable, so the outer match is EXACT-SHAPE: two
+    * relations (suffixes(0) = the preserved fact side, suffixes(1) = the
+    * dim side), a LeftOuter join whose condition is exactly the
+    * registered key set, fact-side filters pooled back (they commute
+    * with a left join), dim-side filters refused except the optimizer's
+    * own inferred `IsNotNull(join key)` (a semantic no-op: null dim keys
+    * never match, and a left join keeps only matching dim rows). An
+    * outer registration REQUIRES `dimUnique = true` — the registrant's
+    * declared contract (like projection freshness) that the dim key is
+    * unique, which is what makes the view fact-preserving: each fact row
+    * appears exactly once, unmatched rows survive at the null dim grain,
+    * so the view's count(*) is the fact count and its measures are
+    * fact-level. A non-unique dim would duplicate facts at build time —
+    * refuse registration rather than materialize a view whose grain
+    * nobody can interpret.
+    *
+    * @param suffixes path suffixes of the base relations (2+; exactly 2
+    *   and ordered fact-then-dim when `outer`)
     * @param keyPairs the equi-join key columns, one unordered name pair
     *   per conjunct (case-insensitive)
+    * @param outer    the view is `suffixes(0) LEFT JOIN suffixes(1)`
+    * @param dimUnique registrant's assertion that the dim-side join key
+    *   is unique — required for `outer`
     */
   final case class JoinSpec(
       suffixes: Seq[String],
-      keyPairs: Seq[(String, String)])
+      keyPairs: Seq[(String, String)],
+      outer: Boolean = false,
+      dimUnique: Boolean = false)
 
   /** One materialized aggregate.
     *
@@ -149,6 +173,11 @@ object MvCatalog {
       "baseJoin suffixes must be distinct (a self-join view cannot match)")
     require(d.baseJoin.forall(_.keyPairs.nonEmpty),
       "baseJoin needs at least one equi-key pair")
+    // an outer-join view is sound to interpret only under the declared
+    // dim-key-uniqueness contract (fact-preserving), and only the 2-table
+    // fact LEFT JOIN dim shape is matched
+    require(d.baseJoin.forall(j => !j.outer || (j.suffixes.size == 2 && j.dimUnique)),
+      "an outer JoinSpec is exactly fact LEFT JOIN dim and requires dimUnique")
     // the rewrite's idempotence precondition, enforced rather than
     // assumed (mirroring ProjectionCatalog.register): an MV whose own
     // plan scans any registered base suffix would re-match its own
@@ -434,6 +463,62 @@ object MvRewrite extends Rule[LogicalPlan] {
         core match {
           case lr: LogicalRelation if relMatches(lr, d.basePathSuffix) =>
             Some(BaseMatch(mkResolve(defs), conj, Set.empty))
+          case _ => None
+        }
+      case Some(js) if js.outer =>
+        // the fact LEFT JOIN dim view: exact-shape match (outer joins are
+        // neither associative nor condition-splittable). Fact-side filters
+        // commute with a left join, so they pool back into the conjunct
+        // set; dim-side filters do NOT (they would drop the null-extended
+        // rows the view stored) — the only admissible dim-side conjunct is
+        // the optimizer's own inferred IsNotNull(join key), a semantic
+        // no-op. The condition must be EXACTLY the registered key set: an
+        // extra ON-conjunct changes which fact rows null-extend and can
+        // never be pooled out. joinKeyCols stays EMPTY — a left join does
+        // not imply fact-side key non-nullness (unmatched rows keep their
+        // keys, matched null keys never occur, but an unmatched row's key
+        // CAN be null), so no IsNotNull is absorbed as implied.
+        val (defsTop, conjTop, core) = peel(plan)
+        core match {
+          case Join(l, r, LeftOuter, Some(cond), _) =>
+            val (dl, cl, coreL) = peel(l)
+            val (dr, cr, coreR) = peel(r)
+            (coreL, coreR) match {
+              case (flr: LogicalRelation, dlr: LogicalRelation)
+                  if relMatches(flr, js.suffixes(0)) &&
+                     relMatches(dlr, js.suffixes(1)) =>
+                val nameSets = Seq(flr, dlr).map(
+                  _.output.map(_.name.toLowerCase(Locale.ROOT)).toSet)
+                if (nameSets.map(_.size).sum != nameSets.flatten.toSet.size)
+                  return None
+                val resolve = mkResolve(defsTop ++ dl ++ dr)
+                val want: Set[Set[String]] = js.keyPairs.map { case (a, b) =>
+                  Set(a.toLowerCase(Locale.ROOT), b.toLowerCase(Locale.ROOT))
+                }.toSet
+                val seen = splitConj(cond).map {
+                  case EqualTo(a, b) => (resolve(a), resolve(b)) match {
+                    case (x: AttributeReference, y: AttributeReference) =>
+                      Some(Set(x.name.toLowerCase(Locale.ROOT),
+                               y.name.toLowerCase(Locale.ROOT))).filter(want)
+                    case _ => None
+                  }
+                  case _ => None
+                }
+                if (seen.exists(_.isEmpty) || seen.flatten.toSet != want)
+                  return None
+                val keyNames = want.flatten
+                val dimOk = cr.forall {
+                  case IsNotNull(a: AttributeReference) => resolve(a) match {
+                    case b: AttributeReference =>
+                      keyNames(b.name.toLowerCase(Locale.ROOT))
+                    case _ => false
+                  }
+                  case _ => false
+                }
+                if (!dimOk) return None
+                Some(BaseMatch(resolve, conjTop ++ cl, Set.empty))
+              case _ => None
+            }
           case _ => None
         }
       case Some(js) =>

@@ -1574,6 +1574,95 @@ object Extended {
       |FROM lineitem WHERE l_returnflag = 'R'
       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  // ---- Q116: OUTER-JOIN view (fact LEFT JOIN unique dim), scored ----------
+
+  /** Build + register q116's outer-join view over
+    * `lineitem LEFT JOIN orders_dim` — a PRUNED orders copy (every third
+    * order dropped) written as its own table, so a third of the facts are
+    * genuinely unmatched and survive at the NULL priority grain. Shared
+    * with MvRewriteSpec's refusal laws. */
+  private[graft] def buildOuterMv(spark: SparkSession, dir: String,
+                                  dimPath: String, mvPath: String): Unit = {
+    t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.parquet(dimPath)
+    t(spark, dir, "lineitem")
+      .join(spark.read.parquet(dimPath),
+        col("l_orderkey") === col("o_orderkey"), "left_outer")
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+      .write.parquet(mvPath)
+  }
+
+  private[graft] def registerOuterMv(spark: SparkSession, dir: String,
+                                     mvPath: String): Unit =
+    graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
+      basePathSuffix = "lineitem.parquet", // unused: baseJoin matches
+      groupCols = Set("o_orderpriority", "l_returnflag"),
+      sumMeasures = graft.plans.MvCatalog
+        .measureExprs(t(spark, dir, "lineitem"), qtyCents)
+        .map(_ -> "sum_qty_cents"),
+      countCol = "cnt",
+      mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+      baseJoin = Some(graft.plans.MvCatalog.JoinSpec(
+        suffixes = Seq("lineitem.parquet", "orders_dim.parquet"),
+        keyPairs = Seq(("l_orderkey", "o_orderkey")),
+        outer = true, dimUnique = true))))
+
+  /** Q116 — the OUTER-JOIN VIEW under the oracle: the most common BI
+    * aggregate is `fact LEFT JOIN dim GROUP BY …` (every fact row kept,
+    * unmatched ones at the null dim grain), and inner-join views
+    * structurally cannot answer it. The view materializes
+    * `lineitem LEFT JOIN orders_dim` per (priority, flag) and registers
+    * with `outer = true, dimUnique = true` — uniqueness is the declared
+    * registration contract that makes the view fact-preserving (each
+    * fact row exactly once; a non-unique dim refuses registration). The
+    * scored query repeats the left join with a fact-side filter and the
+    * coarser priority grouping — the NULL-priority group (unmatched
+    * facts) must survive — and is require'd to be answered from the view,
+    * touching neither base; the DuckDB oracle recomputes the outer join
+    * from the bases (the pruned dim reproduced inline). Refusals (inner
+    * query vs outer view and vice versa, dim-side filters, extra ON
+    * conjuncts, non-unique registration) are MvRewriteSpec laws. */
+  def q116MvOuter(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q116_").toFile
+    try {
+      val dimPath = new java.io.File(tmp, "orders_dim.parquet").getAbsolutePath
+      val mvPath = new java.io.File(tmp, "lineitem_outer_mv").getAbsolutePath
+      buildOuterMv(spark, dir, dimPath, mvPath)
+      registerOuterMv(spark, dir, mvPath)
+      try {
+        val res = t(spark, dir, "lineitem")
+          .join(spark.read.parquet(dimPath),
+            col("l_orderkey") === col("o_orderkey"), "left_outer")
+          .filter(col("l_returnflag") === "R")
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("n_items"))
+        val plan = res.queryExecution.executedPlan.toString
+        require(plan.contains("lineitem_outer_mv"),
+          s"q116 must be answered from the outer-join view:\n$plan")
+        Seq("lineitem.parquet", "orders_dim.parquet").foreach(b =>
+          require(!plan.contains(b),
+            s"q116 must not touch the $b base table:\n$plan"))
+        graft.util.Materialize.sorted(res, col("o_orderpriority"))
+      } finally graft.plans.MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** The pruned dim is reproduced inline; the null group (unmatched
+    * facts) must survive on both sides. */
+  val q116Sql: String =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+      |  count(*) AS n_items
+      |FROM lineitem l
+      |LEFT JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+      |           WHERE o_orderkey % 3 <> 0) o
+      |  ON l.l_orderkey = o.o_orderkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---- Q109: streamed JOIN-view maintenance + rewrite, scored -------------
 
   /** Q109 — INCREMENTAL MAINTENANCE OF THE JOIN VIEW, end to end: the

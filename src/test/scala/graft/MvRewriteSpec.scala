@@ -227,6 +227,84 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("outer-join view: the q116 shape rewrites (null grain included); mismatched shapes refuse") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvouter_").toFile
+    try {
+      val dimPath = new java.io.File(tmp, "orders_dim.parquet").getAbsolutePath
+      val mvPath = new java.io.File(tmp, "lineitem_outer_mv").getAbsolutePath
+      graft.queries.Extended.buildOuterMv(spark, sf, dimPath, mvPath)
+      graft.queries.Extended.registerOuterMv(spark, sf, mvPath)
+      try {
+        val li = Tables.t(spark, sf, "lineitem")
+        def dim = spark.read.parquet(dimPath)
+        def outer = li.join(dim, col("l_orderkey") === col("o_orderkey"), "left_outer")
+        // the null-tolerant dim-grain filter selects exactly the view's
+        // null-priority group (unmatched facts + null-priority orders):
+        // rewrites AND matches the base recompute
+        val nullGrain = outer.filter(col("o_orderpriority").isNull)
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        assert(nullGrain.queryExecution.executedPlan.toString.contains("lineitem_outer_mv"))
+        val got = nullGrain.orderBy(col("l_returnflag")).collect().toSeq
+        graft.plans.MvCatalog.clear()
+        val base = outer.filter(col("o_orderpriority").isNull)
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag")).collect().toSeq
+        assert(got == base && got.nonEmpty)
+        graft.queries.Extended.registerOuterMv(spark, sf, mvPath)
+        // an INNER query join never matches the outer view (different relation)
+        val inner = li.join(dim, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority")).agg(sum(qtyCents).as("s"))
+        assert(!inner.queryExecution.executedPlan.toString.contains("lineitem_outer_mv"))
+        // a null-INTOLERANT dim filter: the optimizer rewrites the join to
+        // inner (EliminateOuterJoin), which must refuse the outer view
+        val dimFiltered = outer.filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s"))
+        assert(!dimFiltered.queryExecution.executedPlan.toString.contains("lineitem_outer_mv"))
+        // an extra ON conjunct changes which facts null-extend: refuse
+        val extraOn = li.join(dim,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("o_orderpriority") =!= lit("X"), "left_outer")
+          .groupBy(col("o_orderpriority")).agg(sum(qtyCents).as("s"))
+        assert(!extraOn.queryExecution.executedPlan.toString.contains("lineitem_outer_mv"))
+        // a RIGHT-side-preserved join never matches
+        val rightQ = dim.join(li, col("l_orderkey") === col("o_orderkey"), "right_outer")
+          .groupBy(col("o_orderpriority")).agg(sum(qtyCents).as("s"))
+        val rplan = rightQ.queryExecution.optimizedPlan.toString
+        // (the optimizer may canonicalize right to left — if it does, the
+        // sides are swapped vs the registration and still must refuse)
+        assert(!rightQ.queryExecution.executedPlan.toString.contains("lineitem_outer_mv"), rplan)
+      } finally graft.plans.MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  test("outer-join registration refuses without the dim-uniqueness contract; outer query never matches the inner view") {
+    intercept[IllegalArgumentException] {
+      MvCatalog.register(MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("l_returnflag"),
+        sumMeasures = Nil, countCol = "cnt",
+        mv = spark.range(1).toDF().queryExecution.analyzed,
+        baseJoin = Some(MvCatalog.JoinSpec(
+          Seq("lineitem.parquet", "orders.parquet"),
+          Seq("l_orderkey" -> "o_orderkey"), outer = true, dimUnique = false))))
+    }
+    MvCatalog.clear()
+    // q107's INNER view must never answer an outer query join
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvouter2_").toFile
+    try {
+      val mvPath = new java.io.File(tmp, "lineitem_orders_mv").getAbsolutePath
+      graft.queries.Extended.buildJoinMv(spark, sf, mvPath)
+      graft.queries.Extended.registerJoinMv(spark, sf, mvPath)
+      try {
+        val q = Tables.t(spark, sf, "lineitem")
+          .join(Tables.t(spark, sf, "orders"),
+            col("l_orderkey") === col("o_orderkey"), "left_outer")
+          .groupBy(col("o_orderpriority")).agg(sum(qtyCents).as("s"))
+        assert(!q.queryExecution.executedPlan.toString.contains("lineitem_orders_mv"))
+      } finally MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
   test("a multi-root scan containing the base path refuses (extra roots' rows are not in the view)") {
     withMv { _ =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_mvroot_").toFile
