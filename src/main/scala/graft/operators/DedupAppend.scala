@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   *   3. set-oriented append of only the surviving rows.
   *
   * Plain-parquet caveat (SURVEY §7.3): append is not transactional —
-  * single-writer assumption, documented; a table format with MERGE INTO
-  * would replace step 2+3 atomically.
+  * single-writer, ENFORCED by [[Lease]] (a second concurrent maintainer
+  * fails cleanly at acquire); a table format with MERGE INTO would
+  * replace step 2+3 atomically.
   */
 object DedupAppend {
 
@@ -33,6 +34,22 @@ object DedupAppend {
   def append(spark: SparkSession, batch: DataFrame, path: String,
              keys: Seq[String], tieBreak: Seq[String],
              partitionCols: Seq[String] = Nil): Unit = {
+    // single-writer ENFORCED: two concurrent appends could both see key X
+    // absent and both insert it — the second maintainer fails cleanly
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Lease.withLease(fs, live, "dedup append") {
+      appendUnleased(spark, batch, path, keys, tieBreak, partitionCols)
+    }
+  }
+
+  /** The append body, lease management left to the caller —
+    * [[Maintenance.appendCycle]] holds ONE lease across its whole
+    * append+compact cycle and calls this directly. */
+  private[operators] def appendUnleased(
+      spark: SparkSession, batch: DataFrame, path: String,
+      keys: Seq[String], tieBreak: Seq[String],
+      partitionCols: Seq[String] = Nil): Unit = {
     // the survivor order must be TOTAL per key group or determinism is
     // lost exactly the way dropDuplicates loses it: the keys are the
     // window's partition columns (constant inside a frame — no tie-break

@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * compactor solves it; this wires them so neither has to be remembered
   * separately (the round-3 review's "both operators exist, unwired").
   *
-  * Protocol (single-writer, same assumption DedupAppend already documents):
+  * Protocol (single-writer, ENFORCED by [[Lease]] — a second concurrent
+  * maintainer fails cleanly at acquire rather than interleaving):
   * append the batch idempotently; if the table now exceeds `maxFiles` data
   * files, rewrite it to ~`targetFileBytes` files in a sibling directory and
   * swap directories. The swap is a checked backup-rename dance (live→backup,
@@ -35,21 +36,26 @@ object Maintenance {
     val tmp = live.suffix("__compacting")
     val backup = live.suffix("__precompact")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // crash recovery: restore a table stranded at the backup name (or this
-    // append would re-create the table from one batch and silently orphan
-    // the history) and clear stale transient siblings — a half-written
-    // __compacting from a crash mid-rewrite would otherwise sit next to a
-    // table that never again crosses maxFiles, forever
-    TableSwap.recover(fs, live, tmp, backup, "compaction")
-    DedupAppend.append(spark, batch, path, keys, tieBreak)
-    if (Compaction.dataFileCount(spark, path) > maxFiles) {
-      Compaction.compact(spark, path, tmp.toString, targetFileBytes)
-      // checked backup-rename swap (shared TableSwap dance): the table is
-      // recoverable at every step; in a catalog-backed table format this
-      // is one atomic pointer flip; plain-parquet single-writer documented
-      TableSwap.swapInto(fs, live, tmp, backup, liveExists = true, "compaction")
+    // single-writer ENFORCED across the whole cycle (Lease): two
+    // interleaved cycles could double-insert keys or cross their swap
+    // dances — the second maintainer fails cleanly before touching disk
+    Lease.withLease(fs, live, "append cycle") {
+      // crash recovery: restore a table stranded at the backup name (or this
+      // append would re-create the table from one batch and silently orphan
+      // the history) and clear stale transient siblings — a half-written
+      // __compacting from a crash mid-rewrite would otherwise sit next to a
+      // table that never again crosses maxFiles, forever
+      TableSwap.recover(fs, live, tmp, backup, "compaction")
+      DedupAppend.appendUnleased(spark, batch, path, keys, tieBreak)
+      if (Compaction.dataFileCount(spark, path) > maxFiles) {
+        Compaction.compact(spark, path, tmp.toString, targetFileBytes)
+        // checked backup-rename swap (shared TableSwap dance): the table is
+        // recoverable at every step; in a catalog-backed table format this
+        // is one atomic pointer flip; plain-parquet single-writer documented
+        TableSwap.swapInto(fs, live, tmp, backup, liveExists = true, "compaction")
+      }
+      Compaction.dataFileCount(spark, path)
     }
-    Compaction.dataFileCount(spark, path)
   }
 
   /** Snapshot reconciliation: row-level diff of two keyed table states —

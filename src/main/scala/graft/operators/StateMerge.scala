@@ -28,6 +28,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * stream re-reads everything and double-counts); the stamp does not
   * change that, it only closes the retry window within a lineage.
   *
+  * Single-writer ENFORCED by [[Lease]]: a second concurrent maintainer
+  * fails cleanly at acquire instead of interleaving the swap dance.
+  *
   * Scale note: the temp-dir write + rename swap is the shared
   * [[TableSwap]] dance ([[Maintenance.appendCycle]] uses the same
   * helper) — the state survives a
@@ -63,6 +66,18 @@ object StateMerge {
                     (combine: DataFrame => DataFrame): Unit = {
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // single-writer ENFORCED (Lease): two interleaved merges would both
+    // read the same pre-state and the second swap would drop the first's
+    // partials — the second maintainer fails cleanly instead
+    Lease.withLease(fs, live, "state merge") {
+      mergeUnleased(spark, partial, live, fs, batchId)(combine)
+    }
+  }
+
+  private def mergeUnleased(spark: SparkSession, partial: DataFrame, live: Path,
+                            fs: org.apache.hadoop.fs.FileSystem, batchId: Long)
+                           (combine: DataFrame => DataFrame): Unit = {
+    val path = live.toString
     // siblings derive from the NORMALIZED path (Path strips a trailing
     // slash) — string concat on a trailing-slash path would nest them
     // INSIDE the live dir and every swap rename would fail

@@ -220,6 +220,89 @@ class CompactionSpec extends AnyFunSuite {
     } finally Fs.deleteTree(new java.io.File(tmp))
   }
 
+  test("writer lease: a concurrent maintainer fails cleanly; the table survives intact") {
+    // the concurrent-writer law: two maintainers can never interleave the
+    // append/swap dance — the second fails at acquire with the holder's
+    // identity, before touching disk
+    val tmp = Files.createTempDirectory("graft-lease").toFile.getAbsolutePath
+    try {
+      import graft.operators.{Lease, Maintenance}
+      val docs = Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
+      val table = s"$tmp/t"
+      Maintenance.appendCycle(spark, docs.filter(col("doc_id") < 100), table,
+        Seq("doc_id"), Seq("text"), maxFiles = 1000, targetFileBytes = Long.MaxValue)
+      val before = spark.read.parquet(table).count()
+      // deterministic interleave: another maintainer holds the lease
+      val live = new org.apache.hadoop.fs.Path(table)
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Lease.acquire(fs, live, "other maintainer")
+      val ex = intercept[Lease.HeldException] {
+        Maintenance.appendCycle(spark, docs.filter(col("doc_id") >= 100), table,
+          Seq("doc_id"), Seq("text"), maxFiles = 1000, targetFileBytes = Long.MaxValue)
+      }
+      assert(ex.getMessage.contains("other maintainer"))
+      assert(spark.read.parquet(table).count() == before,
+        "the losing maintainer must not have touched the table")
+      Lease.release(fs, live)
+      // released: the same cycle now proceeds
+      Maintenance.appendCycle(spark, docs.filter(col("doc_id") >= 100), table,
+        Seq("doc_id"), Seq("text"), maxFiles = 1000, targetFileBytes = Long.MaxValue)
+      assert(spark.read.parquet(table).count() == docs.count())
+      assert(!fs.exists(live.suffix("__lease")), "the lease must not outlive the cycle")
+
+      // racing threads: each either succeeds or fails with HeldException;
+      // whatever succeeded is fully applied (idempotent re-run closes the
+      // race's loser afterwards)
+      val t2 = s"$tmp/t2"
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = Seq(docs.filter(col("doc_id") % 2 === 0),
+                        docs.filter(col("doc_id") % 2 =!= 0)).map { b =>
+        new Thread(() => {
+          barrier.await()
+          try Maintenance.appendCycle(spark, b, t2, Seq("doc_id"), Seq("text"),
+            maxFiles = 1000, targetFileBytes = Long.MaxValue)
+          catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.size <= 1 &&
+        errs.stream().allMatch(_.isInstanceOf[Lease.HeldException]),
+        s"a racing loser may only fail with HeldException: $errs")
+      // re-run both sequentially (idempotent): the table must converge
+      Seq(docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 =!= 0)).foreach(b =>
+        Maintenance.appendCycle(spark, b, t2, Seq("doc_id"), Seq("text"),
+          maxFiles = 1000, targetFileBytes = Long.MaxValue))
+      assert(spark.read.parquet(t2).count() == docs.count())
+    } finally Fs.deleteTree(new java.io.File(tmp))
+  }
+
+  test("writer lease guards StateMerge too; a held lease never loses folded partials") {
+    val tmp = Files.createTempDirectory("graft-lease-sm").toFile.getAbsolutePath
+    try {
+      import graft.operators.{Lease, StateMerge}
+      val state = s"$tmp/state"
+      def partial(n: Long) = {
+        import spark.implicits._
+        Seq(("g", n)).toDF("k", "v")
+      }
+      def comb(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("k")).agg(sum(col("v")).as("v"))
+      StateMerge.mergeOverwrite(spark, partial(1), state)(comb)
+      val live = new org.apache.hadoop.fs.Path(state)
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Lease.acquire(fs, live, "other maintainer")
+      intercept[Lease.HeldException] {
+        StateMerge.mergeOverwrite(spark, partial(10), state)(comb)
+      }
+      assert(spark.read.parquet(state).collect().map(_.getLong(1)).toSeq == Seq(1L))
+      Lease.release(fs, live)
+      StateMerge.mergeOverwrite(spark, partial(10), state)(comb)
+      assert(spark.read.parquet(state).collect().map(_.getLong(1)).toSeq == Seq(11L))
+    } finally Fs.deleteTree(new java.io.File(tmp))
+  }
+
   test("compactPartitioned: preserves partCol=value layout and contents") {
     val tmp = Files.createTempDirectory("graft-compact-part").toFile.getAbsolutePath
     try {
