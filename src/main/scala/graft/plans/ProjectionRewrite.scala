@@ -2,6 +2,7 @@ package graft.plans
 
 import java.util.Locale
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -33,6 +34,51 @@ object ProjectionCatalog {
       basePathSuffix: String,
       cols: Set[String],
       proj: LogicalPlan)
+
+  /** Order-independent content fingerprint of `df` restricted to `cols`:
+    * (row count, checksum_agg of a canonical row string — columns in
+    * sorted-name order, null-sentinelled, unit-separated). checksum_agg
+    * is the engine's own commutative mod-sum aggregate (q95's law:
+    * partitioning-independent), so two frames fingerprint equal iff they
+    * hold the same row multiset up to checksum collision — computed with
+    * one map-side-combinable pass over each frame, no shuffle beyond the
+    * single global agg row. */
+  def fingerprint(df: DataFrame, cols: Seq[String]): (Long, Long) = {
+    graft.functions.ChecksumAgg.register(df.sparkSession)
+    val canon = cols.sorted
+      .map(c => s"coalesce(cast(`$c` as string), '\\u0000')")
+      .mkString("concat_ws('\\u0001', ", ", ", ")")
+    val r = df.selectExpr(s"count(1) AS n", s"checksum_agg($canon) AS c").head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** TRUE iff `proj` holds exactly `base`'s row multiset restricted to
+    * `cols` — the freshness check of the registration contract. */
+  def verify(base: DataFrame, proj: DataFrame, cols: Seq[String]): Boolean =
+    fingerprint(base, cols) == fingerprint(proj, cols)
+
+  /** Register `d` only after verifying the projection frame against the
+    * base: a stale or tampered copy (the row-multiset contract broken by
+    * a missed maintenance append, a partial write, a manual edit) is
+    * DETECTED AND REFUSED instead of silently serving wrong rows. Costs
+    * one fingerprint pass over each side — the price of not trusting the
+    * registrant, paid once per registration, not per query. */
+  def registerVerified(base: DataFrame, proj: DataFrame, d: ProjDef): Unit = {
+    require(verify(base, proj, d.cols.toSeq),
+      s"projection at ${d.basePathSuffix} fingerprint mismatch vs base " +
+        "(stale or tampered copy) — refusing to register")
+    register(d)
+  }
+
+  /** The maintenance half of the projection contract: when an ingest
+    * batch lands in the base table, its narrow slice lands in the
+    * projection too (plain multiset append — the covering-projection
+    * contract is row-multiset equality, not global sortedness; appended
+    * files are unsorted, and a periodic Compaction.compact with sortCols
+    * restores the clustering that makes min/max pruning sharp). */
+  def maintainAppend(batch: DataFrame, projPath: String, cols: Seq[String]): Unit =
+    batch.selectExpr(cols.map(c => s"`$c`"): _*)
+      .write.mode("append").parquet(projPath)
 
   @volatile private var defs: Seq[ProjDef] = Nil
   def register(d: ProjDef): Unit = synchronized {

@@ -2016,6 +2016,73 @@ object Extended {
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- Q117: MAINTAINED + VERIFIED covering projection, scored ------------
+
+  /** Q117 — the projection MAINTENANCE + FRESHNESS story end to end,
+    * under the oracle. q113 registered a projection on trust; here the
+    * base table LIVES: it bootstraps without every-seventh order's rows,
+    * an ingest batch then lands in the base AND (the maintenance half,
+    * [[graft.plans.ProjectionCatalog.maintainAppend]]) its narrow slice
+    * lands in the projection, and registration runs through
+    * [[graft.plans.ProjectionCatalog.registerVerified]] — the
+    * checksum_agg row-multiset fingerprint of projection vs base (q95's
+    * commutative mod-sum, one map-combinable pass per side) must match
+    * or registration refuses (the tampered/stale laws live in
+    * ProjectionRewriteSpec). The scored query filters a ship-date year
+    * and aggregates per flag over the base and is require'd to be served
+    * from the maintained projection with the date range pushed into its
+    * scan; the DuckDB oracle aggregates the full lineitem. At 100 TB
+    * this is the projection lifecycle: every ingest batch double-lands
+    * (base + narrow copies), verification is a cheap scan-level
+    * invariant check, and the hot path keeps reading the narrow copy. */
+  def q117ProjMaintained(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q117_").toFile
+    try {
+      val basePath = new java.io.File(tmp, "li_main.parquet").getAbsolutePath
+      val projPath = new java.io.File(tmp, "li_main_proj").getAbsolutePath
+      val cols = Seq("l_shipdate", "l_returnflag", "l_quantity")
+      val li = t(spark, dir, "lineitem")
+      val bootstrap = li.filter(pmod(col("l_orderkey"), lit(7)) =!= 0)
+      val batch = li.filter(pmod(col("l_orderkey"), lit(7)) === 0)
+      // bootstrap both sides, then one ingest batch double-lands
+      bootstrap.write.parquet(basePath)
+      bootstrap.selectExpr(cols: _*).sort(col("l_shipdate")).write.parquet(projPath)
+      batch.write.mode("append").parquet(basePath)
+      graft.plans.ProjectionCatalog.maintainAppend(batch, projPath, cols)
+      // registration verifies freshness (fingerprint base vs projection)
+      graft.plans.ProjectionCatalog.registerVerified(
+        spark.read.parquet(basePath), spark.read.parquet(projPath),
+        graft.plans.ProjectionCatalog.ProjDef(
+          basePathSuffix = "li_main.parquet",
+          cols = cols.toSet,
+          proj = spark.read.parquet(projPath).queryExecution.analyzed))
+      try {
+        val res = spark.read.parquet(basePath)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+                  col("l_shipdate") <  lit("1997-01-01").cast(TimestampType))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("n_items"))
+        val plan = res.queryExecution.executedPlan.toString
+        require(plan.contains("li_main_proj"),
+          s"q117 must be served from the maintained projection:\n$plan")
+        require(!plan.contains("li_main.parquet"),
+          s"q117 must not touch the base table:\n$plan")
+        require(plan.contains("GreaterThanOrEqual(l_shipdate"),
+          s"q117's date range must be pushed into the projection scan:\n$plan")
+        graft.util.Materialize.sorted(res, col("l_returnflag"))
+      } finally graft.plans.ProjectionCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** bootstrap ∪ batch = lineitem exactly once (disjoint split on key%7). */
+  val q117Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- Q86: schema evolution (mergeSchema scan), scored ------------------
 
   /** Q86 — SCHEMA EVOLUTION under the oracle: a table whose early files

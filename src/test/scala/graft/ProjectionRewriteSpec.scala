@@ -174,6 +174,45 @@ class ProjectionRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("registerVerified: stale and tampered projections are detected and refused") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_projfresh_").toFile
+    try {
+      import graft.plans.ProjectionCatalog
+      val basePath = new java.io.File(tmp, "li_main.parquet").getAbsolutePath
+      val cols = Seq("l_shipdate", "l_returnflag", "l_quantity")
+      val li = Tables.t(spark, sf, "lineitem")
+      li.write.parquet(basePath)
+      val base = spark.read.parquet(basePath)
+      def defFor(p: String) = ProjectionCatalog.ProjDef(
+        "li_main.parquet", cols.toSet,
+        spark.read.parquet(p).queryExecution.analyzed)
+      // STALE: the projection missed the last maintenance append
+      val stale = new java.io.File(tmp, "proj_stale").getAbsolutePath
+      li.filter(col("l_orderkey") % 7 =!= 0).selectExpr(cols: _*).write.parquet(stale)
+      intercept[IllegalArgumentException] {
+        ProjectionCatalog.registerVerified(base, spark.read.parquet(stale), defFor(stale))
+      }
+      // TAMPERED: same row count, one value edited
+      val tampered = new java.io.File(tmp, "proj_tampered").getAbsolutePath
+      li.selectExpr(cols: _*)
+        .withColumn("l_quantity",
+          when(col("l_quantity") === 1.0, 2.0).otherwise(col("l_quantity")))
+        .write.parquet(tampered)
+      intercept[IllegalArgumentException] {
+        ProjectionCatalog.registerVerified(base, spark.read.parquet(tampered), defFor(tampered))
+      }
+      assert(ProjectionCatalog.all.isEmpty, "refused projections must not register")
+      // FRESH: exact multiset passes regardless of partitioning, row
+      // order, or stored column order
+      val fresh = new java.io.File(tmp, "proj_fresh").getAbsolutePath
+      li.selectExpr("l_quantity", "l_returnflag", "l_shipdate") // reordered
+        .repartition(7).write.parquet(fresh)
+      ProjectionCatalog.registerVerified(base, spark.read.parquet(fresh), defFor(fresh))
+      assert(ProjectionCatalog.all.size == 1)
+      ProjectionCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
   test("empty registry is a strict no-op") {
     val plan = Tables.t(spark, sf, "lineitem").filter(yr96)
       .groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s"))
