@@ -718,4 +718,88 @@ object EventTime {
   val q102Sql: String =
     """SELECT event_type, count(DISTINCT event_id) AS n_keys
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Q118 — STREAM-STREAM JOIN STATE introspection, scored (q102's
+    * pattern widened to the join operator's two stores). The watermarked
+    * self-join (q80's shape) runs with the delay pushed far past the
+    * data's span, so NEITHER side ever evicts and each side's state
+    * store holds exactly its full buffered input — deterministic, hence
+    * oracle-checkable. The `statestore` source reads each side by
+    * `joinSide`, and the per-user census of buffered rows on both sides
+    * must equal the base table's per-user event count. This is the
+    * operational "why is my join state growing?" query: at scale it
+    * reads state (rate × window per side), never stream history, and is
+    * exactly how an operator confirms which side's buffer a skewed user
+    * is inflating. */
+  def q118JoinState(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q118_").toFile
+    try graft.util.Confs.withConfs(spark, "spark.sql.shuffle.partitions" -> "8") {
+      val out = new java.io.File(tmp, "pairs").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      val q = graft.streaming.EventStreams
+        .pairWithin(graft.streaming.EventStreams.readEvents(spark, dir),
+          watermark = "3650 days") // >> data span: nothing evicts, state is exact
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      def census(side: String, as: String, userCol: String) =
+        spark.read.format("statestore").option("joinSide", side).load(ckpt)
+          .groupBy(col(s"value.$userCol").as("user_id"))
+          .agg(count(lit(1)).as(as))
+      val res = census("left", "n_left", "user_id")
+        .join(census("right", "n_right", "b_user"), Seq("user_id"))
+      val rows = res.collectAsList()
+      require(!rows.isEmpty, "q118: the join state stores must hold rows")
+      spark.createDataFrame(rows, res.schema).orderBy(col("user_id"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** No eviction → each side buffered every input row once. */
+  val q118Sql: String =
+    """SELECT user_id, count(*) AS n_left, count(*) AS n_right
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Q119 — SESSION-WINDOW STATE introspection, scored: the strongest
+    * form of the q102 pattern, because with the watermark pushed past the
+    * data's span the session store's MERGED OPEN SESSIONS are exactly the
+    * batch sessionization answer — the state IS the result (append mode
+    * emits nothing; gap-merging happens on update, not at emission). The
+    * `statestore` source recovers (user, window, count) per open session
+    * and must hash-match q34's batch oracle. Operationally this is the
+    * "what sessions are currently open?" audit every sessionizing
+    * pipeline wants, read from the checkpoint at state cost — and it
+    * doubles as a law that incremental gap-merge state equals the
+    * one-shot computation. */
+  def q119SessionState(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q119_").toFile
+    try graft.util.Confs.withConfs(spark, "spark.sql.shuffle.partitions" -> "8") {
+      val landing = new java.io.File(tmp, "landing").getAbsolutePath
+      val out = new java.io.File(tmp, "sessions").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      val ev = t(spark, dir, "events").select(col("user_id"), col("ts"))
+      ev.write.parquet(landing)
+      val stream = spark.readStream.schema(ev.schema).parquet(landing)
+      val q = graft.streaming.EventStreams
+        .sessionAgg(stream, watermark = "3650 days") // nothing closes: state = answer
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val res = spark.read.format("statestore").load(ckpt)
+        .select(col("value.user_id").as("user_id"),
+          col("value.session_window.start").cast("timestamp_ntz").as("session_start"),
+          col("value.session_window.end").cast("timestamp_ntz").as("session_end"),
+          col("value.count").as("n_events"))
+      val rows = res.collectAsList()
+      require(!rows.isEmpty, "q119: the session store must hold open sessions")
+      spark.createDataFrame(rows, res.schema)
+        .orderBy(col("user_id"), col("session_start"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** Open merged sessions ≡ batch sessions: q34's oracle verbatim. */
+  val q119Sql: String = q34Sql
 }

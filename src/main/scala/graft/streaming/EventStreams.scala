@@ -116,12 +116,13 @@ object EventStreams {
     * watermark passes — state stays proportional to rate × window, never
     * to stream length. The batch twin is the same join on the static frame
     * (asserted equal in StreamingSpec). */
-  def pairWithin(events: DataFrame, windowMinutes: Int = 10): DataFrame = {
+  def pairWithin(events: DataFrame, windowMinutes: Int = 10,
+                 watermark: String = "1 hour"): DataFrame = {
     val a = events.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
-      .withWatermark("a_ts", "1 hour")
+      .withWatermark("a_ts", watermark)
     val b = events.select(col("user_id").as("b_user"), col("event_id").as("b_id"),
         col("ts").as("b_ts"))
-      .withWatermark("b_ts", "1 hour")
+      .withWatermark("b_ts", watermark)
     a.join(b,
       col("user_id") === col("b_user") &&
         col("a_id") =!= col("b_id") &&
