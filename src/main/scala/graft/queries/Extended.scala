@@ -1574,6 +1574,146 @@ object Extended {
       |FROM lineitem WHERE l_returnflag = 'R'
       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  // ---- Q120: FILTERED view, stream-maintained (IVM), scored ---------------
+
+  /** Q120 — INCREMENTAL MAINTENANCE OF THE FILTERED VIEW (q108's shape
+    * gets its maintenance twin): the fact table lands as a multi-batch
+    * stream and each micro-batch's partial is the batch FILTERED BY THE
+    * BAKED CONJUNCT then aggregated, folded via the stamped
+    * [[graft.operators.StateMerge]]. Sound because selection is per-row:
+    * σ(⋃ᵢΔᵢ) = ⋃ᵢσ(Δᵢ), so filtered partials merge to the one-shot
+    * filtered aggregate under any slicing (law in MvRewriteSpec). The
+    * maintained table registers with q108's exact viewFilters contract
+    * and the scored query — the baked conjunct repeated plus a grain
+    * filter over the BASE table — is require'd to be answered from the
+    * maintained view. At 100 TB this is the hot-slice view kept current
+    * by ingest: each batch pays one filtered partial, the dashboard
+    * reads |grain| rows. */
+  def q120FilteredIvm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q120_").toFile
+    try {
+      val landing = new java.io.File(tmp, "landing").getAbsolutePath
+      val mvPath = new java.io.File(tmp, "lineitem_mv_disc").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      val li = t(spark, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+                col("l_quantity"), col("l_discount"))
+      li.repartition(4).write.parquet(landing)
+      val q = spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "2").parquet(landing)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          foldFilteredBatch(batch.toDF(), batchId, mvPath)
+        }
+        .start()
+      q.awaitTermination()
+      registerDiscountMv(spark, dir, mvPath)
+      try {
+        val res = t(spark, dir, "lineitem")
+          .filter(lowDiscount && col("l_returnflag") === "R")
+          .groupBy(col("l_linestatus"))
+          .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("n_items"))
+        val plan = res.queryExecution.executedPlan.toString
+        require(plan.contains("lineitem_mv_disc"),
+          s"q120 must be answered from the stream-maintained filtered view:\n$plan")
+        require(!plan.contains("lineitem.parquet"),
+          s"q120 must not touch the base table:\n$plan")
+        graft.util.Materialize.sorted(res, col("l_linestatus"))
+      } finally graft.plans.MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** Fold one fact micro-batch into the FILTERED view's state: the baked
+    * conjunct applies to the batch, the per-grain partial merges via the
+    * stamped StateMerge. Shared with MvRewriteSpec's slicing law. */
+  private[graft] def foldFilteredBatch(batch: DataFrame, batchId: Long,
+                                       mvPath: String): Unit = {
+    val partial = batch.filter(lowDiscount)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+    graft.operators.StateMerge.mergeOverwrite(
+      batch.sparkSession, partial, mvPath, batchId)(
+      _.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("sum_qty_cents")).as("sum_qty_cents"),
+             sum(col("cnt")).as("cnt")))
+  }
+
+  /** Maintained ≡ one-shot over the filtered base: q108's oracle. */
+  val q120Sql: String = q108Sql
+
+  // ---- Q121: OUTER-JOIN view, stream-maintained (IVM), scored -------------
+
+  /** Q121 — INCREMENTAL MAINTENANCE OF THE OUTER-JOIN VIEW: fact deltas
+    * stream in, each micro-batch LEFT JOINs the STATIC dim and folds its
+    * per-(priority, flag) partial into the view. Sound because a left
+    * join against a fixed dim distributes over fact deltas — each fact
+    * row joins (or null-extends) independently, so
+    * (⋃ᵢΔᵢ) ⟕ D = ⋃ᵢ(Δᵢ ⟕ D) — the same one-sided-delta argument as
+    * q109's inner star, now preserving unmatched facts at the null dim
+    * grain. The maintained table registers with q116's outer JoinSpec
+    * (dimUnique contract) and the scored query over the bases is
+    * require'd to be answered from the maintained view. This closes the
+    * maintenance matrix: every MV base kind — single (q92), inner star
+    * (q109), filtered (q120), union (q115), outer (q121) — now has a
+    * scored streamed-maintenance gate. */
+  def q121OuterIvm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q121_").toFile
+    try {
+      val landing = new java.io.File(tmp, "landing").getAbsolutePath
+      val dimPath = new java.io.File(tmp, "orders_dim.parquet").getAbsolutePath
+      val mvPath = new java.io.File(tmp, "lineitem_outer_mv").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      t(spark, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.parquet(dimPath)
+      val li = t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      li.repartition(4).write.parquet(landing)
+      val q = spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "2").parquet(landing)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val partial = batch.toDF()
+            .join(batch.sparkSession.read.parquet(dimPath),
+              col("l_orderkey") === col("o_orderkey"), "left_outer")
+            .groupBy(col("o_orderpriority"), col("l_returnflag"))
+            .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+          graft.operators.StateMerge.mergeOverwrite(
+            batch.sparkSession, partial, mvPath, batchId)(
+            _.groupBy(col("o_orderpriority"), col("l_returnflag"))
+              .agg(sum(col("sum_qty_cents")).as("sum_qty_cents"),
+                   sum(col("cnt")).as("cnt")))
+        }
+        .start()
+      q.awaitTermination()
+      registerOuterMv(spark, dir, mvPath)
+      try {
+        val res = t(spark, dir, "lineitem")
+          .join(spark.read.parquet(dimPath),
+            col("l_orderkey") === col("o_orderkey"), "left_outer")
+          .filter(col("l_returnflag") === "R")
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("n_items"))
+        val plan = res.queryExecution.executedPlan.toString
+        require(plan.contains("lineitem_outer_mv"),
+          s"q121 must be answered from the stream-maintained outer view:\n$plan")
+        Seq("lineitem.parquet", "orders_dim.parquet").foreach(b =>
+          require(!plan.contains(b),
+            s"q121 must not touch the $b base table:\n$plan"))
+        graft.util.Materialize.sorted(res, col("o_orderpriority"))
+      } finally graft.plans.MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** Maintained ≡ one-shot outer-join aggregate: q116's oracle (lazy:
+    * q116Sql is declared later in this file). */
+  lazy val q121Sql: String = q116Sql
+
   // ---- Q116: OUTER-JOIN view (fact LEFT JOIN unique dim), scored ----------
 
   /** Build + register q116's outer-join view over

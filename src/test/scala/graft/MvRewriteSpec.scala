@@ -148,11 +148,14 @@ class MvRewriteSpec extends AnyFunSuite {
           try assert(got == agg(pred).orderBy(col("l_linestatus")).collect().toSeq)
           finally graft.queries.Extended.registerRangeMv(spark, sf, mvPath)
         }
-        // strictly-contained range, strict-vs-nonstrict boundary, point, IN
+        // strictly-contained range, strict-vs-nonstrict boundary, point,
+        // IN, and BETWEEN (desugars to two conjuncts: the upper bound
+        // subsumes the baked range, the lower replays as a grain function)
         for (p <- Seq(col("l_discount") <= lit(0.03),
                       col("l_discount") < lit(0.04),
                       col("l_discount") === lit(0.02),
-                      col("l_discount").isin(0.01, 0.02))) {
+                      col("l_discount").isin(0.01, 0.02),
+                      col("l_discount").between(0.01, 0.03))) {
           assert(hits(p), s"contained predicate must rewrite: $p")
           valueEqual(p)
         }
@@ -303,6 +306,31 @@ class MvRewriteSpec extends AnyFunSuite {
         assert(!q.queryExecution.executedPlan.toString.contains("lineitem_orders_mv"))
       } finally MvCatalog.clear()
     } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  test("filtered-view IVM: any slicing of filtered folds equals the one-shot build; replays are no-ops") {
+    // σ(⋃Δᵢ) = ⋃σ(Δᵢ): per-batch filtered partials merge to the one-shot
+    // filtered aggregate under any slicing (q120's maintenance algebra)
+    val li = Tables.t(spark, sf, "lineitem")
+    val oneShot = li.filter(col("l_discount") <= lit(0.04))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")).collect().toSeq
+    for (k <- Seq(1, 3)) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_fivm$k" + "_").toFile
+      try {
+        val mvPath = new java.io.File(tmp, "state").getAbsolutePath
+        val slices = (0 until k).map(i =>
+          li.filter(pmod(col("l_orderkey"), lit(k)) === i))
+        slices.zipWithIndex.foreach { case (b, i) =>
+          graft.queries.Extended.foldFilteredBatch(b, i.toLong, mvPath) }
+        // replayed last batch: the stamp must make it a no-op
+        graft.queries.Extended.foldFilteredBatch(slices.last, (k - 1).toLong, mvPath)
+        val got = spark.read.parquet(mvPath)
+          .orderBy(col("l_returnflag"), col("l_linestatus")).collect().toSeq
+        assert(got == oneShot, s"slicing k=$k must equal the one-shot filtered build")
+      } finally graft.util.Fs.deleteTree(tmp)
+    }
   }
 
   test("a multi-root scan containing the base path refuses (extra roots' rows are not in the view)") {
