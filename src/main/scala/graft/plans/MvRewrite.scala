@@ -839,14 +839,18 @@ object MvRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Literal POINT-SET shape: `t = lit` or `t IN (lits…)`. (InSet — the
-    * optimizer's >10-element form — is not decomposed; such a conjunct
-    * simply never subsumes, a refusal, never an unsoundness.) */
+  /** Literal POINT-SET shape: `t = lit`, `t IN (lits…)`, or the
+    * optimizer's >10-element `InSet` form (its hset holds internal-format
+    * values of the child's type — rewrapped as Literals; a null element
+    * is vacuous in the query predicate but fails litTrue, a conservative
+    * refusal, never an unsoundness). */
   private def pointShape(e: Expression): Option[(Expression, Seq[Literal])] = e match {
     case EqualTo(t, l: Literal) => Some((t, Seq(l)))
     case EqualTo(l: Literal, t) => Some((t, Seq(l)))
     case In(t, list) if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
       Some((t, list.map(_.asInstanceOf[Literal])))
+    case InSet(t, hset) if hset.nonEmpty =>
+      Some((t, hset.toSeq.map(v => Literal(v, t.dataType))))
     case _ => None
   }
 

@@ -159,6 +159,14 @@ class MvRewriteSpec extends AnyFunSuite {
           assert(hits(p), s"contained predicate must rewrite: $p")
           valueEqual(p)
         }
+        // a 12-element IN converts to InSet past the threshold — the
+        // point decomposition must still subsume (and still refuse when
+        // one point escapes the baked range)
+        val in12 = Seq(0.0, 0.002, 0.005, 0.01, 0.012, 0.015,
+                       0.02, 0.022, 0.025, 0.03, 0.035, 0.04)
+        assert(hits(col("l_discount").isin(in12: _*)))
+        valueEqual(col("l_discount").isin(in12: _*))
+        assert(!hits(col("l_discount").isin((in12 :+ 0.05): _*)))
         // refusals: overlapping-but-not-contained (either spelling),
         // different attribute, non-literal bound
         assert(!hits(col("l_discount") <= lit(0.05)))
