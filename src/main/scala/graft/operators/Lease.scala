@@ -79,7 +79,16 @@ object Lease {
             } catch { case _: java.io.IOException => "<unreadable>" }
           refuse(existing, s" (${e.getMessage})")
       }
-    try out.write(holder.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // if the holder write fails AFTER the marker was created, roll the
+    // half-taken lease back (registry + marker) so the failure doesn't
+    // permanently wedge the table behind an unreadable marker we own
+    try { try out.write(holder.getBytes(StandardCharsets.UTF_8)) finally out.close() }
+    catch {
+      case t: Throwable =>
+        heldInJvm.remove(k, holder)
+        try fs.delete(m, false) catch { case _: java.io.IOException => () }
+        throw t
+    }
   }
 
   /** Release the lease (idempotent; a missing marker is not an error —

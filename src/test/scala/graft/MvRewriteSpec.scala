@@ -177,6 +177,85 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
+  test("range subsumption on TIMESTAMP grain: 'this week' answered from the 'this month' slice") {
+    import org.apache.spark.sql.types.TimestampType
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvtsr_").toFile
+    try {
+      val li = Tables.t(spark, sf, "lineitem")
+      val baked = col("l_shipdate") >= lit("1995-07-01").cast(TimestampType)
+      val mvPath = new java.io.File(tmp, "lineitem_mv_recent").getAbsolutePath
+      li.filter(baked)
+        .groupBy(col("l_returnflag"), col("l_shipdate"))
+        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+        .write.parquet(mvPath)
+      MvCatalog.register(MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("l_returnflag", "l_shipdate"),
+        sumMeasures = MvCatalog.measureExprs(li, qtyCents).map(_ -> "sum_qty_cents"),
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+        viewFilters = Seq(MvCatalog.measureExprs(li, baked))))
+      try {
+        def agg(p: org.apache.spark.sql.Column) = li.filter(p)
+          .groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s"))
+        val tight = col("l_shipdate") >= lit("1996-01-01").cast(TimestampType)
+        val q = agg(tight)
+        assert(q.queryExecution.executedPlan.toString.contains("lineitem_mv_recent"),
+          "the tighter timestamp range must be answered from the slice view")
+        val got = q.orderBy(col("l_returnflag")).collect().toSeq
+        // a WIDER range refuses — the view is missing older rows
+        assert(!agg(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType))
+          .queryExecution.executedPlan.toString.contains("lineitem_mv_recent"))
+        MvCatalog.clear()
+        assert(got == agg(tight).orderBy(col("l_returnflag")).collect().toSeq
+          && got.nonEmpty)
+      } finally MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  test("subsumption composes over a JOIN base (string-typed grain range)") {
+    // admitFilters is shared across base kinds, so a subsumed conjunct
+    // must cover a baked filter on a FILTERED JOIN view too — pinned, not
+    // assumed; also exercises string-literal range comparison
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvjsub_").toFile
+    try {
+      val li = Tables.t(spark, sf, "lineitem")
+      val ord = Tables.t(spark, sf, "orders")
+      val baked = col("o_orderpriority") >= lit("3-MEDIUM")
+      val mvPath = new java.io.File(tmp, "join_mv_lowpri").getAbsolutePath
+      li.join(ord, col("l_orderkey") === col("o_orderkey")).filter(baked)
+        .groupBy(col("o_orderpriority"), col("l_returnflag"))
+        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+        .write.parquet(mvPath)
+      MvCatalog.register(MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("o_orderpriority", "l_returnflag"),
+        sumMeasures = MvCatalog.measureExprs(li, qtyCents).map(_ -> "sum_qty_cents"),
+        countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+        baseJoin = Some(MvCatalog.JoinSpec(
+          Seq("lineitem.parquet", "orders.parquet"),
+          Seq("l_orderkey" -> "o_orderkey"))),
+        viewFilters = Seq(MvCatalog.measureExprs(ord, baked))))
+      try {
+        def agg(p: org.apache.spark.sql.Column) =
+          li.join(ord, col("l_orderkey") === col("o_orderkey")).filter(p)
+            .groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s"))
+        val tight = col("o_orderpriority") >= lit("4-NOT SPECIFIED")
+        val q = agg(tight)
+        assert(q.queryExecution.executedPlan.toString.contains("join_mv_lowpri"),
+          "the subsumed string range must be answered from the filtered join view")
+        val got = q.orderBy(col("l_returnflag")).collect().toSeq
+        // wider range refuses
+        assert(!agg(col("o_orderpriority") >= lit("2-HIGH"))
+          .queryExecution.executedPlan.toString.contains("join_mv_lowpri"))
+        MvCatalog.clear()
+        assert(got == agg(tight).orderBy(col("l_returnflag")).collect().toSeq
+          && got.nonEmpty)
+      } finally MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
   test("range subsumption over a NON-grain filtered column refuses (replay has nowhere to act)") {
     // q108's view bakes the same conjunct but does NOT store l_discount in
     // the grain: a tighter query range is provably contained, yet its
