@@ -78,6 +78,19 @@ object UpsertState {
                     keys: Seq[String], version: Seq[String],
                     nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    // single-writer ENFORCED (Lease, the StateMerge discipline): two
+    // concurrent bucketed merges would race the read-modify-write of any
+    // shared touched bucket — the second maintainer fails cleanly
+    val live = new org.apache.hadoop.fs.Path(statePath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Lease.withLease(fs, live, "bucketed upsert") {
+      mergeBucketedUnleased(spark, batch, statePath, keys, version, nBuckets)
+    }
+  }
+
+  private def mergeBucketedUnleased(spark: SparkSession, batch: DataFrame,
+                                    statePath: String, keys: Seq[String],
+                                    version: Seq[String], nBuckets: Int): Unit = {
     val withBucket = batch.withColumn("bucket",
       pmod(hash(keys.map(col): _*), lit(nBuckets)))
     val touched = withBucket.select(col("bucket")).distinct()
