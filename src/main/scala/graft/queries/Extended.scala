@@ -1453,6 +1453,11 @@ object Extended {
           s"q114 must be answered from the filtered view by range subsumption:\n$plan")
         require(!plan.contains("lineitem.parquet"),
           s"q114 must not touch the base table:\n$plan")
+        // the replayed (tighter) conjunct must reach the VIEW's scan as a
+        // pushed filter — the rewrite emits a plain Filter over the MV
+        // relation, so parquet row-group pruning applies to the residual
+        require(plan.contains("LessThanOrEqual(l_discount,0.03)"),
+          s"q114's residual range must push into the view scan:\n$plan")
         graft.util.Materialize.sorted(res, col("l_linestatus"))
       } finally graft.plans.MvCatalog.clear()
     } finally graft.util.Fs.deleteTree(tmp)
