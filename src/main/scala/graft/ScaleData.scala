@@ -65,11 +65,16 @@ object ScaleData {
         .withColumn("text",
           concat(lit(s"c${i}x"),
             regexp_replace(col("text"), " ", s" c${i}x")))
+        // the corpus invariant n_chars = length(text) must survive the
+        // tagging, or length-sensitive operators run over self-
+        // inconsistent metadata in the derived shards
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents")
 
     val ev = Tables.t(spark, src, "events")
-    val evRange = ev.agg(max(col("event_id"))).head().getLong(0) + 1
-    val userRange = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+    val evMaxes = ev.agg(max(col("event_id")), max(col("user_id"))).head()
+    val evRange = evMaxes.getLong(0) + 1
+    val userRange = evMaxes.getLong(1) + 1
     writeAs(copies(ev) { (d, i) =>
       d.withColumn("event_id", col("event_id") + lit(i * evRange))
         .withColumn("user_id", col("user_id") + lit(i * userRange))

@@ -33,12 +33,16 @@ object DedupAppend {
     * table keeps its pruning structure across appends. */
   def append(spark: SparkSession, batch: DataFrame, path: String,
              keys: Seq[String], tieBreak: Seq[String],
-             partitionCols: Seq[String] = Nil): Unit = {
+             partitionCols: Seq[String] = Nil,
+             owner: Option[String] = None): Unit = {
     // single-writer ENFORCED: two concurrent appends could both see key X
-    // absent and both insert it — the second maintainer fails cleanly
+    // absent and both insert it — the second maintainer fails cleanly.
+    // Streaming callers pass their checkpoint location as `owner` so a
+    // crashed lineage's restart re-acquires its own stale lease (the
+    // replayed append is already conflict-skipped by the anti-join).
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Lease.withLease(fs, live, "dedup append") {
+    Lease.withLease(fs, live, "dedup append", owner) {
       appendUnleased(spark, batch, path, keys, tieBreak, partitionCols)
     }
   }

@@ -20,13 +20,19 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * directory, so readers and parquet listings never see it and the swap
   * dance can rename the table directory freely while the lease is held.
   *
-  * Crash story: a maintainer that dies holding the lease leaves the
-  * marker behind, and every later maintenance fails with the holder's
-  * identity and acquisition time from the marker body — loud, diagnosable
-  * refusal rather than silent corruption. Recovery is the operator's
-  * explicit [[Lease.break_]] after confirming the holder is gone (the
-  * same judgement call breaking any distributed lock needs; a TTL would
-  * trade it for clock trust). In a catalog-backed table format this whole
+  * Crash story, two tiers. A maintainer that declares an OWNER token —
+  * streaming maintainers pass their checkpoint location, the natural
+  * one-logical-writer identity — self-heals: its restarted lineage
+  * re-acquires its own stale lease (same owner ⇒ same logical writer;
+  * the replayed batch is already a no-op under StateMerge's batch-id
+  * stamp and the idempotent append forms, so take-over cannot
+  * double-apply). An ANONYMOUS holder that dies leaves the marker
+  * behind, and every later maintenance fails with the holder's identity
+  * and acquisition time from the marker body — loud, diagnosable refusal
+  * rather than silent corruption; recovery is the operator's explicit
+  * [[Lease.break_]] after confirming the holder is gone (the same
+  * judgement call breaking any distributed lock needs; a TTL would trade
+  * it for clock trust). In a catalog-backed table format this whole
   * mechanism is the catalog's commit protocol.
   */
 object Lease {
@@ -50,11 +56,18 @@ object Lease {
   private def key(fs: FileSystem, live: Path): String =
     fs.makeQualified(marker(live)).toString
 
+  private def ownerLine(owner: Option[String]): String =
+    s"owner=${owner.getOrElse("-")}"
+
   /** Acquire the lease for the table at `live` or throw [[HeldException]]
     * with the current holder's identity: in-JVM registry first (atomic
-    * putIfAbsent), then the create-fails-if-exists marker file. */
-  def acquire(fs: FileSystem, live: Path, what: String): Unit = {
-    val holder = s"$what pid=${ProcessHandle.current().pid()} " +
+    * putIfAbsent), then the create-fails-if-exists marker file. A
+    * declared `owner` token (a stream's checkpoint location) re-acquires
+    * its OWN stale lease — same owner ⇒ the same logical writer's
+    * restarted lineage, never a second concurrent maintainer. */
+  def acquire(fs: FileSystem, live: Path, what: String,
+              owner: Option[String] = None): Unit = {
+    val holder = s"${ownerLine(owner)} $what pid=${ProcessHandle.current().pid()} " +
       s"thread=${Thread.currentThread().getName} " +
       s"acquired=${java.time.Instant.now()}"
     def refuse(existing: String, detail: String): Nothing =
@@ -62,21 +75,43 @@ object Lease {
         s"$what: another maintainer holds the lease on $live " +
           s"[$existing]; if its process is gone, break the lease " +
           s"explicitly (Lease.break_) — refusing to interleave.$detail")
+    def sameOwner(existing: String): Boolean =
+      owner.isDefined && existing.startsWith(ownerLine(owner) + " ")
     val k = key(fs, live)
     val prev = heldInJvm.putIfAbsent(k, holder)
-    if (prev != null) refuse(prev, "")
+    if (prev != null) {
+      // same-JVM take-over for the declared owner (a restarted stream in
+      // one long-lived driver): replace the stale entry atomically
+      if (!(sameOwner(prev) && heldInJvm.replace(k, prev, holder)))
+        refuse(prev, "")
+    }
     val m = marker(live)
+    // cross-process take-over: a marker left by OUR OWN crashed lineage
+    // is removed before the fresh create (two same-owner processes racing
+    // here were already corruption per the checkpoint-lineage contract)
+    if (owner.isDefined && fs.exists(m)) {
+      val existing =
+        try {
+          val in = fs.open(m)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => "" }
+      if (sameOwner(existing)) fs.delete(m, false)
+    }
     val out =
       try fs.create(m, false)
       catch {
-        case e: java.io.IOException =>
+        // NonFatal, not just IOException: any create failure must roll the
+        // registry entry back, or this JVM wedges the table behind a
+        // holder that never actually took the lease
+        case scala.util.control.NonFatal(e) =>
           heldInJvm.remove(k, holder)
           val existing =
             try {
               val in = fs.open(m)
               try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
               finally in.close()
-            } catch { case _: java.io.IOException => "<unreadable>" }
+            } catch { case scala.util.control.NonFatal(_) => "<unreadable>" }
           refuse(existing, s" (${e.getMessage})")
       }
     // if the holder write fails AFTER the marker was created, roll the
@@ -92,19 +127,23 @@ object Lease {
   }
 
   /** Release the lease (idempotent; a missing marker is not an error —
-    * the holder may have been broken by an operator). */
+    * the holder may have been broken by an operator). Marker first, then
+    * the registry entry: the spurious-HeldException window for a
+    * back-to-back acquirer is then one map.remove (nanoseconds) instead
+    * of an exists+delete filesystem round-trip. */
   def release(fs: FileSystem, live: Path): Unit = {
-    heldInJvm.remove(key(fs, live))
     val m = marker(live)
     if (fs.exists(m)) fs.delete(m, false)
+    heldInJvm.remove(key(fs, live))
   }
 
   /** Operator action: forcibly remove a dead holder's lease. */
   def break_(fs: FileSystem, live: Path): Unit = release(fs, live)
 
   /** Run one maintenance operation under the table's lease. */
-  def withLease[T](fs: FileSystem, live: Path, what: String)(f: => T): T = {
-    acquire(fs, live, what)
+  def withLease[T](fs: FileSystem, live: Path, what: String,
+                   owner: Option[String] = None)(f: => T): T = {
+    acquire(fs, live, what, owner)
     try f finally release(fs, live)
   }
 }

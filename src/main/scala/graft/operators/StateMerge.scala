@@ -62,14 +62,17 @@ object StateMerge {
     * atomically with the swap. `batchId` < 0 (the default) is the plain
     * batch form with no replay tracking. */
   def mergeOverwrite(spark: SparkSession, partial: DataFrame, path: String,
-                     batchId: Long = -1L)
+                     batchId: Long = -1L, owner: Option[String] = None)
                     (combine: DataFrame => DataFrame): Unit = {
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // single-writer ENFORCED (Lease): two interleaved merges would both
     // read the same pre-state and the second swap would drop the first's
-    // partials — the second maintainer fails cleanly instead
-    Lease.withLease(fs, live, "state merge") {
+    // partials — the second maintainer fails cleanly instead. Streaming
+    // callers pass their checkpoint location as `owner` so a crashed
+    // lineage's restart re-acquires its own stale lease (the replayed
+    // merge is already a no-op under the batch-id stamp).
+    Lease.withLease(fs, live, "state merge", owner) {
       mergeUnleased(spark, partial, live, fs, batchId)(combine)
     }
   }

@@ -36,18 +36,23 @@ object ProjectionCatalog {
       proj: LogicalPlan)
 
   /** Order-independent content fingerprint of `df` restricted to `cols`:
-    * (row count, checksum_agg of a canonical row string — columns in
-    * sorted-name order, null-sentinelled, unit-separated). checksum_agg
+    * (row count, checksum_agg of a canonical row string). The canonical
+    * string is SELF-DELIMITING — columns in sorted-name order, each term
+    * either `N;` (null) or `<length>:<value>` — so no value content can
+    * alias a term boundary: a separator character inside a value, or a
+    * value equal to a null sentinel, canonicalizes differently from the
+    * shifted-columns row it could otherwise collide with. checksum_agg
     * is the engine's own commutative mod-sum aggregate (q95's law:
     * partitioning-independent), so two frames fingerprint equal iff they
-    * hold the same row multiset up to checksum collision — computed with
-    * one map-side-combinable pass over each frame, no shuffle beyond the
-    * single global agg row. */
+    * hold the same row multiset up to genuine checksum collision —
+    * computed with one map-side-combinable pass over each frame, no
+    * shuffle beyond the single global agg row. */
   def fingerprint(df: DataFrame, cols: Seq[String]): (Long, Long) = {
     graft.functions.ChecksumAgg.register(df.sparkSession)
     val canon = cols.sorted
-      .map(c => s"coalesce(cast(`$c` as string), '\\u0000')")
-      .mkString("concat_ws('\\u0001', ", ", ", ")")
+      .map(c => s"CASE WHEN `$c` IS NULL THEN 'N;' ELSE " +
+        s"concat(length(cast(`$c` as string)), ':', cast(`$c` as string)) END")
+      .mkString("concat(", ", ", ")")
     val r = df.selectExpr(s"count(1) AS n", s"checksum_agg($canon) AS c").head()
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }

@@ -1483,13 +1483,14 @@ object Extended {
     * Batch-partitioned hot tables are also the production ingest layout.
     * Shared with MvRewriteSpec's slicing law. */
   private[graft] def foldHotBatch(batch: DataFrame, batchId: Long,
-                                  hotPath: String, mvPath: String): Unit = {
+                                  hotPath: String, mvPath: String,
+                                  owner: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     batch.write.mode("overwrite").parquet(s"$hotPath/batch=$batchId")
     val partial = batch
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
-    graft.operators.StateMerge.mergeOverwrite(spark, partial, mvPath, batchId)(
+    graft.operators.StateMerge.mergeOverwrite(spark, partial, mvPath, batchId, owner)(
       _.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("sum_qty_cents")).as("sum_qty_cents"),
              sum(col("cnt")).as("cnt")))
@@ -1538,7 +1539,7 @@ object Extended {
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          foldHotBatch(batch.toDF(), batchId, hotPath, mvPath)
+          foldHotBatch(batch.toDF(), batchId, hotPath, mvPath, Some(ckpt))
         }
         .start()
       q.awaitTermination()
@@ -1610,7 +1611,7 @@ object Extended {
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          foldFilteredBatch(batch.toDF(), batchId, mvPath)
+          foldFilteredBatch(batch.toDF(), batchId, mvPath, Some(ckpt))
         }
         .start()
       q.awaitTermination()
@@ -1634,12 +1635,13 @@ object Extended {
     * conjunct applies to the batch, the per-grain partial merges via the
     * stamped StateMerge. Shared with MvRewriteSpec's slicing law. */
   private[graft] def foldFilteredBatch(batch: DataFrame, batchId: Long,
-                                       mvPath: String): Unit = {
+                                       mvPath: String,
+                                       owner: Option[String] = None): Unit = {
     val partial = batch.filter(lowDiscount)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
     graft.operators.StateMerge.mergeOverwrite(
-      batch.sparkSession, partial, mvPath, batchId)(
+      batch.sparkSession, partial, mvPath, batchId, owner)(
       _.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("sum_qty_cents")).as("sum_qty_cents"),
              sum(col("cnt")).as("cnt")))

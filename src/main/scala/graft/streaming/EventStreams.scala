@@ -168,9 +168,12 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // owner = the checkpoint: this lineage's restart re-acquires its
+        // own stale lease after a crash (the replay is conflict-skipped)
         graft.operators.DedupAppend.append(
           batch.sparkSession, graft.ingest.Donki.project(batch.toDF()), tablePath,
-          keys = Seq("flr_id"), tieBreak = Seq("class_type", "link"))
+          keys = Seq("flr_id"), tieBreak = Seq("class_type", "link"),
+          owner = Some(checkpointDir))
       }
       .start()
     q.awaitTermination()

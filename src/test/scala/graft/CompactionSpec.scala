@@ -278,6 +278,39 @@ class CompactionSpec extends AnyFunSuite {
     } finally Fs.deleteTree(new java.io.File(tmp))
   }
 
+  test("writer lease: a declared owner's restarted lineage re-acquires its own stale lease") {
+    // crash story tier 1: an owner token (a stream's checkpoint) makes the
+    // lease self-healing for the SAME logical writer — a simulated crash
+    // (acquire, never release) must not wedge the lineage's replay, while
+    // a DIFFERENT owner and an anonymous maintainer still refuse
+    val tmp = Files.createTempDirectory("graft-lease-own").toFile.getAbsolutePath
+    try {
+      import graft.operators.{Lease, StateMerge}
+      val state = s"$tmp/state"
+      def partial(n: Long) = { import spark.implicits._; Seq(("g", n)).toDF("k", "v") }
+      def comb(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("k")).agg(sum(col("v")).as("v"))
+      val live = new org.apache.hadoop.fs.Path(state)
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // simulate a crash: the lineage took the lease and died
+      Lease.acquire(fs, live, "state merge", owner = Some("ckpt-A"))
+      // a different owner and an anonymous maintainer refuse
+      intercept[Lease.HeldException] {
+        StateMerge.mergeOverwrite(spark, partial(1), state, owner = Some("ckpt-B"))(comb)
+      }
+      intercept[Lease.HeldException] {
+        StateMerge.mergeOverwrite(spark, partial(1), state)(comb)
+      }
+      // the owner's own restart proceeds (and releases normally after)
+      StateMerge.mergeOverwrite(spark, partial(5), state, owner = Some("ckpt-A"))(comb)
+      assert(spark.read.parquet(state).collect().map(_.getLong(1)).toSeq == Seq(5L))
+      assert(!fs.exists(live.suffix("__lease")))
+      // subsequent anonymous maintenance works — the lease was released
+      StateMerge.mergeOverwrite(spark, partial(2), state)(comb)
+      assert(spark.read.parquet(state).collect().map(_.getLong(1)).toSeq == Seq(7L))
+    } finally Fs.deleteTree(new java.io.File(tmp))
+  }
+
   test("writer lease guards StateMerge too; a held lease never loses folded partials") {
     val tmp = Files.createTempDirectory("graft-lease-sm").toFile.getAbsolutePath
     try {

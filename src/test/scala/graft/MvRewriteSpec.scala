@@ -356,13 +356,17 @@ class MvRewriteSpec extends AnyFunSuite {
               col("o_orderpriority") =!= lit("X"), "left_outer")
           .groupBy(col("o_orderpriority")).agg(sum(qtyCents).as("s"))
         assert(!extraOn.queryExecution.executedPlan.toString.contains("lineitem_outer_mv"))
-        // a RIGHT-side-preserved join never matches
+        // dim RIGHT JOIN fact IS the registered fact LEFT JOIN dim: if the
+        // optimizer canonicalizes the spelling, the rewrite firing is
+        // SOUND — so the law is value-equality either way, never refusal
         val rightQ = dim.join(li, col("l_orderkey") === col("o_orderkey"), "right_outer")
           .groupBy(col("o_orderpriority")).agg(sum(qtyCents).as("s"))
-        val rplan = rightQ.queryExecution.optimizedPlan.toString
-        // (the optimizer may canonicalize right to left — if it does, the
-        // sides are swapped vs the registration and still must refuse)
-        assert(!rightQ.queryExecution.executedPlan.toString.contains("lineitem_outer_mv"), rplan)
+        val rgot = rightQ.orderBy(col("o_orderpriority")).collect().toSeq
+        graft.plans.MvCatalog.clear()
+        assert(rgot == dim.join(li, col("l_orderkey") === col("o_orderkey"), "right_outer")
+          .groupBy(col("o_orderpriority")).agg(sum(qtyCents).as("s"))
+          .orderBy(col("o_orderpriority")).collect().toSeq && rgot.nonEmpty)
+        graft.queries.Extended.registerOuterMv(spark, sf, mvPath)
       } finally graft.plans.MvCatalog.clear()
     } finally graft.util.Fs.deleteTree(tmp)
   }
