@@ -254,8 +254,11 @@ object MvCatalog {
   *     matches `'a'`) — or `count(*)` / `count(1)` — or
   *     `count(DISTINCT g)` where `g` is an MV GROUPING column (the view
   *     holds exactly the distinct grain combinations, so the distinct
-  *     count re-aggregates exactly); any other DISTINCT and any FILTER
-  *     clause refuses. `min`/`max` re-aggregate as min-of-mins /
+  *     count re-aggregates exactly) — or `count(measure)` for a measure
+  *     with a registered avg pair (whose count column IS the per-group
+  *     non-null count) — or `min`/`max` of a GRAIN column (the view
+  *     stores every distinct combination and min/max are multiplicity-
+  *     independent); any other DISTINCT and any FILTER clause refuses. `min`/`max` re-aggregate as min-of-mins /
   *     max-of-maxes — semilattices, order-independent for ANY orderable
   *     type (no float restriction); `avg` re-aggregates as sum-of-sums
   *     over sum-of-NON-NULL-counts (a per-measure count column the view
@@ -702,6 +705,16 @@ object MvRewrite extends Rule[LogicalPlan] {
     withNullability(out, orig.nullable)
   }
 
+  /** The MV's stored column for a resolved GRAIN-column reference (type
+    * drift refuses, the rebindTree discipline). */
+  private def grainAttr(d: MvCatalog.MvDef, resolved: Expression,
+                        attr: String => Option[Attribute]): Option[Attribute] =
+    resolved match {
+      case b: AttributeReference if d.groupCols(b.name) =>
+        attr(b.name).filter(_.dataType == b.dataType)
+      case _ => None
+    }
+
   /** Rewrite ONE AggregateExpression from the MV's partials — the single
     * matcher both the flat and the Expand paths call (`resolveM` resolves
     * the measure child through whatever sits between the aggregate and
@@ -716,6 +729,14 @@ object MvRewrite extends Rule[LogicalPlan] {
     ae match {
       case AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _) =>
         attr(d.countCol).map(m => reAggE(Sum(m), ae))
+      case AggregateExpression(Count(Seq(child)), _, false, None, _)
+          if !child.isInstanceOf[Literal] =>
+        // count(measure) — the NON-NULL count: the avg registration
+        // stores exactly this per group (its cnt column is
+        // count(measure), never count(*)), so it re-aggregates as a sum
+        // of the stored counts even for queries that never ask for avg
+        matchPair(d.avgMeasures, resolveM(child)).map(_._2)
+          .flatMap(attr).map(m => reAggE(Sum(m), ae))
       case AggregateExpression(Count(Seq(child)), _, true, None, _) =>
         // count(DISTINCT g) over a GROUPING column: the MV holds exactly
         // the distinct grain combinations, so counting the stored
@@ -738,10 +759,17 @@ object MvRewrite extends Rule[LogicalPlan] {
         // throws (ANSI) — not bit-faithful to the original
         matchMeasure(d, resolveM(child)).flatMap(attr).map(m => reAggE(Sum(m), ae))
       case AggregateExpression(Min(child), _, false, None, _) =>
-        // min-of-mins: a semilattice, sound for any orderable type
-        matchIn(d.minMeasures, resolveM(child)).flatMap(attr).map(m => reAggE(Min(m), ae))
+        // min-of-mins: a semilattice, sound for any orderable type. A
+        // GRAIN column needs no registered measure: the view stores every
+        // distinct grain combination, and min is multiplicity-independent
+        // (nulls skip identically — a null grain group stores null once)
+        matchIn(d.minMeasures, resolveM(child)).flatMap(attr)
+          .orElse(grainAttr(d, resolveM(child), attr))
+          .map(m => reAggE(Min(m), ae))
       case AggregateExpression(Max(child), _, false, None, _) =>
-        matchIn(d.maxMeasures, resolveM(child)).flatMap(attr).map(m => reAggE(Max(m), ae))
+        matchIn(d.maxMeasures, resolveM(child)).flatMap(attr)
+          .orElse(grainAttr(d, resolveM(child), attr))
+          .map(m => reAggE(Max(m), ae))
       case AggregateExpression(av @ Average(child, _), _, false, None, _)
           if av.evalMode != EvalMode.TRY && child.dataType.isInstanceOf[DecimalType] =>
         matchPair(d.avgMeasures, resolveM(child)).flatMap { case (sumC, cntC) =>

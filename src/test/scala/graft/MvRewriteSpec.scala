@@ -771,6 +771,62 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
+  test("count(measure) rewrites from the avg pair; min/max of a GRAIN column need no measure") {
+    // count(m) is the NON-NULL count — exactly what an avg registration's
+    // cnt column stores, usable even when the query never asks for avg
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvcntm_").toFile
+    try {
+      val basePath = new java.io.File(tmp, "cntbase.parquet").getAbsolutePath
+      spark.range(1000).selectExpr("id % 7 as g",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE CAST(id AS DECIMAL(18,2)) END as m")
+        .write.parquet(basePath)
+      val base = spark.read.parquet(basePath)
+      val mvPath = new java.io.File(tmp, "cnt_mv").getAbsolutePath
+      base.groupBy(col("g"))
+        .agg(sum(col("m")).as("sum_m"), count(col("m")).as("cnt_m"),
+             count(lit(1)).as("cnt"))
+        .write.parquet(mvPath)
+      MvCatalog.register(MvCatalog.MvDef(
+        basePathSuffix = "cntbase.parquet",
+        groupCols = Set("g"),
+        sumMeasures = Nil, countCol = "cnt",
+        mv = spark.read.parquet(mvPath).queryExecution.analyzed,
+        avgMeasures = MvCatalog.measureExprs(base, col("m"))
+          .map(_ -> ("sum_m", "cnt_m"))))
+      try {
+        def q(d: org.apache.spark.sql.DataFrame) = d.groupBy(col("g"))
+          .agg(count(col("m")).as("nm"), count(lit(1)).as("n"))
+          .orderBy(col("g"))
+        val viaMv = q(base)
+        assert(viaMv.queryExecution.executedPlan.toString.contains("cnt_mv"),
+          "count(measure) must re-aggregate from the stored non-null counts")
+        val got = viaMv.collect().toSeq
+        MvCatalog.clear()
+        val direct = q(base).collect().toSeq
+        assert(got == direct && got.exists(r => r.getLong(1) != r.getLong(2)),
+          "the fixture must distinguish count(m) from count(*)")
+      } finally MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+    // min/max over a GRAIN column: the view stores every distinct grain
+    // combination and min/max are multiplicity-independent
+    withMv { _ =>
+      val li = Tables.t(spark, sf, "lineitem")
+      def q2 = li.groupBy(col("l_returnflag"))
+        .agg(min(col("l_linestatus")).as("lo"), max(col("l_linestatus")).as("hi"))
+      assert(q2.queryExecution.executedPlan.toString.contains("lineitem_mv"),
+        "min/max of a grain column must be answered from the view")
+      val got2 = q2.orderBy(col("l_returnflag")).collect().toSeq
+      MvCatalog.clear()
+      assert(got2 == q2.orderBy(col("l_returnflag")).collect().toSeq && got2.nonEmpty)
+      // while min of an UNREGISTERED non-grain column still refuses
+    }
+    withMv { _ =>
+      val refuse = Tables.t(spark, sf, "lineitem").groupBy(col("l_returnflag"))
+        .agg(min(col("l_quantity")).as("lo"))
+      assert(!refuse.queryExecution.executedPlan.toString.contains("lineitem_mv"))
+    }
+  }
+
   test("avg re-aggregates from the MV bit-exactly, incl. null measures and all-null groups") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_mvavg_").toFile
     try {
