@@ -802,4 +802,62 @@ object EventTime {
 
   /** Open merged sessions ≡ batch sessions: q34's oracle verbatim. */
   val q119Sql: String = q34Sql
+
+  /** Q122 — STREAM-STREAM LEFT OUTER JOIN, scored: q80's inner pair
+    * stream preserved-side — an event with no same-user follower within
+    * 10 minutes must survive with a NULL pair, emitted only once both
+    * watermarks prove no match can still arrive. A bounded replay leaves
+    * the tail's outer rows pending (their no-match proof needs the
+    * watermark to advance past them), so the landing carries q88's flush
+    * sentinel — one far-future scaffolding event (its own user, joins
+    * nothing) that drives the final watermark past every real event; the
+    * sentinel's own rows are filtered out of the scored frame. The
+    * per-user census of paired vs lonely events hash-matches DuckDB's
+    * LEFT JOIN recompute. At 100 TB the state story is the inner join's
+    * (rate × window per side); the outer form adds only the emission
+    * delay — results trail by the watermark, the price of proving a
+    * negative on an unbounded stream. */
+  def q122StreamOuter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q122_").toFile
+    try graft.util.Confs.withConfs(spark, "spark.sql.shuffle.partitions" -> "8") {
+      val landing = new java.io.File(tmp, "landing").getAbsolutePath
+      val out = new java.io.File(tmp, "pairs").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      val ev = t(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinel = spark.range(1).select(lit(-1L).as("user_id"),
+        lit(-1L).as("event_id"),
+        lit(new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000)).as("ts"))
+      ev.unionByName(sentinel).write.parquet(landing)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema).parquet(landing)
+      val q = graft.streaming.EventStreams.pairWithinOuter(stream)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val res = spark.read.parquet(out)
+        .filter(col("user_id") >= 0) // the sentinel's row is scaffolding
+        .groupBy(col("user_id"))
+        .agg(count(col("b_id")).as("n_paired"),
+             sum(when(col("b_id").isNull, 1L).otherwise(0L)).as("n_lonely"),
+             sum(col("gap_us")).as("sum_gap_us"))
+      graft.util.Materialize.sorted(res, col("user_id"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** LEFT JOIN recompute: unmatched events carry one null row each. */
+  val q122Sql: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |p AS (SELECT a.user_id, b.event_id AS b_id,
+      |        epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+      |      FROM e a LEFT JOIN e b ON b.user_id = a.user_id
+      |        AND a.event_id != b.event_id
+      |        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '10 minutes')
+      |SELECT user_id, count(b_id) AS n_paired,
+      |  CAST(sum(CASE WHEN b_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lonely,
+      |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
 }

@@ -132,6 +132,31 @@ object EventStreams {
         unix_micros(col("b_ts")).minus(unix_micros(col("a_ts"))).as("gap_us"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER join: [[pairWithin]]'s
+    * preserved-side twin — an event with NO same-user follower inside the
+    * window survives with a null pair. The engine buffers the left row
+    * until BOTH watermarks pass the point where a matching right row
+    * could still arrive, then emits the null-extended row — so outer
+    * results trail the data by the watermark delay, and a bounded replay
+    * needs a flush sentinel (q88's drain trick) to close the final rows
+    * out. State is rate × window per side, like the inner form. */
+  def pairWithinOuter(events: DataFrame, windowMinutes: Int = 10,
+                      watermark: String = "1 hour"): DataFrame = {
+    val a = events.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    val b = events.select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", watermark)
+    a.join(b,
+      col("user_id") === col("b_user") &&
+        col("a_id") =!= col("b_id") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      "left_outer")
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        unix_micros(col("b_ts")).minus(unix_micros(col("a_ts"))).as("gap_us"))
+  }
+
   /** Drain the landing dir through the streaming agg into an in-memory
     * table and return the result — used by tests to prove batch/stream
     * equivalence. `complete` output mode so still-open windows are emitted
