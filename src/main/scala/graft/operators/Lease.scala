@@ -56,8 +56,20 @@ object Lease {
   private def key(fs: FileSystem, live: Path): String =
     fs.makeQualified(marker(live)).toString
 
+  /** Length-prefixed owner field: `owner=<len>:<token>`. The prefix makes
+    * the [[acquire]] same-owner comparison unambiguous over the
+    * space-delimited holder line — with a raw token, owner "/tmp/ckpt"
+    * would prefix-match a holder declared by owner "/tmp/ckpt state"
+    * whose trailing word aligned with the next field, silently treating a
+    * DIFFERENT logical writer as the same one. Two distinct tokens can
+    * never share the full `owner=<len>:<token> ` prefix: equality forces
+    * equal lengths, and equal-length prefixes of length len are the
+    * tokens themselves. */
   private def ownerLine(owner: Option[String]): String =
-    s"owner=${owner.getOrElse("-")}"
+    owner match {
+      case Some(tok) => s"owner=${tok.length}:$tok"
+      case None => "owner=-"
+    }
 
   /** Acquire the lease for the table at `live` or throw [[HeldException]]
     * with the current holder's identity: in-JVM registry first (atomic

@@ -76,14 +76,20 @@ object UpsertState {
     * against small files; at 100 TB pick buckets ~ state size / 1 GiB. */
   def mergeBucketed(spark: SparkSession, batch: DataFrame, statePath: String,
                     keys: Seq[String], version: Seq[String],
-                    nBuckets: Int = 64): Unit = {
+                    nBuckets: Int = 64, owner: Option[String] = None): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     // single-writer ENFORCED (Lease, the StateMerge discipline): two
     // concurrent bucketed merges would race the read-modify-write of any
-    // shared touched bucket — the second maintainer fails cleanly
+    // shared touched bucket — the second maintainer fails cleanly. The
+    // `owner` token (a streaming maintainer's checkpoint location, the
+    // same contract as DedupAppend.append and StateMerge.mergeOverwrite)
+    // lets a crashed lineage's restart re-acquire its own stale lease and
+    // self-heal — the merge is idempotent under re-delivery, so take-over
+    // cannot double-apply; an anonymous maintainer that dies still needs
+    // the explicit Lease.break_.
     val live = new org.apache.hadoop.fs.Path(statePath)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Lease.withLease(fs, live, "bucketed upsert") {
+    Lease.withLease(fs, live, "bucketed upsert", owner) {
       mergeBucketedUnleased(spark, batch, statePath, keys, version, nBuckets)
     }
   }

@@ -67,12 +67,42 @@ object ProjectionCatalog {
     * a missed maintenance append, a partial write, a manual edit) is
     * DETECTED AND REFUSED instead of silently serving wrong rows. Costs
     * one fingerprint pass over each side — the price of not trusting the
-    * registrant, paid once per registration, not per query. */
+    * registrant, paid once per registration, not per query.
+    *
+    * ATOMIC vs maintenance: verify-then-register is three steps (base
+    * fingerprint, projection fingerprint, register), so a maintenance
+    * append landing on the base BETWEEN the base pass and register()
+    * would admit a projection that is stale the moment it registers —
+    * the exact staleness the check refuses. When the base frame scans a
+    * single file-source root (the registered-table shape), the whole
+    * window runs under that table's [[graft.operators.Lease]]: a
+    * concurrent DedupAppend/appendCycle/StateMerge maintainer fails
+    * cleanly instead of interleaving, and a registration attempted
+    * during maintenance refuses with HeldException. A multi-root or
+    * non-file base (no single lease point) verifies unleased — callers
+    * composing such bases own the quiescence guarantee. */
   def registerVerified(base: DataFrame, proj: DataFrame, d: ProjDef): Unit = {
-    require(verify(base, proj, d.cols.toSeq),
-      s"projection at ${d.basePathSuffix} fingerprint mismatch vs base " +
-        "(stale or tampered copy) — refusing to register")
-    register(d)
+    def verifyAndRegister(): Unit = {
+      require(verify(base, proj, d.cols.toSeq),
+        s"projection at ${d.basePathSuffix} fingerprint mismatch vs base " +
+          "(stale or tampered copy) — refusing to register")
+      register(d)
+    }
+    val roots = base.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths
+        case _ => Nil
+      }
+    }.flatten
+    roots match {
+      case Seq(root) =>
+        val fs = root.getFileSystem(base.sparkSession.sparkContext.hadoopConfiguration)
+        graft.operators.Lease.withLease(fs, root, "projection registration") {
+          verifyAndRegister()
+        }
+      case _ => verifyAndRegister()
+    }
   }
 
   /** The maintenance half of the projection contract: when an ingest

@@ -311,6 +311,35 @@ class CompactionSpec extends AnyFunSuite {
     } finally Fs.deleteTree(new java.io.File(tmp))
   }
 
+  test("writer lease: owner identity is exact — a prefix-aligned owner is a DIFFERENT writer") {
+    // the owner field is length-prefixed on the holder line: owner "ckpt"
+    // must NOT be treated as the holder declared by owner "ckpt state",
+    // even though the raw text "owner=ckpt state ..." starts with
+    // "owner=ckpt " — a raw-prefix comparison would let the shorter token
+    // silently break a live holder's lease (and vice versa for any owner
+    // token equal to another plus a space-aligned extension)
+    val tmp = Files.createTempDirectory("graft-lease-alias").toFile.getAbsolutePath
+    try {
+      import graft.operators.Lease
+      val live = new org.apache.hadoop.fs.Path(s"$tmp/state")
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Lease.acquire(fs, live, "state merge", owner = Some("ckpt state"))
+      // the space-aligned shorter owner is a different logical writer
+      intercept[Lease.HeldException] {
+        Lease.acquire(fs, live, "merge", owner = Some("ckpt"))
+      }
+      Lease.release(fs, live)
+      // and in the other direction: "ckpt" holding, "ckpt state" refused
+      Lease.acquire(fs, live, "state merge", owner = Some("ckpt"))
+      intercept[Lease.HeldException] {
+        Lease.acquire(fs, live, "merge", owner = Some("ckpt state"))
+      }
+      // the true owner still self-heals (its own stale lease re-acquires)
+      Lease.acquire(fs, live, "merge", owner = Some("ckpt"))
+      Lease.release(fs, live)
+    } finally Fs.deleteTree(new java.io.File(tmp))
+  }
+
   test("writer lease guards StateMerge too; a held lease never loses folded partials") {
     val tmp = Files.createTempDirectory("graft-lease-sm").toFile.getAbsolutePath
     try {

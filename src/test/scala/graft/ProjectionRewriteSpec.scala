@@ -213,6 +213,43 @@ class ProjectionRewriteSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
+  test("registerVerified runs under the base table's lease: no verify-then-register window") {
+    // atomicity vs maintenance: a maintainer holding the base's Lease
+    // (an in-flight append) makes registration REFUSE with HeldException
+    // instead of fingerprinting a base that is about to change under it —
+    // and a registration in progress symmetrically blocks maintenance,
+    // because both sides contend on the same lease point
+    val tmp = java.nio.file.Files.createTempDirectory("graft_projlease_").toFile
+    try {
+      import graft.plans.ProjectionCatalog
+      import graft.operators.Lease
+      val basePath = new java.io.File(tmp, "li_main.parquet").getAbsolutePath
+      val cols = Seq("l_shipdate", "l_returnflag", "l_quantity")
+      val li = Tables.t(spark, sf, "lineitem")
+      li.write.parquet(basePath)
+      val base = spark.read.parquet(basePath)
+      val proj = new java.io.File(tmp, "proj").getAbsolutePath
+      li.selectExpr(cols: _*).write.parquet(proj)
+      val d = ProjectionCatalog.ProjDef("li_main.parquet", cols.toSet,
+        spark.read.parquet(proj).queryExecution.analyzed)
+      val live = new org.apache.hadoop.fs.Path(basePath)
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Lease.acquire(fs, live, "dedup append") // in-flight maintenance
+      intercept[Lease.HeldException] {
+        ProjectionCatalog.registerVerified(base, spark.read.parquet(proj), d)
+      }
+      assert(ProjectionCatalog.all.isEmpty,
+        "a registration refused by the lease must not register")
+      Lease.release(fs, live)
+      // maintenance done: registration proceeds and releases the lease
+      ProjectionCatalog.registerVerified(base, spark.read.parquet(proj), d)
+      assert(ProjectionCatalog.all.size == 1)
+      assert(!fs.exists(live.suffix("__lease")),
+        "registration must release the base lease")
+      ProjectionCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
   test("empty registry is a strict no-op") {
     val plan = Tables.t(spark, sf, "lineitem").filter(yr96)
       .groupBy(col("l_returnflag")).agg(sum(qtyCents).as("s"))
