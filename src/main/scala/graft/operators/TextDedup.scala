@@ -430,13 +430,23 @@ object TextDedup {
     * band join with the sound in-join size-ratio prefilter, then exact
     * verification once per distinct candidate pair.
     *
+    * With `probeIds` set (the incremental form), only bands of setid
+    * groups CONTAINING a probe doc sit on the left side of the band join
+    * — join work ∝ the probe batch's collisions, never the corpus's —
+    * and pairs are rep-normalized because a probe-probe pair collides in
+    * both directions (the same probe restriction as
+    * [[minhashVerifiedRepPairs]], on set identity instead of masks).
+    * probeIds is batch-bounded by the incremental contract (one ingest
+    * batch, never corpus-sized), so its broadcasts are legitimate hints.
+    *
     * Returns (members(doc_id, setid, toks) — checkpointed,
     *          groups(setid, rep, grp_n) — checkpointed,
     *          verified(ra, rb, jacc) rep-level pairs with ra < rb).
     * The size lookup joined into the signatures is a plain (shuffle) join:
     * it is O(distinct corpus), deliberately never broadcast. */
-  private def unboundedRepPairs(docs: DataFrame,
-                                threshold: Double): (DataFrame, DataFrame, DataFrame) = {
+  private def unboundedRepPairs(docs: DataFrame, threshold: Double,
+                                probeIds: Option[DataFrame] = None
+                               ): (DataFrame, DataFrame, DataFrame) = {
     val members = docs
       .select(col("doc_id"), array_sort(tokenSet(col("text"))).as("toks"))
       .withColumn("setid", sha2(concat_ws(" ", col("toks")), 256))
@@ -461,12 +471,23 @@ object TextDedup {
     // before they reach the distinct/fetch shuffle, recovering part of
     // the mask form's verify-in-join economics without any vocab bound.
     val bands = bandKeys(sigs, Seq("n")).localCheckpoint(true)
-    val cand = bands.select(col("key"), col("doc_id").as("ra"), col("n").as("na"))
+    // probe restriction: reps of probe-containing groups only on the left
+    val lBands = probeIds.fold(bands) { ids =>
+      val probeReps = groups
+        .join(broadcast(members.join(broadcast(ids.select(col("doc_id"))), "doc_id")
+          .select(col("setid")).distinct()), "setid")
+        .select(col("rep").as("doc_id"))
+      bands.join(broadcast(probeReps), "doc_id")
+    }
+    val pairFilter =
+      if (probeIds.isDefined) col("ra") =!= col("rb") else col("ra") < col("rb")
+    val cand = lBands.select(col("key"), col("doc_id").as("ra"), col("n").as("na"))
       .join(bands.select(col("key"), col("doc_id").as("rb"), col("n").as("nb")), Seq("key"))
-      .filter(col("ra") < col("rb"))
+      .filter(pairFilter)
       .filter(least(col("na"), col("nb")).cast(DoubleType) >=
         lit(threshold) * greatest(col("na"), col("nb")).cast(DoubleType))
-      .select(col("ra"), col("rb")).distinct()
+      .select(least(col("ra"), col("rb")).as("ra"),
+              greatest(col("ra"), col("rb")).as("rb")).distinct()
     val verified = cand
       .join(repToks.select(col("doc_id").as("ra"), col("toks").as("a_toks")), "ra")
       .join(repToks.select(col("doc_id").as("rb"), col("toks").as("b_toks")), "rb")
@@ -715,8 +736,15 @@ object TextDedup {
     * appends a batch, reprices only the touched clusters, and never
     * re-mines history. */
   def nearDupClustersIncremental(existingLabels: DataFrame, existingDocs: DataFrame,
-                                 newDocs: DataFrame, threshold: Double): DataFrame = {
-    val newPairs = minhashNearDupsIncremental(existingDocs, newDocs, threshold)
+                                 newDocs: DataFrame, threshold: Double): DataFrame =
+    foldLabels(existingLabels,
+      minhashNearDupsIncremental(existingDocs, newDocs, threshold))
+
+  /** Star-edge label fold shared by both incremental cluster maintainers:
+    * old clusters enter the component computation as STAR edges (doc →
+    * its label) so the contraction input is O(labeled docs + new pairs),
+    * never the historical pair set. */
+  private def foldLabels(existingLabels: DataFrame, newPairs: DataFrame): DataFrame = {
     val starEdges = existingLabels.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("a_id"), col("cluster_id").as("b_id"))
     // singleton clusters (label == id) re-enter via self-pair semantics:
@@ -732,6 +760,76 @@ object TextDedup {
       .join(propagated.select(col("doc_id")), Seq("doc_id"), "left_anti")
     propagated.unionByName(untouchedHeads)
   }
+
+  /** [[minhashNearDupsIncremental]] with NO vocabulary bound — the form a
+    * real-vocabulary ingest runs (the mask twin refuses past 63 distinct
+    * tokens; this one never refuses). Set identity is the sha256 of the
+    * sorted distinct-token list ([[minhashNearDupsUnbounded]]'s algebra),
+    * and the band self-join degenerates to the same PROBE: only bands of
+    * setid groups containing a new doc sit on the left side, so join work
+    * is proportional to the new batch's collisions, not the corpus's.
+    * Verification fetches the two reps' token arrays once per distinct
+    * candidate pair (`array_intersect` in codegen) — the unbounded
+    * family's candidates-then-verify trade.
+    *
+    * Emits only pairs involving at least one NEW document; folding a
+    * corpus through this function in arrival order yields exactly
+    * [[minhashNearDupsUnbounded]]'s batch answer — each pair surfaces
+    * when its later member arrives (law in TextDedupSpec, streamed form
+    * in StreamingIngestSpec; the scored gate runs at vocab > 63 where the
+    * mask family refuses). At scale the right side (members, rep token
+    * arrays, band keys of the existing corpus) lives in the PERSISTED
+    * index of [[buildLshIndex]] and is probed, not recomputed —
+    * signatures are deterministic, so the stored form equals what this
+    * from-docs form derives. */
+  def minhashNearDupsIncrementalUnbounded(existingDocs: DataFrame, newDocs: DataFrame,
+                                          threshold: Double): DataFrame = {
+    val all = existingDocs.select(col("doc_id"), col("text"))
+      .unionByName(newDocs.select(col("doc_id"), col("text")))
+    // newIds is batch-bounded (the incremental contract), so the
+    // broadcasts below are legitimate hints — same as the mask twin
+    val newIds = newDocs.select(col("doc_id"))
+    val (members, groups, verified) =
+      unboundedRepPairs(all, threshold, probeIds = Some(newIds))
+    val m = members.select(col("doc_id"), col("setid"))
+    val g = groups.select(col("rep"), col("setid"))
+    val newMembers = m.join(broadcast(newIds), "doc_id")
+    val repPairs = verified
+      .join(g.select(col("rep").as("ra"), col("setid").as("a_set")), "ra")
+      .join(g.select(col("rep").as("rb"), col("setid").as("b_set")), "rb")
+      .select(col("a_set"), col("b_set"), col("jacc"))
+    val cross = m.select(col("doc_id").as("da"), col("setid").as("a_set"))
+      .join(repPairs, "a_set")
+      .join(m.select(col("doc_id").as("db"), col("setid").as("b_set")), "b_set")
+      .select(least(col("da"), col("db")).as("a_id"),
+              greatest(col("da"), col("db")).as("b_id"), col("jacc"))
+    val intra = m.select(col("doc_id").as("a_id"), col("setid"))
+      .join(newMembers.select(col("doc_id").as("b_id"), col("setid")), "setid")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+              greatest(col("a_id"), col("b_id")).as("b_id"), lit(1.0).as("jacc"))
+    // drop old-old doc pairs (reported when their later member arrived):
+    // one flagged pass, same shape as the mask twin
+    val pairs = cross.unionByName(intra).distinct()
+    val aNew = broadcast(newIds.select(col("doc_id").as("a_id"), lit(1).as("a_new")))
+    val bNew = broadcast(newIds.select(col("doc_id").as("b_id"), lit(1).as("b_new")))
+    pairs.join(aNew, Seq("a_id"), "left").join(bNew, Seq("b_id"), "left")
+      .filter(col("a_new").isNotNull || col("b_new").isNotNull)
+      .select(col("a_id"), col("b_id"), col("jacc"))
+  }
+
+  /** [[nearDupClustersIncremental]] with NO vocabulary bound: fold a new
+    * batch into existing (doc_id, cluster_id) labels via the unbounded
+    * probe miner plus the same star-edge propagation — the incremental
+    * dedup ACTION at real vocabulary. Folding batches in arrival order
+    * reproduces [[nearDupClustersUnbounded]]'s batch answer exactly
+    * (law in TextDedupSpec; the scored gate runs at vocab > 63). */
+  def nearDupClustersIncrementalUnbounded(existingLabels: DataFrame,
+                                          existingDocs: DataFrame,
+                                          newDocs: DataFrame,
+                                          threshold: Double): DataFrame =
+    foldLabels(existingLabels,
+      minhashNearDupsIncrementalUnbounded(existingDocs, newDocs, threshold))
 
   // ---- SimHash + banded LSH -------------------------------------------
 

@@ -595,6 +595,103 @@ object LlmData {
 
   val x37Sql: String = clustersSqlFor("(SELECT * FROM documents WHERE doc_id % 4 = 0)")
 
+  // ---- X93/X94: the unbounded incremental family at vocab > 63 ----------
+
+  /** The vocab > 63 scoring corpus: the quarter corpus with every token
+    * suffixed by the doc's lang — ≈150 distinct tokens, past tokenMasks'
+    * 63-bit bound, so the MASK family (x21/x37's path) REFUSES here and
+    * the unbounded family is the only one that runs: exactly the
+    * production regime these gates exist to score. Within-lang Jaccard
+    * values are untouched (the suffix is a bijection on tokens when langs
+    * are equal); cross-lang pairs drop to Jaccard 0. The oracle derives
+    * the same corpus in DuckDB and computes exact token-set Jaccard via
+    * list_intersect — no bitmask anywhere, so it is itself vocab-unbounded. */
+  private def wideQuarter(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).filter(pmod(col("doc_id"), lit(4)) === 0)
+      .select(col("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit("_"), col("lang"))), " ").as("text"))
+
+  private val wideQuarterCte: String =
+    """d AS (SELECT doc_id,
+      |  array_to_string(list_transform(string_split(text, ' '), t -> t || '_' || lang), ' ') AS text
+      |  FROM documents WHERE doc_id % 4 = 0)""".stripMargin
+
+  /** Exact token-set Jaccard pairs over the derived corpus (vocab-unbounded
+    * oracle: list_intersect, never a bitmask). */
+  private def widePairsSql(threshold: Double): String =
+    s"""WITH $wideQuarterCte,
+       |tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS l FROM d),
+       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |        CAST(len(list_intersect(a.l, b.l)) AS DOUBLE) /
+       |        (len(a.l) + len(b.l) - len(list_intersect(a.l, b.l))) AS jacc
+       |      FROM tok a JOIN tok b ON a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, jacc FROM p WHERE jacc >= $threshold
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** X93 — INCREMENTAL near-dup mining AT REAL VOCABULARY, scored: the
+    * production append scenario the mask-path x37/x92 cannot run (their
+    * guard fires past 63 tokens). An existing store is bootstrapped with
+    * the batch unbounded miner, a ~10% increment arrives, and
+    * [[TextDedup.minhashNearDupsIncrementalUnbounded]] mines only the
+    * new-touching pairs — probe-side-restricted band join (work ∝ the
+    * batch's collisions), sha256 set identity (no vocabulary bound
+    * anywhere). The output is bootstrap ∪ increment, so the ORACLE IS THE
+    * BATCH ANSWER over the union (the arrival-order fold law, scored):
+    * the hash gate proves the incremental path reconstructs it exactly. */
+  def x93IncrementalUnbounded(spark: SparkSession, dir: String): DataFrame = {
+    val d = wideQuarter(spark, dir).localCheckpoint(true)
+    val batch = d.filter(pmod(col("doc_id"), lit(40)) === 36) // 1/10 of the quarter
+    val existing = d.filter(pmod(col("doc_id"), lit(40)) =!= 36)
+    val bootstrap = TextDedup.minhashNearDupsUnbounded(existing, JaccThreshold)
+    val increment = TextDedup.minhashNearDupsIncrementalUnbounded(existing, batch, JaccThreshold)
+    bootstrap.unionByName(increment).orderBy(col("a_id"), col("b_id"))
+  }
+
+  val x93Sql: String = widePairsSql(JaccThreshold)
+
+  /** Vocab-unbounded batch dedup-cluster oracle over the derived corpus:
+    * pairs via list_intersect (no bitmask), components via the recursive
+    * reach CTE — [[clustersSqlFor]]'s shape without its 63-token bound. */
+  private def wideClustersSql: String =
+    s"""WITH RECURSIVE
+       |$wideQuarterCte,
+       |tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS l FROM d),
+       |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.l, b.l)) AS DOUBLE) /
+       |        (len(a.l) + len(b.l) - len(list_intersect(a.l, b.l))) >= $JaccThreshold),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst)
+       |SELECT id AS doc_id, min(label) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** X94 — INCREMENTAL dedup-cluster maintenance AT REAL VOCABULARY,
+    * scored: x37's append scenario on the unbounded family. Labels are
+    * bootstrapped with [[TextDedup.nearDupClustersUnbounded]], the
+    * increment folds in through
+    * [[TextDedup.nearDupClustersIncrementalUnbounded]] — probe-mined new
+    * pairs plus star-edge label propagation, so the contraction input is
+    * O(labeled docs + new pairs), never the historical pair set. The
+    * oracle is the batch clustering of the union: the hash gate proves
+    * incremental maintenance reconstructs it at a vocabulary where the
+    * mask path refuses. */
+  def x94IncrementalClustersUnbounded(spark: SparkSession, dir: String): DataFrame = {
+    val d = wideQuarter(spark, dir).localCheckpoint(true)
+    val batch = d.filter(pmod(col("doc_id"), lit(40)) === 36)
+    val existing = d.filter(pmod(col("doc_id"), lit(40)) =!= 36)
+    val base = TextDedup.nearDupClustersUnbounded(existing, JaccThreshold)
+      .localCheckpoint(true) // consumed as both star edges and singleton heads
+    TextDedup.nearDupClustersIncrementalUnbounded(base, existing, batch, JaccThreshold)
+      .orderBy(col("doc_id"))
+  }
+
+  val x94Sql: String = wideClustersSql
+
   // ---- X32: end-to-end curation pipeline -------------------------------
 
   /** The composed training-data curation query: exact-dedup survivors

@@ -220,6 +220,79 @@ class TextDedupSpec extends AnyFunSuite {
       s"sizes: folded=${folded.size} batch=${batch.size}")
   }
 
+  /** The spec's vocab > 63 corpus: every token suffixed with the doc's
+    * lang — vocabulary × 5 (≈155 distinct tokens), past tokenMasks' 63-bit
+    * bound, while within-lang Jaccard values are untouched (the suffix is
+    * a bijection on tokens when langs are equal) and cross-lang pairs
+    * drop to Jaccard 0. The mask family REFUSES on this corpus; the
+    * unbounded family is the only path — exactly the production regime. */
+  private def wideDocs = docs.select(col("doc_id"),
+    array_join(transform(split(col("text"), " "),
+      t => concat(t, lit("_"), col("lang"))), " ").as("text"))
+
+  test("unbounded incremental miner at vocab > 63: arrival-order fold equals the batch answer") {
+    val wide = wideDocs.filter(col("doc_id") < 150).localCheckpoint(true)
+    // the mask twin refuses here — this corpus is past its 63-token bound
+    val ex = intercept[Exception] {
+      TextDedup.minhashNearDupsIncremental(wide.limit(0), wide, 0.9).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("|vocab| <= 63")))
+    val batchAll = TextDedup.minhashNearDupsUnbounded(wide, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchAll.nonEmpty)
+    val ids = wide.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val cut1 = ids(ids.length / 3); val cut2 = ids(2 * ids.length / 3)
+    val b1 = wide.filter(col("doc_id") <= cut1)
+    val b2 = wide.filter(col("doc_id") > cut1 && col("doc_id") <= cut2)
+    val b3 = wide.filter(col("doc_id") > cut2)
+    val inc1 = TextDedup.minhashNearDupsIncrementalUnbounded(b1.limit(0), b1, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc2 = TextDedup.minhashNearDupsIncrementalUnbounded(b1, b2, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc3 = TextDedup.minhashNearDupsIncrementalUnbounded(b1.unionByName(b2), b3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // each pair surfaces exactly once — when its later member arrives
+    assert((inc1 & inc2).isEmpty && (inc1 & inc3).isEmpty && (inc2 & inc3).isEmpty)
+    assert((inc1 | inc2 | inc3) == batchAll,
+      s"sizes: inc=${inc1.size}+${inc2.size}+${inc3.size} batch=${batchAll.size}")
+  }
+
+  test("unbounded incremental miner equals the mask twin where both apply") {
+    val small = docs.filter(col("doc_id") < 150).localCheckpoint(true)
+    val cut = 100L
+    val existing = small.filter(col("doc_id") <= cut)
+    val batch = small.filter(col("doc_id") > cut)
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val masked = canon(
+      TextDedup.minhashNearDupsIncremental(existing, batch, 0.9).collect())
+    val unbounded = canon(
+      TextDedup.minhashNearDupsIncrementalUnbounded(existing, batch, 0.9).collect())
+    assert(unbounded == masked && masked.nonEmpty)
+  }
+
+  test("unbounded incremental clusters at vocab > 63: arrival-order folds equal batch clusters") {
+    val wide = wideDocs.filter(col("doc_id") < 150).localCheckpoint(true)
+    val batch = TextDedup.nearDupClustersUnbounded(wide, 0.9).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.nonEmpty)
+    val ids = wide.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val cut1 = ids(ids.length / 3); val cut2 = ids(2 * ids.length / 3)
+    val b1 = wide.filter(col("doc_id") <= cut1)
+    val b2 = wide.filter(col("doc_id") > cut1 && col("doc_id") <= cut2)
+    val b3 = wide.filter(col("doc_id") > cut2)
+    val l0 = b1.select(col("doc_id"), col("doc_id").as("cluster_id")).limit(0)
+    val l1 = TextDedup.nearDupClustersIncrementalUnbounded(l0, b1.limit(0), b1, 0.9)
+      .localCheckpoint(true)
+    val l2 = TextDedup.nearDupClustersIncrementalUnbounded(l1, b1, b2, 0.9)
+      .localCheckpoint(true)
+    val l3 = TextDedup.nearDupClustersIncrementalUnbounded(l2, b1.unionByName(b2), b3, 0.9)
+    val folded = l3.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded == batch, s"sizes: folded=${folded.size} batch=${batch.size}")
+  }
+
   test("dedup clusters: labels are component minima, chains converge") {
     import spark.implicits._
     // a 4-node chain (diameter 3, needs >1 propagation round), a triangle,
