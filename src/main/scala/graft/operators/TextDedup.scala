@@ -279,7 +279,7 @@ object TextDedup {
     * compute keeps slice+hash in whole-stage codegen (a transform() lambda
     * would evaluate interpreted), and the long key replaces a ~170-char
     * string band key in the self-join shuffle. */
-  private def bandKeys(sigs: DataFrame, carry: Seq[String]): DataFrame = {
+  private[operators] def bandKeys(sigs: DataFrame, carry: Seq[String]): DataFrame = {
     val rows = NumPerms / NumBands
     sigs.select(col("doc_id") +: carry.map(col) :+ col("sig") :+
         explode(expr(s"sequence(0, ${NumBands - 1})")).as("band"): _*)
@@ -425,6 +425,16 @@ object TextDedup {
     cross.unionByName(intra)
   }
 
+  /** The unbounded set identity: (doc_id, setid = sha256 of the sorted
+    * distinct-token list, toks = that list). Shared by the in-memory
+    * unbounded family and the persisted [[LshIndex]] — both sides of the
+    * stored-index-equals-fresh-mining law derive identity from this one
+    * definition. */
+  private[operators] def setMembers(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), array_sort(tokenSet(col("text"))).as("toks"))
+      .withColumn("setid", sha2(concat_ws(" ", col("toks")), 256))
+      .select(col("doc_id"), col("setid"), col("toks"))
+
   /** Shared machinery of the unbounded-vocab family: identical-set collapse
     * (sha256 set identity), signatures + banding over reps only, and the
     * band join with the sound in-join size-ratio prefilter, then exact
@@ -447,11 +457,7 @@ object TextDedup {
   private def unboundedRepPairs(docs: DataFrame, threshold: Double,
                                 probeIds: Option[DataFrame] = None
                                ): (DataFrame, DataFrame, DataFrame) = {
-    val members = docs
-      .select(col("doc_id"), array_sort(tokenSet(col("text"))).as("toks"))
-      .withColumn("setid", sha2(concat_ws(" ", col("toks")), 256))
-      .select(col("doc_id"), col("setid"), col("toks"))
-      .localCheckpoint(true)
+    val members = setMembers(docs).localCheckpoint(true)
     // read by the rep-doc join, the rep→setid mapping, and (clusters path)
     // the label expansion: materialize once
     val groups = members.groupBy(col("setid"))
@@ -684,10 +690,10 @@ object TextDedup {
     * [[graft.operators.DedupAppend]]): the band self-join degenerates to a
     * PROBE — only bands of groups containing a new doc sit on the left
     * side, so join work is proportional to the new batch's collisions, not
-    * the corpus's. At scale the right side (bands, masks, signatures of
-    * the existing corpus) lives in a bucket-keyed store and is never
-    * recomputed — signatures are deterministic, so a stored signature
-    * equals the recomputed one this test-scale form derives from the docs.
+    * the corpus's. The stored-index form of this shape is [[LshIndex]]
+    * (on the unbounded set identity — the vocab this mask path is bounded
+    * to never needs a store); this from-docs form recomputes the right
+    * side per call and is the test-scale fast path.
     *
     * Masks are vocab-dependent, so bitmasks are computed over the union
     * vocabulary per call; Jaccard is set-based, so values are unaffected
@@ -779,7 +785,7 @@ object TextDedup {
     * in StreamingIngestSpec; the scored gate runs at vocab > 63 where the
     * mask family refuses). At scale the right side (members, rep token
     * arrays, band keys of the existing corpus) lives in the PERSISTED
-    * index of [[buildLshIndex]] and is probed, not recomputed —
+    * index of [[LshIndex]] and is probed, not recomputed —
     * signatures are deterministic, so the stored form equals what this
     * from-docs form derives. */
   def minhashNearDupsIncrementalUnbounded(existingDocs: DataFrame, newDocs: DataFrame,

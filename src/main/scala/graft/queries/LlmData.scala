@@ -692,6 +692,87 @@ object LlmData {
 
   val x94Sql: String = wideClustersSql
 
+  /** X95 — near-dup mining FROM THE PERSISTED LSH INDEX, scored: the
+    * stored-form service x93 promises. The existing corpus's
+    * members/reps/band-buckets are built AT REST
+    * ([[graft.operators.LshIndex.build]]), the increment folds in through
+    * the leased idempotent [[graft.operators.LshIndex.append]], and the
+    * VERIFIED probe ([[graft.operators.LshIndex.probeVerified]] — the
+    * checksum-fingerprint freshness gate; staleness laws in LshIndexSpec)
+    * mines the batch's new-touching pairs reading only collided band
+    * buckets (directory-pruned; LayoutSpec-style law in LshIndexSpec).
+    * Per-batch signature work is the batch's reps only — the corpus's
+    * signatures are never recomputed, the scaling claim that makes a
+    * CONTINUOUS dedup service viable at 100 TB. The oracle computes the
+    * exact new-touching Jaccard pairs of the derived vocab>63 corpus in
+    * DuckDB, so the hash gate proves stored-index mining ≡ fresh mining
+    * ≡ ground truth. */
+  def x95IndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x95_").toFile
+    try {
+      val idx = new java.io.File(tmp, "idx").getAbsolutePath
+      val d = wideQuarter(spark, dir).localCheckpoint(true)
+      val batch = d.filter(pmod(col("doc_id"), lit(40)) === 36)
+      val existing = d.filter(pmod(col("doc_id"), lit(40)) =!= 36)
+      graft.operators.LshIndex.build(existing, idx)
+      graft.operators.LshIndex.append(batch, idx)
+      val res = graft.operators.LshIndex.probeVerified(spark, idx, d, batch, JaccThreshold)
+      // pair-set-sized: materialize so the temp index tree can drop
+      graft.util.Materialize.sorted(res, col("a_id"), col("b_id"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** The new-touching pairs of the derived corpus (batch = doc_id ≡ 36
+    * mod 40), exactly. */
+  val x95Sql: String =
+    s"""WITH $wideQuarterCte,
+       |tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS l FROM d),
+       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |        CAST(len(list_intersect(a.l, b.l)) AS DOUBLE) /
+       |        (len(a.l) + len(b.l) - len(list_intersect(a.l, b.l))) AS jacc
+       |      FROM tok a JOIN tok b ON a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, jacc FROM p
+       |WHERE jacc >= $JaccThreshold AND (a_id % 40 = 36 OR b_id % 40 = 36)
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** X96 — the streamed near-dup service AT REAL VOCABULARY, scored: x92's
+    * gate shape past the mask family's 63-token bound. The derived
+    * vocab>63 corpus lands as TWO JSON files drained one per micro-batch
+    * (maxFilesPerTrigger=1), and
+    * [[graft.streaming.EventStreams.mineNearDupsStreamIndexed]] folds each
+    * batch into the persisted LSH index (batch 1 bootstraps; batch 2
+    * appends under the checkpoint-owned lease) and probes it for
+    * new-touching pairs — the corpus's signatures are computed once, at
+    * the batch that introduced each distinct set, never recomputed. From
+    * an empty index the arrival-order fold ≡ the one-shot batch miner
+    * (StreamingIngestSpec law), so the oracle is x93's exact full-pair
+    * set over the same derived corpus. */
+  def x96StreamIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x96_").toFile
+    try {
+      val landing = new java.io.File(tmp, "landing").getAbsolutePath
+      val idx = new java.io.File(tmp, "idx").getAbsolutePath
+      val pairs = new java.io.File(tmp, "pairs").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      val d = wideQuarter(spark, dir)
+      // two arrival batches (any slicing folds to the batch answer — the
+      // law; this split just makes the gate exercise bootstrap + append)
+      d.filter(pmod(col("doc_id"), lit(8)) === 0)
+        .coalesce(1).write.json(landing)
+      d.filter(pmod(col("doc_id"), lit(8)) =!= 0)
+        .coalesce(1).write.mode("append").json(landing)
+      graft.streaming.EventStreams.mineNearDupsStreamIndexed(
+        spark, landing, idx, pairs, ckpt, JaccThreshold)
+      val res = spark.read.parquet(pairs)
+        .select(col("a_id"), col("b_id"), col("jacc"))
+      // pair-set-sized: materialize so the temp index/checkpoint drop
+      graft.util.Materialize.sorted(res, col("a_id"), col("b_id"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** Streamed-indexed miner from empty ≡ batch miner: x93's oracle. */
+  val x96Sql: String = x93Sql
+
   // ---- X32: end-to-end curation pipeline -------------------------------
 
   /** The composed training-data curation query: exact-dedup survivors

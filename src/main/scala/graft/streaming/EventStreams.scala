@@ -252,6 +252,54 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** The UNBOUNDED-VOCABULARY streamed near-dup mining service —
+    * [[mineNearDupsStream]] at real vocabulary (that form's mask path
+    * refuses past 63 distinct tokens), routed through the PERSISTED
+    * [[graft.operators.LshIndex]]: each micro-batch folds into the stored
+    * members/reps/band-buckets (leased, keyed-idempotent — a replayed
+    * batch is a no-op) and then PROBES the index for its new-touching
+    * pairs, which land in a DedupAppend-maintained pairs table. The
+    * corpus's signatures and band keys are computed exactly once, at the
+    * batch that introduced each distinct token set — per-batch work is
+    * the batch's reps' signatures plus a bucket-pruned band read, never a
+    * corpus recompute: the property that makes a CONTINUOUS dedup-mining
+    * service viable at 100 TB. Folding batches in arrival order from an
+    * empty index reproduces the one-shot batch miner
+    * ([[graft.operators.TextDedup.minhashNearDupsUnbounded]]) exactly —
+    * law in StreamingIngestSpec, scored at vocab > 63 as x96. The stream's
+    * checkpoint location doubles as the index lease's owner token, so a
+    * crashed lineage's restart self-heals. */
+  def mineNearDupsStreamIndexed(spark: SparkSession, landingDir: String,
+                                indexPath: String, pairsPath: String,
+                                checkpointDir: String, threshold: Double): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = spark.readStream.schema(docSchema).json(landingDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .option("maxFilesPerTrigger", "1") // one landed file = one fold step
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        // consumed by the index fold and the probe: materialize once
+        val newDocs = batch.toDF().localCheckpoint(true)
+        // first batch bootstraps the index; later (and replayed) batches
+        // fold in idempotently — append-then-probe, so the probe always
+        // sees an index that already contains its own batch
+        if (!graft.operators.DedupAppend.exists(s, s"$indexPath/members"))
+          graft.operators.LshIndex.build(newDocs, indexPath)
+        else
+          graft.operators.LshIndex.append(newDocs, indexPath,
+            owner = Some(checkpointDir))
+        val pairs = graft.operators.LshIndex.probe(s, indexPath, newDocs, threshold)
+        graft.operators.DedupAppend.append(s, pairs, pairsPath,
+          keys = Seq("a_id", "b_id"), tieBreak = Nil, owner = Some(checkpointDir))
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming SEGMENT-DEDUP gate — [[mineNearDupsStream]]'s shape one
     * level down (span granularity): each micro-batch of landed documents
     * is judged against the already-ingested corpus with

@@ -65,6 +65,48 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(corpus).count() == docs.count())
   }
 
+  test("indexed streamed miner at vocab > 63: arrival-order batches reproduce batch mining") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_idx_stream_")
+    val landing = root.resolve("landing"); Files.createDirectories(landing)
+    val idx = root.resolve("idx").toString
+    val pairs = root.resolve("pairs").toString
+    val ckpt = root.resolve("ckpt").toString
+    // vocab > 63 (lang-suffixed tokens): the mask streamed form refuses
+    // here; the indexed service is the production path
+    val docs = Tables.t(spark, sf, "documents").filter(col("doc_id") < 150)
+      .select(col("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit("_"), col("lang"))), " ").as("text"))
+      .localCheckpoint(true)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut1 = ids(ids.length / 3); val cut2 = ids(2 * ids.length / 3)
+    def land(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      Files.writeString(landing.resolve(name), df.toJSON.collect().mkString("\n"))
+    // three arrival batches, each drained by its own AvailableNow run
+    // (checkpoint resumes: only the newly landed file is processed)
+    land("b1.json", docs.filter(col("doc_id") <= cut1))
+    graft.streaming.EventStreams.mineNearDupsStreamIndexed(
+      spark, landing.toString, idx, pairs, ckpt, 0.9)
+    land("b2.json", docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2))
+    graft.streaming.EventStreams.mineNearDupsStreamIndexed(
+      spark, landing.toString, idx, pairs, ckpt, 0.9)
+    land("b3.json", docs.filter(col("doc_id") > cut2))
+    graft.streaming.EventStreams.mineNearDupsStreamIndexed(
+      spark, landing.toString, idx, pairs, ckpt, 0.9)
+    val streamed = spark.read.parquet(pairs).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val batch = graft.operators.TextDedup.minhashNearDupsUnbounded(docs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size}; " +
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    assert(batch.nonEmpty)
+    // the index holds every doc's set identity exactly once, and is fresh
+    assert(spark.read.parquet(s"$idx/members").count() == docs.count())
+    assert(graft.operators.LshIndex.verifyIndex(docs, idx))
+  }
+
   test("streaming CDC gate: streamed latest-wins state equals batch compaction; re-delivery is a no-op") {
     import org.apache.spark.sql.functions.col
     val root = Files.createTempDirectory("graft_cdc_stream_")
