@@ -803,6 +803,72 @@ object EventTime {
   /** Open merged sessions ≡ batch sessions: q34's oracle verbatim. */
   val q119Sql: String = q34Sql
 
+  /** Q123 — STATE INTROSPECTION UNDER REAL EVICTION, scored: q102's audit
+    * with a watermark that GENUINELY evicts (q102/q118/q119 all use the
+    * no-evict trick — delay past the data span — so eviction itself was
+    * never scored). A keyed dedup stream runs over the events ingested as
+    * two time-split files (one per micro-batch) with a 7-day delay
+    * against the corpus's 30-day span: ~3/4 of the keys are evicted
+    * mid-stream and by the closing no-data batch, whose final watermark
+    * is max(ts) − 7 days. The recovered `statestore` keys are therefore
+    * EXACTLY the watermark-retained suffix {ts ≥ max(ts) − 7d} —
+    * independent of file batching or order, because every sub-cutoff key
+    * is either evicted (its batch's watermark reached it) or dropped as
+    * late (it arrived under a watermark above it), and both watermarks
+    * are ≤ the final cutoff (semantics pinned by the StreamingSpec
+    * eviction law, which asserts set equality in both directions). The
+    * per-type census of recovered keys must hash-match DuckDB computing
+    * the retained suffix from the base table. At 100 TB this is the
+    * "is my watermark actually bounding state?" audit: the read costs
+    * state (keys × partitions), never stream history, and the oracle
+    * relation is what makes the audit's answer CHECKABLE rather than
+    * trusted. */
+  def q123EvictingState(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q123_").toFile
+    try graft.util.Confs.withConfs(spark, "spark.sql.shuffle.partitions" -> "8") {
+      val landing = new java.io.File(tmp, "landing").getAbsolutePath
+      val out = new java.io.File(tmp, "deduped").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      val ev = t(spark, dir, "events").select(col("event_id"), col("ts"))
+        .localCheckpoint(true) // read by both landing writes + the census join
+      val cutTs = lit("2024-01-21").cast(TimestampType)
+      ev.filter(col("ts") < cutTs).coalesce(1).write.json(landing)
+      ev.filter(col("ts") >= cutTs).coalesce(1).write.mode("append").json(landing)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType)))
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(landing)
+        .withWatermark("ts", "7 days") // << data span: eviction is REAL
+        .dropDuplicates("event_id", "ts")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val stateKeys = spark.read.format("statestore").load(ckpt)
+        .select(col("key.event_id").as("event_id"))
+      val res = t(spark, dir, "events")
+        .join(stateKeys, Seq("event_id"), "left_semi")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_keys"))
+      val rows = res.collectAsList()
+      require(!rows.isEmpty, "q123: the state store must hold retained keys")
+      var retained = 0L
+      rows.forEach(r => retained += r.getLong(1))
+      require(retained < t(spark, dir, "events").count(),
+        s"q123: the watermark must have evicted (state holds $retained keys)")
+      spark.createDataFrame(rows, res.schema).orderBy(col("event_type"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** The watermark-retained suffix, per type: keys with ts within the
+    * final watermark's delay of the stream's max event time. */
+  val q123Sql: String =
+    """SELECT e.event_type, count(*) AS n_keys
+      |FROM events e
+      |WHERE e.ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   /** Q122 — STREAM-STREAM LEFT OUTER JOIN, scored: q80's inner pair
     * stream preserved-side — an event with no same-user follower within
     * 10 minutes must survive with a NULL pair, emitted only once both

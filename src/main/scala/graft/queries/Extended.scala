@@ -1031,6 +1031,73 @@ object Extended {
   /** Whichever view answers, the contract is the base aggregation. */
   val q101Sql: String = q89Sql
 
+  /** Q124 — MULTI-VIEW REWRITE IN ONE QUERY, scored: every prior MV gate
+    * rewrites a single consumer; here ONE query holds two aggregate
+    * subtrees answered from two DIFFERENT registered views. The
+    * share-of-parent query — per-(flag, status) quantity against its
+    * per-flag total — joins a detail aggregate (only the fine
+    * (flag, status) view suffices) to a totals aggregate (the coarser
+    * flag view wins by q101's coarsest-sufficient choice). The plan is
+    * require'd to scan BOTH views and the base table NOT AT ALL; the
+    * oracle computes the same share from the base in DuckDB. The refusal
+    * half — one subtree unanswerable (raw double sum) must fall back to
+    * the base ALONE while the other still rewrites, never a half-applied
+    * wrong answer — is law-tested in MvRewriteSpec. At 100 TB a
+    * share-of-parent dashboard query is two corpus scans without views
+    * and two |grain|-row reads with them; per-subtree matching is what
+    * makes the rewrite compose instead of bailing on the first
+    * non-trivial plan. */
+  def q124MultiView(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q124_").toFile
+    try {
+      val fine = new java.io.File(tmp, "lineitem_mv").getAbsolutePath
+      val coarse = new java.io.File(tmp, "lineitem_mv_flag").getAbsolutePath
+      val li = t(spark, dir, "lineitem")
+      buildLineitemMv(spark, dir, fine)
+      li.groupBy(col("l_returnflag"))
+        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+        .write.parquet(coarse)
+      registerLineitemMv(spark, dir, fine)
+      graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("l_returnflag"),
+        sumMeasures = graft.plans.MvCatalog.measureExprs(li, qtyCents)
+          .map(_ -> "sum_qty_cents"),
+        countCol = "cnt",
+        mv = spark.read.parquet(coarse).queryExecution.analyzed))
+      try {
+        val detail = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(qtyCents).as("qty_cents"))
+        val totals = li.groupBy(col("l_returnflag"))
+          .agg(sum(qtyCents).as("flag_cents"))
+        val res = detail.join(totals, "l_returnflag")
+          .select(col("l_returnflag").as("flag"), col("l_linestatus").as("status"),
+            col("qty_cents"), col("flag_cents"),
+            (col("qty_cents").cast(DoubleType) / col("flag_cents").cast(DoubleType))
+              .as("share"))
+        val plan = res.queryExecution.executedPlan.toString
+        require(plan.contains("lineitem_mv_flag"),
+          s"q124's totals subtree must be served from the flag view:\n$plan")
+        require(plan.contains("lineitem_mv/") || plan.contains("lineitem_mv]"),
+          s"q124's detail subtree must be served from the fine view:\n$plan")
+        require(!plan.contains("lineitem.parquet"),
+          s"q124 must not touch the base table:\n$plan")
+        graft.util.Materialize.sorted(res, col("flag"), col("status"))
+      } finally graft.plans.MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  val q124Sql: String =
+    """WITH d AS (SELECT l_returnflag AS flag, l_linestatus AS status,
+      |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+      |  FROM lineitem GROUP BY 1, 2),
+      |t AS (SELECT l_returnflag AS flag,
+      |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS flag_cents
+      |  FROM lineitem GROUP BY 1)
+      |SELECT d.flag, d.status, d.qty_cents, t.flag_cents,
+      |  CAST(d.qty_cents AS DOUBLE) / CAST(t.flag_cents AS DOUBLE) AS share
+      |FROM d JOIN t USING (flag) ORDER BY flag, status""".stripMargin
+
   // ---- Q103: MIN/MAX measures from the MV, scored -------------------------
 
   /** Q103 — MIN/MAX FROM THE MATERIALIZED VIEW: the view additionally

@@ -311,6 +311,62 @@ class CompactionSpec extends AnyFunSuite {
     } finally Fs.deleteTree(new java.io.File(tmp))
   }
 
+  test("covering projection survives base compaction; a multiset-changing swap is refused") {
+    // composition law: appendCycle's compaction swap preserves the row
+    // multiset, and a covering projection's contract IS that multiset —
+    // so a verified registration must re-pass across a compaction of the
+    // base, and the rewrite must keep serving the projection unchanged.
+    // The refusal half: if a "compaction" ever changed the multiset (a
+    // buggy swap, simulated by deleting a data file), re-registration
+    // REFUSES instead of serving a projection of rows the base no longer
+    // has.
+    val tmp = Files.createTempDirectory("graft-proj-compact").toFile.getAbsolutePath
+    try {
+      import graft.plans.ProjectionCatalog
+      val base = s"$tmp/docs_main.parquet"
+      val projPath = s"$tmp/docs_proj"
+      val cols = Seq("doc_id", "source")
+      val docs = Tables.t(spark, TestSpark.sf, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      // three keyed append cycles accumulate small files (no compaction yet)
+      (0 until 3).foreach(i => graft.operators.Maintenance.appendCycle(spark,
+        docs.filter(pmod(col("doc_id"), lit(3)) === i), base,
+        keys = Seq("doc_id"), tieBreak = Nil,
+        maxFiles = 1000, targetFileBytes = Long.MaxValue))
+      docs.selectExpr(cols: _*).sort(col("source")).write.parquet(projPath)
+      def defFor = ProjectionCatalog.ProjDef("docs_main.parquet", cols.toSet,
+        spark.read.parquet(projPath).queryExecution.analyzed)
+      def register() = ProjectionCatalog.registerVerified(
+        spark.read.parquet(base), spark.read.parquet(projPath), defFor)
+      def query() = spark.read.parquet(base)
+        .filter(col("source").isNotNull)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      register()
+      val planBefore = query().queryExecution.executedPlan.toString
+      assert(planBefore.contains("docs_proj") && !planBefore.contains("docs_main.parquet"))
+      val before = query().orderBy(col("source")).collect().toSeq
+      // COMPACT the base (empty batch, maxFiles=1 forces the swap)
+      val files = graft.operators.Maintenance.appendCycle(spark, docs.limit(0), base,
+        keys = Seq("doc_id"), tieBreak = Nil,
+        maxFiles = 1, targetFileBytes = Long.MaxValue)
+      assert(files == 1L, s"compaction must have collapsed the table, saw $files files")
+      // re-registration verifies against the COMPACTED base and passes
+      ProjectionCatalog.clear()
+      register()
+      val planAfter = query().queryExecution.executedPlan.toString
+      assert(planAfter.contains("docs_proj") && !planAfter.contains("docs_main.parquet"),
+        s"the projection must keep serving the compacted base:\n$planAfter")
+      assert(query().orderBy(col("source")).collect().toSeq == before)
+      // REFUSAL: a swap that changed the multiset (a buggy compaction that
+      // duplicated a row), landed without maintaining the projection
+      ProjectionCatalog.clear()
+      docs.limit(1).write.mode("append").parquet(base)
+      intercept[IllegalArgumentException] { register() }
+      assert(ProjectionCatalog.all.isEmpty,
+        "a projection of rows the base no longer has must not register")
+    } finally Fs.deleteTree(new java.io.File(tmp))
+  }
+
   test("writer lease: owner identity is exact — a prefix-aligned owner is a DIFFERENT writer") {
     // the owner field is length-prefixed on the holder line: owner "ckpt"
     // must NOT be treated as the holder declared by owner "ckpt state",

@@ -27,6 +27,52 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
+  test("multi-view partial rewrite never half-applies: an unanswerable subtree refuses ALONE") {
+    // q124's refusal half. A join of two aggregate subtrees where one is
+    // unanswerable (raw double sum — float reorder) must leave THAT
+    // subtree on the base table while the other still rewrites to its
+    // view, and the rows must equal the no-catalog run — per-subtree
+    // soundness, never an all-or-nothing bail and never a half-applied
+    // wrong answer.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvmulti_").toFile
+    try {
+      val fine = new java.io.File(tmp, "lineitem_mv").getAbsolutePath
+      val coarse = new java.io.File(tmp, "lineitem_mv_flag").getAbsolutePath
+      val li = Tables.t(spark, sf, "lineitem")
+      graft.queries.Extended.buildLineitemMv(spark, sf, fine)
+      li.groupBy(col("l_returnflag"))
+        .agg(sum(qtyCents).as("sum_qty_cents"), count(lit(1)).as("cnt"))
+        .write.parquet(coarse)
+      graft.queries.Extended.registerLineitemMv(spark, sf, fine)
+      MvCatalog.register(MvCatalog.MvDef(
+        basePathSuffix = "lineitem.parquet",
+        groupCols = Set("l_returnflag"),
+        sumMeasures = MvCatalog.measureExprs(li, qtyCents).map(_ -> "sum_qty_cents"),
+        countCol = "cnt",
+        mv = spark.read.parquet(coarse).queryExecution.analyzed))
+      try {
+        def query() = li
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("raw_qty")) // raw double sum: refused
+          .join(li.groupBy(col("l_returnflag"))
+            .agg(sum(qtyCents).as("flag_cents")), "l_returnflag")
+        val plan = query().queryExecution.executedPlan.toString
+        assert(plan.contains("lineitem.parquet"),
+          s"the raw-double subtree must stay on the base:\n$plan")
+        assert(plan.contains("lineitem_mv_flag"),
+          s"the answerable totals subtree must still rewrite:\n$plan")
+        assert(!plan.contains("lineitem_mv/") && !plan.contains("lineitem_mv]"),
+          s"the fine view answers neither subtree here and must not appear:\n$plan")
+        val got = query().orderBy(col("l_returnflag"), col("l_linestatus"))
+          .collect().toSeq
+        MvCatalog.clear()
+        val direct = query().orderBy(col("l_returnflag"), col("l_linestatus"))
+          .collect().toSeq
+        assert(got == direct && got.nonEmpty)
+      } finally MvCatalog.clear()
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
   test("rewrite fires on a coarser grouping and matches the base-table answer") {
     withMv { _ =>
       val li = Tables.t(spark, sf, "lineitem")

@@ -219,4 +219,61 @@ class StreamingSpec extends AnyFunSuite {
     val want = EventTime.q34SessionWindow(spark, sf).collect().toSeq
     assert(got.nonEmpty && got == want)
   }
+
+  test("eviction law: recovered state is EXACTLY the watermark-retained suffix") {
+    // the q102/q118/q119 introspection gates use a no-evict watermark; this
+    // law runs one where the watermark GENUINELY evicts. Semantics pinned
+    // here (and relied on by q123): under Trigger.AvailableNow the run ends
+    // with a no-data micro-batch that evicts with the FINAL watermark
+    // max(ts) - delay, so the recovered dedup state is exactly the keys
+    // with ts >= that cutoff — independent of how files were batched
+    // (anything below the cutoff is either evicted by a watermark ≥ its
+    // batch's, or dropped as late by a watermark below the final one; both
+    // watermarks are ≤ the final cutoff, so the two fates partition the
+    // sub-cutoff keys and nothing else). The law fails if eviction
+    // under-fires (extra keys recovered) OR over-fires (retained keys
+    // missing) — set equality in both directions.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_evict_law_")
+    try {
+      val landing = root.resolve("landing"); java.nio.file.Files.createDirectories(landing)
+      val out = root.resolve("out").toString
+      val ckpt = root.resolve("ckpt").toString
+      val ev = Tables.t(spark, sf, "events").select(col("event_id"), col("ts"))
+        .localCheckpoint(true)
+      def land(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+        java.nio.file.Files.writeString(landing.resolve(name),
+          df.toJSON.collect().mkString("\n"))
+      // a time split (old file, tail file) so the mid-stream watermark also
+      // evicts — the law must hold whatever the file batching did
+      val cutTs = lit("2024-01-21").cast("timestamp")
+      land("b1.json", ev.filter(col("ts") < cutTs))
+      land("b2.json", ev.filter(col("ts") >= cutTs))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(landing.toString)
+        .withWatermark("ts", "7 days")
+        .dropDuplicates("event_id", "ts")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val stateKeys = spark.read.format("statestore").load(ckpt)
+        .select(col("key.event_id")).collect().map(_.getLong(0)).toSet
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val cutoff = new java.sql.Timestamp(maxTs.getTime - 7L * 24 * 3600 * 1000)
+      val retained = ev.filter(col("ts") >= lit(cutoff))
+        .select(col("event_id")).collect().map(_.getLong(0)).toSet
+      val all = ev.count()
+      assert(retained.nonEmpty && retained.size < all,
+        s"the fixture must genuinely evict: retained=${retained.size} of $all")
+      assert(stateKeys == retained,
+        s"under-evicted=${(stateKeys -- retained).take(3)} " +
+          s"over-evicted=${(retained -- stateKeys).take(3)} " +
+          s"sizes state=${stateKeys.size} retained=${retained.size}")
+    } finally graft.util.Fs.deleteTree(root.toFile)
+  }
 }
