@@ -9,14 +9,29 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // Scale-aware shuffle sizing (the partitions-∝-input rule): a fixed
+    // shuffle.partitions is right only at one data scale — the round-7
+    // 10× runs measured ~10% excess on the corpus-linear tail (x45) from
+    // partition-size growth under the un-retuned 32. The rule: set
+    // SPARK_GRAFT_INITIAL_PARTITIONS ≈ max(cpus, shuffled bytes / 64 MiB)
+    // (≈ cpus × data-scale multiple here), and AQE's advisory sizing
+    // coalesces DOWN to right-sized partitions per stage — so the knob is
+    // an upper bound that costs nothing when data is small, and removes
+    // the oversize-partition tax when it is big. On a real cluster the
+    // same rule is spark.sql.adaptive.coalescePartitions.initialPartitionNum
+    // sized from table statistics. Unset = the initial count equals
+    // shuffle.partitions (= cpus), the recorded-baseline configuration.
+    val initial = sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    initial.foreach(n =>
+      b.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
