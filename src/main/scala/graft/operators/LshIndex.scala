@@ -222,6 +222,44 @@ object LshIndex {
       .select(col("a_id"), col("b_id"), col("jacc"))
   }
 
+  /** Compact the index's three tables in place — the maintenance pass a
+    * long-lived index runs after enough [[append]]s have accumulated
+    * per-batch small files ([[Compaction]]'s 100 TB argument: probe scan
+    * cost degrades to file-open overhead once files shrink). members and
+    * reps compact flat; bands compact PER BUCKET PARTITION, preserving
+    * the `bucket=` directory layout the probe's pruning binds to. Each
+    * table goes through the checked rewrite-then-swap dance
+    * ([[TableSwap]] — recoverable at every step, never an in-place
+    * overwrite of a directory a concurrent probe may be scanning), all
+    * under the ONE index-root lease [[append]] also takes, so compaction
+    * and maintenance appends serialize. Probe results are invariant
+    * (exact row multisets move; LshIndexSpec law). Returns total data
+    * files after compaction. */
+  def compact(spark: SparkSession, indexPath: String, targetFileBytes: Long,
+              owner: Option[String] = None): Long = {
+    val live = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Lease.withLease(fs, live, "lsh index compaction", owner) {
+      def one(path: String, partCol: Option[String]): Long = {
+        val t = new org.apache.hadoop.fs.Path(path)
+        val tmp = t.suffix("__compacting")
+        val backup = t.suffix("__precompact")
+        TableSwap.recover(fs, t, tmp, backup, "lsh index compaction")
+        partCol match {
+          case Some(c) =>
+            Compaction.compactPartitioned(spark, path, tmp.toString, c, targetFileBytes)
+          case None =>
+            Compaction.compact(spark, path, tmp.toString, targetFileBytes)
+        }
+        TableSwap.swapInto(fs, t, tmp, backup, liveExists = true, "lsh index compaction")
+        Compaction.dataFileCount(spark, path)
+      }
+      one(membersP(indexPath), None) +
+        one(repsP(indexPath), None) +
+        one(bandsP(indexPath), Some("bucket"))
+    }
+  }
+
   /** TRUE iff the stored members are exactly `corpus`'s (doc_id, setid)
     * row multiset — the freshness check of the index contract (one
     * map-combinable checksum pass per side, the

@@ -349,6 +349,37 @@ object Similarity {
       keys = Seq("vec_id"), tieBreak = Nil, partitionCols = Seq("cell"))
   }
 
+  /** TRUE iff the stored cell layout is exactly `embeddings` assigned
+    * against the STORED centroids — the freshness check of the index
+    * contract ([[LshIndex.verifyIndex]]'s discipline applied to ANN): a
+    * corpus append that skipped [[appendToIvfIndex]], a partial write, or
+    * a manual edit of the cell layout flips this. Assignment against the
+    * stored centroids is deterministic (the integer-unit contract), so
+    * the comparison is one assignment pass over the corpus plus a
+    * map-combinable checksum per side — never a vector-by-vector join. */
+  def verifyIvfIndex(embeddings: DataFrame, indexPath: String): Boolean = {
+    val spark = embeddings.sparkSession
+    graft.functions.CosineUnits.register(spark)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val cols = Seq("vec_id", "cell")
+    graft.plans.ProjectionCatalog.fingerprint(
+      assignCells(embeddings, cents), cols) ==
+      graft.plans.ProjectionCatalog.fingerprint(
+        spark.read.parquet(s"$indexPath/cells").select(cols.map(col): _*), cols)
+  }
+
+  /** [[ivfTopKFromIndex]] gated on [[verifyIvfIndex]]: a stale index is
+    * DETECTED AND REFUSED instead of silently answering top-k over an
+    * incomplete corpus. `corpus` is what the caller claims is indexed. */
+  def ivfTopKFromIndexVerified(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                               corpus: DataFrame, probes: DataFrame, k: Int,
+                               nprobe: Int = IvfNprobe): DataFrame = {
+    require(verifyIvfIndex(corpus, indexPath),
+      s"IVF index at $indexPath fingerprint mismatch vs the claimed corpus " +
+        "(stale or tampered index) — refusing to answer")
+    ivfTopKFromIndex(spark, indexPath, probes, k, nprobe)
+  }
+
   /** Probe the STORED index: rank the stored centroids per probe, keep the
     * nprobe nearest, then scan ONLY those cells (a static IN filter on the
     * partition column — the probed cell set is bounded by numCentroids, so

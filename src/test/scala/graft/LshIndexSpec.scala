@@ -73,6 +73,38 @@ class LshIndexSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
+  test("index compaction: probes, freshness and bucket pruning survive the swap") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lshcompact_").toFile
+    try {
+      val idx = new java.io.File(tmp, "idx").getAbsolutePath
+      val base = wide.filter(col("doc_id") < 100)
+      val b2 = wide.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+      val b3 = wide.filter(col("doc_id") >= 120)
+      LshIndex.build(base, idx)
+      LshIndex.append(b2, idx) // accumulates per-batch small files
+      val before = graft.operators.Compaction.dataFileCount(spark, s"$idx/bands") +
+        graft.operators.Compaction.dataFileCount(spark, s"$idx/members") +
+        graft.operators.Compaction.dataFileCount(spark, s"$idx/reps")
+      val after = LshIndex.compact(spark, idx, Long.MaxValue)
+      assert(after < before, s"compaction must shrink files: $before -> $after")
+      // no transient siblings survive the swaps
+      for (t <- Seq("members", "reps", "bands"); s <- Seq("__compacting", "__precompact"))
+        assert(!new java.io.File(s"$idx/$t$s").exists, s"$t$s left behind")
+      // the compacted index is still fresh and answers identically
+      assert(LshIndex.verifyIndex(base.unionByName(b2), idx))
+      LshIndex.append(b3, idx)
+      val probed = canon(LshIndex.probe(spark, idx, b3, 0.9))
+      val fresh = canon(TextDedup.minhashNearDupsIncrementalUnbounded(
+        base.unionByName(b2), b3, 0.9))
+      assert(probed == fresh && probed.nonEmpty)
+      // the bucket directory layout (and the probe's pruning) survived
+      val plan = LshIndex.probe(spark, idx, b3, 0.9)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [bucket"),
+        s"bucket pruning must survive compaction:\n$plan")
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
   test("staleness is refused: a corpus append that skipped index maintenance fails verify") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_lshstale_").toFile
     try {

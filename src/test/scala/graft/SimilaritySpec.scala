@@ -149,6 +149,33 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(root.toFile)
   }
 
+  test("persisted IVF index: staleness is refused, maintenance restores the verified probe") {
+    // LshIndex.verifyIndex's discipline on the ANN index: a corpus append
+    // that skipped appendToIvfIndex must flip verifyIvfIndex and make the
+    // verified probe REFUSE; landing the maintenance batch restores both,
+    // and the verified probe equals the plain stored-index probe.
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_stale_")
+    try {
+      val idx = root.toString + "/ivf"
+      val base = embs.filter(col("vec_id") % 10 =!= 0)
+      val batch = embs.filter(col("vec_id") % 10 === 0)
+      Similarity.buildIvfIndex(base, idx)
+      assert(Similarity.verifyIvfIndex(base, idx), "freshly built index must verify")
+      val probes = embs.filter(col("vec_id") < 10)
+      intercept[IllegalArgumentException] {
+        Similarity.ivfTopKFromIndexVerified(spark, idx, embs, probes, 5)
+      }
+      Similarity.appendToIvfIndex(batch, idx)
+      assert(Similarity.verifyIvfIndex(embs, idx))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      val verified = canon(Similarity.ivfTopKFromIndexVerified(spark, idx, embs, probes, 5))
+      assert(verified == canon(Similarity.ivfTopKFromIndex(spark, idx, probes, 5)) &&
+        verified.nonEmpty)
+    } finally graft.util.Fs.deleteTree(root.toFile)
+  }
+
   test("cosine near-dups: threshold respected, pairs ordered, values match pointwise cosine") {
     val out = Similarity.cosineNearDups(embs, 0.3).collect()
     assert(out.nonEmpty)
