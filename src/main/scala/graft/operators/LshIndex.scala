@@ -142,10 +142,33 @@ object LshIndex {
       val storedSetids = spark.read.parquet(repsP(indexPath)).select(col("setid"))
       val newReps = repsOf(newMembers.join(storedSetids, Seq("setid"), "left_anti"))
         .localCheckpoint(true)
+      // bands land BEFORE reps: the reps row is this append's COMMIT
+      // MARKER — a crash after bands but before reps replays into a
+      // recompute whose keyed anti-join skips the already-landed rows,
+      // while the reverse order would see the setid "committed" and skip
+      // the bands forever. The anti-join reads ONLY the batch's collided
+      // buckets (a duplicate (key, rep) necessarily shares its key's
+      // bucket), never the full band store — per-append work stays ∝ the
+      // batch at any corpus size; the touched-bucket collect is bounded
+      // by n_buckets. (DedupAppend's generic anti-join would scan every
+      // bucket — the one place the index needs its own dedup.)
+      val newBands = bandsOf(newReps, nBuckets)
+        .dropDuplicates("key", "rep").localCheckpoint(true)
+      val freshBands =
+        if (!DedupAppend.exists(spark, bandsP(indexPath))) newBands
+        else {
+          val touched = newBands.select(col("bucket")).distinct()
+            .collect().map(_.getLong(0)) // ≤ n_buckets by construction
+          if (touched.isEmpty) newBands.limit(0)
+          else newBands.join(
+            spark.read.parquet(bandsP(indexPath))
+              .filter(col("bucket").isin(touched: _*)) // directory-pruned
+              .select(col("key"), col("rep")),
+            Seq("key", "rep"), "left_anti")
+        }
+      freshBands.write.mode("append").partitionBy("bucket").parquet(bandsP(indexPath))
       DedupAppend.appendUnleased(spark, newReps, repsP(indexPath),
         keys = Seq("setid"), tieBreak = Nil)
-      DedupAppend.appendUnleased(spark, bandsOf(newReps, nBuckets), bandsP(indexPath),
-        keys = Seq("key", "rep"), tieBreak = Nil, partitionCols = Seq("bucket"))
     }
   }
 
@@ -170,6 +193,15 @@ object LshIndex {
     val probeReps = reps
       .join(broadcast(newMembers.select(col("setid")).distinct()), "setid")
       .localCheckpoint(true)
+    // append-then-probe contract, ENFORCED: a batch setid absent from the
+    // stored reps would silently mine nothing for those docs — refuse
+    // loudly instead. Both sides are batch-bounded (probeReps is already
+    // materialized), so the check costs one small job, never a corpus pass.
+    val missing = newMembers.select(col("setid")).distinct()
+      .join(broadcast(probeReps.select(col("setid"))), Seq("setid"), "left_anti")
+    require(missing.isEmpty,
+      s"probe batch holds set identities absent from the index at $indexPath — " +
+        "append the batch first (the append-then-probe contract)")
     // probe band keys recomputed from the batch's reps (batch-sized work,
     // deterministic ≡ the stored rows); collided buckets bound the read
     val probeBands = bandsOf(probeReps, nBuckets).localCheckpoint(true)

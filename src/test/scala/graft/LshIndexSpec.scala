@@ -73,6 +73,22 @@ class LshIndexSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
+  test("probe before append refuses: the contract violation would silently mine nothing") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lshorder_").toFile
+    try {
+      val idx = new java.io.File(tmp, "idx").getAbsolutePath
+      val base = wide.filter(col("doc_id") < 100)
+      val batch = wide.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+      LshIndex.build(base, idx)
+      val ex = intercept[IllegalArgumentException] {
+        LshIndex.probe(spark, idx, batch, 0.9).collect()
+      }
+      assert(ex.getMessage.contains("append-then-probe"))
+      LshIndex.append(batch, idx)
+      assert(canon(LshIndex.probe(spark, idx, batch, 0.9)).nonEmpty)
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
   test("index compaction: probes, freshness and bucket pruning survive the swap") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_lshcompact_").toFile
     try {
