@@ -77,10 +77,20 @@ class FunctionEdgeSpec extends AnyFunSuite {
   }
 
   test("wrong arity is an analysis error through the extension builders too") {
-    // checksum_agg reaches this suite only via the GraftExtensions
-    // builder (no imperative replacement above), pinning that the
-    // extension path raises the analyzer's WRONG_NUM_ARGS rather than a
-    // raw require() IllegalArgumentException
+    // checksum_agg's two registration paths must raise the same analysis
+    // error: suites share one session and registration is last-wins, so a
+    // silently-lenient imperative builder (exprs(0) ignoring extra args)
+    // made this flake on suite order until both were arity-checked
+    // identically. The extension path is pinned on a FRESH session (its
+    // registry holds only the GraftExtensions builder — no imperative
+    // replacement can have happened there); the imperative path is then
+    // forced explicitly on the shared one.
+    val s2 = spark.newSession()
+    val e0 = intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT checksum_agg('a', 'b') AS c").collect()
+    }
+    assert(e0.getMessage.contains("checksum_agg"))
+    graft.functions.ChecksumAgg.register(spark) // force the imperative path
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT checksum_agg('a', 'b') AS c").collect()
     }

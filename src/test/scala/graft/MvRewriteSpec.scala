@@ -27,6 +27,32 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
+  test("one view answers BOTH subtrees of one query (fresh instances per substitution)") {
+    // q124's sibling case: the two aggregate subtrees of one join are each
+    // answerable by the SAME registered view — substitution must
+    // re-instantiate the view plan with fresh exprIds per site, or the
+    // second substitution would alias the first's attributes
+    withMv { _ =>
+      val li = Tables.t(spark, sf, "lineitem")
+      def query() = li
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(qtyCents).as("qty_cents"))
+        .join(li.groupBy(col("l_returnflag"))
+          .agg(sum(qtyCents).as("flag_cents")), "l_returnflag")
+      val plan = query().queryExecution.executedPlan.toString
+      assert(plan.contains("lineitem_mv"),
+        s"both subtrees must be served from the view:\n$plan")
+      assert(!plan.contains("lineitem.parquet"),
+        s"the base must not be touched:\n$plan")
+      val got = query().orderBy(col("l_returnflag"), col("l_linestatus"))
+        .collect().toSeq
+      MvCatalog.clear()
+      val direct = query().orderBy(col("l_returnflag"), col("l_linestatus"))
+        .collect().toSeq
+      assert(got == direct && got.nonEmpty)
+    }
+  }
+
   test("multi-view partial rewrite never half-applies: an unanswerable subtree refuses ALONE") {
     // q124's refusal half. A join of two aggregate subtrees where one is
     // unanswerable (raw double sum — float reorder) must leave THAT
