@@ -869,6 +869,87 @@ object EventTime {
       |WHERE e.ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  /** Q125 — SESSION STORE UNDER REAL EVICTION, scored: q119's audit with
+    * a watermark that actually closes sessions (q119 used the no-evict
+    * trick, so the store held EVERY session; here the 7-day delay against
+    * the 30-day span emits-and-evicts ~3/4 of them mid-stream and at the
+    * closing no-data batch). The recovered store holds exactly the OPEN
+    * sessions — merged sessions whose end ≥ the final watermark
+    * max(ts) − 7d. Determinism argument (the part q123 didn't cover:
+    * merging state): the time-split files mean every batch-2 event sits
+    * far above batch 2's working watermark (max(batch 1) − 7d), so no
+    * event is ever dropped late and cross-batch gap-merging sees the
+    * complete event set — the merged sessions ARE the batch
+    * sessionization answer, and eviction then partitions them by the
+    * final cutoff. The oracle computes q34's batch sessions and keeps
+    * those ending in the last 7 days; the require gates pin that
+    * eviction genuinely fired (open < total sessions). Operationally:
+    * q119 audited "what is open?" on a stream that never closes anything;
+    * this is the same audit on a stream that does — with the closed
+    * complement emitted to the sink, state stays (rate × gap)-bounded
+    * however long the stream runs, and the audit's answer is still
+    * checkable against the base table. */
+  def q125EvictingSessions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q125_").toFile
+    try graft.util.Confs.withConfs(spark, "spark.sql.shuffle.partitions" -> "8") {
+      val landing = new java.io.File(tmp, "landing").getAbsolutePath
+      val out = new java.io.File(tmp, "closed").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      val ev = t(spark, dir, "events").select(col("user_id"), col("ts"))
+        .localCheckpoint(true)
+      // parquet landing, not JSON: the JSON writer is millisecond-precision
+      // and the session ends must stay microsecond-exact vs the oracle
+      val cutTs = lit("2024-01-21").cast(TimestampType)
+      ev.filter(col("ts") < cutTs).coalesce(1).write.parquet(landing)
+      ev.filter(col("ts") >= cutTs).coalesce(1).write.mode("append").parquet(landing)
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing)
+      val q = graft.streaming.EventStreams
+        .sessionAgg(stream, watermark = "7 days") // << data span: sessions CLOSE
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val open = spark.read.format("statestore").load(ckpt)
+        .select(col("value.user_id").as("user_id"),
+          col("value.session_window.start").cast("timestamp_ntz").as("session_start"),
+          col("value.session_window.end").cast("timestamp_ntz").as("session_end"),
+          col("value.count").as("n_events"))
+      val rows = open.collectAsList()
+      require(!rows.isEmpty, "q125: the session store must hold open sessions")
+      val closed = spark.read.parquet(out).count()
+      require(closed > 0 && closed > rows.size(),
+        s"q125: the watermark must have closed most sessions " +
+          s"(closed=$closed, open=${rows.size()})")
+      spark.createDataFrame(rows, open.schema)
+        .orderBy(col("user_id"), col("session_start"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** The open suffix of q34's batch sessions: those ending within the
+    * final watermark's delay of the stream's max event time. */
+  val q125Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM (SELECT user_id, ts, event_id,
+      |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |        FROM events)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked),
+      |s AS (SELECT user_id, min(ts) AS session_start,
+      |        max(ts) + INTERVAL '30 minutes' AS session_end,
+      |        count(*) AS n_events
+      |      FROM sess GROUP BY user_id, sid)
+      |SELECT user_id, session_start, session_end, n_events FROM s
+      |WHERE session_end >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Q122 — STREAM-STREAM LEFT OUTER JOIN, scored: q80's inner pair
     * stream preserved-side — an event with no same-user follower within
     * 10 minutes must survive with a NULL pair, emitted only once both
