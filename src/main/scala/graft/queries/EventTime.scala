@@ -927,6 +927,75 @@ object EventTime {
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
+  /** Q126 — STREAM-STREAM JOIN STATE UNDER REAL EVICTION, scored: q118's
+    * two-store census with a watermark that genuinely evicts, completing
+    * the eviction-real introspection matrix (dedup q123, session q125,
+    * join q126 — every no-evict gate now has an evicting twin). The
+    * asymmetry is the interesting part: for the condition
+    * b_ts ∈ [a_ts, a_ts + 10min] the final watermark wm = max(ts) − 7d
+    * retains the LEFT buffer down to wm − 10min (an older left row can no
+    * longer meet any future right row, whose event time is ≥ wm) but the
+    * RIGHT buffer only down to wm — the join's window is literally
+    * visible as 10 minutes of extra left state. Semantics pinned by the
+    * StreamingSpec join-eviction law (set equality per side, both
+    * directions, no ±1 ms adjustment); mid-stream determinism mirrors
+    * q123 (anything dropped late or evicted early sits below the final
+    * cutoffs whatever the file order). The per-user census of both
+    * buffers must hash-match DuckDB computing the two retained suffixes
+    * from the base table. Operationally: the "why is my join state
+    * growing?" audit of q118 now runs on a stream where state is
+    * watermark-BOUNDED — and the answer is still checkable. */
+  def q126EvictingJoinState(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q126_").toFile
+    try graft.util.Confs.withConfs(spark, "spark.sql.shuffle.partitions" -> "8") {
+      val landing = new java.io.File(tmp, "landing").getAbsolutePath
+      val out = new java.io.File(tmp, "pairs").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      val ev = t(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts")).localCheckpoint(true)
+      // parquet landing (µs-exact), time-split so batch 2 sits far above
+      // its working watermark — nothing drops late (the q125 argument)
+      val cutTs = lit("2024-01-21").cast(TimestampType)
+      ev.filter(col("ts") < cutTs).coalesce(1).write.parquet(landing)
+      ev.filter(col("ts") >= cutTs).coalesce(1).write.mode("append").parquet(landing)
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing)
+      val q = graft.streaming.EventStreams
+        .pairWithin(stream, windowMinutes = 10, watermark = "7 days") // evicts
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      def census(side: String, as: String, userCol: String) =
+        spark.read.format("statestore").option("joinSide", side).load(ckpt)
+          .groupBy(col(s"value.$userCol").as("user_id"))
+          .agg(count(lit(1)).as(as))
+      // users(right) ⊆ users(left): the left cutoff is 10 minutes lower
+      val res = census("left", "n_left", "user_id")
+        .join(census("right", "n_right", "b_user"), Seq("user_id"), "left")
+        .select(col("user_id"), col("n_left"),
+          coalesce(col("n_right"), lit(0L)).as("n_right"))
+      val rows = res.collectAsList()
+      require(!rows.isEmpty, "q126: the join state stores must hold rows")
+      var buffered = 0L
+      rows.forEach(r => buffered += r.getLong(1))
+      require(buffered < ev.count(),
+        s"q126: the watermark must have evicted (left holds $buffered rows)")
+      spark.createDataFrame(rows, res.schema).orderBy(col("user_id"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** Per-user retained suffixes: left down to wm − 10min, right to wm. */
+  val q126Sql: String =
+    """WITH mx AS (SELECT max(ts) AS m FROM events),
+      |l AS (SELECT user_id, count(*) AS n_left FROM events, mx
+      |      WHERE ts >= m - INTERVAL 7 DAY - INTERVAL 10 MINUTE GROUP BY user_id),
+      |r AS (SELECT user_id, count(*) AS n_right FROM events, mx
+      |      WHERE ts >= m - INTERVAL 7 DAY GROUP BY user_id)
+      |SELECT l.user_id, l.n_left, coalesce(r.n_right, 0) AS n_right
+      |FROM l LEFT JOIN r USING (user_id) ORDER BY user_id""".stripMargin
+
   /** The open suffix of q34's batch sessions: those ending within the
     * final watermark's delay of the stream's max event time. */
   val q125Sql: String =

@@ -220,6 +220,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("join-state eviction law: each side's recovered buffer is EXACTLY its retained suffix") {
+    // q126's semantics, pinned: for pairWithin's condition
+    // b_ts ∈ [a_ts, a_ts + W] with delay d, the final watermark
+    // wm = max(ts) − d leaves the LEFT buffer holding exactly
+    // {a_ts ≥ wm − W} (an older left row can no longer meet any future
+    // right row, whose b_ts is ≥ wm) and the RIGHT buffer exactly
+    // {b_ts ≥ wm} (an older right row can no longer meet any future left
+    // row) — no ±1 ms adjustment on either side, asserted as set equality
+    // in both directions so the law fails on under- OR over-eviction.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_jevict_law_")
+    try {
+      val landing = root.resolve("landing").toString
+      val out = root.resolve("out").toString
+      val ckpt = root.resolve("ckpt").toString
+      val ev = Tables.t(spark, sf, "events")
+        .select(col("user_id"), col("event_id"), col("ts")).localCheckpoint(true)
+      val cutTs = lit("2024-01-21").cast("timestamp")
+      ev.filter(col("ts") < cutTs).coalesce(1).write.parquet(landing)
+      ev.filter(col("ts") >= cutTs).coalesce(1).write.mode("append").parquet(landing)
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing)
+      val q = graft.streaming.EventStreams
+        .pairWithin(stream, windowMinutes = 10, watermark = "7 days")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      def side(s: String, idCol: String) =
+        spark.read.format("statestore").option("joinSide", s).load(ckpt)
+          .select(col(s"value.$idCol")).collect().map(_.getLong(0)).toSet
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val wm = maxTs.getTime - 7L * 24 * 3600 * 1000
+      def retained(cutMs: Long) =
+        ev.filter(col("ts") >= lit(new java.sql.Timestamp(cutMs)))
+          .select(col("event_id")).collect().map(_.getLong(0)).toSet
+      val lWant = retained(wm - 600000L); val rWant = retained(wm)
+      assert(rWant.nonEmpty && lWant.size < ev.count(),
+        "the fixture must genuinely evict on both sides")
+      assert(side("left", "a_id") == lWant, "left buffer ≠ {a_ts ≥ wm − W}")
+      assert(side("right", "b_id") == rWant, "right buffer ≠ {b_ts ≥ wm}")
+    } finally graft.util.Fs.deleteTree(root.toFile)
+  }
+
   test("eviction law: recovered state is EXACTLY the watermark-retained suffix") {
     // the q102/q118/q119 introspection gates use a no-evict watermark; this
     // law runs one where the watermark GENUINELY evicts. Semantics pinned
