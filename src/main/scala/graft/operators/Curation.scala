@@ -322,6 +322,42 @@ object Curation {
     df.withColumn("masked", regexp_replace(col(textCol), "[0-9]+", "<num>"))
       .withColumn("n_masked", regexp_count(col(textCol), lit("[0-9]+")).cast(LongType))
 
+  /** Ordered multi-class PII redaction: each `(class, regex, token)` rule
+    * is applied IN ORDER over the progressively-masked text — the rule's
+    * hit count is taken on the text as it stands when the rule runs, then
+    * every hit is replaced by the class token. Ordered-rules semantics is
+    * the production contract (an email must be eaten by the email rule
+    * before a broader rule like a hex-run could shadow part of it), and it
+    * makes the per-class counts well-defined under overlap.
+    *
+    * Adds one `n_<class>` count column per rule plus the final `masked`
+    * text. Patterns must stay in the Java∩RE2 common dialect (character
+    * classes, bounded repetition — no backrefs/lookaround) so the op is
+    * oracle-replicable; [[PiiPatterns]] is such a set.
+    *
+    * Pure stateless projection — zero shuffles, codegen'd, streaming-safe
+    * (identical plan over a batch table or a structured stream), so at
+    * 100 TB redaction is embarrassingly parallel and fuses into whatever
+    * scan feeds it. */
+  def redactPii(df: DataFrame, textCol: String,
+                patterns: Seq[(String, String, String)] = PiiPatterns): DataFrame =
+    patterns.foldLeft(df.withColumn("masked", col(textCol))) {
+      case (acc, (cls, rx, token)) =>
+        acc.withColumn(s"n_$cls", regexp_count(col("masked"), lit(rx)).cast(LongType))
+          .withColumn("masked", regexp_replace(col("masked"), rx, token))
+    }
+
+  /** Default redaction rules: email, IPv4, E.164-ish dashed phone, 32-hex
+    * API key/digest. Email runs before the hex rule (a 32-hex local part
+    * must redact as an email, not a key); the phone and IPv4 shapes are
+    * disjoint (dashes vs dots). All four are literal-class patterns both
+    * regex dialects match identically, leftmost-greedy. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<email>"),
+    ("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<ip>"),
+    ("phone", "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<phone>"),
+    ("hexkey", "[0-9a-f]{32}", "<key>"))
+
   // ---- Bloom-filter decontamination membership -------------------------
 
   /** Probe-set membership via a Bloom filter: flags every corpus row whose

@@ -339,14 +339,16 @@ object Similarity {
     * distribution drifts from the training sample; rebuild via
     * [[buildIvfIndex]] when it does. Work is proportional to the BATCH
     * (centroids broadcast + map-side argmax), never the stored index. */
-  def appendToIvfIndex(newVectors: DataFrame, indexPath: String): Unit = {
+  def appendToIvfIndex(newVectors: DataFrame, indexPath: String,
+                       owner: Option[String] = None): Unit = {
     val spark = newVectors.sparkSession
     graft.functions.CosineUnits.register(spark)
     val cents = spark.read.parquet(s"$indexPath/centroids")
     val assigned = newVectors.join(assignCells(newVectors, cents), "vec_id")
       .select(col("vec_id"), col("embedding"), col("cell"))
     DedupAppend.append(spark, assigned, s"$indexPath/cells",
-      keys = Seq("vec_id"), tieBreak = Nil, partitionCols = Seq("cell"))
+      keys = Seq("vec_id"), tieBreak = Nil, partitionCols = Seq("cell"),
+      owner = owner)
   }
 
   /** TRUE iff the stored cell layout is exactly `embeddings` assigned
@@ -464,6 +466,65 @@ object Similarity {
       .filter(col("cos_r") >= threshold)
       .groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of"))
     e.select(col("vec_id"), col("cell"))
+      .join(dups, col("vec_id") === col("b_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("dup_of").isNull.as("kept"))
+  }
+
+  /** Top-`rProbe` nearest centroids per vector — [[assignCells]]'s
+    * multi-assignment generalization (rank by truncated cosine, tie-break
+    * lower centroid id). Same scale shape: centroid broadcast, then one
+    * map-side-combinable agg per vector whose state is bounded by the
+    * CENTROID count (a ≤numCentroids struct list), never the corpus — no
+    * window over the corpus×centroids fan-out, which would shuffle k×
+    * the data. Returns (vec_id, rn ∈ 1..rProbe, cell). */
+  private[graft] def assignCellsMulti(embeddings: DataFrame, cents: DataFrame,
+                                      rProbe: Int): DataFrame =
+    embeddings.join(broadcast(cents))
+      .withColumn("cos_c", cosineR("embedding", "cv"))
+      .groupBy(col("vec_id"))
+      .agg(expr(s"slice(reverse(array_sort(collect_list(" +
+        s"named_struct('cos_c', cos_c, 'negc', -c_id)))), 1, $rProbe)").as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("vec_id"), (col("i") + 1).cast(LongType).as("rn"),
+        (-col("s.negc")).cast(LongType).as("cell"))
+
+  /** Multi-probe SemDeDup: [[semanticDedup]] with each vector assigned to
+    * its `rProbe` nearest cells for the PAIR SEARCH (the reported cell
+    * stays the primary assignment). This closes SemDeDup's documented
+    * blind spot — a duplicate pair straddling a cell boundary is found
+    * whenever ANY of the two vectors' probe cells coincide, the same
+    * recall lever real pipelines pull (multi-assignment / soft
+    * clustering) instead of accepting the single-cell miss.
+    *
+    * Scale shape: assignment is [[assignCellsMulti]] (broadcast + bounded
+    * agg, no corpus shuffle); the pair search shuffles rProbe× the
+    * single-probe memberships into the same bucket-bounded in-cell join;
+    * a pair sharing BOTH probe cells is deduplicated BEFORE the cosine
+    * verify, so the verify chain runs once per distinct candidate pair
+    * (x44's discipline). Output is row-compatible with [[semanticDedup]]:
+    * (vec_id, cell, dup_of, kept), dup_of = min lower-id neighbor at
+    * cosine ≥ threshold across any shared probe cell, −1 when kept. */
+  def semanticDedupMultiWith(embeddings: DataFrame, cents: DataFrame,
+                             threshold: Double, rProbe: Int = 2): DataFrame = {
+    graft.functions.CosineUnits.register(embeddings.sparkSession)
+    // two consumers of the corpus (memberships + the pair-verify fetch):
+    // materialize once, scan-fused assignment never reruns
+    val e = embeddings.select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val multi = assignCellsMulti(e, cents, rProbe).localCheckpoint(true)
+    val m = multi.select(col("cell"), col("vec_id"))
+    val pairs = m.as("a").join(m.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct() // verify once per distinct candidate pair
+    val dups = pairs
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("av")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("bv")), "b_id")
+      .withColumn("cos_r", cosineR("av", "bv"))
+      .filter(col("cos_r") >= threshold)
+      .groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of"))
+    multi.filter(col("rn") === 1).select(col("vec_id"), col("cell"))
       .join(dups, col("vec_id") === col("b_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"),

@@ -319,8 +319,8 @@ object LlmData {
   // k-means oracle CTE builders, shared by x31 (IVF ANN) and x47 (semantic
   // dedup) — both replicate Similarity.kmeansCentroids bit-exactly in SQL.
   /** Assignment CTE: every vector of e → nearest centroid in `cent`. */
-  private def assignBlock(cent: String, out: String): String =
-    s"""${out}pr AS (SELECT e.vec_id, c.c_id, unnest(e.v) AS x, unnest(c.cv) AS y FROM e, $cent c),
+  private def assignBlock(cent: String, out: String, src: String = "e"): String =
+    s"""${out}pr AS (SELECT e.vec_id, c.c_id, unnest(e.v) AS x, unnest(c.cv) AS y FROM $src e, $cent c),
        |${out}s AS (SELECT vec_id, c_id, $cosSumCols FROM ${out}pr GROUP BY 1, 2),
        |${out}c AS (SELECT vec_id, c_id, $cosRExpr AS cos_c FROM ${out}s),
        |$out AS (SELECT vec_id, c_id AS cell FROM (
@@ -328,11 +328,11 @@ object LlmData {
        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_id ASC) AS rn
        |  FROM ${out}c) WHERE rn = 1)""".stripMargin
   /** Centroid-update CTE: element-wise exact-unit mean per cell. */
-  private def centBlock(asg: String, out: String): String =
+  private def centBlock(asg: String, out: String, src: String = "e"): String =
     s"""${out}m AS (SELECT cell, i,
        |    CAST(sum(CAST(floor(x * 1e9) AS BIGINT)) AS DOUBLE) / count(*) / 1000000000.0 AS cx
        |  FROM (SELECT $asg.cell AS cell, unnest(e.v) AS x, unnest(range(1, len(e.v) + 1)) AS i
-       |        FROM $asg JOIN e ON e.vec_id = $asg.vec_id)
+       |        FROM $asg JOIN $src e ON e.vec_id = $asg.vec_id)
        |  GROUP BY cell, i),
        |$out AS (SELECT cell AS c_id, list(cx ORDER BY i) AS cv FROM ${out}m GROUP BY cell)""".stripMargin
   /** The trained-assignment prefix (e → cent0 → … → asg2), ending with
@@ -386,6 +386,43 @@ object LlmData {
        |        FROM asg2 a JOIN asg2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |        JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id),
        |s2 AS (SELECT a_id, b_id, $cosSumCols FROM pr2 GROUP BY 1, 2),
+       |c2 AS (SELECT a_id, b_id, $cosRExpr AS cos_r FROM s2),
+       |d AS (SELECT b_id, min(a_id) AS dup_of FROM c2
+       |      WHERE cos_r >= $CosineDupThreshold GROUP BY b_id)
+       |SELECT g.vec_id, g.cell, coalesce(d.dup_of, -1) AS dup_of,
+       |       d.b_id IS NULL AS kept
+       |FROM asg2 g LEFT JOIN d ON d.b_id = g.vec_id ORDER BY vec_id""".stripMargin
+
+  // ---- X98: multi-probe SemDeDup (cross-cell recall) --------------------
+
+  /** [[graft.operators.Similarity.semanticDedupMultiWith]] scored at the
+    * weak-correlation threshold (0.40 — exactly the regime where x47's
+    * single-cell search documents misses): each vector probes its top-2
+    * cells, so a duplicate pair straddling a cell boundary is found when
+    * ANY probe cell coincides. The oracle replays the identical k-means
+    * (x31's CTEs), the top-2 multi-assignment, the distinct-pair verify,
+    * and the min-lower-id rule — cells, dup links, and keeps hash-match.
+    * Recall dominance over x47 is law-tested in SimilaritySpec. */
+  def x98MultiprobeSemdedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedupMultiWith(embs(spark, dir),
+        sharedCentroids(spark, dir), CosineDupThreshold)
+      .orderBy(col("vec_id"))
+
+  val x98Sql: String =
+    s"""WITH $kmeansCtes,
+       |mpr AS (SELECT e.vec_id, c.c_id, unnest(e.v) AS x, unnest(c.cv) AS y
+       |        FROM e, cent2 c),
+       |ms AS (SELECT vec_id, c_id, $cosSumCols FROM mpr GROUP BY 1, 2),
+       |mc AS (SELECT vec_id, c_id, $cosRExpr AS cos_c FROM ms),
+       |ma AS (SELECT vec_id, c_id AS cell FROM (
+       |  SELECT vec_id, c_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_id ASC) AS rn
+       |  FROM mc) WHERE rn <= 2),
+       |pr AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |       FROM ma a JOIN ma b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |pf AS (SELECT a_id, b_id, unnest(ea.v) AS x, unnest(eb.v) AS y
+       |       FROM pr JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id),
+       |s2 AS (SELECT a_id, b_id, $cosSumCols FROM pf GROUP BY 1, 2),
        |c2 AS (SELECT a_id, b_id, $cosRExpr AS cos_r FROM s2),
        |d AS (SELECT b_id, min(a_id) AS dup_of FROM c2
        |      WHERE cos_r >= $CosineDupThreshold GROUP BY b_id)
@@ -772,6 +809,99 @@ object LlmData {
 
   /** Streamed-indexed miner from empty ≡ batch miner: x93's oracle. */
   val x96Sql: String = x93Sql
+
+  // ---- X99: incremental IVF index maintenance, scored end-to-end --------
+
+  /** The ANN production lifecycle in one gate: build the persisted IVF
+    * index over yesterday's corpus (even vec_ids — centroids train on
+    * exactly that half), [[graft.operators.Similarity.appendToIvfIndex]]
+    * today's batch (odd ids, assigned against the STORED centroids — no
+    * retraining, the stated IVF drift trade), replay the same batch (the
+    * keyed DedupAppend makes redelivery a no-op), then answer probes from
+    * the stored index through the freshness-verified path — a stale or
+    * tampered index refuses instead of under-answering. The oracle
+    * replays k-means over the even half only, assigns the FULL corpus
+    * against those centroids, and probes identically. */
+  def x99IvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x99_").toFile
+    try {
+      val e = embs(spark, dir)
+      val even = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = e.filter(pmod(col("vec_id"), lit(2)) =!= 0)
+      val idx = new java.io.File(tmp, "idx").getAbsolutePath
+      Similarity.buildIvfIndexWith(even, Similarity.kmeansCentroids(even), idx)
+      Similarity.appendToIvfIndex(odd, idx)
+      Similarity.appendToIvfIndex(odd, idx) // replayed delivery: no-op
+      val res = Similarity.ivfTopKFromIndexVerified(spark, idx, e,
+        e.filter(col("vec_id") < 10), 5)
+      graft.util.Materialize.sorted(res, col("p_id"), col("rn"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  lazy val x99Sql: String = {
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |eh AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+       |cent0 AS (SELECT vec_id AS c_id, v AS cv FROM eh ORDER BY vec_id
+       |          LIMIT ${Similarity.IvfCentroids}),
+       |${assignBlock("cent0", "asg0", "eh")},
+       |${centBlock("asg0", "cent1", "eh")},
+       |${assignBlock("cent1", "asg1", "eh")},
+       |${centBlock("asg1", "cent2", "eh")},
+       |${assignBlock("cent2", "asgA", "e")},
+       |p0 AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id < 10),
+       |pcpr AS (SELECT p_id, c.c_id, unnest(pv) AS x, unnest(c.cv) AS y FROM p0, cent2 c),
+       |pcs AS (SELECT p_id, c_id, $cosSumCols FROM pcpr GROUP BY 1, 2),
+       |pcc AS (SELECT p_id, c_id, $cosRExpr AS cos_c FROM pcs),
+       |pc AS (SELECT p_id, cell FROM (
+       |  SELECT p_id, c_id AS cell,
+       |    row_number() OVER (PARTITION BY p_id ORDER BY cos_c DESC, c_id ASC) AS rn
+       |  FROM pcc) WHERE rn <= ${Similarity.IvfNprobe}),
+       |cand AS (SELECT pc.p_id, pc.cell, a.vec_id AS n_id FROM pc
+       |         JOIN asgA a ON a.cell = pc.cell WHERE a.vec_id != pc.p_id),
+       |pf AS (SELECT p_id, cell, n_id, unnest(ep.v) AS x, unnest(en.v) AS y
+       |       FROM cand JOIN e ep ON ep.vec_id = p_id JOIN e en ON en.vec_id = n_id),
+       |s2 AS (SELECT p_id, cell, n_id, $cosSumCols FROM pf GROUP BY 1, 2, 3),
+       |c2 AS (SELECT p_id, cell, n_id, $cosRExpr AS cos_r FROM s2),
+       |r AS (SELECT p_id, cell, n_id, cos_r,
+       |        row_number() OVER (PARTITION BY p_id ORDER BY cos_r DESC, n_id ASC) AS rn FROM c2)
+       |SELECT p_id, rn, n_id, cell, cos_r FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin
+  }
+
+  // ---- X100: streamed ANN-index ingest ≡ the batch maintenance ----------
+
+  /** [[graft.streaming.EventStreams.maintainIvfIndexStream]] scored: the
+    * corpus lands as two parquet batches (evens bootstrap the index —
+    * training the centroids — odds fold in against the stored centroids),
+    * the checkpointed AvailableNow stream maintains the index, and the
+    * stored index answers the verified probe. Folding the stream
+    * reproduces x99's batch maintenance exactly, so x99's oracle is the
+    * oracle. Per-trigger work ∝ the landed file; the probe reads nprobe
+    * cell directories — the continuous-ANN-service twin of x96. */
+  def x100StreamAnnIngest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x100_").toFile
+    try {
+      val landing = new java.io.File(tmp, "landing").getAbsolutePath
+      val idx = new java.io.File(tmp, "idx").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      val e = embs(spark, dir)
+      val slim = e.select(col("vec_id"), col("embedding"))
+      // each landed batch drained by its own AvailableNow run (the
+      // checkpoint resumes past already-folded files), so arrival order
+      // is explicit — never an artifact of file-listing order
+      slim.filter(pmod(col("vec_id"), lit(2)) === 0)
+        .coalesce(1).write.parquet(landing)
+      graft.streaming.EventStreams.maintainIvfIndexStream(spark, landing, idx, ckpt)
+      slim.filter(pmod(col("vec_id"), lit(2)) =!= 0)
+        .coalesce(1).write.mode("append").parquet(landing)
+      graft.streaming.EventStreams.maintainIvfIndexStream(spark, landing, idx, ckpt)
+      val res = Similarity.ivfTopKFromIndexVerified(spark, idx, e,
+        e.filter(col("vec_id") < 10), 5)
+      graft.util.Materialize.sorted(res, col("p_id"), col("rn"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** Streamed index-fold ≡ batch build+append: x99's oracle. */
+  lazy val x100Sql: String = x99Sql
 
   // ---- X32: end-to-end curation pipeline -------------------------------
 

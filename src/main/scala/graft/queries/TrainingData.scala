@@ -513,4 +513,71 @@ object TrainingData {
        |  $fp AS cleaned_fp
        |FROM kk ORDER BY doc_id""".stripMargin
   }
+
+  // ---- X97: multi-class PII redaction ----------------------------------
+
+  /** Ordered multi-class PII redaction ([[Curation.redactPii]]) scored on
+    * a PII-bearing corpus derived deterministically from `documents` (the
+    * driver corpus is digit-free word soup, so the fixture plants each
+    * class by doc_id residue — an email on 1/3 of docs, a dashed phone on
+    * 1/5, a 32-hex key on 1/7, an IPv4 on every doc — and both engines
+    * derive the identical string in-query). The gate scores the
+    * ordered-rules contract end-to-end: per-class hit counts, the masked
+    * length, and the fingerprint of the fully-masked text. Redaction is a
+    * pure stateless projection (zero shuffles; the one exchange below is
+    * the presentation sort), so the 100 TB form is scan-fused. */
+  def x97PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val pii = d.select(col("doc_id"), concat(
+      when(col("doc_id") % 3 === 0,
+        concat(lit("contact "), col("lang"), col("doc_id").cast("string"),
+          lit("@"), col("source"), lit(".org "))).otherwise(lit("")),
+      lit("ip 10."), (col("doc_id") % 256).cast("string"), lit("."),
+      ((col("doc_id") * 7) % 256).cast("string"), lit(".1 "),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("call +1-415-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" ")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit("key "), md5(col("doc_id").cast("string").cast("binary")),
+          lit(" "))).otherwise(lit("")),
+      col("text")).as("ptext"))
+    Curation.redactPii(pii, "ptext")
+      .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"),
+        col("n_hexkey"), length(col("masked")).cast("long").as("n_chars_masked"),
+        graft.functions.TextFns.h31(col("masked")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x97Sql: String = {
+    val Seq((_, rxE, tE), (_, rxI, tI), (_, rxP, tP), (_, rxK, tK)) =
+      Curation.PiiPatterns
+    s"""WITH p AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN 'contact ' || lang || doc_id || '@' || source || '.org '
+       |      ELSE '' END
+       |    || 'ip 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.1 '
+       |    || CASE WHEN doc_id % 5 = 0
+       |      THEN 'call +1-415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' '
+       |      ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0 THEN 'key ' || md5(doc_id::VARCHAR) || ' '
+       |      ELSE '' END
+       |    || text AS t FROM documents),
+       |m1 AS (SELECT doc_id,
+       |    CAST(len(regexp_extract_all(t, '$rxE')) AS BIGINT) AS n_email,
+       |    regexp_replace(t, '$rxE', '$tE', 'g') AS t FROM p),
+       |m2 AS (SELECT doc_id, n_email,
+       |    CAST(len(regexp_extract_all(t, '$rxI')) AS BIGINT) AS n_ipv4,
+       |    regexp_replace(t, '$rxI', '$tI', 'g') AS t FROM m1),
+       |m3 AS (SELECT doc_id, n_email, n_ipv4,
+       |    CAST(len(regexp_extract_all(t, '$rxP')) AS BIGINT) AS n_phone,
+       |    regexp_replace(t, '$rxP', '$tP', 'g') AS t FROM m2),
+       |m4 AS (SELECT doc_id, n_email, n_ipv4, n_phone,
+       |    CAST(len(regexp_extract_all(t, '$rxK')) AS BIGINT) AS n_hexkey,
+       |    regexp_replace(t, '$rxK', '$tK', 'g') AS t FROM m3)
+       |SELECT doc_id, n_email, n_ipv4, n_phone, n_hexkey,
+       |  CAST(len(t) AS BIGINT) AS n_chars_masked,
+       |  ${graft.functions.TextFns.h31Sql("t")} AS fp
+       |FROM m4 ORDER BY doc_id""".stripMargin
+  }
 }

@@ -300,6 +300,46 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Continuous ANN-index maintenance: each landed parquet file of
+    * embeddings folds into the persisted IVF index
+    * ([[graft.operators.Similarity]]) — the first batch bootstraps
+    * (trains centroids on itself, writes the cell layout), every later
+    * (and replayed) batch assigns against the STORED centroids and
+    * [[graft.operators.DedupAppend]]s into the cell directories, so the
+    * maintained index is always probe-ready between triggers. This is
+    * [[mineNearDupsStreamIndexed]]'s discipline applied to the vector
+    * side: per-trigger work ∝ the batch (centroid broadcast + map-side
+    * argmax), never the stored index; the checkpoint location doubles as
+    * the lease owner token so a crashed lineage self-heals on restart.
+    * No retraining on drift (the stated IVF production trade — rebuild
+    * via buildIvfIndex when assignment quality decays). */
+  def maintainIvfIndexStream(spark: SparkSession, landingDir: String,
+                             indexPath: String, checkpointDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val q = spark.readStream.schema(schema).parquet(landingDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .option("maxFilesPerTrigger", "1") // one landed file = one fold step
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        // consumed by seed-order scan + assignment (+ Lloyd iterations on
+        // bootstrap): materialize once
+        val vecs = batch.toDF().localCheckpoint(true)
+        if (!graft.operators.DedupAppend.exists(s, s"$indexPath/cells"))
+          graft.operators.Similarity.buildIvfIndexWith(vecs,
+            graft.operators.Similarity.kmeansCentroids(vecs), indexPath)
+        else
+          graft.operators.Similarity.appendToIvfIndex(vecs, indexPath,
+            owner = Some(checkpointDir))
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming SEGMENT-DEDUP gate — [[mineNearDupsStream]]'s shape one
     * level down (span granularity): each micro-batch of landed documents
     * is judged against the already-ingested corpus with

@@ -30,6 +30,32 @@ class CurationSpec extends AnyFunSuite {
       (3L, 4L, 1L, 12L, 1.0)))
   }
 
+  // ---- redactPii ----------------------------------------------------------
+
+  test("redactPii: ordered rules, per-class counts, masked text carries no residue") {
+    val rows = Seq(
+      (1L, "reach me at jane.doe+x@mail.example.com or 10.0.0.1"),
+      // 32-hex LOCAL PART: the email rule must eat it before the hexkey rule
+      (2L, "aaaabbbbccccddddeeeeffff00001111@x.io"),
+      (3L, "call +1-415-555-0000 key deadbeefdeadbeefdeadbeefdeadbeef"),
+      (4L, "two ips 1.2.3.4 and 255.255.255.255 no more pii")
+    ).toDF("doc_id", "t")
+    val got = Curation.redactPii(rows, "t")
+      .select($"doc_id", $"n_email", $"n_ipv4", $"n_phone", $"n_hexkey", $"masked")
+      .as[(Long, Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, 0L, 0L, "reach me at <email> or <ip>"),
+      (2L, 1L, 0L, 0L, 0L, "<email>"),
+      (3L, 0L, 0L, 1L, 1L, "call <phone> key <key>"),
+      (4L, 0L, 2L, 0L, 0L, "two ips <ip> and <ip> no more pii")))
+    // idempotence: a second redaction pass over the masked text finds nothing
+    val again = Curation.redactPii(
+      got.toDF("doc_id", "a", "b", "c", "d", "t").select($"doc_id", $"t"), "t")
+      .agg(sum($"n_email" + $"n_ipv4" + $"n_phone" + $"n_hexkey"))
+      .head().getLong(0)
+    assert(again == 0L)
+  }
+
   // ---- lengthBuckets ----------------------------------------------------
 
   test("lengthBuckets: buckets are ceil-multiples, token mass conserved, waste exact") {

@@ -354,6 +354,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe SemDeDup: primary cells unchanged, recall dominates single-probe, links sound") {
+    val cents = Similarity.kmeansCentroids(embs)
+    val single = Similarity.semanticDedupWith(embs, cents, 0.40).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val multi = Similarity.semanticDedupMultiWith(embs, cents, 0.40).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(multi.keySet == single.keySet)
+    // the REPORTED cell is still the primary assignment
+    assert(multi.forall { case (id, (cell, _, _)) => cell == single(id)._1 })
+    val exact = Similarity.cosineNearDups(embs, 0.40).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    multi.foreach { case (id, (_, dupOf, kept)) =>
+      // recall dominance: anything single-probe dropped, multi-probe drops,
+      // with an equal-or-lower (never weaker) representative link
+      if (!single(id)._3) { assert(!kept); assert(dupOf <= single(id)._2) }
+      // soundness: every link is a genuine exact-threshold pair
+      if (!kept) assert(exact.contains((dupOf, id)), s"unsound link $dupOf -> $id")
+    }
+    // measured weak-tail candidate coverage, pinned: single-probe cells
+    // cover 17/66 exact pairs (the documented x47 trade); top-2 probing
+    // must cover strictly more
+    val probeCells = Similarity.assignCellsMulti(embs, cents, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (id, rows) => id -> rows.map(_._2).toSet }
+    val covered = exact.count { case (a, b) =>
+      (probeCells(a) intersect probeCells(b)).nonEmpty }
+    assert(covered > 17, s"top-2 probe covers $covered/66 weak-tail pairs; single covers 17")
+  }
+
   test("SRP buckets: every vector gets a bucket in [0, 16); ANN neighbor shares the bucket") {
     val bucketed = embs.select(col("vec_id"),
       Similarity.bucketCol("embedding").as("bucket")).collect()

@@ -107,6 +107,43 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(graft.operators.LshIndex.verifyIndex(docs, idx))
   }
 
+  test("streamed IVF maintenance: arrival batches fold to the batch index; idle drain is a no-op") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val root = Files.createTempDirectory("graft_ivf_stream_")
+    val landing = root.resolve("landing").toString
+    val idx = root.resolve("idx").toString
+    val ckpt = root.resolve("ckpt").toString
+    val e = Tables.t(spark, sf, "embeddings")
+    val slim = e.select(col("vec_id"), col("embedding"))
+    // batch 1 bootstraps (trains centroids on itself); batches 2 and 3
+    // fold in against the stored centroids; a final drain with nothing
+    // landed must change nothing
+    slim.filter(col("vec_id") % 3 === 0).coalesce(1).write.parquet(landing)
+    graft.streaming.EventStreams.maintainIvfIndexStream(spark, landing, idx, ckpt)
+    slim.filter(col("vec_id") % 3 === 1).coalesce(1).write.mode("append").parquet(landing)
+    graft.streaming.EventStreams.maintainIvfIndexStream(spark, landing, idx, ckpt)
+    slim.filter(col("vec_id") % 3 === 2).coalesce(1).write.mode("append").parquet(landing)
+    graft.streaming.EventStreams.maintainIvfIndexStream(spark, landing, idx, ckpt)
+    def cellSet(path: String) = spark.read.parquet(path)
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cellsAfter = cellSet(s"$idx/cells")
+    graft.streaming.EventStreams.maintainIvfIndexStream(spark, landing, idx, ckpt)
+    val cellsIdle = cellSet(s"$idx/cells")
+    assert(cellsIdle == cellsAfter, "idle drain must not mutate the index")
+    // the streamed fold equals the batch lifecycle: build on batch 1,
+    // append the rest — assignment against the SAME stored centroids
+    val batchIdx = root.resolve("batch_idx").toString
+    val b1 = e.filter(col("vec_id") % 3 === 0)
+    Similarity.buildIvfIndexWith(b1, Similarity.kmeansCentroids(b1), batchIdx)
+    Similarity.appendToIvfIndex(e.filter(col("vec_id") % 3 =!= 0), batchIdx)
+    val batchCells = cellSet(s"$batchIdx/cells")
+    assert(cellsAfter == batchCells)
+    assert(Similarity.verifyIvfIndex(e, idx), "maintained index must verify fresh")
+    graft.util.Fs.deleteTree(root.toFile)
+  }
+
   test("streaming CDC gate: streamed latest-wins state equals batch compaction; re-delivery is a no-op") {
     import org.apache.spark.sql.functions.col
     val root = Files.createTempDirectory("graft_cdc_stream_")
