@@ -23,12 +23,17 @@ import org.apache.spark.sql.functions._
   *   - lineitem/orders: order keys shift together (join fan-out per key
   *     constant).
   *
-  * Usage: ScaleData <srcSfDir> <outDir> <factor>
+  * Usage: ScaleData <srcSfDir> <outDir> <factor> [tablesCsv]
+  * (tablesCsv — e.g. "embeddings" — derives only those tables; default
+  * all, for targeted high-factor derivations like the similarity-family
+  * 100× run where deriving the full relational set would be waste)
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
-    val Array(src, out, factorS) = args
+    val (src, out, factorS) = (args(0), args(1), args(2))
     val factor = factorS.toInt
+    val wanted: String => Boolean =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,6 +63,7 @@ object ScaleData {
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
 
+    if (wanted("documents")) {
     val docs = Tables.t(spark, src, "documents")
     val docRange = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     writeAs(copies(docs) { (d, i) =>
@@ -70,7 +76,9 @@ object ScaleData {
         // inconsistent metadata in the derived shards
         .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents")
+    }
 
+    if (wanted("events")) {
     val ev = Tables.t(spark, src, "events")
     val evMaxes = ev.agg(max(col("event_id")), max(col("user_id"))).head()
     val evRange = evMaxes.getLong(0) + 1
@@ -79,7 +87,9 @@ object ScaleData {
       d.withColumn("event_id", col("event_id") + lit(i * evRange))
         .withColumn("user_id", col("user_id") + lit(i * userRange))
     }, "events")
+    }
 
+    if (wanted("lineitem") || wanted("orders")) {
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     val ord = spark.read.parquet(s"$src/orders.parquet")
     val okRange = ord.agg(max(col("o_orderkey"))).head().getLong(0) + 1
@@ -87,6 +97,27 @@ object ScaleData {
       d.withColumn("l_orderkey", col("l_orderkey") + lit(i * okRange))), "lineitem")
     writeAs(copies(ord)((d, i) =>
       d.withColumn("o_orderkey", col("o_orderkey") + lit(i * okRange))), "orders")
+    }
+
+    // embeddings: ids shift; each copy's vectors go through a per-copy
+    // deterministic sign-flip (dimension d flips iff bit d of a copy-seeded
+    // hash is set). A sign-flip matrix is orthogonal and applied to BOTH
+    // sides of every within-copy pair, so within-copy cosines — and thus
+    // near-dup structure, cell populations, probe difficulty — are
+    // IDENTICAL to the original shard, while cross-copy similarity is
+    // uncorrelated background: 10 independent sf0.1-hard problems, the
+    // same disjoint-shard invariant as the documents tagging above.
+    if (wanted("embeddings")) {
+    val em = spark.read.parquet(s"$src/embeddings.parquet")
+    val emRange = em.agg(max(col("vec_id"))).head().getLong(0) + 1
+    writeAs(copies(em) { (d, i) =>
+      if (i == 0) d
+      else d.withColumn("vec_id", col("vec_id") + lit(i.toLong * emRange))
+        .withColumn("embedding",
+          expr(s"transform(embedding, (x, j) -> " +
+            s"if(((hash($i, j) % 2) + 2) % 2 = 1, -x, x))"))
+    }, "embeddings")
+    }
 
     println(s"derived factor=$factor corpus at $out from $src")
     spark.stop()
