@@ -1064,6 +1064,66 @@ object EventTime {
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
+  /** Q127 — STREAM-STREAM FULL OUTER JOIN, scored: completes the
+    * stream-stream join matrix (inner q80, left q122, full q127). Both
+    * null-extensions at once: a burst's LAST event survives left-lonely
+    * (no follower within 10 minutes), its FIRST event right-lonely (it
+    * follows no one) — each emitted only when the watermarks prove the
+    * negative. Same flush-sentinel discipline as q122 (the no-match
+    * proof for the tail needs the watermark past it); per-user census of
+    * paired / left-lonely / right-lonely rows hash-matches DuckDB's FULL
+    * JOIN recompute. At 100 TB: state = rate × window per side, the
+    * full form only adds the both-sides emission delay. */
+  def q127StreamFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q127_").toFile
+    try graft.util.Confs.withConfs(spark, "spark.sql.shuffle.partitions" -> "8") {
+      val landing = new java.io.File(tmp, "landing").getAbsolutePath
+      val out = new java.io.File(tmp, "pairs").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      val ev = t(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinel = spark.range(1).select(lit(-1L).as("user_id"),
+        lit(-1L).as("event_id"),
+        lit(new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000)).as("ts"))
+      ev.unionByName(sentinel).write.parquet(landing)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema).parquet(landing)
+      val q = graft.streaming.EventStreams.pairWithinFull(stream)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val res = spark.read.parquet(out)
+        .filter(col("user_id") >= 0) // the sentinel's rows are scaffolding
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("a_id").isNotNull && col("b_id").isNotNull, 1L)
+               .otherwise(0L)).as("n_paired"),
+             sum(when(col("a_id").isNotNull && col("b_id").isNull, 1L)
+               .otherwise(0L)).as("n_lonely_left"),
+             sum(when(col("a_id").isNull, 1L).otherwise(0L)).as("n_lonely_right"),
+             sum(col("gap_us")).as("sum_gap_us"))
+      graft.util.Materialize.sorted(res, col("user_id"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** FULL JOIN recompute: both unmatched sides carry one null row each. */
+  val q127Sql: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |p AS (SELECT coalesce(a.user_id, b.user_id) AS user_id,
+      |        a.event_id AS a_id, b.event_id AS b_id,
+      |        epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+      |      FROM e a FULL JOIN e b ON b.user_id = a.user_id
+      |        AND a.event_id != b.event_id
+      |        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '10 minutes')
+      |SELECT user_id,
+      |  CAST(sum(CASE WHEN a_id IS NOT NULL AND b_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_paired,
+      |  CAST(sum(CASE WHEN a_id IS NOT NULL AND b_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lonely_left,
+      |  CAST(sum(CASE WHEN a_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lonely_right,
+      |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** LEFT JOIN recompute: unmatched events carry one null row each. */
   val q122Sql: String =
     """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -157,6 +157,33 @@ object EventStreams {
         unix_micros(col("b_ts")).minus(unix_micros(col("a_ts"))).as("gap_us"))
   }
 
+  /** FULL-outer twin of [[pairWithinOuter]], completing the stream-stream
+    * join matrix (inner q80, left q122, full q127): both null-extensions
+    * at once — an event with no same-user follower within the window
+    * survives with a NULL b side, and an event that is NO ONE's follower
+    * (a burst's first event) survives with a NULL a side, each emitted
+    * only once the watermarks prove the match can no longer arrive.
+    * `user_id` is coalesced across sides so right-only rows keep their
+    * key. State story is the inner join's (rate × window per side);
+    * the full form pays the emission delay on both sides. */
+  def pairWithinFull(events: DataFrame, windowMinutes: Int = 10,
+                     watermark: String = "1 hour"): DataFrame = {
+    val a = events.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    val b = events.select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", watermark)
+    a.join(b,
+      col("user_id") === col("b_user") &&
+        col("a_id") =!= col("b_id") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      "full_outer")
+      .select(coalesce(col("user_id"), col("b_user")).as("user_id"),
+        col("a_id"), col("b_id"),
+        unix_micros(col("b_ts")).minus(unix_micros(col("a_ts"))).as("gap_us"))
+  }
+
   /** Drain the landing dir through the streaming agg into an in-memory
     * table and return the result — used by tests to prove batch/stream
     * equivalence. `complete` output mode so still-open windows are emitted

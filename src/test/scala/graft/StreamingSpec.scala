@@ -106,6 +106,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream full outer: matched rows = inner; each side's lonely rows = its outer complement") {
+    import org.apache.spark.sql.functions._
+    // bounded landing + far-future sentinel so both watermarks prove
+    // every negative (q127's scored mechanics, checked row-level here)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_full_outer_law_").toFile
+    try {
+      val landing = new java.io.File(tmp, "landing").getAbsolutePath
+      val e = Tables.t(spark, sf, "events").select(col("user_id"), col("event_id"), col("ts"))
+      val maxTs = e.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinel = spark.range(1).select(lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+        lit(new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000)).as("ts"))
+      e.unionByName(sentinel).write.parquet(landing)
+      val stream = spark.readStream.schema(spark.read.parquet(landing).schema).parquet(landing)
+      val q = EventStreams.pairWithinFull(stream)
+        .writeStream.outputMode("append").format("memory").queryName("full_pairs").start()
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("full_pairs").filter(col("user_id") >= 0).collect()
+        .map(r => (r.getAs[Long]("user_id"), Option(r.getAs[java.lang.Long]("a_id")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("b_id")).map(_.toLong)))
+      val a = e.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+      val b = e.select(col("user_id").as("b_user"), col("event_id").as("b_id"), col("ts").as("b_ts"))
+      val inner = a.join(b,
+          col("user_id") === col("b_user") && col("a_id") =!= col("b_id") &&
+            col("b_ts") >= col("a_ts") &&
+            col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"))
+        .select(col("user_id"), col("a_id"), col("b_id")).collect()
+        .map(r => (r.getLong(0), Some(r.getLong(1)): Option[Long], Some(r.getLong(2)): Option[Long])).toSet
+      assert(rows.filter(r => r._2.nonEmpty && r._3.nonEmpty).toSet == inner)
+      // left-lonely = a-ids with no inner match; right-lonely symmetric
+      val allIds = e.select(col("user_id"), col("event_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lonelyLeft = rows.collect { case (u, Some(aId), None) => (u, aId) }.toSet
+      val lonelyRight = rows.collect { case (u, None, Some(bId)) => (u, bId) }.toSet
+      assert(lonelyLeft == (allIds -- inner.map(r => (r._1, r._2.get))))
+      assert(lonelyRight == (allIds -- inner.map(r => (r._1, r._3.get))))
+      assert(lonelyLeft.nonEmpty && lonelyRight.nonEmpty)
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
   test("stream-stream join: pairs match the static self-join") {
     import org.apache.spark.sql.functions._
     val q = EventStreams.pairWithin(EventStreams.readEvents(spark, sf))
