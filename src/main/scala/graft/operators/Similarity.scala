@@ -351,6 +351,44 @@ object Similarity {
       owner = owner)
   }
 
+  /** Per-cell assignment-drift audit of the stored IVF index: the
+    * measurable signal behind [[appendToIvfIndex]]'s "rebuild when
+    * assignment quality decays" contract. For each cell, the mean
+    * assigned cosine (in exact 1e-6 integer units — deterministic across
+    * engines and partitionings) of the STORED members vs an INCOMING
+    * batch assigned against the stored centroids; `drift_u` =
+    * stored_mean − new_mean, positive when the new batch sits farther
+    * from the centroids than the corpus the index was trained on — the
+    * distribution-shift alarm that schedules a [[buildIvfIndex]] retrain.
+    *
+    * Scale shape: two centroid broadcasts + two map-side-combinable
+    * per-cell aggregations (stored side reads only (embedding, cell) —
+    * the layout is never reassigned); nothing is pairwise. Cells absent
+    * from one side carry nulls (a cell no new vector lands in, or — the
+    * loudest drift of all — a cell the stored corpus never populated). */
+  def assignmentDrift(newVectors: DataFrame, indexPath: String): DataFrame = {
+    val spark = newVectors.sparkSession
+    graft.functions.CosineUnits.register(spark)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    def units(assigned: DataFrame): DataFrame =
+      assigned.join(broadcast(cents), col("cell") === col("c_id"))
+        .select(col("cell"),
+          floor(cosine("embedding", "cv") * 1e6).cast(LongType).as("u"))
+    def perCell(u: DataFrame, n: String, m: String): DataFrame =
+      u.groupBy(col("cell")).agg(count(lit(1)).as(n),
+        (sum(col("u")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as(m))
+    val stored = spark.read.parquet(s"$indexPath/cells")
+      .select(col("vec_id"), col("embedding"), col("cell").cast(LongType).as("cell"))
+    val s = perCell(units(stored), "n_stored", "stored_mean_u")
+    val incoming = newVectors.join(assignCells(newVectors, cents), "vec_id")
+      .select(col("embedding"), col("cell"))
+    val n = perCell(units(incoming), "n_new", "new_mean_u")
+    s.join(n, Seq("cell"), "full_outer")
+      .select(col("cell"), col("n_stored"), col("n_new"),
+        col("stored_mean_u"), col("new_mean_u"),
+        (col("stored_mean_u") - col("new_mean_u")).as("drift_u"))
+  }
+
   /** TRUE iff the stored cell layout is exactly `embeddings` assigned
     * against the STORED centroids — the freshness check of the index
     * contract ([[LshIndex.verifyIndex]]'s discipline applied to ANN): a

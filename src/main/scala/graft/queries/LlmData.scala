@@ -903,6 +903,65 @@ object LlmData {
   /** Streamed index-fold ≡ batch build+append: x99's oracle. */
   lazy val x100Sql: String = x99Sql
 
+  // ---- X101: IVF assignment-drift audit ---------------------------------
+
+  /** [[graft.operators.Similarity.assignmentDrift]] scored: the index is
+    * built over the even half (centroids train on it), and the odd half
+    * plays the incoming batch — per cell, the mean assigned cosine of
+    * stored members vs the batch in exact 1e-6 integer units, with
+    * `drift_u` the retrain alarm. This turns appendToIvfIndex's "rebuild
+    * when assignment quality decays" contract from prose into a
+    * measurable, oracle-checked signal. The oracle replays the even-half
+    * k-means, assigns both halves against the stored centroids, and
+    * folds the same exact-unit means. */
+  def x101IvfDrift(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x101_").toFile
+    try {
+      val e = embs(spark, dir)
+      val even = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = e.filter(pmod(col("vec_id"), lit(2)) =!= 0)
+      val idx = new java.io.File(tmp, "idx").getAbsolutePath
+      Similarity.buildIvfIndexWith(even, Similarity.kmeansCentroids(even), idx)
+      val res = Similarity.assignmentDrift(odd, idx)
+      graft.util.Materialize.sorted(res, col("cell"))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  lazy val x101Sql: String = {
+    val uExpr = "CAST(floor((CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * " +
+      "CAST(nb AS DOUBLE))) * 1000000.0) AS BIGINT)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |eh AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+       |eo AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+       |cent0 AS (SELECT vec_id AS c_id, v AS cv FROM eh ORDER BY vec_id
+       |          LIMIT ${Similarity.IvfCentroids}),
+       |${assignBlock("cent0", "asg0", "eh")},
+       |${centBlock("asg0", "cent1", "eh")},
+       |${assignBlock("cent1", "asg1", "eh")},
+       |${centBlock("asg1", "cent2", "eh")},
+       |${assignBlock("cent2", "asgE", "eh")},
+       |${assignBlock("cent2", "asgN", "eo")},
+       |su0 AS (SELECT a.cell, a.vec_id, unnest(e2.v) AS x, unnest(c.cv) AS y
+       |        FROM asgE a JOIN e e2 ON e2.vec_id = a.vec_id
+       |        JOIN cent2 c ON c.c_id = a.cell),
+       |su1 AS (SELECT cell, vec_id, $cosSumCols FROM su0 GROUP BY 1, 2),
+       |su2 AS (SELECT cell, $uExpr AS u FROM su1),
+       |sagg AS (SELECT cell, count(*) AS n_stored,
+       |    CAST(CAST(sum(u) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |      AS stored_mean_u FROM su2 GROUP BY cell),
+       |nu0 AS (SELECT a.cell, a.vec_id, unnest(e2.v) AS x, unnest(c.cv) AS y
+       |        FROM asgN a JOIN e e2 ON e2.vec_id = a.vec_id
+       |        JOIN cent2 c ON c.c_id = a.cell),
+       |nu1 AS (SELECT cell, vec_id, $cosSumCols FROM nu0 GROUP BY 1, 2),
+       |nu2 AS (SELECT cell, $uExpr AS u FROM nu1),
+       |nagg AS (SELECT cell, count(*) AS n_new,
+       |    CAST(CAST(sum(u) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |      AS new_mean_u FROM nu2 GROUP BY cell)
+       |SELECT coalesce(sagg.cell, nagg.cell) AS cell, n_stored, n_new,
+       |  stored_mean_u, new_mean_u, stored_mean_u - new_mean_u AS drift_u
+       |FROM sagg FULL JOIN nagg ON nagg.cell = sagg.cell ORDER BY cell""".stripMargin
+  }
+
   // ---- X32: end-to-end curation pipeline -------------------------------
 
   /** The composed training-data curation query: exact-dedup survivors

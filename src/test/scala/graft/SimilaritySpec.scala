@@ -354,6 +354,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("assignmentDrift: in-distribution batch reads near-zero drift; a shifted batch alarms") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // base corpus concentrated in the positive orthant → positive centroids
+    def posVec(): Seq[Float] =
+      Array.fill(Similarity.Dim)(math.abs(rnd.nextDouble()).toFloat).toSeq
+    val base = (0 until 200).map(i => (i.toLong, posVec()))
+    val inDist = (1000 until 1100).map(i => (i.toLong, posVec()))
+    // shifted batch: the OPPOSITE orthant — assigned cosines go negative
+    val shifted = (2000 until 2100).map(i => (i.toLong, posVec().map(-_)))
+    val idx = java.nio.file.Files.createTempDirectory("graft_drift_").toFile
+    try {
+      val baseDf = base.toDF("vec_id", "embedding")
+      Similarity.buildIvfIndexWith(baseDf, Similarity.kmeansCentroids(baseDf),
+        idx.getAbsolutePath)
+      def globalDrift(batch: Seq[(Long, Seq[Float])]): Double = {
+        val rows = Similarity.assignmentDrift(
+            batch.toDF("vec_id", "embedding"), idx.getAbsolutePath)
+          .filter($"n_new".isNotNull && $"n_stored".isNotNull).collect()
+        val wNew = rows.map(r => r.getAs[Long]("n_new").toDouble).sum
+        rows.map(r => r.getAs[Double]("drift_u") * r.getAs[Long]("n_new")).sum / wNew
+      }
+      val calm = globalDrift(inDist)
+      val alarm = globalDrift(shifted)
+      assert(math.abs(calm) < 100000.0, s"in-distribution drift $calm should be ~0")
+      assert(alarm > 500000.0, s"opposite-orthant drift $alarm must alarm loudly")
+    } finally graft.util.Fs.deleteTree(idx)
+  }
+
   test("multi-probe SemDeDup: primary cells unchanged, recall dominates single-probe, links sound") {
     val cents = Similarity.kmeansCentroids(embs)
     val single = Similarity.semanticDedupWith(embs, cents, 0.40).collect()
