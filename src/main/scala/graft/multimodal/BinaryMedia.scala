@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -132,5 +132,69 @@ object BinaryMedia {
          |  sequence(0, cast(least((octet_length(payload) + ${frameBytes - 1}) div $frameBytes, $maxFrames) as int) - 1),
          |  i -> substring(payload, i * $frameBytes + 1, $frameBytes))
          |end""".stripMargin))
+  }
+
+  // ---- perceptual-hash near-duplicate mining ---------------------------
+
+  /** dHash-style 63-bit perceptual fingerprint of a binary payload: the
+    * first 64 bytes form the "pixel strip" (the decode stub's
+    * deterministic stand-in for a resized grayscale grid — with a real
+    * decoder the strip is the resized image, and ONLY this expression
+    * changes), bit i = byte(i) > byte(i+1), MSB-first fold. 63 bits, not
+    * 64: a 64-bit fold would overflow signed BIGINT arithmetic in the
+    * oracle engine. Pure codegen'd column (substring/hex/conv under
+    * transform+aggregate) — zero shuffle, scan-fused. */
+  def dHash(payloadCol: String): Column = {
+    val byteAt = (i: String) =>
+      s"cast(conv(concat('0', hex(substring($payloadCol, $i, 1))), 16, 10) as bigint)"
+    expr(
+      s"""aggregate(
+         |  transform(sequence(1, 63),
+         |    i -> if(${byteAt("i")} > ${byteAt("i + 1")}, 1L, 0L)),
+         |  0L, (acc, b) -> acc * 2 + b)""".stripMargin)
+  }
+
+  /** Perceptual-hash near-dup mining over binary payloads — image dedup's
+    * shape with the stub strip ([[dHash]]): identical payloads collapse to
+    * their min-id representative FIRST (the x21/x29 discipline — exact
+    * dup groups never reach the pair stage), payloads shorter than the
+    * 64-byte strip are refused as incomparable, then signatures band into
+    * 3×21-bit LSH keys and only band-colliding pairs are verified by
+    * Hamming distance ≤ `tau` (bit_count of XOR — one codegen'd op per
+    * candidate). Sound subset semantics, like the banded cosine miner
+    * x36: a true near-dup pair whose differing bits touch all three bands
+    * is missed — the standard SimHash/LSH recall trade, raised by adding
+    * bands, never by pairwise scans.
+    *
+    * Scale shape: one shuffle on (band_idx, band_value) whose hot keys
+    * are bounded by rep-collapse; verify work ∝ distinct candidate
+    * pairs. Returns (a_id, b_id, hamming), rep ids, a < b. */
+  def phashNearDups(media: DataFrame, idCol: String, payloadCol: String,
+                    tau: Int): DataFrame = {
+    val d = media.select(col(idCol).as("mid"), col(payloadCol).as("payload"))
+      .filter(octet_length(col("payload")) >= 64)
+      .withColumn("h", sha2(col("payload"), 256))
+    val reps = d.groupBy(col("h")).agg(min(col("mid")).as("rep_id"))
+      .join(d, Seq("h"))
+      .filter(col("mid") === col("rep_id"))
+      .select(col("rep_id"), col("payload"))
+    val sigs = reps.select(col("rep_id"), dHash("payload").as("sig"))
+    val bands = sigs.select(col("rep_id"), col("sig"),
+        explode(expr("sequence(0, 2)")).as("j"))
+      .withColumn("band",
+        expr("shiftright(sig, cast(21 * j as int))")
+          .bitwiseAND(lit((1L << 21) - 1)))
+    val a = bands.select(col("j"), col("band"),
+      col("rep_id").as("a_id"), col("sig").as("a_sig"))
+    val b = bands.select(col("j"), col("band"),
+      col("rep_id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, Seq("j", "band"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("a_sig"), col("b_id"), col("b_sig"))
+      .distinct() // verify once per distinct candidate pair
+      .withColumn("hamming",
+        expr("bit_count(a_sig ^ b_sig)").cast(LongType))
+      .filter(col("hamming") <= tau)
+      .select(col("a_id"), col("b_id"), col("hamming"))
   }
 }

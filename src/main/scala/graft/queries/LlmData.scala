@@ -1202,6 +1202,47 @@ object LlmData {
       |  (len(string_split(text, ' ')) + 7) // 8 AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- X102: perceptual-hash near-dup mining (multimodal dedup) ---------
+
+  /** [[graft.multimodal.BinaryMedia.phashNearDups]] scored — image-dedup's
+    * shape over the binary corpus (payload = text bytes, the multimodal
+    * stand-in of x28/x65; with a real decoder only the strip expression
+    * changes): rep-collapse of identical payloads, 63-bit dHash over the
+    * 64-byte strip, 3×21-bit LSH bands, Hamming-verified collisions.
+    * Sound-subset semantics (x36's banded discipline); the oracle replays
+    * strip → signature → bands → verify byte-for-byte via VARCHAR ord
+    * (the corpus is ASCII — asserted by the hash match itself). */
+  val PhashTau = 8
+
+  def x102PhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val media = docs(spark, dir)
+      .withColumn("payload", col("text").cast(BinaryType))
+    graft.multimodal.BinaryMedia.phashNearDups(media, "doc_id", "payload", PhashTau)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val x102Sql: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents
+       |           WHERE octet_length(text::BLOB) >= 64),
+       |rep AS (SELECT min(doc_id) AS rep_id, text FROM d GROUP BY text),
+       |bs AS (SELECT rep_id, list_transform(range(1, 65), i ->
+       |         CASE WHEN len(text) >= i THEN ord(substr(text, i, 1))
+       |              ELSE 0 END) AS b FROM rep),
+       |sg AS (SELECT rep_id,
+       |         CAST(sum(CASE WHEN b[i] > b[i + 1]
+       |                       THEN (1::BIGINT << (63 - i)) ELSE 0 END) AS BIGINT) AS sig
+       |       FROM bs, unnest(range(1, 64)) u(i) GROUP BY rep_id),
+       |bd AS (SELECT rep_id, sig, j,
+       |         (sig >> CAST(21 * j AS INTEGER)) & 2097151 AS band
+       |       FROM sg, unnest(range(0, 3)) v(j)),
+       |pr AS (SELECT DISTINCT a.rep_id AS a_id, a.sig AS a_sig,
+       |         b.rep_id AS b_id, b.sig AS b_sig
+       |       FROM bd a JOIN bd b ON a.j = b.j AND a.band = b.band
+       |         AND a.rep_id < b.rep_id)
+       |SELECT a_id, b_id, CAST(bit_count(xor(a_sig, b_sig)) AS BIGINT) AS hamming
+       |FROM pr WHERE bit_count(xor(a_sig, b_sig)) <= $PhashTau
+       |ORDER BY a_id, b_id""".stripMargin
+
   // ---- X61: asymmetric containment pairs -------------------------------
 
   /** Sub-document duplication: C(a→b) = |Sₐ∩S_b|/|Sₐ| ≥ 0.8 over word

@@ -17,6 +17,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta.fieldNames.toSeq == Seq("kind", "nBytes", "contentId"))
   }
 
+  test("phashNearDups: planted near-dup found at its bit distance; exact dups collapse; shorts refused") {
+    import spark.implicits._
+    val base = (0 until 64).map(i => ('a' + (i % 26)).toChar).mkString
+    // one byte changed mid-strip flips at most its two adjacent dHash bits
+    val nearDup = base.updated(30, 'z')
+    val unrelated = (0 until 64).map(i => ('a' + ((i * 17 + 5) % 26)).toChar).mkString
+    val rows = Seq(
+      (1L, base), (2L, base),       // exact dups: collapse to rep 1
+      (3L, nearDup),
+      (4L, unrelated),
+      (5L, "short")                  // < 64 bytes: refused
+    ).toDF("doc_id", "text").withColumn("payload", col("text").cast("binary"))
+    val pairs = BinaryMedia.phashNearDups(rows, "doc_id", "payload", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the planted pair survives with hamming <= 2; no pair touches the
+    // duplicate id 2 (rep-collapse) or the short id 5 (refused)
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 3L && h <= 2 })
+    assert(pairs.forall { case (a, b, _) => a != 2L && b != 2L && a != 5L && b != 5L })
+    // signatures are partitioning-independent
+    val s1 = rows.filter($"doc_id" === 1L).select(BinaryMedia.dHash("payload")).head().getLong(0)
+    val s2 = rows.repartition(7).filter($"doc_id" === 2L)
+      .select(BinaryMedia.dHash("payload")).head().getLong(0)
+    assert(s1 == s2 && s1 > 0L)
+  }
+
   test("stub decode: partition-parallel, deterministic, batch-shaped") {
     import spark.implicits._
     val ds = media.as[BinaryMedia.MediaRow]
