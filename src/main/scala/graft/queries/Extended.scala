@@ -327,6 +327,45 @@ object Extended {
     } finally graft.util.Fs.deleteTree(tmp)
   }
 
+  /** Q128 — runtime BLOOM-FILTER join pruning, scored: q62's discipline
+    * for NON-partition keys. A selective dim predicate can prune a fact
+    * scan even when the join key is not the layout key: Catalyst's
+    * InjectRuntimeFilter builds a bloom filter over the filtered dim's
+    * join keys and applies `bloom_filter_might_contain` to the fact side
+    * BEFORE its shuffle — at 100 TB that drops ~87% of the fact exchange
+    * here (the filter rides the scan, so rows die pre-serialization).
+    * Broadcast is disabled in-query: the 100 TB shape is a shuffle join
+    * whose fact side is too big to broadcast — exactly where the bloom
+    * pre-filter pays. The thresholds are lowered because the injection
+    * heuristics gate on scan SIZE (10 GB default application side), not
+    * selectivity — test-scale parquet never reaches them; the `require`
+    * pins that the filter is actually in the executed plan. */
+  def q128RuntimeFilter(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Confs.withConfs(spark,
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val li = t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      val ord = t(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      require(joined.queryExecution.executedPlan.toString.contains("might_contain"),
+        "fact side must carry the runtime bloom filter before its shuffle")
+      val res = joined.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+             sumMoney2(col("l_extendedprice")).as("revenue"))
+      graft.util.Materialize.sorted(res, col("l_returnflag"))
+    }
+
+  val q128Sql: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   val q62Sql: String =
     """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
       |  count(*) AS n_items,
