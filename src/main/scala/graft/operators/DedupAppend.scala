@@ -54,24 +54,7 @@ object DedupAppend {
       spark: SparkSession, batch: DataFrame, path: String,
       keys: Seq[String], tieBreak: Seq[String],
       partitionCols: Seq[String] = Nil): Unit = {
-    // the survivor order must be TOTAL per key group or determinism is
-    // lost exactly the way dropDuplicates loses it: the keys are the
-    // window's partition columns (constant inside a frame — no tie-break
-    // value), so after the caller's tieBreak the remaining ORDERABLE
-    // payload columns break any residual tie by content (sorted by name
-    // for a stable order; rows still tied are full duplicates, where any
-    // survivor is the same row). Unorderable types (maps) are skipped —
-    // they cannot participate in a sort key.
-    val payloadTie = batch.schema.fields
-      .filter(f => !keys.contains(f.name) && !tieBreak.contains(f.name) &&
-        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
-      .map(_.name).sorted.toSeq
-    val ord = tieBreak ++ payloadTie
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy((if (ord.nonEmpty) ord else keys).map(c => col(c).asc_nulls_last): _*)
-    val inBatch = batch
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val inBatch = survivors(batch, keys, tieBreak)
 
     val fresh =
       if (!exists(spark, path)) inBatch
@@ -82,6 +65,29 @@ object DedupAppend {
     val writer = fresh.write.mode("append")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(path)
+  }
+
+  /** In-batch dedup: the first row per `keys` group by a deterministic
+    * TOTAL order — shared by the parquet append above and
+    * [[SnapshotStore.appendDedup]]. The survivor order must be total per
+    * key group or determinism is lost exactly the way dropDuplicates loses
+    * it: the keys are the window's partition columns (constant inside a
+    * frame — no tie-break value), so after the caller's `tieBreak` the
+    * remaining ORDERABLE payload columns break any residual tie by content
+    * (sorted by name for a stable order; rows still tied are full
+    * duplicates, where any survivor is the same row). Unorderable types
+    * (maps) are skipped — they cannot participate in a sort key. */
+  private[graft] def survivors(batch: DataFrame, keys: Seq[String],
+                               tieBreak: Seq[String]): DataFrame = {
+    val payloadTie = batch.schema.fields
+      .filter(f => !keys.contains(f.name) && !tieBreak.contains(f.name) &&
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+      .map(_.name).sorted.toSeq
+    val ord = tieBreak ++ payloadTie
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((if (ord.nonEmpty) ord else keys).map(c => col(c).asc_nulls_last): _*)
+    batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** True when the table has at least one data file — searched recursively,

@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.operators.SnapshotStore
+import graft.operators.SnapshotStore.RangeHint
+import graft.util.Materialize
+
+/** Scored gates for [[graft.operators.SnapshotStore]] — the manifest-
+  * committed snapshot substrate (atomic versioned commits, copy-on-write
+  * row-level operations, zone-map file pruning, time travel, vacuum).
+  * Each gate builds a real table in a temp root, drives the lifecycle,
+  * REQUIRE's the physical contract (files carried by reference, pruning
+  * counts, on-disk = referenced), and returns a frame the DuckDB oracle
+  * checks against the original tables — so a row lost or duplicated by
+  * any commit is a hash mismatch, not a silent drift. */
+object Snapshot {
+
+  private def withTmp[A](prefix: String)(f: String => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toFile
+    try f(new java.io.File(tmp, "t").getAbsolutePath)
+    finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  private def docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** The shared ingest story: three keyed micro-batches with the first
+    * fully re-delivered inside the second (the reference's ON CONFLICT
+    * shape), then a row-level delete. Versions: 1=create, 2=append_dedup,
+    * 3=append_dedup, 4=delete. */
+  private def buildDocsTable(spark: SparkSession, dir: String, path: String): Unit = {
+    val docs = t(spark, dir, "documents").select(docCols.map(col): _*)
+    def slice(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+    SnapshotStore.create(spark, slice(0), path)
+    // slice 0 re-delivered alongside slice 1: the dedup append must drop it
+    SnapshotStore.appendDedup(spark, slice(0).union(slice(1)), path,
+      keys = Seq("doc_id"), tieBreak = Nil)
+    SnapshotStore.appendDedup(spark, slice(2), path,
+      keys = Seq("doc_id"), tieBreak = Nil)
+    SnapshotStore.deleteWhere(spark, path, col("lang") === "de")
+  }
+
+  /** Q129 — SNAPSHOT TABLE LIFECYCLE, scored end-to-end: keyed idempotent
+    * appends under atomic manifest commits, then a copy-on-write delete.
+    * The require gates pin the commit protocol (exactly versions 1–4 —
+    * the re-delivered rows caused NO version bump beyond their batch's;
+    * every append carried the previous version's files BY REFERENCE) and
+    * the lock discipline (no lease marker survives). The oracle — every
+    * document exactly once, minus the deleted language — catches any row
+    * a commit lost, duplicated, or resurrected. At 100 TB each append
+    * writes only its batch and each commit is one marker create: table
+    * size never enters the write path. */
+  def q129SnapshotOps(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q129_") { path =>
+      buildDocsTable(spark, dir, path)
+      require(SnapshotStore.versions(spark, path) == Seq(1L, 2L, 3L, 4L),
+        s"q129: expected versions 1..4, got ${SnapshotStore.versions(spark, path)}")
+      val v2 = SnapshotStore.entries(spark, path, 2).map(_.path).toSet
+      val v3 = SnapshotStore.entries(spark, path, 3).map(_.path).toSet
+      require(v2.subsetOf(v3), "q129: append must carry prior files by reference")
+      val lease = new java.io.File(path + "__lease")
+      require(!lease.exists, "q129: lease marker must not survive maintenance")
+      Materialize.sorted(SnapshotStore.read(spark, path), col("doc_id"))
+    }
+
+  /** Each document exactly once, minus the deleted language. */
+  val q129Sql: String =
+    """SELECT doc_id, text, lang, source, n_chars FROM documents
+      |WHERE lang IS DISTINCT FROM 'de' ORDER BY doc_id""".stripMargin
+
+  /** Q130 — TIME TRAVEL, scored: after the full lifecycle (including the
+    * delete) and a vacuum that keeps versions 2–4, version 3 — the last
+    * pre-delete state — still reads EXACTLY as the complete corpus, while
+    * the aged-out version 1 refuses loudly (its commit marker is gone)
+    * instead of returning partial data. Snapshot isolation is what makes
+    * readers lock-free at 100 TB: a reader pinned to version 3 is
+    * untouched by any number of later commits. */
+  def q130TimeTravel(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q130_") { path =>
+      buildDocsTable(spark, dir, path)
+      SnapshotStore.vacuum(spark, path, keepVersions = 3)
+      require(SnapshotStore.versions(spark, path) == Seq(2L, 3L, 4L),
+        s"q130: expected versions 2..4 kept, got ${SnapshotStore.versions(spark, path)}")
+      require(scala.util.Try(SnapshotStore.readVersion(spark, path, 1)).isFailure,
+        "q130: reading a vacuumed-out version must refuse, not return partial data")
+      Materialize.sorted(SnapshotStore.readVersion(spark, path, 3), col("doc_id"))
+    }
+
+  /** Version 3 is the complete corpus (pre-delete, all three slices). */
+  val q130Sql: String =
+    "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
+
+  private def orderCols(df: DataFrame): DataFrame =
+    df.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+      col("o_orderpriority"))
+
+  /** Q131 — COPY-ON-WRITE UPDATE with zone-map targeting, scored: orders
+    * lands range-clustered on o_orderkey across 8 files (disjoint per-file
+    * key intervals in the manifest), then a ranged UPDATE rewrites ONLY
+    * the files whose [min,max] overlaps the range — require'd: at least
+    * 6 of 8 files carry by reference, so the rewrite cost is the touched
+    * range, not the table. The oracle replays the update as CASE WHEN
+    * over the original table; any row the rewrite dropped, duplicated, or
+    * wrongly updated is a hash mismatch. At 100 TB this is the difference
+    * between rewriting gigabytes and rewriting the whole table for a
+    * one-key-range correction. */
+  def q131CowUpdate(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q131_") { path =>
+      SnapshotStore.create(spark, t(spark, dir, "orders"), path,
+        statsColumns = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"), numFiles = 8)
+      val before = SnapshotStore.entries(spark, path, 1).map(_.path).toSet
+      SnapshotStore.updateWhere(spark, path,
+        col("o_orderkey") <= 99, Map("o_orderpriority" -> lit("0-REWRITTEN")),
+        hint = Some(RangeHint("o_orderkey", "0", "99")))
+      val after = SnapshotStore.entries(spark, path, 2).map(_.path).toSet
+      val carried = (before intersect after).size
+      require(carried >= 6,
+        s"q131: ranged update must carry >=6 of 8 files by reference, carried $carried")
+      Materialize.sorted(orderCols(SnapshotStore.read(spark, path)), col("o_orderkey"))
+    }
+
+  /** The update replayed declaratively over the original table. */
+  val q131Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+      |  CASE WHEN o_orderkey <= 99 THEN '0-REWRITTEN' ELSE o_orderpriority END
+      |    AS o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Q132 — ZONE-MAP PRUNED RANGE SCAN, scored: orders range-clustered on
+    * o_orderdate, so each file's manifest interval covers ~10 months of
+    * the ~80-month span; a 3-month window scan intersects the query range
+    * with the per-file [min,max] DRIVER-SIDE (manifest-sized work, zero
+    * I/O) and is require'd to open strictly fewer files than the table
+    * holds. The exact predicate re-applies on the survivors, and the
+    * oracle runs the same window over the full table — a file wrongly
+    * pruned surfaces as missing rows, not silence. At 100 TB the manifest
+    * prune is what turns a time-windowed scan from all-files into
+    * O(window/span) files before the reader even opens a footer. */
+  def q132ManifestPrune(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q132_") { path =>
+      SnapshotStore.create(spark, t(spark, dir, "orders"), path,
+        statsColumns = Seq("o_orderdate"), clusterBy = Seq("o_orderdate"), numFiles = 8)
+      val es = SnapshotStore.entries(spark, path, 1)
+      val kept = SnapshotStore.pruned(es, "o_orderdate",
+        "1996-06-01 00:00:00.000000", "1996-08-31 23:59:59.999999")
+      require(kept.size < es.size,
+        s"q132: zone map must prune (kept ${kept.size} of ${es.size})")
+      val res = SnapshotStore.readFiles(spark, path, kept)
+        .filter(col("o_orderdate") >= lit("1996-06-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1996-09-01").cast("timestamp"))
+      Materialize.sorted(orderCols(res), col("o_orderkey"))
+    }
+
+  /** The same window over the full table — wrong pruning = missing rows. */
+  val q132Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+      |  o_orderpriority
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-06-01'
+      |  AND o_orderdate < TIMESTAMP '1996-09-01'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Q133 — VACUUM + COMPACTION LIFECYCLE, scored: delete + update + a
+    * clustering compaction rewrite, then vacuum to the last two versions.
+    * The require gates pin storage hygiene exactly: the data directory
+    * holds PRECISELY the files referenced by the kept manifests (no
+    * orphans from dropped versions, crashed committers, or no-op appends
+    * — and nothing referenced was wrongly reclaimed, or the scored read
+    * would fail), and the compacted current version is a single file.
+    * The oracle replays delete + update declaratively. This is q99's
+    * maintenance-loop discipline on the snapshot substrate, where
+    * compaction needs no swap dance because readers never race a rename. */
+  def q133VacuumLifecycle(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q133_") { path =>
+      val docs = t(spark, dir, "documents").select(docCols.map(col): _*)
+      SnapshotStore.create(spark, docs, path,
+        statsColumns = Seq("doc_id"), clusterBy = Seq("doc_id"), numFiles = 6)
+      SnapshotStore.deleteWhere(spark, path, col("lang") === "de")
+      SnapshotStore.updateWhere(spark, path,
+        col("lang") === "zh", Map("source" -> lit("merged")))
+      SnapshotStore.compact(spark, path, Long.MaxValue, clusterBy = Seq("doc_id"))
+      val (reclaimed, dropped) = SnapshotStore.vacuum(spark, path, keepVersions = 2)
+      require(dropped == 2L, s"q133: expected 2 versions dropped, got $dropped")
+      require(reclaimed > 0L, "q133: vacuum must reclaim the dropped versions' files")
+      val vs = SnapshotStore.versions(spark, path)
+      require(vs == Seq(3L, 4L), s"q133: expected versions 3,4 kept, got $vs")
+      require(SnapshotStore.entries(spark, path, 4).size == 1,
+        "q133: compaction to MaxValue target must land one file")
+      // disk holds exactly the referenced set
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val qualRoot = fs.makeQualified(root).toUri.getPath
+      val onDisk = {
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(root, "data"), true)
+        val b = scala.collection.mutable.Set.empty[String]
+        while (it.hasNext) {
+          val p = it.next().getPath
+          if (!p.getName.startsWith("_") && !p.getName.startsWith("."))
+            b += p.toUri.getPath.stripPrefix(qualRoot + "/")
+        }
+        b.toSet
+      }
+      val referenced = vs.flatMap(v =>
+        SnapshotStore.entries(spark, path, v).map(_.path)).toSet
+      require(onDisk == referenced,
+        s"q133: disk/manifest drift — on disk $onDisk vs referenced $referenced")
+      Materialize.sorted(SnapshotStore.read(spark, path), col("doc_id"))
+    }
+
+  /** Delete + update replayed declaratively over the original table. */
+  val q133Sql: String =
+    """SELECT doc_id, text, lang,
+      |  CASE WHEN lang = 'zh' THEN 'merged' ELSE source END AS source, n_chars
+      |FROM documents WHERE lang IS DISTINCT FROM 'de' ORDER BY doc_id""".stripMargin
+
+  /** Q134 — STREAMING INGEST INTO THE SNAPSHOT TABLE, scored under full
+    * crash-replay: two landed batches stream in via
+    * [[graft.streaming.EventStreams.snapshotIngestStream]] (each
+    * micro-batch one atomic versioned commit), then the WHOLE stream is
+    * replayed from a fresh checkpoint — the worst redelivery case, every
+    * input file again. The require gates pin exactly-once at the version
+    * level: the replay produced NO new versions (a re-delivered batch is
+    * a true no-op, not an empty commit), so the version history is the
+    * true arrival history, and the oracle (each document exactly once)
+    * catches any duplicate or lost row. This is the reference's
+    * ON-CONFLICT ingest loop with a property plain-parquet append cannot
+    * give: a crash BETWEEN the sink write and the checkpoint commit
+    * replays into an atomic no-op instead of a half-visible batch. */
+  def q134StreamSnapshot(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q134_") { path =>
+      val base = new java.io.File(path).getParentFile
+      val landing = new java.io.File(base, "landing").getAbsolutePath
+      val ckpt1 = new java.io.File(base, "ckpt1").getAbsolutePath
+      val ckpt2 = new java.io.File(base, "ckpt2").getAbsolutePath
+      val docs = t(spark, dir, "documents").select(docCols.map(col): _*)
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0).coalesce(1).write.json(landing)
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1).coalesce(1)
+        .write.mode("append").json(landing)
+      graft.streaming.EventStreams.snapshotIngestStream(
+        spark, landing, path, ckpt1, keys = Seq("doc_id"))
+      val vsAfterIngest = SnapshotStore.versions(spark, path)
+      // full crash-replay: a FRESH checkpoint re-delivers every landed file
+      graft.streaming.EventStreams.snapshotIngestStream(
+        spark, landing, path, ckpt2, keys = Seq("doc_id"))
+      val vsAfterReplay = SnapshotStore.versions(spark, path)
+      require(vsAfterReplay == vsAfterIngest,
+        s"q134: replay must be a version-level no-op ($vsAfterIngest -> $vsAfterReplay)")
+      Materialize.sorted(SnapshotStore.read(spark, path), col("doc_id"))
+    }
+
+  /** Each document exactly once, despite the full re-delivery. */
+  val q134Sql: String =
+    "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
+}

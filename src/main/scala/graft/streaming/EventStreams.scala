@@ -279,6 +279,48 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Streaming keyed ingest into a [[graft.operators.SnapshotStore]]
+    * table — [[ingestFlares]]' exactly-once discipline on the snapshot
+    * substrate. Each micro-batch is one ATOMIC versioned commit
+    * (appendDedup: in-batch survivor per key, anti-join conflict skip,
+    * then the fail-if-exists commit marker); a re-delivered batch — same
+    * files replayed after a checkpoint loss or a crash between the sink
+    * write and the checkpoint commit — produces NO new version at all,
+    * not even an empty one, so the version history reads as the true
+    * batch arrival history. The checkpoint location is the lease's owner
+    * token: a crashed lineage's restart re-acquires its own stale lease
+    * instead of wedging the table. Readers are never blocked: they
+    * resolve the latest commit marker lock-free while the stream commits
+    * the next version. This closes the gap [[ingestFlares]] documents —
+    * plain-parquet append is not transactional; the snapshot commit IS. */
+  def snapshotIngestStream(spark: SparkSession, landingDir: String,
+                           tablePath: String, checkpointDir: String,
+                           keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val q = spark.readStream.schema(docSchema).json(landingDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val owner = Some(checkpointDir)
+        if (graft.operators.SnapshotStore.versions(s, tablePath).isEmpty)
+          graft.operators.SnapshotStore.create(s,
+            graft.operators.DedupAppend.survivors(batch.toDF(), keys, Nil),
+            tablePath, owner = owner)
+        else
+          graft.operators.SnapshotStore.appendDedup(s, batch.toDF(), tablePath,
+            keys, tieBreak = Nil, owner = owner)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** The UNBOUNDED-VOCABULARY streamed near-dup mining service —
     * [[mineNearDupsStream]] at real vocabulary (that form's mask path
     * refuses past 63 distinct tokens), routed through the PERSISTED

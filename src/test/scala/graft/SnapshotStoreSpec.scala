@@ -1,0 +1,247 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SnapshotStore
+import graft.operators.SnapshotStore.RangeHint
+import graft.util.Fs
+
+/** Laws of the manifest-committed snapshot table: atomic versioning,
+  * copy-on-write file granularity, zone-map soundness, vacuum safety,
+  * relocatability, and commit-conflict refusal. */
+class SnapshotStoreSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docs = Tables.t(spark, sf, "documents")
+
+  private def withTable[A](f: String => A): A = {
+    val tmp = Files.createTempDirectory("graft-snap").toFile
+    try f(new java.io.File(tmp, "t").getAbsolutePath)
+    finally Fs.deleteTree(tmp)
+  }
+
+  test("create + append: versions accumulate, old files carried by reference") {
+    withTable { path =>
+      val a = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val b = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      assert(SnapshotStore.create(spark, a, path) == 1L)
+      assert(SnapshotStore.append(spark, b, path) == 2L)
+      assert(SnapshotStore.versions(spark, path) == Seq(1L, 2L))
+      val v1Paths = SnapshotStore.entries(spark, path, 1).map(_.path).toSet
+      val v2Paths = SnapshotStore.entries(spark, path, 2).map(_.path).toSet
+      assert(v1Paths.subsetOf(v2Paths), "append must carry v1 files by reference")
+      val got = SnapshotStore.read(spark, path).orderBy("doc_id").collect().toSeq
+      assert(got == docs.orderBy("doc_id").collect().toSeq)
+      // manifests record true row counts
+      assert(SnapshotStore.entries(spark, path, 2).map(_.rows).sum == docs.count())
+    }
+  }
+
+  test("appendDedup: re-delivered batch is a TRUE no-op (no version bump)") {
+    withTable { path =>
+      val a = docs.filter(col("doc_id") < 100)
+      SnapshotStore.create(spark, a, path)
+      val v2 = SnapshotStore.appendDedup(spark, docs.filter(col("doc_id") < 200), path,
+        keys = Seq("doc_id"), tieBreak = Nil)
+      assert(v2 == 2L)
+      // full re-delivery: nothing fresh → same version, no commit, no garbage
+      val v3 = SnapshotStore.appendDedup(spark, docs.filter(col("doc_id") < 200), path,
+        keys = Seq("doc_id"), tieBreak = Nil)
+      assert(v3 == 2L)
+      assert(SnapshotStore.versions(spark, path) == Seq(1L, 2L))
+      assert(SnapshotStore.read(spark, path).count() ==
+        docs.filter(col("doc_id") < 200).count())
+    }
+  }
+
+  test("deleteWhere: copy-on-write — only matching files rewritten; no-op without matches") {
+    withTable { path =>
+      // range-clustered: doc_id intervals are disjoint across the 8 files
+      SnapshotStore.create(spark, docs, path,
+        statsColumns = Seq("doc_id"), clusterBy = Seq("doc_id"), numFiles = 8)
+      val before = SnapshotStore.entries(spark, path, 1)
+      assert(before.size == 8)
+      val v2 = SnapshotStore.deleteWhere(spark, path,
+        col("doc_id") >= 100 && col("doc_id") < 120,
+        hint = Some(RangeHint("doc_id", "100", "119")))
+      assert(v2 == 2L)
+      val after = SnapshotStore.entries(spark, path, 2)
+      val carried = after.map(_.path).toSet intersect before.map(_.path).toSet
+      assert(carried.size >= 6, s"expected >=6 of 8 files carried, got ${carried.size}")
+      val got = SnapshotStore.read(spark, path).orderBy("doc_id").collect().toSeq
+      val want = docs.filter(!(col("doc_id") >= 100 && col("doc_id") < 120))
+        .orderBy("doc_id").collect().toSeq
+      assert(got == want)
+      // second identical delete: nothing matches → no new version
+      assert(SnapshotStore.deleteWhere(spark, path,
+        col("doc_id") >= 100 && col("doc_id") < 120) == 2L)
+    }
+  }
+
+  test("updateWhere: row count invariant, untouched files carried, values updated") {
+    withTable { path =>
+      SnapshotStore.create(spark, docs, path,
+        statsColumns = Seq("doc_id"), clusterBy = Seq("doc_id"), numFiles = 8)
+      val before = SnapshotStore.entries(spark, path, 1)
+      val v2 = SnapshotStore.updateWhere(spark, path,
+        col("doc_id") < 50, Map("lang" -> lit("xx")),
+        hint = Some(RangeHint("doc_id", "0", "49")))
+      assert(v2 == 2L)
+      val after = SnapshotStore.entries(spark, path, 2)
+      assert((after.map(_.path).toSet intersect before.map(_.path).toSet).nonEmpty)
+      val cur = SnapshotStore.read(spark, path)
+      assert(cur.count() == docs.count())
+      assert(cur.filter(col("doc_id") < 50 && col("lang") =!= "xx").count() == 0)
+      assert(cur.filter(col("doc_id") >= 50 && col("lang") === "xx").count() ==
+        docs.filter(col("doc_id") >= 50 && col("lang") === "xx").count())
+    }
+  }
+
+  test("zone map: pruning drops only provably-disjoint files; statless files kept") {
+    withTable { path =>
+      SnapshotStore.create(spark, docs, path,
+        statsColumns = Seq("doc_id", "lang"), clusterBy = Seq("doc_id"), numFiles = 8)
+      val es = SnapshotStore.entries(spark, path, 1)
+      val kept = SnapshotStore.pruned(es, "doc_id", "200", "250")
+      assert(kept.size < es.size, "range-clustered scan must prune files")
+      // pruned read + exact filter ≡ full read + exact filter
+      val viaPrune = SnapshotStore.readFiles(spark, path, kept)
+        .filter(col("doc_id").between(200, 250)).orderBy("doc_id").collect().toSeq
+      val full = SnapshotStore.read(spark, path)
+        .filter(col("doc_id").between(200, 250)).orderBy("doc_id").collect().toSeq
+      assert(viaPrune == full)
+      // a column with no recorded interval never prunes
+      val entryNoStats = es.map(e => e.copy(stats = e.stats - "doc_id"))
+      assert(SnapshotStore.pruned(entryNoStats, "doc_id", "200", "250").size == es.size)
+    }
+  }
+
+  test("time travel: every version stays readable and exact until vacuumed") {
+    withTable { path =>
+      val s0 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val s1 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+      SnapshotStore.create(spark, s0, path)
+      SnapshotStore.append(spark, s1, path)
+      SnapshotStore.deleteWhere(spark, path, col("lang") === "de")
+      assert(SnapshotStore.readVersion(spark, path, 1).orderBy("doc_id").collect().toSeq ==
+        s0.orderBy("doc_id").collect().toSeq)
+      assert(SnapshotStore.readVersion(spark, path, 2).count() == s0.count() + s1.count())
+    }
+  }
+
+  test("vacuum: keeps the window readable, reclaims exactly the unreferenced files") {
+    withTable { path =>
+      SnapshotStore.create(spark, docs, path, numFiles = 4)
+      SnapshotStore.deleteWhere(spark, path, col("lang") === "de")
+      SnapshotStore.compact(spark, path, Long.MaxValue)
+      assert(SnapshotStore.versions(spark, path) == Seq(1L, 2L, 3L))
+      val (deleted, droppedVs) = SnapshotStore.vacuum(spark, path, keepVersions = 2)
+      assert(droppedVs == 1L && deleted > 0L)
+      assert(SnapshotStore.versions(spark, path) == Seq(2L, 3L))
+      // beyond the window: refuses loudly
+      intercept[IllegalArgumentException] {
+        SnapshotStore.readVersion(spark, path, 1)
+      }
+      // inside the window: exact
+      val want = docs.filter(col("lang") =!= "de").orderBy("doc_id").collect().toSeq
+      assert(SnapshotStore.readVersion(spark, path, 2).orderBy("doc_id").collect().toSeq == want)
+      assert(SnapshotStore.read(spark, path).orderBy("doc_id").collect().toSeq == want)
+      // disk holds exactly the referenced file set — no orphans, no leaks
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val onDisk = {
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(root, "data"), true)
+        val b = scala.collection.mutable.Set.empty[String]
+        while (it.hasNext) {
+          val n = it.next().getPath
+          if (!n.getName.startsWith("_") && !n.getName.startsWith("."))
+            b += n.toUri.getPath.stripPrefix(
+              fs.makeQualified(root).toUri.getPath + "/")
+        }
+        b.toSet
+      }
+      val referenced = Seq(2L, 3L)
+        .flatMap(v => SnapshotStore.entries(spark, path, v).map(_.path)).toSet
+      assert(onDisk == referenced, s"disk $onDisk != referenced $referenced")
+    }
+  }
+
+  test("commit conflict: a pre-existing marker refuses the lost update cleanly") {
+    withTable { path =>
+      SnapshotStore.create(spark, docs.limit(10), path)
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // simulate a racing committer mid-commit: its v2 manifest is renamed
+      // into place but not yet marked — the later committer must refuse
+      assert(fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_snapshots/v2")))
+      val e = intercept[java.io.IOException] {
+        SnapshotStore.append(spark, docs.limit(5), path)
+      }
+      assert(e.getMessage.contains("conflict"))
+      // table still reads at its last good version
+      assert(SnapshotStore.read(spark, path).count() == 10)
+    }
+  }
+
+  test("relocatability: a moved table root still reads (paths are relative)") {
+    withTable { path =>
+      SnapshotStore.create(spark, docs.limit(20), path)
+      SnapshotStore.append(spark, docs.filter(col("doc_id").between(100, 110)), path)
+      val moved = path + "_moved"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(root, new org.apache.hadoop.fs.Path(moved)))
+      assert(SnapshotStore.read(spark, moved).count() == 31)
+    }
+  }
+
+  test("delete-all: empty current version reads as empty frame with the table schema") {
+    withTable { path =>
+      SnapshotStore.create(spark, docs.limit(10), path)
+      SnapshotStore.deleteWhere(spark, path, lit(true))
+      val cur = SnapshotStore.read(spark, path)
+      assert(cur.count() == 0)
+      assert(cur.schema.fieldNames.toSeq == docs.schema.fieldNames.toSeq)
+      // and time travel still shows the pre-delete state
+      assert(SnapshotStore.readVersion(spark, path, 1).count() == 10)
+    }
+  }
+
+  test("streaming owner: a crashed lineage's stale lease self-heals; others refuse") {
+    withTable { path =>
+      SnapshotStore.create(spark, docs.limit(10), path)
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // simulate the crash: an owner-declared maintainer died holding the lease
+      graft.operators.Lease.acquire(fs, root, "snapshot dedup append", Some("ckptX"))
+      // an anonymous maintainer refuses loudly...
+      intercept[graft.operators.Lease.HeldException] {
+        SnapshotStore.append(spark, docs.filter(col("doc_id") === 400), path)
+      }
+      // ...but the owner's restarted lineage re-acquires its own lease
+      val v = SnapshotStore.appendDedup(spark,
+        docs.filter(col("doc_id").between(100, 104)), path,
+        keys = Seq("doc_id"), tieBreak = Nil, owner = Some("ckptX"))
+      assert(v == 2L)
+      assert(SnapshotStore.read(spark, path).count() == 15)
+      // lease released on completion: anonymous maintenance works again
+      assert(SnapshotStore.deleteWhere(spark, path, col("doc_id") === 100) == 3L)
+    }
+  }
+
+  test("null predicate semantics: delete keeps rows where pred is NULL (SQL-style)") {
+    withTable { path =>
+      import spark.implicits._
+      val d = Seq((1L, Some("a")), (2L, None), (3L, Some("b")))
+        .toDF("id", "v")
+      SnapshotStore.create(spark, d, path)
+      SnapshotStore.deleteWhere(spark, path, col("v") === "a") // NULL for id=2
+      val got = SnapshotStore.read(spark, path).orderBy("id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(2L, 3L))
+    }
+  }
+}
