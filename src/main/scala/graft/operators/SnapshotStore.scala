@@ -442,6 +442,78 @@ object SnapshotStore {
     }
   }
 
+  /** MERGE (upsert): update matched keys to the batch's row, insert
+    * unmatched keys — the reference's `ON CONFLICT DO NOTHING` upgraded to
+    * `DO UPDATE`, in ONE atomic commit. Copy-on-write at file granularity:
+    * the files containing matched keys are found by one semi-join-shaped
+    * scan (batch keys broadcast when small), rewritten with the matched
+    * rows REPLACED by the batch's version; every other file carries by
+    * reference; unmatched batch rows land as new files. A crash anywhere
+    * before the commit marker leaves the previous version intact — there
+    * is no window where updates are visible without their inserts (the
+    * failure mode of the two-step delete+append spelling on plain
+    * parquet). In-batch duplicates collapse to one row per key by the
+    * same deterministic total order as [[DedupAppend]].
+    *
+    * At 100 TB: merge cost = (files holding matched keys) + (batch
+    * bytes); a key-range-clustered table with a ranged batch touches
+    * O(range) files. Each file's rewrite is `anti-join keys, union batch
+    * slice` — shuffle on the key only. `hint`, when given, must bound
+    * EVERY BATCH KEY's stats-column value (not a predicate's): a matched
+    * key outside the hinted range would be silently re-inserted as a
+    * duplicate. */
+  def merge(spark: SparkSession, batch: DataFrame, path: String,
+            keys: Seq[String], tieBreak: Seq[String],
+            hint: Option[RangeHint] = None,
+            owner: Option[String] = None): Long = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    Lease.withLease(fs, root, "snapshot merge", owner) {
+      val cur = currentVersion(spark, path)
+      val es = entries(spark, path, cur)
+      val schema = tableSchema(fs, root)
+      require(batch.schema.fieldNames.sorted.sameElements(schema.fieldNames.sorted),
+        s"merge batch schema ${batch.schema.fieldNames.mkString(",")} != table " +
+          s"schema ${schema.fieldNames.mkString(",")}")
+      val one = DedupAppend.survivors(
+        batch.select(schema.fieldNames.toSeq.map(col): _*), keys, tieBreak)
+        .localCheckpoint(true) // read 3×: touched-file probe, replace, anti
+      // files holding matched keys: manifest pre-prune, then one scan
+      // filtered by a semi join against the (typically small) batch keys
+      val candidates = hint match {
+        case Some(h) => pruned(es, h.col, h.lo, h.hi)
+        case None => es
+      }
+      val candSet = candidates.map(_.path).toSet
+      val carried0 = es.filterNot(e => candSet.contains(e.path))
+      val touchedSet: Set[String] =
+        if (candidates.isEmpty) Set.empty
+        else readFiles(spark, path, candidates)
+          // _metadata resolves only on the scan itself — materialize it
+          // before the join or the hidden column is gone
+          .select(col("_metadata.file_path").as("__fp") +: keys.map(col): _*)
+          .join(broadcast(one.select(keys.map(col): _*)), keys, "left_semi")
+          .select(col("__fp")).distinct().collect()
+          .map(r => relOf(fs, root, r.getString(0))).toSet
+      val (touched, clean) = candidates.partition(e => touchedSet.contains(e.path))
+      val carried = carried0 ++ clean
+      // every matched key's row lives in a touched file BY CONSTRUCTION,
+      // so the rewrite is simply: touched files' rows whose key is not in
+      // the batch, union the whole batch (matched rows replaced, unmatched
+      // inserted) — one anti-join on the key, nothing else
+      val rewritten =
+        if (touched.isEmpty) one
+        else readFiles(spark, path, touched)
+          .join(broadcast(one.select(keys.map(col): _*)), keys, "left_anti")
+          .select(schema.fieldNames.toSeq.map(col): _*)
+          .unionByName(one)
+      val v = cur + 1
+      val newEs = writeData(spark, root, fs, v, rewritten, statsCols(fs, root))
+      if (newEs.isEmpty && touched.isEmpty) cur // empty batch: true no-op
+      else commit(spark, root, fs, v, carried ++ newEs, "merge")
+    }
+  }
+
   /** Compaction on the snapshot substrate: rewrite the CURRENT file set to
     * ~`targetFileBytes` files as a new version (readers of old versions are
     * untouched — no swap dance, no reader race; old files age out via
@@ -468,6 +540,31 @@ object SnapshotStore {
       commit(spark, root, fs, v,
         writeData(spark, root, fs, v, shaped, statsCols(fs, root)), "compact")
     }
+  }
+
+  /** Incremental change read: the NET row-level delta between two
+    * committed versions, as (`change_type` ∈ insert|delete, row…). The
+    * manifest diff does the heavy lifting: only files present in exactly
+    * one of the two versions are read at all — every carried-by-reference
+    * file is skipped without opening it, so a downstream consumer pays
+    * for the churn between the versions, never the table. Net semantics
+    * via exact multiset difference (exceptAll both ways): an update is an
+    * insert+delete pair, and a pure rewrite (compaction) that changed
+    * files but not content yields an EMPTY delta. This is what lets an
+    * incremental consumer (a maintained MV, a replica, an index) follow
+    * the table version-by-version without ever re-scanning it. */
+  def changesBetween(spark: SparkSession, path: String,
+                     fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"changesBetween: fromV $fromV > toV $toV")
+    val fromEs = entries(spark, path, fromV)
+    val toEs = entries(spark, path, toV)
+    val fromPaths = fromEs.map(_.path).toSet
+    val toPaths = toEs.map(_.path).toSet
+    val addedRows = readFiles(spark, path, toEs.filterNot(e => fromPaths.contains(e.path)))
+    val removedRows = readFiles(spark, path, fromEs.filterNot(e => toPaths.contains(e.path)))
+    addedRows.exceptAll(removedRows).withColumn("change_type", lit("insert"))
+      .unionByName(
+        removedRows.exceptAll(addedRows).withColumn("change_type", lit("delete")))
   }
 
   /** Reclaim storage: keep the newest `keepVersions` committed versions,

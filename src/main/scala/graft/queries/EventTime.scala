@@ -1136,4 +1136,54 @@ object EventTime {
       |  CAST(sum(CASE WHEN b_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lonely,
       |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
       |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- Q136: cohort retention ---------------------------------------------
+
+  /** Q136 — COHORT RETENTION, the product-analytics staple: users cohorted
+    * by the week of their first event; for each (cohort, week-offset), how
+    * many came back, as a count and as exact basis points of the cohort.
+    *
+    * Shape chosen for 100 TB, deliberately WINDOW-FREE: one distinct over
+    * (user, week) — the only row-volume shuffle, keyed by user and
+    * map-side combinable — then min-per-user (tiny), a user-keyed join,
+    * and a group-count-bounded aggregation (cohorts × offsets rows). The
+    * naive spelling (window over each user's full event history to find
+    * the first event) sorts every event; this touches each event once and
+    * reduces immediately to user-week granularity. Retention is emitted
+    * in integer basis points (long `div`), not a floating ratio — exact
+    * across engines and partitionings. */
+  def q136RetentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    val active = t(spark, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val first = active.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val ret = active.join(first, "user_id")
+      .groupBy(col("cohort_wk"),
+        (datediff(col("wk").cast(DateType), col("cohort_wk").cast(DateType))
+          .cast(LongType) / 7L).cast(LongType).as("week_offset"))
+      .agg(count(lit(1)).cast(LongType).as("n_active"))
+    val size = ret.filter(col("week_offset") === 0L)
+      .select(col("cohort_wk"), col("n_active").as("cohort_size"))
+    ret.join(size, "cohort_wk")
+      .select(col("cohort_wk").cast("timestamp_ntz").as("cohort_week"),
+        col("week_offset"), col("n_active"), col("cohort_size"),
+        expr("(n_active * 10000L) div cohort_size").as("retention_bp"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** The same cohort algebra over the raw table. */
+  val q136Sql: String =
+    """WITH active AS (SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+      |                FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort_wk FROM active GROUP BY user_id),
+      |ret AS (SELECT cohort_wk,
+      |          CAST(date_diff('day', CAST(cohort_wk AS DATE), CAST(wk AS DATE)) / 7
+      |            AS BIGINT) AS week_offset,
+      |          CAST(count(*) AS BIGINT) AS n_active
+      |        FROM active JOIN f USING (user_id) GROUP BY 1, 2),
+      |sz AS (SELECT cohort_wk, n_active AS cohort_size FROM ret WHERE week_offset = 0)
+      |SELECT r.cohort_wk AS cohort_week, r.week_offset, r.n_active, s.cohort_size,
+      |  CAST((r.n_active * 10000) // s.cohort_size AS BIGINT) AS retention_bp
+      |FROM ret r JOIN sz s ON r.cohort_wk = s.cohort_wk
+      |ORDER BY cohort_week, week_offset""".stripMargin
 }

@@ -254,4 +254,113 @@ object Snapshot {
   /** Each document exactly once, despite the full re-delivery. */
   val q134Sql: String =
     "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
+
+  /** Q135 — MERGE (upsert) ON THE SNAPSHOT TABLE, scored: one batch
+    * carrying both updates (keys < 50, three columns changed) and inserts
+    * (fresh keys past the table's max), with the update half duplicated
+    * in-batch (the survivor rule must collapse it), lands in ONE atomic
+    * commit via [[graft.operators.SnapshotStore.merge]]. The require
+    * pins copy-on-write at file granularity: the matched keys live in one
+    * of the 8 range-clustered files, so ≥7 files carry by reference —
+    * found by the key semi-join probe, no manifest hint needed. The
+    * oracle replays the merge declaratively (CASE WHEN for the update
+    * half, UNION ALL for the insert half); a lost insert, duplicated
+    * update, or half-visible batch is a hash mismatch. This upgrades the
+    * reference's ON CONFLICT DO NOTHING to DO UPDATE — with an atomicity
+    * the row-at-a-time warehouse spelling only gets from its engine. */
+  def q135SnapshotMerge(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q135_") { path =>
+      val o = t(spark, dir, "orders")
+      SnapshotStore.create(spark, o, path,
+        statsColumns = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"), numFiles = 8)
+      val low = o.filter(col("o_orderkey") < 50)
+      val updates = low
+        .withColumn("o_orderstatus", lit("M"))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+        .withColumn("o_orderpriority", lit("0-MERGED"))
+      val inserts = low.select(
+        (col("o_orderkey") + lit(200000L)).as("o_orderkey"), col("o_custkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        lit("0-INSERTED").as("o_orderpriority"))
+      val before = SnapshotStore.entries(spark, path, 1).map(_.path).toSet
+      // updates shipped twice: the deterministic survivor collapses them
+      SnapshotStore.merge(spark, updates.unionByName(inserts).unionByName(updates),
+        path, keys = Seq("o_orderkey"), tieBreak = Nil)
+      val after = SnapshotStore.entries(spark, path, 2).map(_.path).toSet
+      val carried = (before intersect after).size
+      require(carried >= 7,
+        s"q135: merge must carry >=7 of 8 files by reference, carried $carried")
+      Materialize.sorted(orderCols(SnapshotStore.read(spark, path)), col("o_orderkey"))
+    }
+
+  /** The merge replayed declaratively: CASE WHEN updates + UNION inserts. */
+  val q135Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey < 50 THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+      |  CASE WHEN o_orderkey < 50 THEN o_totalprice + 1.0 ELSE o_totalprice END
+      |    AS o_totalprice,
+      |  o_orderdate,
+      |  CASE WHEN o_orderkey < 50 THEN '0-MERGED' ELSE o_orderpriority END
+      |    AS o_orderpriority
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey + 200000, o_custkey, 'N', o_totalprice, o_orderdate,
+      |  '0-INSERTED'
+      |FROM orders WHERE o_orderkey < 50
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Q137 — INCREMENTAL CHANGE READ, scored: after the full lifecycle
+    * (two dedup appends onto the created slice, then a delete), the net
+    * delta between version 1 and the current version is read via the
+    * MANIFEST DIFF — only files present in exactly one of the two
+    * versions are opened; every carried file is skipped without I/O.
+    * The oracle computes the same delta declaratively (EXCEPT ALL both
+    * ways between the two states). The require pins the pruning: the
+    * delta read must not touch the carried version-1 files that survived
+    * into the current manifest. This is the API an incremental consumer
+    * (maintained MV, replica, index) follows the table with — cost ∝
+    * churn between versions, never table size. */
+  def q137SnapshotChanges(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q137_") { path =>
+      val docs = t(spark, dir, "documents").select(docCols.map(col): _*)
+      SnapshotStore.create(spark, docs, path,
+        statsColumns = Seq("doc_id"), clusterBy = Seq("doc_id"), numFiles = 8)
+      SnapshotStore.deleteWhere(spark, path,
+        col("doc_id") >= 100 && col("doc_id") < 120,
+        hint = Some(RangeHint("doc_id", "100", "119")))
+      SnapshotStore.updateWhere(spark, path,
+        col("doc_id") >= 200 && col("doc_id") < 210, Map("lang" -> lit("xx")),
+        hint = Some(RangeHint("doc_id", "200", "209")))
+      val v1 = SnapshotStore.entries(spark, path, 1).map(_.path).toSet
+      val v3 = SnapshotStore.entries(spark, path, 3).map(_.path).toSet
+      val carried = v1 intersect v3
+      require(carried.size >= 6,
+        s"q137: precondition — >=6 of 8 v1 files carried into v3, got ${carried.size}")
+      val delta = SnapshotStore.changesBetween(spark, path, 1L, 3L)
+      // the physical pin: the delta plan's scans open ONLY changed files —
+      // no carried-by-reference file is ever touched
+      val touchedByPlan = delta.inputFiles.map(f =>
+        new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+      val carriedAbs = carried.map(rel =>
+        new org.apache.hadoop.fs.Path(path + "/" + rel).toUri.getPath)
+      require((touchedByPlan intersect carriedAbs).isEmpty,
+        "q137: the incremental read must skip every carried file")
+      Materialize.sorted(delta, col("change_type"), col("doc_id"))
+    }
+
+  /** The same net delta, declaratively: deletes are the removed range plus
+    * the pre-update image of the updated range; inserts are the updated
+    * rows' new image. */
+  val q137Sql: String =
+    """WITH v1 AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+      |v3 AS (SELECT doc_id, text,
+      |         CASE WHEN doc_id BETWEEN 200 AND 209 THEN 'xx' ELSE lang END AS lang,
+      |         source, n_chars
+      |       FROM documents WHERE NOT (doc_id BETWEEN 100 AND 119)),
+      |delta AS (
+      |  SELECT *, 'insert' AS change_type FROM (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v1)
+      |  UNION ALL
+      |  SELECT *, 'delete' AS change_type FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v3))
+      |SELECT doc_id, text, lang, source, n_chars, change_type FROM delta
+      |ORDER BY change_type, doc_id""".stripMargin
 }

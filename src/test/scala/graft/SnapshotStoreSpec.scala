@@ -210,6 +210,43 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("merge: updates replace, inserts land, one atomic commit; pure-insert merge touches nothing") {
+    withTable { path =>
+      SnapshotStore.create(spark, docs, path,
+        statsColumns = Seq("doc_id"), clusterBy = Seq("doc_id"), numFiles = 8)
+      val batch = docs.filter(col("doc_id") < 30).withColumn("lang", lit("xx"))
+        .union(docs.filter(col("doc_id") < 10) // fresh keys, beyond max
+          .withColumn("doc_id", col("doc_id") + 100000L))
+      val before = SnapshotStore.entries(spark, path, 1).map(_.path).toSet
+      assert(SnapshotStore.merge(spark, batch, path, Seq("doc_id"), Nil) == 2L)
+      val after = SnapshotStore.entries(spark, path, 2).map(_.path).toSet
+      assert((before intersect after).size >= 6, "merge must carry clean files")
+      val cur = SnapshotStore.read(spark, path)
+      assert(cur.count() == docs.count() + 10)
+      assert(cur.filter(col("doc_id") < 30 && col("lang") =!= "xx").count() == 0)
+      assert(cur.filter(col("doc_id") >= 100000L).count() == 10)
+      // pure-insert merge: no matched keys → every current file carried
+      val v3 = SnapshotStore.merge(spark,
+        docs.filter(col("doc_id") < 5).withColumn("doc_id", col("doc_id") + 200000L),
+        path, Seq("doc_id"), Nil)
+      assert(v3 == 3L)
+      val afterIns = SnapshotStore.entries(spark, path, 3).map(_.path).toSet
+      assert(after.subsetOf(afterIns), "pure-insert merge must rewrite nothing")
+    }
+  }
+
+  test("merge: replaying the same batch changes content NOT AT ALL (idempotent result)") {
+    withTable { path =>
+      SnapshotStore.create(spark, docs, path, numFiles = 4)
+      val batch = docs.filter(col("doc_id") < 20).withColumn("source", lit("v2"))
+      SnapshotStore.merge(spark, batch, path, Seq("doc_id"), Nil)
+      val once = SnapshotStore.read(spark, path).orderBy("doc_id").collect().toSeq
+      SnapshotStore.merge(spark, batch, path, Seq("doc_id"), Nil)
+      val twice = SnapshotStore.read(spark, path).orderBy("doc_id").collect().toSeq
+      assert(twice == once)
+    }
+  }
+
   test("streaming owner: a crashed lineage's stale lease self-heals; others refuse") {
     withTable { path =>
       SnapshotStore.create(spark, docs.limit(10), path)
