@@ -129,8 +129,53 @@ object SnapshotStore {
       .collect().toSeq.sortBy(_.path)
   }
 
+  /** The table schema is the HIGHEST-numbered schema file (`schema` = the
+    * creation schema, `schema-<k>` = the k-th evolution). Each evolution
+    * is a new fail-if-exists file — never an overwrite of the previous
+    * one — so a crash mid-evolution leaves the old schema intact and the
+    * history readable. */
+  private def schemaFiles(fs: FileSystem, root: Path): Seq[(Int, Path)] = {
+    val sd = snapDir(root)
+    fs.listStatus(sd).iterator.map(_.getPath).flatMap { p =>
+      p.getName match {
+        case "schema" => Some(0 -> p)
+        case n if n.startsWith("schema-") =>
+          n.stripPrefix("schema-").toIntOption.map(_ -> p)
+        case _ => None
+      }
+    }.toSeq.sortBy(_._1)
+  }
+
   private def tableSchema(fs: FileSystem, root: Path): StructType =
-    StructType.fromDDL(readSmall(fs, new Path(snapDir(root), "schema")))
+    StructType.fromDDL(readSmall(fs, schemaFiles(fs, root).last._2))
+
+  /** Schema evolution: ADD COLUMN, zero-rewrite. No data file is touched
+    * — files written before the evolution simply lack the column, and
+    * every read resolves them against the latest schema, yielding NULL
+    * (merge-on-read backfill). Time-travel reads also render the latest
+    * schema (the column reads NULL before its data existed) — the
+    * documented trade of not storing a schema per version. The new
+    * schema file is created fail-if-exists under the table lease, so
+    * concurrent evolutions cannot interleave and a crash leaves the
+    * previous schema authoritative. At 100 TB this is the point: adding
+    * a column costs one small file, not a table rewrite. */
+  def evolveAddColumn(spark: SparkSession, path: String,
+                      colName: String, ddlType: String): Unit = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    Lease.withLease(fs, root, "snapshot schema evolution") {
+      val cur = tableSchema(fs, root)
+      require(!cur.fieldNames.contains(colName),
+        s"column $colName already exists in table at $path")
+      val next = StructType(cur.fields :+
+        StructField(colName, org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseDataType(ddlType), nullable = true))
+      val k = schemaFiles(fs, root).last._1 + 1
+      val out = fs.create(new Path(snapDir(root), s"schema-$k"), false)
+      try out.write(next.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
 
   private def statsCols(fs: FileSystem, root: Path): Seq[String] = {
     val p = new Path(snapDir(root), "statscols")

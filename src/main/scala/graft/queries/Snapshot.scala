@@ -363,4 +363,83 @@ object Snapshot {
       |  SELECT *, 'delete' AS change_type FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v3))
       |SELECT doc_id, text, lang, source, n_chars, change_type FROM delta
       |ORDER BY change_type, doc_id""".stripMargin
+
+  /** Q138 — INCREMENTAL CONSUMER over the change feed, scored: a
+    * per-language (count, Σchars) aggregate is maintained by folding
+    * ONLY [[graft.operators.SnapshotStore.changesBetween]] deltas,
+    * version by version, from the version-1 snapshot through the full
+    * lifecycle (two dedup appends, then a delete) — the maintained state
+    * NEVER re-reads the table. Insert rows add (+1, +chars), delete rows
+    * subtract; groups folding to zero count vanish. The require pins the
+    * IVM algebra row-for-row against a direct aggregate of the current
+    * version; the oracle recomputes it from the original table. This is
+    * what the manifest diff is FOR: a downstream MV follows a 100 TB
+    * table paying churn-sized reads per version, and the fold is exact —
+    * not eventually-consistent — because each delta is an exact multiset
+    * difference between committed snapshots. */
+  def q138SnapshotIvm(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q138_") { path =>
+      buildDocsTable(spark, dir, path) // v1..v4
+      def aggOf(df: DataFrame): DataFrame =
+        df.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      var mv = aggOf(SnapshotStore.readVersion(spark, path, 1))
+      for (v <- 2L to SnapshotStore.currentVersion(spark, path)) {
+        val sign = when(col("change_type") === "insert", 1L).otherwise(-1L)
+        val d = SnapshotStore.changesBetween(spark, path, v - 1, v)
+          .groupBy(col("lang"))
+          .agg(sum(sign).as("d_n"), sum(sign * col("n_chars")).as("d_chars"))
+        mv = mv.join(d, Seq("lang"), "full_outer")
+          .select(col("lang"),
+            (coalesce(col("n_docs"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n_docs"),
+            (coalesce(col("sum_chars"), lit(0L)) + coalesce(col("d_chars"), lit(0L))).as("sum_chars"))
+          .filter(col("n_docs") > 0L)
+          .localCheckpoint(true) // cut the per-version lineage growth
+      }
+      val direct = aggOf(SnapshotStore.read(spark, path))
+      val got = mv.orderBy(col("lang")).collect().toSeq
+      require(got == direct.orderBy(col("lang")).collect().toSeq,
+        "q138: delta-folded aggregate must equal the direct aggregate exactly")
+      Materialize.sorted(mv, col("lang"))
+    }
+
+  /** The maintained aggregate recomputed from the original table. */
+  val q138Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE lang IS DISTINCT FROM 'de'
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Q139 — SCHEMA EVOLUTION, zero-rewrite, scored: the table gains a
+    * `quality DOUBLE` column BETWEEN two appends; the pre-evolution files
+    * are require'd untouched (every version-1 file carried by reference
+    * through both the evolution — which writes no data at all — and the
+    * later append), and the read resolves them against the evolved
+    * schema as NULL while post-evolution rows carry real values. The
+    * oracle renders the same merge-on-read semantics declaratively
+    * (CASE WHEN on the slice that arrived after the evolution). At
+    * 100 TB adding a column costs one small schema file — never a table
+    * rewrite — which is the only viable evolution story at that size. */
+  def q139SchemaEvolution(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q139_") { path =>
+      val docs = t(spark, dir, "documents").select(docCols.map(col): _*)
+      SnapshotStore.create(spark,
+        docs.filter(pmod(col("doc_id"), lit(3)) < 2), path)
+      val v1Files = SnapshotStore.entries(spark, path, 1).map(_.path).toSet
+      SnapshotStore.evolveAddColumn(spark, path, "quality", "DOUBLE")
+      SnapshotStore.appendDedup(spark,
+        docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+          .withColumn("quality", col("n_chars").cast("double") * lit(0.5)),
+        path, keys = Seq("doc_id"), tieBreak = Nil)
+      val v2Files = SnapshotStore.entries(spark, path, 2).map(_.path).toSet
+      require(v1Files.subsetOf(v2Files),
+        "q139: schema evolution + append must never rewrite existing files")
+      Materialize.sorted(SnapshotStore.read(spark, path), col("doc_id"))
+    }
+
+  /** Merge-on-read semantics declaratively: pre-evolution rows NULL. */
+  val q139Sql: String =
+    """SELECT doc_id, text, lang, source, n_chars,
+      |  CASE WHEN doc_id % 3 = 2 THEN n_chars * 0.5 ELSE NULL END AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

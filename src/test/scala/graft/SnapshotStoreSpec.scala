@@ -269,6 +269,32 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("schema evolution: add-column is zero-rewrite; duplicates refused; merge sees it") {
+    withTable { path =>
+      SnapshotStore.create(spark, docs.limit(50), path)
+      val before = SnapshotStore.entries(spark, path, 1).map(_.path).toSet
+      SnapshotStore.evolveAddColumn(spark, path, "score", "BIGINT")
+      // no data version was created, no file touched
+      assert(SnapshotStore.versions(spark, path) == Seq(1L))
+      assert(SnapshotStore.entries(spark, path, 1).map(_.path).toSet == before)
+      // old rows read NULL in the evolved column
+      val cur = SnapshotStore.read(spark, path)
+      assert(cur.schema.fieldNames.contains("score"))
+      assert(cur.filter(col("score").isNotNull).count() == 0)
+      // duplicate evolution refuses
+      intercept[IllegalArgumentException] {
+        SnapshotStore.evolveAddColumn(spark, path, "score", "BIGINT")
+      }
+      // merge with the evolved schema: updates + inserts carry values
+      val batch = docs.filter(col("doc_id") < 5)
+        .withColumn("score", col("doc_id") * 10L)
+      SnapshotStore.merge(spark, batch, path, Seq("doc_id"), Nil)
+      val after = SnapshotStore.read(spark, path)
+      assert(after.filter(col("doc_id") < 5 && col("score").isNull).count() == 0)
+      assert(after.filter(col("doc_id") >= 5 && col("score").isNotNull).count() == 0)
+    }
+  }
+
   test("null predicate semantics: delete keeps rows where pred is NULL (SQL-style)") {
     withTable { path =>
       import spark.implicits._
