@@ -503,10 +503,13 @@ object SnapshotStore {
     * At 100 TB: merge cost = (files holding matched keys) + (batch
     * bytes); a key-range-clustered table with a ranged batch touches
     * O(range) files. Each file's rewrite is `anti-join keys, union batch
-    * slice` — shuffle on the key only. `hint`, when given, must bound
-    * EVERY BATCH KEY's stats-column value (not a predicate's): a matched
-    * key outside the hinted range would be silently re-inserted as a
-    * duplicate. */
+    * slice` — shuffle on the key only. `hint`, when given, must bound the
+    * stats-column value of every batch key THAT MAY ALREADY EXIST in the
+    * table (not a predicate's range): a matched key outside the hinted
+    * range would be silently re-inserted as a duplicate. Keys that cannot
+    * match (e.g. inserts minted past the table's max) need not be covered
+    * — excluding them is exactly what keeps a small-update+new-inserts
+    * merge pruned to the update range's files. */
   def merge(spark: SparkSession, batch: DataFrame, path: String,
             keys: Seq[String], tieBreak: Seq[String],
             hint: Option[RangeHint] = None,
