@@ -590,6 +590,94 @@ object SnapshotStore {
     }
   }
 
+  /** WRITE-AUDIT-PUBLISH, stage half: write the batch's data files and
+    * manifest for version current+1 but NOT the commit marker — the
+    * staged version is INVISIBLE to every reader (versions/read resolve
+    * only marker-committed manifests) while being fully inspectable via
+    * [[readStaged]]. The audit step runs any checks against exactly the
+    * bytes that would be published; [[publish]] then commits with one
+    * marker create, or [[abandon]] drops the staging (a crashed auditor's
+    * staging is also reclaimed by vacuum, which already removes
+    * marker-less manifests). The lease is held only during stage — the
+    * audit itself can be long and holds nothing. Staging RESERVES the
+    * next version slot: any other maintenance landing during the audit
+    * refuses loudly at its commit point (the staged manifest occupies the
+    * version), so the audited bytes are exactly what publishes; publish
+    * additionally re-checks the staged version is still current+1 as
+    * belt-and-suspenders against an abandon+recommit interleave. */
+  def stageAppend(spark: SparkSession, df: DataFrame, path: String): Long = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    Lease.withLease(fs, root, "snapshot stage") {
+      val cur = currentVersion(spark, path)
+      val v = cur + 1
+      val es = entries(spark, path, cur) ++
+        writeData(spark, root, fs, v, df, statsCols(fs, root))
+      val tmp = new Path(snapDir(root), s"tmp-$v-${java.util.UUID.randomUUID()}")
+      implicit val enc = Encoders.product[FileEntry]
+      spark.createDataset(es).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val dst = manifestDir(root, v)
+      if (fs.exists(dst) || fs.exists(markerPath(root, v)) || !fs.rename(tmp, dst)) {
+        fs.delete(tmp, true)
+        throw new java.io.IOException(
+          s"snapshot stage conflict at $root: version $v already staged or committed")
+      }
+      v
+    }
+  }
+
+  /** Read a STAGED (unpublished) version — the audit's input. */
+  def readStaged(spark: SparkSession, path: String, v: Long): DataFrame = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    require(fs.exists(manifestDir(root, v)) && !fs.exists(markerPath(root, v)),
+      s"version $v at $path is not a staged (unpublished) version")
+    implicit val enc = Encoders.product[FileEntry]
+    val es = spark.read.parquet(manifestDir(root, v).toString).as[FileEntry]
+      .collect().toSeq.sortBy(_.path)
+    readFiles(spark, path, es)
+  }
+
+  /** Publish a staged version: ONE marker create — the same atomic commit
+    * point as every other operation. Refuses if the staged version is no
+    * longer current+1 (another commit landed mid-audit: the audited bytes
+    * would not be what lands). */
+  def publish(spark: SparkSession, path: String, v: Long): Long = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    Lease.withLease(fs, root, "snapshot publish") {
+      require(fs.exists(manifestDir(root, v)), s"no staged manifest v$v at $path")
+      val cur = currentVersion(spark, path)
+      if (cur != v - 1) throw new java.io.IOException(
+        s"snapshot publish conflict at $path: staged v$v audited against v${v - 1} " +
+          s"but current is v$cur — re-stage against the new current version")
+      val out =
+        try fs.create(markerPath(root, v), false)
+        catch {
+          case scala.util.control.NonFatal(_) => throw new java.io.IOException(
+            s"snapshot publish conflict at $path: version $v already committed")
+        }
+      try out.write(s"op=publish parent=${v - 1}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      v
+    }
+  }
+
+  /** Drop a staged version that failed its audit: manifest dir + the
+    * staged data files (never any committed version's files). */
+  def abandon(spark: SparkSession, path: String, v: Long): Unit = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    Lease.withLease(fs, root, "snapshot abandon") {
+      require(!fs.exists(markerPath(root, v)),
+        s"version $v at $path is committed — abandon refuses; use vacuum/delete")
+      fs.delete(manifestDir(root, v), true)
+      fs.delete(new Path(root, s"data/c$v"), true)
+      ()
+    }
+  }
+
   /** Incremental change read: the NET row-level delta between two
     * committed versions, as (`change_type` ∈ insert|delete, row…). The
     * manifest diff does the heavy lifting: only files present in exactly
@@ -629,7 +717,19 @@ object SnapshotStore {
       val vs = versions(spark, path)
       require(vs.nonEmpty, s"no committed snapshot at $path")
       val (dropped, kept) = vs.splitAt(math.max(0, vs.size - keepVersions))
-      val referenced = kept.flatMap(v => entries(spark, path, v).map(_.path)).toSet
+      // a marker-less manifest ABOVE the committed head is an in-flight
+      // write-audit-publish staging: its files are protected (abandon is
+      // the explicit cleanup), unlike tmp-* dirs which are always garbage
+      val sdList = fs.listStatus(snapDir(root)).iterator.map(_.getPath.getName).toSeq
+      val staged = sdList.filter(_.startsWith("v"))
+        .flatMap(n => n.stripPrefix("v").toLongOption)
+        .filter(v => v > vs.last && !fs.exists(markerPath(root, v)))
+      implicit val enc = Encoders.product[FileEntry]
+      val stagedRefs = staged.flatMap(v =>
+        spark.read.parquet(manifestDir(root, v).toString).as[FileEntry]
+          .collect().map(_.path))
+      val referenced =
+        (kept.flatMap(v => entries(spark, path, v).map(_.path)) ++ stagedRefs).toSet
       // markers first: a crash mid-vacuum must never leave a version that
       // LOOKS committed but whose files are partially deleted
       dropped.foreach { v =>

@@ -442,4 +442,55 @@ object Snapshot {
     """SELECT doc_id, text, lang, source, n_chars,
       |  CASE WHEN doc_id % 3 = 2 THEN n_chars * 0.5 ELSE NULL END AS quality
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Q140 — WRITE-AUDIT-PUBLISH, scored: a dirty batch stages, fails its
+    * audit (run against [[graft.operators.SnapshotStore.readStaged]] —
+    * exactly the bytes that would publish), and is abandoned; a clean
+    * batch stages, audits green, and publishes with one marker create.
+    * The require gates pin the isolation: a STAGED version is invisible
+    * to readers (versions and read are unchanged between stage and
+    * publish), the abandoned batch leaves no version and no data
+    * directory behind, and the audit ran on the staged bytes, not a
+    * re-derivation. The oracle checks the final table — the dirty rows
+    * absent, the clean batch present exactly once. At 100 TB this is how
+    * a quality gate fronts a table without copying it: stage = the
+    * batch's bytes, audit = any query, publish = one atomic marker. */
+  def q140WriteAuditPublish(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q140_") { path =>
+      val docs = t(spark, dir, "documents").select(docCols.map(col): _*)
+      SnapshotStore.create(spark, docs, path)
+      def audit(v: Long): Long =
+        SnapshotStore.readStaged(spark, path, v).filter(col("lang") === "zz").count()
+      // dirty batch: stages, fails audit, abandoned — nothing published
+      val dirty = docs.filter(col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + lit(2000000L))
+        .withColumn("lang", lit("zz"))
+      val vDirty = SnapshotStore.stageAppend(spark, dirty, path)
+      require(SnapshotStore.versions(spark, path) == Seq(1L),
+        "q140: a staged version must be invisible to readers")
+      require(audit(vDirty) > 0, "q140: the audit must see the staged bad rows")
+      SnapshotStore.abandon(spark, path, vDirty)
+      require(!new java.io.File(path, s"data/c$vDirty").exists,
+        "q140: abandon must reclaim the staged data directory")
+      // clean batch: stages, audits green, publishes atomically
+      val clean = docs.filter(col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("source", lit("staged"))
+      val vClean = SnapshotStore.stageAppend(spark, clean, path)
+      require(SnapshotStore.versions(spark, path) == Seq(1L),
+        "q140: still nothing published before the audit passes")
+      require(audit(vClean) == 0, "q140: the clean batch must audit green")
+      SnapshotStore.publish(spark, path, vClean)
+      require(SnapshotStore.versions(spark, path) == Seq(1L, vClean),
+        "q140: publish must commit exactly the audited version")
+      Materialize.sorted(SnapshotStore.read(spark, path), col("doc_id"))
+    }
+
+  /** The final table: the corpus plus the audited clean batch, once. */
+  val q140Sql: String =
+    """SELECT doc_id, text, lang, source, n_chars FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000, text, lang, 'staged', n_chars FROM documents
+      |WHERE doc_id < 100
+      |ORDER BY doc_id""".stripMargin
 }

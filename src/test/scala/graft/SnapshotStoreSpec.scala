@@ -269,6 +269,29 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("write-audit-publish: publish refuses after a mid-audit commit; vacuum protects staging") {
+    withTable { path =>
+      SnapshotStore.create(spark, docs.limit(50), path)
+      val staged = SnapshotStore.stageAppend(spark,
+        docs.filter(col("doc_id").between(100, 109)), path)
+      assert(staged == 2L)
+      // vacuum during the audit must NOT reclaim the staged files
+      SnapshotStore.vacuum(spark, path, keepVersions = 1)
+      assert(SnapshotStore.readStaged(spark, path, staged).count() == 60)
+      // another commit lands mid-audit → the audited staging no longer
+      // describes the table it would land on → publish refuses
+      intercept[java.io.IOException] {
+        SnapshotStore.append(spark, docs.filter(col("doc_id") === 200), path)
+      } // stage conflict: v2 manifest exists
+      SnapshotStore.abandon(spark, path, staged)
+      SnapshotStore.append(spark, docs.filter(col("doc_id") === 200), path)
+      intercept[java.io.IOException] {
+        SnapshotStore.publish(spark, path, staged)
+      }
+      assert(SnapshotStore.read(spark, path).count() == 51)
+    }
+  }
+
   test("schema evolution: add-column is zero-rewrite; duplicates refused; merge sees it") {
     withTable { path =>
       SnapshotStore.create(spark, docs.limit(50), path)
