@@ -199,6 +199,31 @@ object SnapshotStore {
   def read(spark: SparkSession, path: String): DataFrame =
     readVersion(spark, path, currentVersion(spark, path))
 
+  /** The PLANNER-INTEGRATED read: a DataFrame whose scan resolves its
+    * files through [[graft.plans.SnapshotFileIndex]], so any plain
+    * `.filter` on a stats column prunes files via the manifest's zone map
+    * automatically — no hint, no special scan API; and the listing is
+    * synthesized from the manifest (zero filesystem RPCs at planning).
+    * This is the read a query layer should hand out by default; [[read]]
+    * remains the dependency-light explicit-file-list form. */
+  def readRelation(spark: SparkSession, path: String): DataFrame = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val v = currentVersion(spark, path)
+    val idx = new graft.plans.SnapshotFileIndex(
+      fs.makeQualified(root), entries(spark, path, v), tableSchema(fs, root))
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      location = idx,
+      partitionSchema = StructType(Nil),
+      dataSchema = tableSchema(fs, root),
+      bucketSpec = None,
+      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(rel)
+  }
+
   // ---- zone-map pruning ----------------------------------------------------
 
   private def cmp(kind: String, a: String, b: String): Int =

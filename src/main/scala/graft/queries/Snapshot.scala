@@ -493,4 +493,41 @@ object Snapshot {
       |SELECT doc_id + 1000000, text, lang, 'staged', n_chars FROM documents
       |WHERE doc_id < 100
       |ORDER BY doc_id""".stripMargin
+
+  /** Q141 — AUTOMATIC ZONE-MAP PRUNING IN THE PLANNER, scored: the table
+    * reads through [[graft.operators.SnapshotStore.readRelation]] (a
+    * [[graft.plans.SnapshotFileIndex]]-backed relation), and a PLAIN
+    * `.filter(between)` — no hint, no special scan API — prunes to the
+    * files whose manifest [min,max] overlap the range: Catalyst hands the
+    * scan's data filters to the FileIndex at planning, disjoint files
+    * never reach the reader, and the listing is synthesized from the
+    * manifest with zero filesystem RPCs. The require pins the physical
+    * fact post-execution: the scan's `numFiles` metric must be strictly
+    * below the table's file count. The oracle runs the same range over
+    * the full table — wrong pruning is missing rows, not silence. This is
+    * the 100 TB read path: planner-side metadata pruning first, parquet
+    * row-group stats second, and the query text never knows. */
+  def q141AutoPrune(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q141_") { path =>
+      SnapshotStore.create(spark, t(spark, dir, "orders"), path,
+        statsColumns = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"), numFiles = 8)
+      val res = orderCols(SnapshotStore.readRelation(spark, path)
+        .filter(col("o_orderkey").between(200, 399)))
+      val out = Materialize.sorted(res, col("o_orderkey"))
+      val scans = res.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      require(scans.nonEmpty, "q141: expected a FileSourceScanExec over the snapshot")
+      val numFiles = scans.head.metrics("numFiles").value
+      require(numFiles > 0 && numFiles < 8,
+        s"q141: the planner must prune files via the manifest (scanned $numFiles of 8)")
+      out
+    }
+
+  /** The same range over the full table — wrong pruning = missing rows. */
+  val q141Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+      |  o_orderpriority
+      |FROM orders WHERE o_orderkey BETWEEN 200 AND 399
+      |ORDER BY o_orderkey""".stripMargin
 }

@@ -318,6 +318,63 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("SnapshotFileIndex: planner prunes on long/string/timestamp; OR declines soundly") {
+    withTable { path =>
+      val d = docs.withColumn("tagged",
+        concat(lit("t"), lpad(col("doc_id").cast("string"), 6, "0")))
+      SnapshotStore.create(spark, d, path,
+        statsColumns = Seq("doc_id", "tagged"), clusterBy = Seq("doc_id"), numFiles = 8)
+      def scanned(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        // execute THIS Dataset's own plan (df.count() would build a new
+        // QueryExecution, leaving this scan's metrics unpopulated)
+        val n = df.collect().length.toLong
+        val scan = df.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.head
+        (scan.metrics("numFiles").value, n)
+      }
+      val rel = SnapshotStore.readRelation(spark, path)
+      // long range: prunes, result exact
+      val (f1, n1) = scanned(rel.filter(col("doc_id").between(100, 149)))
+      assert(f1 < 8 && n1 == 50, s"long prune: files $f1 rows $n1")
+      // string range on the derived tag (lexicographic == id order here)
+      val (f2, n2) = scanned(rel.filter(col("tagged") >= "t000100" && col("tagged") <= "t000149"))
+      assert(f2 < 8 && n2 == 50, s"string prune: files $f2 rows $n2")
+      // equality prunes to one file's worth
+      val (f3, n3) = scanned(rel.filter(col("doc_id") === 250))
+      assert(f3 == 1 && n3 == 1, s"equality prune: files $f3 rows $n3")
+      // OR is unsupported: declines to prune, result still exact
+      val (f4, n4) = scanned(rel.filter(col("doc_id") === 10 || col("doc_id") === 400))
+      assert(f4 == 8 && n4 == 2, s"OR soundness: files $f4 rows $n4")
+      // pruned read ≡ explicit read on a mixed conjunction
+      val got = rel.filter(col("doc_id") < 60 && col("lang") === "en")
+        .orderBy("doc_id").collect().toSeq
+      val want = SnapshotStore.read(spark, path)
+        .filter(col("doc_id") < 60 && col("lang") === "en")
+        .orderBy("doc_id").collect().toSeq
+      assert(got == want)
+    }
+  }
+
+  test("SnapshotFileIndex: timestamp stats prune a time-window scan") {
+    withTable { path =>
+      val o = Tables.t(spark, sf, "orders")
+      SnapshotStore.create(spark, o, path,
+        statsColumns = Seq("o_orderdate"), clusterBy = Seq("o_orderdate"), numFiles = 8)
+      val rel = SnapshotStore.readRelation(spark, path)
+      val win = rel.filter(col("o_orderdate") >= lit("1996-06-01").cast("timestamp") &&
+                           col("o_orderdate") < lit("1996-09-01").cast("timestamp"))
+      val n = win.collect().length.toLong
+      val scan = win.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      val files = scan.metrics("numFiles").value
+      assert(files < 8, s"timestamp prune: scanned $files of 8")
+      assert(n == o.filter(col("o_orderdate") >= lit("1996-06-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-09-01").cast("timestamp")).count())
+    }
+  }
+
   test("null predicate semantics: delete keeps rows where pred is NULL (SQL-style)") {
     withTable { path =>
       import spark.implicits._
