@@ -140,6 +140,14 @@ object Curation {
     val ranged = toks
       .repartitionByRange(col("lang"), col("n_tok").desc, col("doc_id"))
       .withColumn("rng", spark_partition_id())
+      // PIN the partition labels (same discipline as the q68 running-
+      // distinct and Ranks.globalRank): this frame feeds both the offsets
+      // aggregate and the join; spark_partition_id over a range exchange
+      // is only consistent across the two consumers while the exchange is
+      // reused — an independently re-executed exchange may be AQE-coalesced
+      // to a DIFFERENT partition count (observed dropping 78% of rows in
+      // a globalRank composition) or re-sampled to different bounds.
+      .localCheckpoint(true)
     // local prefix sums: each (rng, lang) group is at most ONE range
     // partition — the worst task is bounded by the range size, independent
     // of how skewed the language distribution is

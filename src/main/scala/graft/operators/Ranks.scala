@@ -26,7 +26,20 @@ object Ranks {
     val ranged = df.repartitionByRange(sortCols: _*)
       .withColumn("rng", spark_partition_id())
     val wLocal = Window.partitionBy(col("rng")).orderBy(sortCols: _*)
+    // MATERIALIZED once (eager localCheckpoint): `local` feeds both the
+    // join's probe side and the offsets derivation. Without pinning, the
+    // two subplans can execute the range exchange INDEPENDENTLY (exchange
+    // reuse is best-effort once AQE re-optimizes stages), and AQE may
+    // coalesce the two executions to different partition counts — the
+    // offsets side then covers fewer `rng` ids than the probe side and
+    // the inner join silently DROPS every row in the uncovered ranges
+    // (observed: a 32-vs-7 coalesce losing 78% of rows when globalRank
+    // was composed over another globalRank's output). Even without
+    // coalescing, the range sampler may draw different bounds per
+    // execution, mis-assigning ranks. Freezing the computed partitioning
+    // is the only spelling that keeps `rng` consistent for both readers.
     val local = ranged.withColumn("local_rn", row_number().over(wLocal).cast(LongType))
+      .localCheckpoint(true)
     // #ranges rows: the unkeyed window is bounded by construction
     val wOff = Window.orderBy(col("rng")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("rng")).agg(count(lit(1)).as("range_n"))

@@ -47,6 +47,12 @@ object Skyline {
     val ranged = best
       .repartitionByRange(x.desc)
       .withColumn("rng", spark_partition_id())
+      // PIN the partition labels (q68/Ranks discipline): the frame feeds
+      // both the offsets aggregate and the join, and an independently
+      // re-executed range exchange may be AQE-coalesced to a different
+      // partition count or re-sampled to different bounds — silently
+      // corrupting or dropping ranges. Distinct-x-sized, so cheap to pin.
+      .localCheckpoint(true)
     val wLocal = Window.partitionBy(col("rng")).orderBy(x.desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = ranged.withColumn("local_pm", max(col("x_ymax")).over(wLocal))

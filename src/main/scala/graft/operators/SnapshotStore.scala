@@ -591,10 +591,21 @@ object SnapshotStore {
     * ~`targetFileBytes` files as a new version (readers of old versions are
     * untouched — no swap dance, no reader race; old files age out via
     * [[vacuum]]). `clusterBy` restores range clustering so the zone map
-    * stays tight after the rewrite. */
+    * stays tight after the rewrite; `zOrderBy` (mutually exclusive)
+    * interleaves TWO numeric columns' bits into one Z-value and clusters
+    * on that — each file then holds a small rectangle of the 2-D key
+    * space, so the zone map is tight in BOTH dimensions and
+    * [[graft.plans.SnapshotFileIndex]] prunes a filter on EITHER column.
+    * Linear clustering makes one column's intervals tight and leaves the
+    * other's spanning the whole domain; Z-ordering pays ~√ of each —
+    * the standard multi-dimensional data-skipping layout. */
   def compact(spark: SparkSession, path: String, targetFileBytes: Long,
-              clusterBy: Seq[String] = Nil): Long = {
+              clusterBy: Seq[String] = Nil, zOrderBy: Seq[String] = Nil): Long = {
     require(targetFileBytes > 0, s"targetFileBytes must be > 0, got $targetFileBytes")
+    require(clusterBy.isEmpty || zOrderBy.isEmpty,
+      "clusterBy and zOrderBy are mutually exclusive")
+    require(zOrderBy.isEmpty || zOrderBy.size == 2,
+      s"zOrderBy supports exactly two columns, got ${zOrderBy.size}")
     val root = new Path(path)
     val fs = fsOf(spark, root)
     Lease.withLease(fs, root, "snapshot compact") {
@@ -605,7 +616,37 @@ object SnapshotStore {
         math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)).toInt
       val df = readFiles(spark, path, es)
       val shaped =
-        if (clusterBy.nonEmpty)
+        if (zOrderBy.nonEmpty) {
+          // VALUE-based normalization from the manifest's own global
+          // [min,max] (integral stats columns): each column maps to 8
+          // bits, interleaved by the classic shift-and-mask spread. No
+          // rank pass, no window, no extra shuffle — the clustering
+          // write's range exchange is the only data movement. Skewed
+          // values give uneven bucket occupancy (zone-map tightness only
+          // needs LOCALITY, which value buckets give); a rank-based
+          // variant would buy uniformity at the cost of two rank passes.
+          def spread8(c: Column): Column = {
+            val c1 = (c.bitwiseOR(shiftleft(c, 4))).bitwiseAND(lit(0x0F0FL))
+            val c2 = (c1.bitwiseOR(shiftleft(c1, 2))).bitwiseAND(lit(0x3333L))
+            (c2.bitwiseOR(shiftleft(c2, 1))).bitwiseAND(lit(0x5555L))
+          }
+          val Seq(a, b) = zOrderBy
+          def bound(c: String, hi: Boolean): Long = {
+            val vs = es.flatMap(_.stats.get(c))
+            require(vs.nonEmpty, s"zOrderBy column $c has no recorded stats")
+            require(vs.head.kind == "num", s"zOrderBy column $c must be numeric")
+            val bs = vs.map(s => BigDecimal(if (hi) s.hi else s.lo))
+            (if (hi) bs.max else bs.min).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+          }
+          def bits8(c: String): Column = {
+            val (lo, hi) = (bound(c, hi = false), bound(c, hi = true))
+            val span = math.max(1L, hi - lo + 1L)
+            expr(s"((`$c` - ${lo}L) * 256) div ${span}L")
+          }
+          df.withColumn("__z", spread8(bits8(a)) + shiftleft(spread8(bits8(b)), 1))
+            .repartitionByRange(nOut, col("__z")).sortWithinPartitions(col("__z"))
+            .drop("__z")
+        } else if (clusterBy.nonEmpty)
           df.repartitionByRange(nOut, clusterBy.map(col): _*)
             .sortWithinPartitions(clusterBy.map(col): _*)
         else df.repartition(nOut)

@@ -530,4 +530,57 @@ object Snapshot {
       |  o_orderpriority
       |FROM orders WHERE o_orderkey BETWEEN 200 AND 399
       |ORDER BY o_orderkey""".stripMargin
+
+  /** Q142 — Z-ORDER COMPACTION with two-dimensional pruning, scored: the
+    * table compacts under `zOrderBy(o_orderkey, o_custkey)` (hierarchical
+    * rank-normalized bit interleave — Ranks.globalRank, never a
+    * single-task window), so each of the 16 files holds a small RECTANGLE
+    * of the 2-D key space and the manifest zone map is tight in BOTH
+    * columns. The require pins the payoff physically: a plain filter on
+    * o_orderkey AND a plain filter on o_custkey — two different columns —
+    * each scan strictly fewer than all files through the automatic
+    * FileIndex prune (linear clustering can only ever give one of the
+    * two). The oracle replays both slabs over the original table. The
+    * slab bounds derive from the manifest's own stats (max/8), so the
+    * gate is scale-factor-independent. */
+  def q142ZorderCompact(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q142_") { path =>
+      SnapshotStore.create(spark, t(spark, dir, "orders"), path,
+        statsColumns = Seq("o_orderkey", "o_custkey"), numFiles = 16)
+      val es1 = SnapshotStore.entries(spark, path, 1)
+      SnapshotStore.compact(spark, path,
+        targetFileBytes = es1.map(_.bytes).sum / 16 + 1,
+        zOrderBy = Seq("o_orderkey", "o_custkey"))
+      val es2 = SnapshotStore.entries(spark, path, 2)
+      val nFiles = es2.size
+      require(nFiles >= 8, s"q142: expected >=8 z-ordered files, got $nFiles")
+      val maxK = es2.flatMap(_.stats.get("o_orderkey")).map(s => BigDecimal(s.hi)).max.toLong
+      val maxC = es2.flatMap(_.stats.get("o_custkey")).map(s => BigDecimal(s.hi)).max.toLong
+      val rel = SnapshotStore.readRelation(spark, path)
+      def filesScanned(df: DataFrame): Long = {
+        df.collect() // execute THIS plan so its scan metrics populate
+        df.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.head.metrics("numFiles").value
+      }
+      val dfK = rel.filter(col("o_orderkey") < lit(maxK / 8))
+      val dfC = rel.filter(col("o_custkey") < lit(maxC / 8))
+      val (fk, fc) = (filesScanned(dfK), filesScanned(dfC))
+      require(fk < nFiles && fc < nFiles,
+        s"q142: z-order must prune BOTH dimensions (orderkey $fk, custkey $fc of $nFiles)")
+      val out = orderCols(dfK).withColumn("dim", lit("k"))
+        .unionByName(orderCols(dfC).withColumn("dim", lit("c")))
+      Materialize.sorted(out, col("dim"), col("o_orderkey"), col("o_custkey"))
+    }
+
+  /** Both slabs over the original table; bounds re-derived as max/8. */
+  val q142Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+      |  o_orderpriority, 'k' AS dim
+      |FROM orders WHERE o_orderkey < (SELECT max(o_orderkey) // 8 FROM orders)
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+      |  o_orderpriority, 'c' AS dim
+      |FROM orders WHERE o_custkey < (SELECT max(o_custkey) // 8 FROM orders)
+      |ORDER BY dim, o_orderkey, o_custkey""".stripMargin
 }

@@ -68,8 +68,13 @@ class SkylineSpec extends AnyFunSuite {
   test("plan: prefix max is hierarchical — range exchange, every x-desc window keyed by rng") {
     val plan = Extended.q65Skyline(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning(p_retailprice"),
-      s"expected a range exchange on p_retailprice desc:\n$plan")
+    // the range exchange on x desc now executes inside the PINNED stage
+    // (Skyline pins the ranged frame so both its consumers see one set of
+    // partition labels — see the localCheckpoint comment at the site), so
+    // the visible plan starts from the materialized partitions; the law
+    // here is that no corpus-sized UNKEYED window survives downstream.
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the pinned ranged stage:\n$plan")
     // the corpus-sized prefix-max window must be keyed by the range id; a
     // global orderBy(x desc) window would serialize the frame into one task.
     // (The offsets window over per-range maxima is |ranges| rows — exempt.)
