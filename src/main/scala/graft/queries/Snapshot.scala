@@ -573,6 +573,49 @@ object Snapshot {
       Materialize.sorted(out, col("dim"), col("o_orderkey"), col("o_custkey"))
     }
 
+  /** Q143 — STREAM-SNAPSHOT ENRICHMENT under a mid-stream dimension
+    * correction, scored: micro-batch A joins the user dimension at
+    * version 1 (everyone `old`); a copy-on-write dimension update lands
+    * (users < 50 become `new`) WHILE THE STREAM'S CHECKPOINT LIVES ON;
+    * micro-batch B then joins version 2 — no restart, no half-updated
+    * directory, each batch one consistent committed snapshot via the
+    * lock-free reader. The oracle states the join-time semantics
+    * declaratively: an event's enrichment depends on WHICH BATCH carried
+    * it. This is the dimension-refresh pattern a 100 TB streaming
+    * pipeline runs daily — the snapshot substrate is what makes the
+    * refresh atomic under a live stream. */
+  def q143StreamSnapshotJoin(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q143_") { path =>
+      val base = new java.io.File(path).getParentFile
+      val landing = new java.io.File(base, "landing").getAbsolutePath
+      val out = new java.io.File(base, "out").getAbsolutePath
+      val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+      val ev = t(spark, dir, "events").select(col("event_id"), col("user_id"))
+      val dim = ev.select(col("user_id")).distinct().withColumn("status", lit("old"))
+      SnapshotStore.create(spark, dim, path, statsColumns = Seq("user_id"))
+      // batch A: drained against dim v1
+      ev.filter(pmod(col("event_id"), lit(2)) === 0).coalesce(1).write.json(landing)
+      graft.streaming.EventStreams.enrichAgainstSnapshotStream(
+        spark, landing, path, out, ckpt)
+      // the dimension correction lands mid-stream (checkpoint untouched)
+      SnapshotStore.updateWhere(spark, path,
+        col("user_id") < 50, Map("status" -> lit("new")),
+        hint = Some(RangeHint("user_id", "0", "49")))
+      // batch B: the SAME stream lineage drains it against dim v2
+      ev.filter(pmod(col("event_id"), lit(2)) === 1).coalesce(1)
+        .write.mode("append").json(landing)
+      graft.streaming.EventStreams.enrichAgainstSnapshotStream(
+        spark, landing, path, out, ckpt)
+      Materialize.sorted(spark.read.parquet(out), col("event_id"))
+    }
+
+  /** Join-time semantics declaratively: enrichment depends on the batch. */
+  val q143Sql: String =
+    """SELECT event_id, user_id,
+      |  CASE WHEN event_id % 2 = 1 AND user_id < 50 THEN 'new' ELSE 'old' END
+      |    AS status
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** Both slabs over the original table; bounds re-derived as max/8. */
   val q142Sql: String =
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,

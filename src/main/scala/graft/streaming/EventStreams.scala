@@ -321,6 +321,37 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Stream-snapshot enrichment: each micro-batch joins against the dim
+    * table's CURRENT COMMITTED VERSION, re-resolved per batch through the
+    * snapshot's lock-free reader — so a dimension correction (a
+    * copy-on-write update landing mid-stream) is visible to the next
+    * micro-batch with NO stream restart, while every batch still joins
+    * one CONSISTENT point-in-time snapshot (never a half-updated
+    * directory, the plain-parquet stream-static hazard). The enriched
+    * rows land via the idempotent keyed append, so re-delivery never
+    * duplicates. At 100 TB the dim read is the manifest-pruned relation;
+    * a broadcast-sized dim broadcasts per batch as usual. */
+  def enrichAgainstSnapshotStream(spark: SparkSession, landingDir: String,
+                                  dimPath: String, outPath: String,
+                                  checkpointDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType)))
+    val q = spark.readStream.schema(evSchema).json(landingDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val dim = graft.operators.SnapshotStore.readRelation(s, dimPath)
+        val enriched = batch.toDF().join(broadcast(dim), Seq("user_id"))
+        graft.operators.DedupAppend.append(s, enriched, outPath,
+          keys = Seq("event_id"), tieBreak = Nil, owner = Some(checkpointDir))
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** The UNBOUNDED-VOCABULARY streamed near-dup mining service —
     * [[mineNearDupsStream]] at real vocabulary (that form's mask path
     * refuses past 63 distinct tokens), routed through the PERSISTED
