@@ -1363,4 +1363,42 @@ object LlmData {
 
   /** Streamed miner from empty ≡ batch miner: x44's half-corpus oracle. */
   val x92Sql: String = x44Sql
+
+  /** X103 — HEAVY HITTERS via a MERGEABLE Misra-Gries summary + exact
+    * verification, scored: the fixed-k typed Aggregator
+    * ([[graft.functions.Aggregators.MisraGries]]) partial-aggregates
+    * map-side and merges across partitions — per-task state is k counters
+    * regardless of corpus or vocabulary size — and its candidate set is
+    * GUARANTEED to contain every token with true frequency above N/(k+1).
+    * One exact counting pass restricted to the ≤k candidates then filters
+    * to the φ=1/50 heavy hitters. The oracle computes the heavy hitters
+    * by brute force over the full vocabulary; a single candidate the
+    * sketch wrongly dropped would surface as a missing row (the isin
+    * restriction would lose it), so the hash match IS the superset proof.
+    * At 100 TB: the sketch pass moves k-sized summaries only; the verify
+    * pass shuffles candidate tokens only — the full-vocabulary groupBy
+    * that a naive spelling shuffles never happens. */
+  def x103HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 128
+    val toks = docs(spark, dir).select(explode(split(col("text"), " ")).as("tok"))
+    val sketch = toks.as[String]
+      .select(new graft.functions.Aggregators.MisraGries(k).toColumn)
+      .head()
+    require(sketch.size <= k, s"x103: sketch must hold <= $k counters, got ${sketch.size}")
+    val cand = sketch.keys.toSeq.sorted
+    val total = toks.count()
+    toks.filter(col("tok").isin(cand: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(50L) > lit(total))
+      .orderBy(col("tok"))
+  }
+
+  /** Brute-force heavy hitters over the full vocabulary. */
+  val x103Sql: String =
+    """WITH tf AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tot AS (SELECT count(*) AS n FROM tf)
+      |SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+      |FROM tf, tot GROUP BY tok, n HAVING count(*) * 50 > n
+      |ORDER BY tok""".stripMargin
 }

@@ -96,4 +96,32 @@ class FunctionEdgeSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("checksum_agg"))
   }
+
+  test("MisraGries: candidate superset guarantee, undercount bound, partition independence") {
+    import spark.implicits._
+    val mg = new Aggregators.MisraGries(8)
+    // skewed synthetic stream: token "h" 40%, "g" 20%, tail of 50 rares
+    val rows = (Seq.fill(400)("h") ++ Seq.fill(200)("g") ++
+      (0 until 400).map(i => s"r${i % 50}"))
+    val n = rows.size.toLong
+    // arbitrary partitioning must not break the guarantee
+    for (parts <- Seq(1, 4, 13)) {
+      val sk = spark.createDataset(rows).repartition(parts)
+        .select(mg.toColumn).head()
+      assert(sk.size <= 8)
+      // superset: every item above n/(k+1) is present
+      val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      truth.filter(_._2 > n / 9).keys.foreach(t =>
+        assert(sk.contains(t), s"parts=$parts lost heavy hitter $t"))
+      // undercount bound: recorded <= true, and true - recorded <= n/(k+1)
+      sk.foreach { case (t, c) =>
+        val tr = truth.getOrElse(t, 0L)
+        assert(c <= tr, s"parts=$parts overcounted $t: $c > $tr")
+        assert(tr - c <= n / 9 + 1, s"parts=$parts undercount bound broken for $t")
+      }
+    }
+    // sequential reduce-only sanity (single partition, no merge)
+    val seqSk = rows.foldLeft(mg.zero)(mg.reduce)
+    assert(seqSk.contains("h") && seqSk.contains("g"))
+  }
 }
