@@ -183,6 +183,26 @@ object SnapshotStore {
     else readSmall(fs, p).split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
+  /** Table history (DESCRIBE HISTORY): one row per committed version with
+    * the operation recorded in its commit marker and its parent version —
+    * the audit trail of the maintenance lifecycle, read lock-free from the
+    * markers alone (manifest-sized driver work, no data I/O). */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val rows = versions(spark, path).map { v =>
+      val body = readSmall(fs, markerPath(root, v))
+      val fields = body.split("\\s+").iterator
+        .flatMap(t => t.split("=", 2) match {
+          case Array(k, value) => Some(k -> value); case _ => None
+        }).toMap
+      (v, fields.getOrElse("op", "unknown"),
+        fields.get("parent").flatMap(_.toLongOption).getOrElse(v - 1))
+    }
+    import spark.implicits._
+    rows.toDF("version", "op", "parent")
+  }
+
   /** Read a version by its manifest (absolute paths resolved against the
     * root — the table is relocatable). An empty manifest (delete-all)
     * reads as an empty frame with the recorded schema. */

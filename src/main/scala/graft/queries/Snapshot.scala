@@ -609,6 +609,29 @@ object Snapshot {
       Materialize.sorted(spark.read.parquet(out), col("event_id"))
     }
 
+  /** Q144 — TABLE HISTORY, scored: after the shared lifecycle (create,
+    * two dedup appends with a full re-delivery folded inside, delete),
+    * [[graft.operators.SnapshotStore.history]] reads the audit trail
+    * lock-free from the commit markers alone — no data I/O. The oracle is
+    * the literal expected trail, which is exactly the point: the version
+    * history IS the true operation history (the re-delivered batch left
+    * no version, an aborted commit would leave no marker), so the audit
+    * answer is a deterministic fact, not a log heuristic. */
+  def q144TableHistory(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q144_") { path =>
+      buildDocsTable(spark, dir, path)
+      Materialize.sorted(SnapshotStore.history(spark, path), col("version"))
+    }
+
+  /** The literal expected trail — create, two keyed appends, delete. */
+  val q144Sql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), 'create', CAST(0 AS BIGINT)),
+      |  (CAST(2 AS BIGINT), 'append_dedup', CAST(1 AS BIGINT)),
+      |  (CAST(3 AS BIGINT), 'append_dedup', CAST(2 AS BIGINT)),
+      |  (CAST(4 AS BIGINT), 'delete', CAST(3 AS BIGINT))
+      |) AS t(version, op, parent) ORDER BY version""".stripMargin
+
   /** Join-time semantics declaratively: enrichment depends on the batch. */
   val q143Sql: String =
     """SELECT event_id, user_id,
