@@ -107,8 +107,26 @@ object SnapshotProbe {
             .filter(col("doc_id").between(2100, 2149)).count(): Unit
         })
       ops("vacuum_keep1") = time { SnapshotStore.vacuum(spark, path, 1): Unit }
+      // PER-COMMIT COST vs TABLE FILE COUNT — the manifest-lifecycle
+      // claim: a commit writes only its own delta segment, so the same
+      // small append must cost ~the same against a 100×-file table
+      // (the old full-manifest design paid an O(files) driver collect +
+      // manifest rewrite per commit). Six appends each; the first warms
+      // the path, the mean of the rest is reported; none crosses the
+      // 16-delta checkpoint threshold, isolating the pure commit.
+      val batch = docs.filter(col("doc_id") < 20)
+      val trend = Seq(8, 800).map { f =>
+        val p2 = new java.io.File(tmp, s"trend$f").getAbsolutePath
+        SnapshotStore.create(spark, docs, p2, numFiles = f)
+        val times = (1 to 6).map(_ =>
+          time { SnapshotStore.append(spark, batch, p2): Unit })
+        f -> times.tail.sum / 5.0
+      }
+      val trendJson = trend.map { case (f, s) => s""""$f":${f"$s%.3f"}""" }
+        .mkString(",")
       val opsJson = ops.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
-      println(s"""{"sf":"$dir","rows":$rows,"files":$nFiles,"ops":{$opsJson}}""")
+      println(s"""{"sf":"$dir","rows":$rows,"files":$nFiles,""" +
+        s""""ops":{$opsJson},"append_commit_vs_files":{$trendJson}}""")
     } finally graft.util.Fs.deleteTree(tmp)
     spark.stop()
   }

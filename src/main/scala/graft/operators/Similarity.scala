@@ -331,24 +331,126 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/cells")
   }
 
+  // ---- index generations (leased retrain, atomic marker flip) ----------
+
+  private def idxFs(spark: org.apache.spark.sql.SparkSession,
+                    p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** The index's committed GENERATION (0 = the flat layout
+    * [[buildIvfIndex]] writes). A generation exists iff its
+    * fail-if-exists `_gen-<k>` marker does — the SnapshotStore commit
+    * discipline applied to the index, which is what makes a probe unable
+    * to EVER see a half-swapped retrain: it resolves the newest marker
+    * (metadata-only, lock-free) and reads only the immutable files under
+    * that generation; nothing is renamed, so there is no window. */
+  private[graft] def currentGen(spark: org.apache.spark.sql.SparkSession,
+                                indexPath: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = idxFs(spark, root)
+    if (!fs.exists(root)) 0L
+    else fs.listStatus(root).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("_gen-"))
+      .flatMap(_.stripPrefix("_gen-").toLongOption)
+      .foldLeft(0L)(math.max)
+  }
+
+  private def genDir(indexPath: String, k: Long): String =
+    if (k == 0L) indexPath else s"$indexPath/gen-$k"
+
+  /** The active generation's root — every index reader resolves through
+    * this. */
+  private[graft] def indexRoot(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String): String =
+    genDir(indexPath, currentGen(spark, indexPath))
+
+  /** LEASED, ATOMIC-SWAP RETRAIN — closing the drift alarm's loop
+    * ([[assignmentDrift]]/x101 measure the drift; this acts on it):
+    * retrain centroids from `corpus`, build the reassigned cell layout as
+    * a NEW immutable generation directory, and publish it with ONE
+    * fail-if-exists marker create. A concurrent probe never sees a
+    * half-swapped index (law scored in x104): until the marker lands it
+    * resolves the previous generation; after, the new one — no rename, no
+    * window, old files untouched until retired. Replay-idempotent by
+    * TOKEN: a crash-replayed retrain whose token already published
+    * no-ops (x99's idempotence discipline applied to the retrain action).
+    * Marker-less generation dirs (a crashed retrainer's garbage) are
+    * reclaimed under the lease, and generations older than the previous
+    * one retire — one is kept back for in-flight readers. Work: one
+    * kmeans over `corpus` plus one cell-partitioned write — the rebuild
+    * the alarm was already scheduling, now with a sound publication
+    * protocol. Returns the published (or already-published) generation. */
+  def retrainIvfIndex(corpus: DataFrame, indexPath: String, token: String,
+                      numCentroids: Int = IvfCentroids, iters: Int = IvfIters,
+                      owner: Option[String] = None): Long = {
+    val spark = corpus.sparkSession
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = idxFs(spark, root)
+    Lease.withLease(fs, root, "ivf retrain", owner) {
+      val cur = currentGen(spark, indexPath)
+      val curMarker = new org.apache.hadoop.fs.Path(root, s"_gen-$cur")
+      if (cur > 0L && readSmallFile(fs, curMarker).trim == token) cur
+      else {
+        // crashed retrainers left marker-less generation dirs: reclaim
+        // (safe — the lease serializes retrainers, so no one is building)
+        fs.listStatus(root).iterator
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+          .filter(s => s.getPath.getName.stripPrefix("gen-").toLongOption
+            .exists(g => !fs.exists(new org.apache.hadoop.fs.Path(root, s"_gen-$g"))))
+          .foreach(s => fs.delete(s.getPath, true))
+        val k = cur + 1
+        buildIvfIndexWith(corpus,
+          kmeansCentroids(corpus, numCentroids, iters), genDir(indexPath, k))
+        val out = fs.create(new org.apache.hadoop.fs.Path(root, s"_gen-$k"), false)
+        try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        // retire everything older than the previous generation
+        (0L to k - 2).foreach { g =>
+          if (g == 0L) {
+            fs.delete(new org.apache.hadoop.fs.Path(root, "centroids"), true)
+            fs.delete(new org.apache.hadoop.fs.Path(root, "cells"), true)
+          } else {
+            fs.delete(new org.apache.hadoop.fs.Path(root, s"gen-$g"), true)
+            fs.delete(new org.apache.hadoop.fs.Path(root, s"_gen-$g"), false)
+          }
+          ()
+        }
+        k
+      }
+    }
+  }
+
   /** Incremental index maintenance: assign ONLY the new vectors against
     * the STORED centroids and [[DedupAppend]] them into the cell layout
     * (keyed on vec_id — a replayed batch is a no-op, the same idempotency
-    * contract as every maintained table here). No retraining: the
+    * contract as every maintained table here). Routine drift is the
     * standard IVF production trade — assignment quality degrades as the
-    * distribution drifts from the training sample; rebuild via
-    * [[buildIvfIndex]] when it does. Work is proportional to the BATCH
+    * distribution shifts from the training sample; [[assignmentDrift]]
+    * measures it and [[retrainIvfIndex]] acts on it. Folds take the index
+    * lease (owner-aware), so an append can never land in a generation a
+    * concurrent retrain is retiring. Work is proportional to the BATCH
     * (centroids broadcast + map-side argmax), never the stored index. */
   def appendToIvfIndex(newVectors: DataFrame, indexPath: String,
                        owner: Option[String] = None): Unit = {
     val spark = newVectors.sparkSession
     graft.functions.CosineUnits.register(spark)
-    val cents = spark.read.parquet(s"$indexPath/centroids")
-    val assigned = newVectors.join(assignCells(newVectors, cents), "vec_id")
-      .select(col("vec_id"), col("embedding"), col("cell"))
-    DedupAppend.append(spark, assigned, s"$indexPath/cells",
-      keys = Seq("vec_id"), tieBreak = Nil, partitionCols = Seq("cell"),
-      owner = owner)
+    val rootP = new org.apache.hadoop.fs.Path(indexPath)
+    Lease.withLease(idxFs(spark, rootP), rootP, "ivf index fold", owner) {
+      val rootDir = indexRoot(spark, indexPath)
+      val cents = spark.read.parquet(s"$rootDir/centroids")
+      val assigned = newVectors.join(assignCells(newVectors, cents), "vec_id")
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      DedupAppend.append(spark, assigned, s"$rootDir/cells",
+        keys = Seq("vec_id"), tieBreak = Nil, partitionCols = Seq("cell"),
+        owner = owner)
+    }
   }
 
   /** Per-cell assignment-drift audit of the stored IVF index: the
@@ -369,7 +471,8 @@ object Similarity {
   def assignmentDrift(newVectors: DataFrame, indexPath: String): DataFrame = {
     val spark = newVectors.sparkSession
     graft.functions.CosineUnits.register(spark)
-    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val idxDir = indexRoot(spark, indexPath)
+    val cents = spark.read.parquet(s"$idxDir/centroids")
     def units(assigned: DataFrame): DataFrame =
       assigned.join(broadcast(cents), col("cell") === col("c_id"))
         .select(col("cell"),
@@ -377,7 +480,7 @@ object Similarity {
     def perCell(u: DataFrame, n: String, m: String): DataFrame =
       u.groupBy(col("cell")).agg(count(lit(1)).as(n),
         (sum(col("u")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as(m))
-    val stored = spark.read.parquet(s"$indexPath/cells")
+    val stored = spark.read.parquet(s"$idxDir/cells")
       .select(col("vec_id"), col("embedding"), col("cell").cast(LongType).as("cell"))
     val s = perCell(units(stored), "n_stored", "stored_mean_u")
     val incoming = newVectors.join(assignCells(newVectors, cents), "vec_id")
@@ -400,12 +503,13 @@ object Similarity {
   def verifyIvfIndex(embeddings: DataFrame, indexPath: String): Boolean = {
     val spark = embeddings.sparkSession
     graft.functions.CosineUnits.register(spark)
-    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val idxDir = indexRoot(spark, indexPath)
+    val cents = spark.read.parquet(s"$idxDir/centroids")
     val cols = Seq("vec_id", "cell")
     graft.plans.ProjectionCatalog.fingerprint(
       assignCells(embeddings, cents), cols) ==
       graft.plans.ProjectionCatalog.fingerprint(
-        spark.read.parquet(s"$indexPath/cells").select(cols.map(col): _*), cols)
+        spark.read.parquet(s"$idxDir/cells").select(cols.map(col): _*), cols)
   }
 
   /** [[ivfTopKFromIndex]] gated on [[verifyIvfIndex]]: a stale index is
@@ -430,7 +534,8 @@ object Similarity {
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                        probes: DataFrame, k: Int, nprobe: Int = IvfNprobe): DataFrame = {
     graft.functions.CosineUnits.register(spark)
-    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val idxDir = indexRoot(spark, indexPath)
+    val cents = spark.read.parquet(s"$idxDir/centroids")
     val p = probes.select(col("vec_id").as("p_id"), col("embedding").as("pv"))
     val wp = Window.partitionBy(col("p_id")).orderBy(col("cos_c").desc, col("c_id").asc)
     val probeCells = p.join(broadcast(cents))
@@ -441,7 +546,7 @@ object Similarity {
     // bounded by construction: ≤ numCentroids distinct probed cells
     val wanted = probeCells.select(col("cell")).distinct()
       .collect().map(_.getLong(0))
-    val cand = spark.read.parquet(s"$indexPath/cells")
+    val cand = spark.read.parquet(s"$idxDir/cells")
       .filter(col("cell").isin(wanted: _*)) // binds to the DIRECTORY key
       .select(col("cell").cast(LongType).as("cell"),
         col("vec_id").as("n_id"), col("embedding").as("nv"))

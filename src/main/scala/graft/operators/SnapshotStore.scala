@@ -73,6 +73,27 @@ object SnapshotStore {
   final case class FileEntry(path: String, rows: Long, bytes: Long,
                              stats: Map[String, ColStats])
 
+  /** One row of a manifest LOG SEGMENT. Version N's segment
+    * (`_snapshots/v<N>/`) is a DELTA, not a snapshot: `add` rows carry
+    * the files the commit introduces (with their stats), `remove` rows
+    * name the files it drops (copy-on-write rewrites, compaction). The
+    * live file set of any version is the FOLD of the newest checkpoint at
+    * or below it plus the delta segments after it — which is what makes a
+    * commit O(its own churn) instead of O(table files): at 10⁶ files a
+    * one-file append writes a one-row segment, never a million-row
+    * manifest. `kind` distinguishes data files from row-tombstone files
+    * (merge-on-read deletes). Since every data file path is minted once
+    * (per-attempt unique dirs) and removed at most once afterwards, the
+    * fold is order-free: live = adds ∖ removes by path. */
+  final case class ManifestRow(action: String, kind: String, path: String,
+                               rows: Long, bytes: Long,
+                               stats: Map[String, ColStats])
+
+  private def addRow(e: FileEntry, kind: String = "data"): ManifestRow =
+    ManifestRow("add", kind, e.path, e.rows, e.bytes, e.stats)
+  private def removeRow(path: String): ManifestRow =
+    ManifestRow("remove", "data", path, 0L, 0L, Map.empty)
+
   /** Caller promise that `pred` can only match rows where `col` falls in
     * `[lo, hi]` (canonical encoding) — lets delete/update skip reading
     * files outside the range via the manifest alone. */
@@ -81,6 +102,14 @@ object SnapshotStore {
   private def snapDir(root: Path) = new Path(root, "_snapshots")
   private def manifestDir(root: Path, v: Long) = new Path(snapDir(root), s"v$v")
   private def markerPath(root: Path, v: Long) = new Path(snapDir(root), s"commit-$v")
+  private def ckptDir(root: Path, v: Long) = new Path(snapDir(root), s"ckpt-$v")
+
+  /** Roll the fold into a checkpoint once this many delta segments have
+    * accumulated past the previous checkpoint — bounding every read's
+    * segment count while keeping commits delta-sized. The checkpoint
+    * write itself is a distributed job over the (metadata-sized)
+    * segments, amortized 1/16 per commit. */
+  private val CheckpointEvery = 16L
 
   private def fsOf(spark: SparkSession, root: Path): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -119,15 +148,92 @@ object SnapshotStore {
     vs.last
   }
 
-  /** The manifest of version `v`: file list with stats, root-relative. */
-  def entries(spark: SparkSession, path: String, v: Long): Seq[FileEntry] = {
+  private def ckptVersions(fs: FileSystem, root: Path): Seq[Long] = {
+    val sd = snapDir(root)
+    if (!fs.exists(sd)) Nil
+    else fs.listStatus(sd).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("ckpt-"))
+      .flatMap(_.stripPrefix("ckpt-").toLongOption).toSeq.sorted
+  }
+
+  /** Parsed key=value fields of version `v`'s commit marker body. */
+  private def markerFields(fs: FileSystem, root: Path, v: Long): Map[String, String] =
+    readSmall(fs, markerPath(root, v)).split("\\s+").iterator
+      .flatMap(t => t.split("=", 2) match {
+        case Array(k, value) => Some(k -> value); case _ => None
+      }).toMap
+
+  /** The segments whose fold is version `v`'s live set: the newest
+    * checkpoint at or below `v` (if any) plus every delta after it.
+    * Returns (checkpoint version or 0, segment dirs in order). */
+  private def segmentDirs(fs: FileSystem, root: Path, v: Long): (Long, Seq[Path]) = {
+    val c = ckptVersions(fs, root).filter(_ <= v).lastOption.getOrElse(0L)
+    val dirs = (if (c > 0) Seq(ckptDir(root, c)) else Nil) ++
+      ((c + 1) to v).map(manifestDir(root, _))
+    dirs.foreach(d => require(fs.exists(d),
+      s"manifest segment missing at $root: ${d.getName} — corrupt table " +
+        "(a delta was deleted without a covering checkpoint)"))
+    (c, dirs)
+  }
+
+  /** Whether any delta in (c, v] can carry remove rows — read from the
+    * markers' recorded counts (tiny driver reads), so the common
+    * append-only fold skips the anti-join entirely. Unknown ⇒ true. */
+  private def mayRemove(fs: FileSystem, root: Path, c: Long, v: Long): Boolean =
+    ((c + 1) to v).exists { dv =>
+      !fs.exists(markerPath(root, dv)) || // staged segment: assume anything
+        !markerFields(fs, root, dv).get("removes").contains("0")
+    }
+
+  private lazy val manifestSchema: StructType =
+    Encoders.product[ManifestRow].schema
+
+  /** The SEGMENT FOLD as a Dataset: one parquet read over the segment
+    * dirs; when any segment may remove, drop every add whose path a
+    * remove names (order-free — see [[ManifestRow]]). Manifest processing
+    * stays distributed; callers collect only the final pruned list. */
+  private def foldSegments(spark: SparkSession, dirs: Seq[Path],
+                           withRemoves: Boolean): org.apache.spark.sql.Dataset[ManifestRow] = {
+    implicit val enc = Encoders.product[ManifestRow]
+    val all = spark.read.schema(manifestSchema)
+      .parquet(dirs.map(_.toString): _*).as[ManifestRow]
+    if (!withRemoves) all
+    else {
+      val adds = all.filter(col("action") === "add")
+      val removes = all.filter(col("action") === "remove").select(col("path"))
+      adds.join(removes, Seq("path"), "left_anti")
+        .select(col("action"), col("kind"), col("path"), col("rows"),
+          col("bytes"), col("stats")).as[ManifestRow]
+    }
+  }
+
+  /** Live manifest rows (data + tombstone entries) of committed version
+    * `v`, as a Dataset — the scale-safe form ([[entries]] collects it). */
+  def manifestRowsDs(spark: SparkSession, path: String,
+                     v: Long): org.apache.spark.sql.Dataset[ManifestRow] = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     require(fs.exists(markerPath(root, v)), s"version $v not committed at $path")
-    implicit val enc = Encoders.product[FileEntry]
-    spark.read.parquet(manifestDir(root, v).toString).as[FileEntry]
-      .collect().toSeq.sortBy(_.path)
+    val (c, dirs) = segmentDirs(fs, root, v)
+    foldSegments(spark, dirs, mayRemove(fs, root, c, v))
   }
+
+  /** The manifest of version `v`: DATA file list with stats,
+    * root-relative, driver-collected (the final prune step — bounded by
+    * the version's live file count; commit paths never call this). */
+  def entries(spark: SparkSession, path: String, v: Long): Seq[FileEntry] =
+    manifestRowsDs(spark, path, v).collect().toSeq
+      .filter(_.kind == "data")
+      .map(r => FileEntry(r.path, r.rows, r.bytes, r.stats))
+      .sortBy(_.path)
+
+  /** Live row-tombstone files of version `v` (merge-on-read deletes). */
+  def tombstoneEntries(spark: SparkSession, path: String,
+                       v: Long): Seq[FileEntry] =
+    manifestRowsDs(spark, path, v).collect().toSeq
+      .filter(_.kind == "tombstone")
+      .map(r => FileEntry(r.path, r.rows, r.bytes, r.stats))
+      .sortBy(_.path)
 
   /** The table schema is the HIGHEST-numbered schema file (`schema` = the
     * creation schema, `schema-<k>` = the k-th evolution). Each evolution
@@ -148,6 +254,14 @@ object SnapshotStore {
 
   private def tableSchema(fs: FileSystem, root: Path): StructType =
     StructType.fromDDL(readSmall(fs, schemaFiles(fs, root).last._2))
+
+  /** The table's current schema (latest evolution) — the read surface the
+    * format provider ([[graft.sources.v2.SnapshotSource]]) resolves
+    * against. */
+  def schemaOf(spark: SparkSession, path: String): StructType = {
+    val root = new Path(path)
+    tableSchema(fsOf(spark, root), root)
+  }
 
   /** Schema evolution: ADD COLUMN, zero-rewrite. No data file is touched
     * — files written before the evolution simply lack the column, and
@@ -191,11 +305,7 @@ object SnapshotStore {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val rows = versions(spark, path).map { v =>
-      val body = readSmall(fs, markerPath(root, v))
-      val fields = body.split("\\s+").iterator
-        .flatMap(t => t.split("=", 2) match {
-          case Array(k, value) => Some(k -> value); case _ => None
-        }).toMap
+      val fields = markerFields(fs, root, v)
       (v, fields.getOrElse("op", "unknown"),
         fields.get("parent").flatMap(_.toLongOption).getOrElse(v - 1))
     }
@@ -203,17 +313,42 @@ object SnapshotStore {
     rows.toDF("version", "op", "parent")
   }
 
+  /** The newest version committed at or before wall-clock `tsMillis`
+    * (epoch millis) — commit instants are recorded in the marker body at
+    * the commit point, so the resolution is one marker-read pass, no data
+    * I/O. Refuses if every committed version is later than `tsMillis`. */
+  def versionAsOfTimestamp(spark: SparkSession, path: String,
+                           tsMillis: Long): Long = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed snapshot at $path")
+    val at = vs.filter { v =>
+      markerFields(fs, root, v).get("ts").flatMap(_.toLongOption)
+        .forall(_ <= tsMillis) // a marker without ts (pre-upgrade) matches
+    }
+    require(at.nonEmpty,
+      s"no version at $path committed at or before epoch-millis $tsMillis")
+    at.last
+  }
+
   /** Read a version by its manifest (absolute paths resolved against the
     * root — the table is relocatable). An empty manifest (delete-all)
-    * reads as an empty frame with the recorded schema. */
+    * reads as an empty frame with the recorded schema. Live row
+    * tombstones (merge-on-read deletes) resolve here: untargeted files
+    * stay on the plain scan fast path, targeted files anti-join their
+    * rows against the tombstones. */
   def readVersion(spark: SparkSession, path: String, v: Long): DataFrame = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
-    val es = entries(spark, path, v)
+    val all = manifestRowsDs(spark, path, v).collect().toSeq
+    val es = all.filter(_.kind == "data")
+      .map(r => FileEntry(r.path, r.rows, r.bytes, r.stats)).sortBy(_.path)
+    val tombs = all.filter(_.kind == "tombstone")
+      .map(r => FileEntry(r.path, r.rows, r.bytes, r.stats))
     if (es.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema(fs, root))
-    else spark.read.schema(tableSchema(fs, root))
-      .parquet(es.map(e => new Path(root, e.path).toString): _*)
+    else readFilesResolved(spark, root, fs, es, tombs, tableSchema(fs, root))
   }
 
   def read(spark: SparkSession, path: String): DataFrame =
@@ -230,6 +365,11 @@ object SnapshotStore {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val v = currentVersion(spark, path)
+    val tombs = tombstoneEntries(spark, path, v)
+    require(tombs.isEmpty,
+      s"readRelation: version $v at $path carries ${tombs.size} live row-" +
+        "tombstone file(s) (merge-on-read deletes) which a pure file scan " +
+        "cannot apply — read via SnapshotStore.read, or compact the table")
     val idx = new graft.plans.SnapshotFileIndex(
       fs.makeQualified(root), entries(spark, path, v), tableSchema(fs, root))
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
@@ -252,12 +392,16 @@ object SnapshotStore {
   /** Manifest entries whose `[lo, hi]` interval on `col` overlaps the query
     * range — driver-side, manifest-sized, zero I/O. Files with no recorded
     * interval on `col` (all-null, or `col` not a stats column) are KEPT:
-    * pruning may only ever drop files proven disjoint. */
+    * pruning may only ever drop files proven disjoint — including when a
+    * stats string fails to parse (a foreign or corrupt manifest): the
+    * file is kept, never wrongly pruned. */
   def pruned(es: Seq[FileEntry], colName: String,
              lo: String, hi: String): Seq[FileEntry] =
     es.filter { e =>
       e.stats.get(colName) match {
-        case Some(s) => cmp(s.kind, s.hi, lo) >= 0 && cmp(s.kind, s.lo, hi) <= 0
+        case Some(s) =>
+          try cmp(s.kind, s.hi, lo) >= 0 && cmp(s.kind, s.lo, hi) <= 0
+          catch { case _: NumberFormatException => true }
         case None => true
       }
     }
@@ -274,17 +418,146 @@ object SnapshotStore {
       .parquet(es.map(e => new Path(root, e.path).toString): _*)
   }
 
+  // ---- merge-on-read row tombstones -----------------------------------------
+
+  private val TombFileCol = "__file"
+
+  /** `df`'s rows plus a root-relative source-file column, computed
+    * DISTRIBUTEDLY from the scan's `_metadata.file_path` (URI scheme
+    * stripped, root prefix removed — the same spelling [[relOf]]
+    * produces on the driver). */
+  private def withRelFile(root: Path, fs: FileSystem, df: DataFrame): DataFrame = {
+    val rootPath = fs.makeQualified(root).toUri.getPath
+    df.withColumn(TombFileCol,
+      expr("substring(regexp_replace(_metadata.file_path, " +
+        s"'^[a-zA-Z][a-zA-Z0-9+.-]*:/+', '/'), ${rootPath.length + 2})"))
+  }
+
+  private def tombSchema(schema: StructType): StructType =
+    StructType(StructField(TombFileCol, StringType, nullable = true) +: schema.fields)
+
+  /** Every LIVE row of `es` with its source file: the raw scan anti-joined
+    * (null-safe, full row + source file) against the tombstone rows. The
+    * file-scoping is the semantic point — a tombstone kills every copy of
+    * its row IN ITS FILE (exactly the pred-delete multiset semantics,
+    * since all copies match the pred equally), while an identical row
+    * appended later lives in a NEW file and is untouched. */
+  private def resolvedWithFile(spark: SparkSession, root: Path, fs: FileSystem,
+                               es: Seq[FileEntry], tombs: Seq[FileEntry],
+                               schema: StructType): DataFrame = {
+    val base = withRelFile(root, fs, spark.read.schema(schema)
+      .parquet(es.map(e => new Path(root, e.path).toString): _*))
+    if (tombs.isEmpty) base
+    else {
+      val cols = schema.fieldNames.toSeq
+      val l = base.alias("l")
+      val r = spark.read.schema(tombSchema(schema))
+        .parquet(tombs.map(t => new Path(root, t.path).toString): _*).alias("r")
+      val cond = (col(s"l.$TombFileCol") <=> col(s"r.$TombFileCol")) &&
+        cols.map(c => col(s"l.$c") <=> col(s"r.$c")).reduce(_ && _)
+      l.join(r, cond, "left_anti")
+        .select((cols :+ TombFileCol).map(c => col(s"l.$c")): _*)
+    }
+  }
+
+  /** Read `es`'s files resolving live tombstones: files NO tombstone
+    * targets read on the plain scan fast path (zero overhead — the
+    * common case); only targeted files pay the row-level anti-join. With
+    * no tombstones this IS [[readFiles]]. */
+  private def readFilesResolved(spark: SparkSession, root: Path, fs: FileSystem,
+                                es: Seq[FileEntry], tombs: Seq[FileEntry],
+                                schema: StructType): DataFrame = {
+    if (es.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    if (tombs.isEmpty)
+      return spark.read.schema(schema)
+        .parquet(es.map(e => new Path(root, e.path).toString): _*)
+    val tombDf = spark.read.schema(tombSchema(schema))
+      .parquet(tombs.map(t => new Path(root, t.path).toString): _*)
+    // files ever targeted: bounded by past MoR deletes' touch sets —
+    // metadata-sized, the final prune of this read's planning
+    val targeted = tombDf.select(col(TombFileCol)).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (dirty, clean) = es.partition(e => targeted.contains(e.path))
+    val cleanDf =
+      if (clean.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema)
+        .parquet(clean.map(e => new Path(root, e.path).toString): _*)
+    if (dirty.isEmpty) cleanDf
+    else cleanDf.unionByName(
+      resolvedWithFile(spark, root, fs, dirty, tombs, schema)
+        .select(schema.fieldNames.toSeq.map(col): _*))
+  }
+
+  /** MERGE-ON-READ DELETE: write the matched rows as ONE tombstone file
+    * (each row tagged with its source data file) and commit a delta that
+    * only ADDS that tombstone — no data file is rewritten or even named.
+    * Cost ∝ matched rows, independent of how many files they scatter
+    * across; the read-side anti-join is confined to the targeted files;
+    * [[compact]] folds every tombstone away (reads the resolved rows,
+    * removes data+tombstone files, writes net data — the law q147
+    * scores). The copy-on-write [[deleteWhere]] stays the right call when
+    * matches concentrate in few files or the table is read far more often
+    * than it is deleted from; at 100 TB a SCATTERED predicate (one row in
+    * each of 10⁴ files) is where CoW's write amplification explodes and
+    * this path writes one small file. Matched rows are resolved against
+    * existing tombstones first, so re-deleting is a true no-op. */
+  def deleteWhereMoR(spark: SparkSession, path: String, pred: Column,
+                     hint: Option[RangeHint] = None): Long = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    Lease.withLease(fs, root, "snapshot mor delete") {
+      val cur = currentVersion(spark, path)
+      val es = entries(spark, path, cur)
+      val tombs = tombstoneEntries(spark, path, cur)
+      val schema = tableSchema(fs, root)
+      val candidates = hint match {
+        case Some(h) => pruned(es, h.col, h.lo, h.hi)
+        case None => es
+      }
+      if (candidates.isEmpty) cur
+      else {
+        val matched = resolvedWithFile(spark, root, fs, candidates, tombs, schema)
+          .filter(pred <=> lit(true))
+          .select(col(TombFileCol) +: schema.fieldNames.toSeq.map(col): _*)
+        val v = cur + 1
+        val (dir, tombEs) = writeData(spark, root, fs, v, matched, Nil)
+        if (tombEs.isEmpty) { // nothing matched: a true no-op
+          fs.delete(dir, true)
+          cur
+        } else commitDelta(spark, root, fs, v,
+          tombEs.map(addRow(_, kind = "tombstone")), Nil, "delete_mor")
+      }
+    }
+  }
+
   // ---- stats + manifest construction ---------------------------------------
 
   /** (kind, encoder) for a stats column: numeric kinds get `num`
-    * (BigDecimal-parsed canonical strings); date/timestamp are encoded
-    * fixed-width ISO so `str` lexicographic order is temporal order. */
+    * (BigDecimal-parsed canonical strings); date/timestamp-ntz are encoded
+    * fixed-width ISO so `str` lexicographic order is temporal order.
+    * TimestampType (an INSTANT) is encoded as epoch MICROS under `num` —
+    * a rendered wall-clock string would depend on the writer session's
+    * `spark.sql.session.timeZone`, and a pruner in a different zone would
+    * silently drop files containing matching rows; epoch micros is the
+    * one canonical form both sides share. Float/Double guard non-finite
+    * aggregates: a NaN/Infinity min or max encodes as NULL, so the file
+    * simply carries no interval (always kept) instead of a stats string
+    * that would throw at prune time. */
   private def statsEncoder(dt: DataType): Option[(String, Column => Column)] = dt match {
-    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+    case FloatType | DoubleType => Some(("num", c =>
+      when(isnan(c) || abs(c) === lit(Double.PositiveInfinity), lit(null))
+        .otherwise(c.cast(StringType))))
+    case ByteType | ShortType | IntegerType | LongType |
          _: DecimalType => Some(("num", c => c.cast(StringType)))
     case StringType => Some(("str", identity[Column] _))
     case DateType => Some(("str", c => c.cast(StringType)))
-    case TimestampType | TimestampNTZType =>
+    case TimestampType => Some(("num", c => unix_micros(c).cast(StringType)))
+    case TimestampNTZType =>
+      // NTZ carries no instant: its micros-since-epoch encoding is defined
+      // without any zone, so formatting it through the UTC-anchored path
+      // is zone-independent by construction (verified in SnapshotStoreSpec)
       Some(("str", c => date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")))
     case _ => None
   }
@@ -339,39 +612,112 @@ object SnapshotStore {
     }
   }
 
-  /** Write `df`'s rows as version `v`'s data files. Returns their entries. */
+  /** Write `df`'s rows as version `v`'s data files, under a directory
+    * UNIQUE TO THIS ATTEMPT (`data/c<v>-<uuid>`). The uniqueness is a
+    * correctness property, not hygiene: a write-audit-publish audit holds
+    * no lease, so a concurrent writer may also be staging bytes for the
+    * same version slot — with a shared `data/c<v>` its overwrite would
+    * destroy the audited files BEFORE its own commit refuses, and publish
+    * would then commit a manifest referencing deleted data. Per-attempt
+    * dirs mean no writer can ever touch another attempt's bytes; a losing
+    * or crashed attempt leaves only unreferenced garbage for [[vacuum]].
+    * Returns (the attempt dir — for no-op cleanup, never shared) and the
+    * new files' manifest entries. */
   private def writeData(spark: SparkSession, root: Path, fs: FileSystem, v: Long,
-                        df: DataFrame, cols: Seq[String]): Seq[FileEntry] = {
-    val dir = new Path(root, s"data/c$v")
+                        df: DataFrame, cols: Seq[String]): (Path, Seq[FileEntry]) = {
+    val dir = new Path(root,
+      s"data/c$v-${java.util.UUID.randomUUID().toString.take(8)}")
     df.write.mode("overwrite").parquet(dir.toString)
-    newEntries(spark, root, fs, dir, cols)
+    (dir, newEntries(spark, root, fs, dir, cols))
   }
 
-  /** The atomic commit: manifest parquet to a tmp sibling, rename to
-    * `v<N>`, then the fail-if-exists marker. The marker is the ONLY commit
-    * point — a conflicting committer (marker exists) loses cleanly and its
-    * manifest/data garbage awaits vacuum; the table is never ambiguous. */
-  private def commit(spark: SparkSession, root: Path, fs: FileSystem, v: Long,
-                     es: Seq[FileEntry], op: String): Long = {
+  /** Raised at the commit point when version `v`'s slot is taken.
+    * `committedWinner` = true means a COMMITTED version won the slot
+    * (another writer's marker landed first) — commutative operations may
+    * rebase onto the new head and retry; false means a marker-less staged
+    * manifest holds the slot (an in-flight write-audit-publish
+    * reservation), which no writer may skip past: the staged bytes were
+    * audited against exactly this head. */
+  final class CommitConflictException(msg: String, val committedWinner: Boolean)
+      extends java.io.IOException(msg)
+
+  /** Fault-injection seam for OCC tests: invoked once per commit attempt,
+    * before the conflict checks — a test makes a competing commit land
+    * here to exercise the lost-update/rebase paths deterministically (the
+    * same seam every OCC-tested table format carries). No-op in
+    * production. */
+  @volatile private[graft] var commitFence: () => Unit = () => ()
+
+  /** The atomic commit of one DELTA segment: add/remove rows to a tmp
+    * sibling, rename to `v<N>`, then the fail-if-exists marker. The
+    * marker is the ONLY commit point — a conflicting committer loses
+    * cleanly and its segment/data garbage awaits vacuum; the table is
+    * never ambiguous. Cost is O(this commit's churn): the previous
+    * version's file list is never read, collected, or rewritten here.
+    * The marker body records op, parent, add/remove counts (the fold's
+    * fast path) and the commit instant (timestamp time travel). */
+  private def commitDelta(spark: SparkSession, root: Path, fs: FileSystem,
+                          v: Long, adds: Seq[ManifestRow],
+                          removePaths: Seq[String], op: String): Long = {
+    commitFence()
     val tmp = new Path(snapDir(root), s"tmp-$v-${java.util.UUID.randomUUID()}")
-    implicit val enc = Encoders.product[FileEntry]
-    spark.createDataset(es).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    implicit val enc = Encoders.product[ManifestRow]
+    spark.createDataset(adds ++ removePaths.map(removeRow))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val dst = manifestDir(root, v)
-    def conflict(): Nothing = {
+    def conflict(committed: Boolean): Nothing = {
       fs.delete(tmp, true)
-      throw new java.io.IOException(
-        s"snapshot commit conflict at $root: version $v already committed " +
-          "(lost update refused — retry from the new current version)")
+      throw new CommitConflictException(
+        s"snapshot commit conflict at $root: version $v already " +
+          s"${if (committed) "committed" else "staged"} " +
+          "(lost update refused — retry from the new current version)",
+        committed)
     }
-    if (fs.exists(markerPath(root, v)) || fs.exists(dst)) conflict()
-    if (!fs.rename(tmp, dst)) conflict()
+    if (fs.exists(markerPath(root, v))) conflict(true)
+    if (fs.exists(dst)) conflict(false)
+    if (!fs.rename(tmp, dst)) conflict(fs.exists(markerPath(root, v)))
     val out =
       try fs.create(markerPath(root, v), false)
-      catch { case scala.util.control.NonFatal(_) => fs.delete(dst, true); conflict() }
-    try out.write(s"op=$op parent=${v - 1} files=${es.size}"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case scala.util.control.NonFatal(_) =>
+        fs.delete(dst, true); conflict(true) }
+    try out.write(
+      (s"op=$op parent=${v - 1} adds=${adds.size} removes=${removePaths.size} " +
+        s"ts=${System.currentTimeMillis()}")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // roll a checkpoint once enough deltas accumulated (distributed job,
+    // amortized 1/CheckpointEvery per commit; best-effort — a crash here
+    // leaves a longer fold, never a wrong one)
+    val c = ckptVersions(fs, root).filter(_ <= v).lastOption.getOrElse(0L)
+    if (v - c >= CheckpointEvery) writeCheckpoint(spark, root, fs, v)
     v
+  }
+
+  /** Materialize version `v`'s fold as checkpoint `ckpt-<v>` (tmp +
+    * rename; losing a rename race to another checkpointer is benign).
+    * Every read of `v` or later then starts from this segment instead of
+    * replaying the full delta history. */
+  private def writeCheckpoint(spark: SparkSession, root: Path,
+                              fs: FileSystem, v: Long): Unit = {
+    val (c, dirs) = segmentDirs(fs, root, v)
+    val live = foldSegments(spark, dirs, mayRemove(fs, root, c, v))
+    val tmp = new Path(snapDir(root), s"tmpckpt-$v-${java.util.UUID.randomUUID()}")
+    // one writer task: a checkpoint is manifest-sized (≈50 MB / 10⁶ files
+    // at 100 TB), not data-sized — a single parquet part keeps the next
+    // fold's read one footer instead of many
+    live.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(tmp, ckptDir(root, v))) fs.delete(tmp, true)
+  }
+
+  /** Explicit maintenance form of the checkpoint roll (the auto roll
+    * fires every [[CheckpointEvery]] commits). */
+  def checkpointManifest(spark: SparkSession, path: String): Unit = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    Lease.withLease(fs, root, "snapshot manifest checkpoint") {
+      val v = currentVersion(spark, path)
+      if (!fs.exists(ckptDir(root, v))) writeCheckpoint(spark, root, fs, v)
+    }
   }
 
   // ---- write operations (all serialize on the table Lease) -----------------
@@ -390,7 +736,8 @@ object SnapshotStore {
       s"stats column $c: unsupported type ${df.schema(c).dataType}"))
     // owner: a streaming bootstrap's crash-replay re-acquires its own
     // stale lease (create is safely re-runnable until its commit marker
-    // lands — data/c1 is overwritten, the marker is the only commit point)
+    // lands — a dead attempt's per-attempt data dir is unreferenced
+    // garbage for vacuum; the marker is the only commit point)
     Lease.withLease(fs, root, "snapshot create", owner) {
       require(versions(spark, path).isEmpty, s"snapshot table already exists at $path")
       fs.mkdirs(snapDir(root))
@@ -403,24 +750,58 @@ object SnapshotStore {
             .sortWithinPartitions(clusterBy.map(col): _*)
         else if (numFiles > 0) df.repartition(numFiles)
         else df
-      commit(spark, root, fs, 1L,
-        writeData(spark, root, fs, 1L, shaped, statsColumns), "create")
+      commitDelta(spark, root, fs, 1L,
+        writeData(spark, root, fs, 1L, shaped, statsColumns)._2.map(addRow(_)),
+        Nil, "create")
     }
   }
 
-  /** Multiset append: new files only; every current file carried forward by
-    * reference (manifest-sized work + the new bytes — never a rewrite). */
+  /** Bounded optimistic retries for COMMUTATIVE commits (append,
+    * dedup-append): on losing the version slot to another COMMITTED
+    * writer, `body(attempt)` re-resolves the new head and re-commits —
+    * the Delta-style rebase, here trivially safe because an append's
+    * content is independent of the head it lands on (dedup-append
+    * re-derives its anti-join against the new head inside `body`).
+    * Non-commutative operations (delete/update/merge/compact) never come
+    * here: their rewrite was computed against a specific head, so the
+    * refusal stands. A STAGED (marker-less) slot never rebases either —
+    * it is a write-audit-publish reservation. */
+  private def withCommitRebase(what: String)(body: Int => Long): Long = {
+    val maxAttempts = 4
+    var attempt = 0
+    while (true) {
+      try return body(attempt)
+      catch {
+        case c: CommitConflictException
+            if c.committedWinner && attempt < maxAttempts - 1 =>
+          attempt += 1 // rebase onto the new head and retry
+      }
+    }
+    sys.error(s"$what: unreachable")
+  }
+
+  /** Multiset append: ONE delta segment naming only the new files; every
+    * current file carries forward implicitly (the fold), so the commit
+    * never reads, collects, or rewrites the table's file list — O(batch)
+    * at any table size. On losing the commit slot to another committed
+    * writer, the already-written files re-commit against the new head
+    * (append is commutative; the staged bytes are head-independent). */
   def append(spark: SparkSession, df: DataFrame, path: String): Long = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     Lease.withLease(fs, root, "snapshot append") {
-      val cur = currentVersion(spark, path)
-      val v = cur + 1
-      val newEs = writeData(spark, root, fs, v, df, statsCols(fs, root))
+      val cur0 = currentVersion(spark, path)
+      val (dataDir, newEs) =
+        writeData(spark, root, fs, cur0 + 1, df, statsCols(fs, root))
       if (newEs.isEmpty) { // empty batch: a true no-op, not an empty version
-        fs.delete(new Path(root, s"data/c$v"), true)
-        cur
-      } else commit(spark, root, fs, v, entries(spark, path, cur) ++ newEs, "append")
+        fs.delete(dataDir, true)
+        cur0
+      } else withCommitRebase("snapshot append") { _ =>
+        // re-resolve per attempt; the data dir's name keeps the FIRST
+        // attempt's slot number — cosmetic only, paths are opaque
+        commitDelta(spark, root, fs, currentVersion(spark, path) + 1,
+          newEs.map(addRow(_)), Nil, "append")
+      }
     }
   }
 
@@ -439,17 +820,25 @@ object SnapshotStore {
     // crashed lineage's restart re-acquires its own stale lease; the
     // replayed batch is already a version-preserving no-op below
     Lease.withLease(fs, root, "snapshot dedup append", owner) {
-      val cur = currentVersion(spark, path)
-      val inBatch = DedupAppend.survivors(df, keys, tieBreak)
-      val fresh = inBatch.join(
-        readVersion(spark, path, cur).select(keys.map(col): _*), keys, "left_anti")
-      val v = cur + 1
-      val newEs = writeData(spark, root, fs, v, fresh, statsCols(fs, root))
-      if (newEs.isEmpty) { // fully re-delivered batch: idempotent no-op
-        fs.delete(new Path(root, s"data/c$v"), true)
-        cur
-      } else commit(spark, root, fs, v,
-        entries(spark, path, cur) ++ newEs, "append_dedup")
+      withCommitRebase("snapshot dedup append") { attempt =>
+        // each attempt re-derives the anti-join against the CURRENT head:
+        // a rebase after losing the slot must re-check its keys against
+        // whatever the winning commit added, or a key that just landed
+        // would be silently duplicated — so unlike plain append, the
+        // rebase re-filters and re-writes (the lost attempt's data dir is
+        // vacuum garbage)
+        val cur = currentVersion(spark, path)
+        val inBatch = DedupAppend.survivors(df, keys, tieBreak)
+        val fresh = inBatch.join(
+          readVersion(spark, path, cur).select(keys.map(col): _*), keys, "left_anti")
+        val v = cur + 1
+        val (dataDir, newEs) = writeData(spark, root, fs, v, fresh, statsCols(fs, root))
+        if (newEs.isEmpty) { // fully re-delivered batch: idempotent no-op
+          fs.delete(dataDir, true)
+          cur
+        } else commitDelta(spark, root, fs, v, newEs.map(addRow(_)), Nil,
+          "append_dedup")
+      }
     }
   }
 
@@ -486,14 +875,20 @@ object SnapshotStore {
     Lease.withLease(fs, root, "snapshot delete") {
       val cur = currentVersion(spark, path)
       val es = entries(spark, path, cur)
-      val (touched, carried) = splitTouched(spark, path, root, es, pred, hint)
+      val (touched, _) = splitTouched(spark, path, root, es, pred, hint)
       if (touched.isEmpty) cur
       else {
         val v = cur + 1
-        val kept = readFiles(spark, path, touched).filter(!(pred <=> lit(true)))
-        commit(spark, root, fs, v,
-          carried ++ writeData(spark, root, fs, v, kept, statsCols(fs, root)),
-          "delete")
+        // rewrite from the RESOLVED rows: on a tombstoned table a raw
+        // rewrite would resurrect dead rows into the fresh files
+        val kept = readFilesResolved(spark, root, fs, touched,
+          tombstoneEntries(spark, path, cur), tableSchema(fs, root))
+          .filter(!(pred <=> lit(true)))
+        // delta: the rewritten files in, the touched originals out — the
+        // untouched majority is never even named
+        commitDelta(spark, root, fs, v,
+          writeData(spark, root, fs, v, kept, statsCols(fs, root))._2.map(addRow(_)),
+          touched.map(_.path), "delete")
       }
     }
   }
@@ -513,11 +908,12 @@ object SnapshotStore {
       set.keys.foreach(c => require(schema.fieldNames.contains(c),
         s"update of unknown column $c"))
       val es = entries(spark, path, cur)
-      val (touched, carried) = splitTouched(spark, path, root, es, pred, hint)
+      val (touched, _) = splitTouched(spark, path, root, es, pred, hint)
       if (touched.isEmpty) cur
       else {
         val v = cur + 1
-        val updated = readFiles(spark, path, touched).select(
+        val updated = readFilesResolved(spark, root, fs, touched,
+          tombstoneEntries(spark, path, cur), schema).select(
           schema.fieldNames.toSeq.map { c =>
             set.get(c) match {
               case Some(e) =>
@@ -525,9 +921,9 @@ object SnapshotStore {
               case None => col(c)
             }
           }: _*)
-        commit(spark, root, fs, v,
-          carried ++ writeData(spark, root, fs, v, updated, statsCols(fs, root)),
-          "update")
+        commitDelta(spark, root, fs, v,
+          writeData(spark, root, fs, v, updated, statsCols(fs, root))._2.map(addRow(_)),
+          touched.map(_.path), "update")
       }
     }
   }
@@ -577,33 +973,37 @@ object SnapshotStore {
         case Some(h) => pruned(es, h.col, h.lo, h.hi)
         case None => es
       }
-      val candSet = candidates.map(_.path).toSet
-      val carried0 = es.filterNot(e => candSet.contains(e.path))
+      // no broadcast hint on the batch-key side: AQE picks broadcast when
+      // the batch is actually small and falls back to a shuffled join when
+      // it is not — a forced hint would OOM the driver on a large merge
       val touchedSet: Set[String] =
         if (candidates.isEmpty) Set.empty
         else readFiles(spark, path, candidates)
           // _metadata resolves only on the scan itself — materialize it
           // before the join or the hidden column is gone
           .select(col("_metadata.file_path").as("__fp") +: keys.map(col): _*)
-          .join(broadcast(one.select(keys.map(col): _*)), keys, "left_semi")
+          .join(one.select(keys.map(col): _*), keys, "left_semi")
           .select(col("__fp")).distinct().collect()
           .map(r => relOf(fs, root, r.getString(0))).toSet
-      val (touched, clean) = candidates.partition(e => touchedSet.contains(e.path))
-      val carried = carried0 ++ clean
+      val touched = candidates.filter(e => touchedSet.contains(e.path))
       // every matched key's row lives in a touched file BY CONSTRUCTION,
       // so the rewrite is simply: touched files' rows whose key is not in
       // the batch, union the whole batch (matched rows replaced, unmatched
       // inserted) — one anti-join on the key, nothing else
       val rewritten =
         if (touched.isEmpty) one
-        else readFiles(spark, path, touched)
-          .join(broadcast(one.select(keys.map(col): _*)), keys, "left_anti")
+        else readFilesResolved(spark, root, fs, touched,
+          tombstoneEntries(spark, path, cur), schema)
+          .join(one.select(keys.map(col): _*), keys, "left_anti")
           .select(schema.fieldNames.toSeq.map(col): _*)
           .unionByName(one)
       val v = cur + 1
-      val newEs = writeData(spark, root, fs, v, rewritten, statsCols(fs, root))
-      if (newEs.isEmpty && touched.isEmpty) cur // empty batch: true no-op
-      else commit(spark, root, fs, v, carried ++ newEs, "merge")
+      val (dataDir, newEs) = writeData(spark, root, fs, v, rewritten, statsCols(fs, root))
+      if (newEs.isEmpty && touched.isEmpty) { // empty batch: true no-op
+        fs.delete(dataDir, true)
+        cur
+      } else commitDelta(spark, root, fs, v, newEs.map(addRow(_)),
+        touched.map(_.path), "merge")
     }
   }
 
@@ -634,7 +1034,11 @@ object SnapshotStore {
       val bytes = es.map(_.bytes).sum
       val nOut = math.min(Int.MaxValue.toLong,
         math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)).toInt
-      val df = readFiles(spark, path, es)
+      // the compaction read RESOLVES tombstones: the rewritten files carry
+      // the net rows, and the delta below drops every tombstone — this is
+      // what folds merge-on-read deletes back into a pure file table
+      val df = readFilesResolved(spark, root, fs, es,
+        tombstoneEntries(spark, path, cur), tableSchema(fs, root))
       val shaped =
         if (zOrderBy.nonEmpty) {
           // VALUE-based normalization from the manifest's own global
@@ -671,8 +1075,13 @@ object SnapshotStore {
             .sortWithinPartitions(clusterBy.map(col): _*)
         else df.repartition(nOut)
       val v = cur + 1
-      commit(spark, root, fs, v,
-        writeData(spark, root, fs, v, shaped, statsCols(fs, root)), "compact")
+      // compaction's delta removes EVERY current file (data and any live
+      // row tombstones — the rewrite read is tombstone-resolved, so the
+      // new files carry the net rows and the tombstones fold away here)
+      commitDelta(spark, root, fs, v,
+        writeData(spark, root, fs, v, shaped, statsCols(fs, root))._2.map(addRow(_)),
+        es.map(_.path) ++ tombstoneEntries(spark, path, cur).map(_.path),
+        "compact")
     }
   }
 
@@ -697,14 +1106,15 @@ object SnapshotStore {
     Lease.withLease(fs, root, "snapshot stage") {
       val cur = currentVersion(spark, path)
       val v = cur + 1
-      val es = entries(spark, path, cur) ++
-        writeData(spark, root, fs, v, df, statsCols(fs, root))
+      val (dataDir, newEs) = writeData(spark, root, fs, v, df, statsCols(fs, root))
       val tmp = new Path(snapDir(root), s"tmp-$v-${java.util.UUID.randomUUID()}")
-      implicit val enc = Encoders.product[FileEntry]
-      spark.createDataset(es).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      implicit val enc = Encoders.product[ManifestRow]
+      spark.createDataset(newEs.map(addRow(_)))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val dst = manifestDir(root, v)
       if (fs.exists(dst) || fs.exists(markerPath(root, v)) || !fs.rename(tmp, dst)) {
         fs.delete(tmp, true)
+        fs.delete(dataDir, true)
         throw new java.io.IOException(
           s"snapshot stage conflict at $root: version $v already staged or committed")
       }
@@ -712,22 +1122,33 @@ object SnapshotStore {
     }
   }
 
-  /** Read a STAGED (unpublished) version — the audit's input. */
+  /** Read a STAGED (unpublished) version — the audit's input: the
+    * committed base's fold plus the staged delta segment. */
   def readStaged(spark: SparkSession, path: String, v: Long): DataFrame = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     require(fs.exists(manifestDir(root, v)) && !fs.exists(markerPath(root, v)),
       s"version $v at $path is not a staged (unpublished) version")
-    implicit val enc = Encoders.product[FileEntry]
-    val es = spark.read.parquet(manifestDir(root, v).toString).as[FileEntry]
-      .collect().toSeq.sortBy(_.path)
-    readFiles(spark, path, es)
+    require(fs.exists(markerPath(root, v - 1)),
+      s"staged version $v at $path has no committed base v${v - 1}")
+    val (_, baseDirs) = segmentDirs(fs, root, v - 1)
+    val all = foldSegments(spark, baseDirs :+ manifestDir(root, v),
+      withRemoves = true).collect().toSeq
+    val es = all.filter(_.kind == "data")
+      .map(r => FileEntry(r.path, r.rows, r.bytes, r.stats)).sortBy(_.path)
+    val tombs = all.filter(_.kind == "tombstone")
+      .map(r => FileEntry(r.path, r.rows, r.bytes, r.stats))
+    readFilesResolved(spark, root, fs, es, tombs, tableSchema(fs, root))
   }
 
   /** Publish a staged version: ONE marker create — the same atomic commit
     * point as every other operation. Refuses if the staged version is no
     * longer current+1 (another commit landed mid-audit: the audited bytes
-    * would not be what lands). */
+    * would not be what lands), and verifies every file the staged manifest
+    * references still exists — belt-and-suspenders against any interleave
+    * that reclaimed staged bytes (per-attempt data dirs already make a
+    * concurrent writer unable to TOUCH them; this catches an operator's
+    * manual deletion or an errant vacuum of a foreign table copy). */
   def publish(spark: SparkSession, path: String, v: Long): Long = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
@@ -737,21 +1158,34 @@ object SnapshotStore {
       if (cur != v - 1) throw new java.io.IOException(
         s"snapshot publish conflict at $path: staged v$v audited against v${v - 1} " +
           s"but current is v$cur — re-stage against the new current version")
+      implicit val enc = Encoders.product[ManifestRow]
+      val stagedAdds = spark.read.schema(manifestSchema)
+        .parquet(manifestDir(root, v).toString).as[ManifestRow]
+        .collect().toSeq.filter(_.action == "add")
+      val missing = stagedAdds.filterNot(e => fs.exists(new Path(root, e.path)))
+      if (missing.nonEmpty) throw new java.io.IOException(
+        s"snapshot publish refused at $path: staged v$v references " +
+          s"${missing.size} missing data file(s) (e.g. ${missing.head.path}) — " +
+          "the audited bytes are gone; abandon and re-stage")
       val out =
         try fs.create(markerPath(root, v), false)
         catch {
           case scala.util.control.NonFatal(_) => throw new java.io.IOException(
             s"snapshot publish conflict at $path: version $v already committed")
         }
-      try out.write(s"op=publish parent=${v - 1}"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try out.write(
+        (s"op=publish parent=${v - 1} adds=${stagedAdds.size} removes=0 " +
+          s"ts=${System.currentTimeMillis()}")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       v
     }
   }
 
-  /** Drop a staged version that failed its audit: manifest dir + the
-    * staged data files (never any committed version's files). */
+  /** Drop a staged version that failed its audit: manifest dir + every
+    * per-attempt data dir written for that version slot (never any
+    * committed version's files — the marker-absence check guards that,
+    * and a racing committer for the same slot holds the lease too). */
   def abandon(spark: SparkSession, path: String, v: Long): Unit = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
@@ -759,7 +1193,14 @@ object SnapshotStore {
       require(!fs.exists(markerPath(root, v)),
         s"version $v at $path is committed — abandon refuses; use vacuum/delete")
       fs.delete(manifestDir(root, v), true)
-      fs.delete(new Path(root, s"data/c$v"), true)
+      val dataDir = new Path(root, "data")
+      if (fs.exists(dataDir))
+        fs.listStatus(dataDir).iterator
+          .filter { s =>
+            val n = s.getPath.getName
+            n == s"c$v" || n.startsWith(s"c$v-")
+          }
+          .foreach(s => fs.delete(s.getPath, true))
       ()
     }
   }
@@ -778,23 +1219,54 @@ object SnapshotStore {
   def changesBetween(spark: SparkSession, path: String,
                      fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"changesBetween: fromV $fromV > toV $toV")
-    val fromEs = entries(spark, path, fromV)
-    val toEs = entries(spark, path, toV)
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val schema = tableSchema(fs, root)
+    def split(v: Long): (Seq[FileEntry], Seq[FileEntry]) = {
+      val all = manifestRowsDs(spark, path, v).collect().toSeq
+      (all.filter(_.kind == "data")
+        .map(r => FileEntry(r.path, r.rows, r.bytes, r.stats)).sortBy(_.path),
+        all.filter(_.kind == "tombstone")
+          .map(r => FileEntry(r.path, r.rows, r.bytes, r.stats)))
+    }
+    val (fromEs, fromTombs) = split(fromV)
+    val (toEs, toTombs) = split(toV)
     val fromPaths = fromEs.map(_.path).toSet
     val toPaths = toEs.map(_.path).toSet
-    val addedRows = readFiles(spark, path, toEs.filterNot(e => fromPaths.contains(e.path)))
-    val removedRows = readFiles(spark, path, fromEs.filterNot(e => toPaths.contains(e.path)))
-    addedRows.exceptAll(removedRows).withColumn("change_type", lit("insert"))
+    // files whose VISIBLE content changed without moving: targets of
+    // tombstones added in the window (merge-on-read deletes) — the file
+    // is in both manifests but its live rows shrank
+    val fromTombPaths = fromTombs.map(_.path).toSet
+    val newTombs = toTombs.filterNot(t => fromTombPaths.contains(t.path))
+    val retombed: Set[String] =
+      if (newTombs.isEmpty) Set.empty
+      else spark.read.schema(tombSchema(schema))
+        .parquet(newTombs.map(t => new Path(root, t.path).toString): _*)
+        .select(col(TombFileCol)).distinct().collect().map(_.getString(0)).toSet
+    def changed(es: Seq[FileEntry], otherPaths: Set[String]) =
+      es.filter(e => !otherPaths.contains(e.path) || retombed.contains(e.path))
+    // each side reads ONLY its changed files, resolved under ITS version's
+    // tombstones — carried-and-untombstoned files are never opened
+    val before = readFilesResolved(spark, root, fs,
+      changed(fromEs, toPaths), fromTombs, schema)
+    val after = readFilesResolved(spark, root, fs,
+      changed(toEs, fromPaths), toTombs, schema)
+    after.exceptAll(before).withColumn("change_type", lit("insert"))
       .unionByName(
-        removedRows.exceptAll(addedRows).withColumn("change_type", lit("delete")))
+        before.exceptAll(after).withColumn("change_type", lit("delete")))
   }
 
   /** Reclaim storage: keep the newest `keepVersions` committed versions,
-    * delete every data file referenced by NO kept manifest, every dropped
-    * version's manifest+marker, and crashed committers' tmp manifest dirs.
-    * Time travel inside the kept window is untouched; reads beyond it now
-    * refuse (their marker is gone) instead of returning partial data.
-    * Returns (data files deleted, versions dropped). */
+    * delete every data file referenced by NO kept version, every dropped
+    * version's delta segment+marker, stale checkpoints, and crashed
+    * committers' tmp dirs. Before dropping anything, a checkpoint is
+    * materialized AT the oldest kept version, so every kept version's
+    * fold is independent of the dropped deltas. Time travel inside the
+    * kept window is untouched; reads beyond it now refuse (their marker
+    * is gone) instead of returning partial data. The referenced set is
+    * computed as one distributed pass over the kept segments (add rows),
+    * collected only as the final pruned path set. Returns (data files
+    * deleted, versions dropped). */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int): (Long, Long) = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val root = new Path(path)
@@ -803,6 +1275,12 @@ object SnapshotStore {
       val vs = versions(spark, path)
       require(vs.nonEmpty, s"no committed snapshot at $path")
       val (dropped, kept) = vs.splitAt(math.max(0, vs.size - keepVersions))
+      val oldest = kept.head
+      // 1. checkpoint at the oldest kept version: kept folds then start
+      //    there and never need a dropped delta (crash-safe — an extra
+      //    checkpoint is only ever redundant, never wrong)
+      if (dropped.nonEmpty && !ckptVersions(fs, root).contains(oldest))
+        writeCheckpoint(spark, root, fs, oldest)
       // a marker-less manifest ABOVE the committed head is an in-flight
       // write-audit-publish staging: its files are protected (abandon is
       // the explicit cleanup), unlike tmp-* dirs which are always garbage
@@ -810,12 +1288,18 @@ object SnapshotStore {
       val staged = sdList.filter(_.startsWith("v"))
         .flatMap(n => n.stripPrefix("v").toLongOption)
         .filter(v => v > vs.last && !fs.exists(markerPath(root, v)))
-      implicit val enc = Encoders.product[FileEntry]
-      val stagedRefs = staged.flatMap(v =>
-        spark.read.parquet(manifestDir(root, v).toString).as[FileEntry]
-          .collect().map(_.path))
-      val referenced =
-        (kept.flatMap(v => entries(spark, path, v).map(_.path)) ++ stagedRefs).toSet
+      // 2. referenced = every path some kept version's fold can name: all
+      //    add rows across the kept window's segments (the checkpoint
+      //    covers everything older) plus staged deltas — one distributed
+      //    pass, collect only the final path set
+      val c = ckptVersions(fs, root).filter(_ <= oldest).lastOption.getOrElse(0L)
+      val keptSegs = (if (c > 0) Seq(ckptDir(root, c)) else Nil) ++
+        ((c + 1) to vs.last).map(manifestDir(root, _)) ++
+        staged.map(manifestDir(root, _))
+      val referenced = spark.read.schema(manifestSchema)
+        .parquet(keptSegs.map(_.toString): _*)
+        .filter(col("action") === "add").select(col("path"))
+        .distinct().collect().map(_.getString(0)).toSet
       // markers first: a crash mid-vacuum must never leave a version that
       // LOOKS committed but whose files are partially deleted
       dropped.foreach { v =>
@@ -823,10 +1307,19 @@ object SnapshotStore {
           throw new java.io.IOException(s"vacuum: could not drop commit marker $v")
         fs.delete(manifestDir(root, v), true)
       }
-      // crashed committers: tmp manifest dirs never referenced by a marker
+      // the oldest kept version's own delta is also covered by the new
+      // checkpoint; stale checkpoints below it serve no kept fold
+      if (dropped.nonEmpty) {
+        fs.delete(manifestDir(root, oldest), true)
+        ckptVersions(fs, root).filter(_ < oldest)
+          .foreach(cv => fs.delete(ckptDir(root, cv), true))
+      }
+      // crashed committers/checkpointers: tmp dirs never referenced
       val sd = snapDir(root)
-      fs.listStatus(sd).iterator.filter(s => s.getPath.getName.startsWith("tmp-"))
-        .foreach(s => fs.delete(s.getPath, true))
+      fs.listStatus(sd).iterator.filter { s =>
+        val n = s.getPath.getName
+        n.startsWith("tmp-") || n.startsWith("tmpckpt-")
+      }.foreach(s => fs.delete(s.getPath, true))
       var deleted = 0L
       val dataDir = new Path(root, "data")
       if (fs.exists(dataDir)) {

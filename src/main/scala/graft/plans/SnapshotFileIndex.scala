@@ -48,7 +48,13 @@ final class SnapshotFileIndex(
     .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS").withZone(java.time.ZoneOffset.UTC)
 
   /** Canonical-string spelling of a literal, matching the manifest's
-    * encoding for the column kind; None = unencodable → do not prune. */
+    * encoding for the column kind; None = unencodable → do not prune.
+    * TimestampType literals (epoch micros — an instant) canonicalize as
+    * the micros value itself, matching the writer's `unix_micros` `num`
+    * encoding: both sides are zone-free, so a non-UTC session cannot make
+    * writer and pruner disagree. TimestampNTZ micros carry a zone-free
+    * wall clock; they render through the fixed UTC-anchored formatter,
+    * which is the identity inverse of the writer's `date_format`. */
   private def canon(v: Any, dt: DataType): Option[String] = (v, dt) match {
     case (null, _) => None
     case (s: UTF8String, StringType) => Some(s.toString)
@@ -57,7 +63,8 @@ final class SnapshotFileIndex(
     case (d: Decimal, _: DecimalType) => Some(d.toBigDecimal.bigDecimal.toPlainString)
     case (days: Integer, DateType) =>
       Some(java.time.LocalDate.ofEpochDay(days.toLong).toString)
-    case (micros: java.lang.Long, TimestampType | TimestampNTZType) =>
+    case (micros: java.lang.Long, TimestampType) => Some(micros.toString)
+    case (micros: java.lang.Long, TimestampNTZType) =>
       Some(tsFmt.format(java.time.Instant.ofEpochSecond(
         Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)))
     case _ => None
@@ -67,12 +74,16 @@ final class SnapshotFileIndex(
     if (kind == "num") BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
 
   /** Keep `e` unless its interval on `colName` is PROVEN disjoint from
-    * [lo, hi] (either side open). */
+    * [lo, hi] (either side open). An unparseable stats string (foreign or
+    * corrupt manifest) keeps the file — pruning must never drop a file it
+    * cannot prove disjoint. */
   private def overlaps(e: FileEntry, colName: String,
                        lo: Option[String], hi: Option[String]): Boolean =
     e.stats.get(colName) match {
       case Some(ColStats(eLo, eHi, kind)) =>
-        lo.forall(l => cmp(kind, eHi, l) >= 0) && hi.forall(h => cmp(kind, eLo, h) <= 0)
+        try lo.forall(l => cmp(kind, eHi, l) >= 0) &&
+          hi.forall(h => cmp(kind, eLo, h) <= 0)
+        catch { case _: NumberFormatException => true }
       case None => true // no interval recorded: never prune
     }
 

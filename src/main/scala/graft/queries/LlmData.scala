@@ -962,6 +962,96 @@ object LlmData {
        |FROM sagg FULL JOIN nagg ON nagg.cell = sagg.cell ORDER BY cell""".stripMargin
   }
 
+  /** X104 — LEASED IVF RETRAIN with an atomic generation flip, scored:
+    * the index is built from HALF the corpus (evens), the other half
+    * folds in, and [[graft.operators.Similarity.assignmentDrift]] raises
+    * the alarm x101 measures; [[graft.operators.Similarity
+    * .retrainIvfIndex]] then retrains from the full corpus and publishes
+    * the new index as an immutable GENERATION with one fail-if-exists
+    * marker — closing the alarm→rebuild loop that was previously manual.
+    * The require gates pin the service contract: the verified probe is
+    * exact BEFORE the retrain; DURING a simulated half-swap (a crashed
+    * retrainer's marker-less generation dir sits in the index root —
+    * probes resolve only committed markers, so they cannot see it: the
+    * never-half-swapped law); and AFTER, where it must equal a fresh
+    * full-corpus build row-for-row (kmeans determinism via the
+    * integer-unit contract makes that an exact check). A replayed retrain
+    * with the same token is a generation-level no-op (x99's idempotence
+    * discipline), and the crashed retrainer's garbage is reclaimed under
+    * the lease. The oracle replays the full-corpus train + probe in SQL.
+    * At 100 TB the retrain cost is the rebuild the alarm was already
+    * scheduling; the generation protocol adds one marker create and keeps
+    * probes lock-free throughout. */
+  def x104IvfRetrain(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x104_").toFile
+    try {
+      val e = embs(spark, dir)
+      val even = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = e.filter(pmod(col("vec_id"), lit(2)) =!= 0)
+      val idx = new java.io.File(tmp, "idx").getAbsolutePath
+      Similarity.buildIvfIndexWith(even, Similarity.kmeansCentroids(even), idx)
+      Similarity.appendToIvfIndex(odd, idx)
+      // the alarm signal the retrain acts on (x101 scores its exactness)
+      require(Similarity.assignmentDrift(odd, idx).count() > 0,
+        "x104: the drift audit must produce a signal")
+      // half-swap law: a crashed retrainer's marker-less generation dir is
+      // INVISIBLE — the verified probe stays exact while it sits there
+      val root = new org.apache.hadoop.fs.Path(idx)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(root, "gen-7/cells"))
+      val before = Similarity.ivfTopKFromIndexVerified(spark, idx, e,
+        e.filter(col("vec_id") < 10), 5)
+      require(before.count() > 0, "x104: the pre-retrain probe must answer")
+      // retrain from the full corpus: ONE marker create publishes gen 1
+      require(Similarity.retrainIvfIndex(e, idx, token = "x104-1") == 1L,
+        "x104: retrain must publish generation 1")
+      require(Similarity.retrainIvfIndex(e, idx, token = "x104-1") == 1L,
+        "x104: a replayed retrain with the same token must no-op")
+      require(!fs.exists(new org.apache.hadoop.fs.Path(root, "gen-7")),
+        "x104: the crashed retrainer's garbage must be reclaimed")
+      // post-swap: verified probe ≡ a fresh full-corpus build, exactly
+      val after = graft.util.Materialize.sorted(
+        Similarity.ivfTopKFromIndexVerified(spark, idx, e,
+          e.filter(col("vec_id") < 10), 5), col("p_id"), col("rn"))
+      val fresh = graft.util.Materialize.sorted(
+        Similarity.ivfTopKWith(e, Similarity.kmeansCentroids(e), 5,
+          col("vec_id") < 10), col("p_id"), col("rn"))
+      require(after.collect().toSeq == fresh.collect().toSeq,
+        "x104: the post-retrain probe must equal the fresh full-corpus build")
+      after
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
+  /** The full-corpus train + probe replayed in SQL (x99's shape with the
+    * training corpus widened from the even half to everything). */
+  lazy val x104Sql: String = {
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id
+       |          LIMIT ${Similarity.IvfCentroids}),
+       |${assignBlock("cent0", "asg0", "e")},
+       |${centBlock("asg0", "cent1", "e")},
+       |${assignBlock("cent1", "asg1", "e")},
+       |${centBlock("asg1", "cent2", "e")},
+       |${assignBlock("cent2", "asgA", "e")},
+       |p0 AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id < 10),
+       |pcpr AS (SELECT p_id, c.c_id, unnest(pv) AS x, unnest(c.cv) AS y FROM p0, cent2 c),
+       |pcs AS (SELECT p_id, c_id, $cosSumCols FROM pcpr GROUP BY 1, 2),
+       |pcc AS (SELECT p_id, c_id, $cosRExpr AS cos_c FROM pcs),
+       |pc AS (SELECT p_id, cell FROM (
+       |  SELECT p_id, c_id AS cell,
+       |    row_number() OVER (PARTITION BY p_id ORDER BY cos_c DESC, c_id ASC) AS rn
+       |  FROM pcc) WHERE rn <= ${Similarity.IvfNprobe}),
+       |cand AS (SELECT pc.p_id, pc.cell, a.vec_id AS n_id FROM pc
+       |         JOIN asgA a ON a.cell = pc.cell WHERE a.vec_id != pc.p_id),
+       |pf AS (SELECT p_id, cell, n_id, unnest(ep.v) AS x, unnest(en.v) AS y
+       |       FROM cand JOIN e ep ON ep.vec_id = p_id JOIN e en ON en.vec_id = n_id),
+       |s2 AS (SELECT p_id, cell, n_id, $cosSumCols FROM pf GROUP BY 1, 2, 3),
+       |c2 AS (SELECT p_id, cell, n_id, $cosRExpr AS cos_r FROM s2),
+       |r AS (SELECT p_id, cell, n_id, cos_r,
+       |        row_number() OVER (PARTITION BY p_id ORDER BY cos_r DESC, n_id ASC) AS rn FROM c2)
+       |SELECT p_id, rn, n_id, cell, cos_r FROM r WHERE rn <= 5 ORDER BY p_id, rn""".stripMargin
+  }
+
   // ---- X32: end-to-end curation pipeline -------------------------------
 
   /** The composed training-data curation query: exact-dedup survivors

@@ -144,6 +144,9 @@ object Snapshot {
       SnapshotStore.create(spark, t(spark, dir, "orders"), path,
         statsColumns = Seq("o_orderdate"), clusterBy = Seq("o_orderdate"), numFiles = 8)
       val es = SnapshotStore.entries(spark, path, 1)
+      // o_orderdate is TIMESTAMP_NTZ (zone-free wall clock): its stats
+      // encode as fixed-width ISO strings, so the window bounds are
+      // spelled the same way (an instant column would use epoch micros)
       val kept = SnapshotStore.pruned(es, "o_orderdate",
         "1996-06-01 00:00:00.000000", "1996-08-31 23:59:59.999999")
       require(kept.size < es.size,
@@ -470,8 +473,11 @@ object Snapshot {
         "q140: a staged version must be invisible to readers")
       require(audit(vDirty) > 0, "q140: the audit must see the staged bad rows")
       SnapshotStore.abandon(spark, path, vDirty)
-      require(!new java.io.File(path, s"data/c$vDirty").exists,
-        "q140: abandon must reclaim the staged data directory")
+      val stagedDirs = Option(new java.io.File(path, "data").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.getName == s"c$vDirty" || f.getName.startsWith(s"c$vDirty-"))
+      require(stagedDirs.isEmpty,
+        "q140: abandon must reclaim every per-attempt staged data directory")
       // clean batch: stages, audits green, publishes atomically
       val clean = docs.filter(col("doc_id") < 100)
         .withColumn("doc_id", col("doc_id") + lit(1000000L))
@@ -532,9 +538,11 @@ object Snapshot {
       |ORDER BY o_orderkey""".stripMargin
 
   /** Q142 — Z-ORDER COMPACTION with two-dimensional pruning, scored: the
-    * table compacts under `zOrderBy(o_orderkey, o_custkey)` (hierarchical
-    * rank-normalized bit interleave — Ranks.globalRank, never a
-    * single-task window), so each of the 16 files holds a small RECTANGLE
+    * table compacts under `zOrderBy(o_orderkey, o_custkey)` (VALUE-based
+    * normalization from the manifest's own global [min,max] — each column
+    * maps to 8 bits and the bits interleave; no rank pass, no window —
+    * see the compact scaladoc for the value-vs-rank trade), so each of
+    * the 16 files holds a small RECTANGLE
     * of the 2-D key space and the manifest zone map is tight in BOTH
     * columns. The require pins the payoff physically: a plain filter on
     * o_orderkey AND a plain filter on o_custkey — two different columns —
@@ -631,6 +639,195 @@ object Snapshot {
       |  (CAST(3 AS BIGINT), 'append_dedup', CAST(2 AS BIGINT)),
       |  (CAST(4 AS BIGINT), 'delete', CAST(3 AS BIGINT))
       |) AS t(version, op, parent) ORDER BY version""".stripMargin
+
+  /** Q145 — TIME TRAVEL THROUGH THE PUBLIC FORMAT API, scored: the same
+    * lifecycle and vacuum as q130, but the pinned version reads through
+    * `spark.read.format("graft-snapshot").option("versionAsOf", 3)` — the
+    * Delta/Iceberg-style surface a migrating user reaches for first —
+    * hash-equal to the helper-API form (same oracle as q130). The require
+    * gates pin the format contract: timestampAsOf resolves the current
+    * head by commit instant, versionAsOf+timestampAsOf together refuse,
+    * and a vacuumed-out version refuses loudly through the format too.
+    * The relation is [[graft.plans.SnapshotFileIndex]]-backed, so this
+    * surface inherits the whole zone-map read path (q146 pins that). */
+  def q145FormatTimeTravel(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q145_") { path =>
+      buildDocsTable(spark, dir, path)
+      SnapshotStore.vacuum(spark, path, keepVersions = 3)
+      val byVersion = spark.read.format("graft-snapshot")
+        .option("versionAsOf", 3).load(path)
+      // timestampAsOf at "now" resolves the head (all commits are past)
+      val byTs = spark.read.format("graft-snapshot")
+        .option("timestampAsOf", System.currentTimeMillis().toString).load(path)
+      require(byTs.count() == SnapshotStore.read(spark, path).count(),
+        "q145: timestampAsOf(now) must resolve the current head")
+      require(scala.util.Try(spark.read.format("graft-snapshot")
+        .option("versionAsOf", 3).option("timestampAsOf", "0").load(path)).isFailure,
+        "q145: versionAsOf + timestampAsOf together must refuse")
+      require(scala.util.Try(spark.read.format("graft-snapshot")
+        .option("versionAsOf", 1).load(path).count()).isFailure,
+        "q145: a vacuumed-out version must refuse through the format API")
+      Materialize.sorted(byVersion, col("doc_id"))
+    }
+
+  /** Same oracle as q130: version 3 is the complete pre-delete corpus. */
+  val q145Sql: String = q130Sql
+
+  /** Q146 — AUTOMATIC ZONE-MAP PRUNING THROUGH THE FORMAT API, scored:
+    * q141's physical contract (a plain `.filter(between)` scans strictly
+    * fewer files than the table holds, with the listing synthesized from
+    * the manifest) holds for `spark.read.format("graft-snapshot")` — the
+    * scan's post-execution `numFiles` metric is require'd below the file
+    * count, and the oracle re-runs the range over the full table. One
+    * relation serves both the helper and format surfaces, so the 100 TB
+    * read path (manifest prune → row-group stats → codegen) is what every
+    * API gets. */
+  def q146FormatPrune(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q146_") { path =>
+      SnapshotStore.create(spark, t(spark, dir, "orders"), path,
+        statsColumns = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"), numFiles = 8)
+      val res = orderCols(spark.read.format("graft-snapshot").load(path)
+        .filter(col("o_orderkey").between(200, 399)))
+      val out = Materialize.sorted(res, col("o_orderkey"))
+      val scans = res.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      require(scans.nonEmpty, "q146: expected a FileSourceScanExec via the format API")
+      val numFiles = scans.head.metrics("numFiles").value
+      require(numFiles > 0 && numFiles < 8,
+        s"q146: the format read must prune via the manifest (scanned $numFiles of 8)")
+      out
+    }
+
+  /** Same oracle as q141: the range over the full table. */
+  val q146Sql: String = q141Sql
+
+  /** Q147 — MERGE-ON-READ DELETE (the deletion-vector analog), scored: a
+    * SCATTERED predicate (lang = 'de' — matching rows in many of the 8
+    * range-clustered files) deletes by committing ONE tombstone delta; no
+    * data file is rewritten or even named. The require gates pin the cost
+    * model physically against a copy-on-write TWIN table running the same
+    * delete: MoR carries every data file by reference and writes strictly
+    * fewer bytes than CoW rewrites (the recorded write-amplification
+    * comparison); the resurrection law (an identical row appended later
+    * lands in a NEW file and lives — tombstones are file-scoped); MoR and
+    * CoW reads are row-identical through the rest of the lifecycle; and
+    * the compaction law — compact folds EVERY tombstone away, after which
+    * the pure-file format API reads the table again. The oracle replays
+    * delete + re-append declaratively. At 100 TB: one matching row in
+    * each of 10⁴ files costs one tombstone file here vs 10⁴ full-file
+    * rewrites under CoW. */
+  def q147MorDelete(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q147_") { path =>
+      val cowPath = path + "_cow"
+      val docs = t(spark, dir, "documents").select(docCols.map(col): _*)
+      val pred = col("lang") === "de"
+      SnapshotStore.create(spark, docs, path,
+        statsColumns = Seq("doc_id"), clusterBy = Seq("doc_id"), numFiles = 8)
+      SnapshotStore.create(spark, docs, cowPath,
+        statsColumns = Seq("doc_id"), clusterBy = Seq("doc_id"), numFiles = 8)
+      SnapshotStore.deleteWhereMoR(spark, path, pred)
+      SnapshotStore.deleteWhere(spark, cowPath, pred)
+      val v1 = SnapshotStore.entries(spark, path, 1).map(_.path).toSet
+      val v2 = SnapshotStore.entries(spark, path, 2).map(_.path).toSet
+      require(v1 == v2, "q147: MoR delete must carry EVERY data file by reference")
+      val tombs = SnapshotStore.tombstoneEntries(spark, path, 2)
+      require(tombs.nonEmpty, "q147: the delete must have committed a tombstone")
+      // write amplification, recorded: tombstone bytes ≪ CoW's rewrites
+      val cow1 = SnapshotStore.entries(spark, cowPath, 1).map(_.path).toSet
+      val cowWritten = SnapshotStore.entries(spark, cowPath, 2)
+        .filterNot(e => cow1.contains(e.path))
+      require(cowWritten.nonEmpty, "q147: precondition — CoW rewrote files")
+      val morBytes = tombs.map(_.bytes).sum
+      val cowBytes = cowWritten.map(_.bytes).sum
+      require(morBytes < cowBytes,
+        s"q147: MoR must write fewer bytes than CoW rewrites " +
+          s"($morBytes vs $cowBytes)")
+      // resurrection law: identical rows re-appended live in NEW files
+      val back = docs.filter(pred && pmod(col("doc_id"), lit(2)) === 0)
+      SnapshotStore.append(spark, back, path)
+      SnapshotStore.append(spark, back, cowPath)
+      val morRows = SnapshotStore.read(spark, path)
+        .orderBy(docCols.map(col): _*).collect().toSeq
+      val cowRows = SnapshotStore.read(spark, cowPath)
+        .orderBy(docCols.map(col): _*).collect().toSeq
+      require(morRows == cowRows,
+        "q147: MoR and CoW must read row-identically through the lifecycle")
+      // compaction law: every tombstone folds away; the pure-file format
+      // API (which refuses live tombstones) reads the table again
+      require(scala.util.Try(spark.read.format("graft-snapshot").load(path))
+        .isFailure, "q147: the format API must refuse live tombstones loudly")
+      SnapshotStore.compact(spark, path,
+        SnapshotStore.entries(spark, path, 3).map(_.bytes).sum / 4 + 1)
+      val curV = SnapshotStore.currentVersion(spark, path)
+      require(SnapshotStore.tombstoneEntries(spark, path, curV).isEmpty,
+        "q147: compaction must fold every tombstone away")
+      val viaFormat = spark.read.format("graft-snapshot").load(path)
+      require(viaFormat.count() == morRows.size,
+        "q147: post-compact format read must see the resolved rows")
+      Materialize.sorted(SnapshotStore.read(spark, path), col("doc_id"))
+    }
+
+  /** Delete + re-append replayed declaratively. */
+  val q147Sql: String =
+    """SELECT doc_id, text, lang, source, n_chars FROM documents
+      |WHERE lang IS DISTINCT FROM 'de'
+      |UNION ALL
+      |SELECT doc_id, text, lang, source, n_chars FROM documents
+      |WHERE lang = 'de' AND doc_id % 2 = 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** Q148 — SNAPSHOT CDC AS A STREAMING SOURCE, scored under full
+    * crash-replay: the shared lifecycle commits v1..v4, and
+    * [[graft.streaming.EventStreams.snapshotCdcStream]] SUBSCRIBES — the
+    * commit markers are the event log, each version folds exactly once
+    * into a maintained per-lang aggregate living on its own snapshot
+    * table (q138's IVM algebra, no polling). A later delete (v5) lands
+    * mid-lineage and the SAME checkpoint drains just that delta. The
+    * require gates pin exactly-once end to end: the delta-folded MV is
+    * row-equal to a direct aggregate of the current table, and a FULL
+    * redelivery from a fresh checkpoint (every marker again — the worst
+    * crash) is a version-level no-op on the MV table thanks to the
+    * in-row `as_of_version` high-water mark committed atomically with
+    * the data. This is the push form of q137/q138: a downstream MV at
+    * 100 TB follows the table paying churn-sized reads per version, with
+    * no coordinator and no re-scan. */
+  def q148CdcStream(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q148_") { path =>
+      val base = new java.io.File(path).getParentFile
+      val mvPath = new java.io.File(base, "mv").getAbsolutePath
+      val ckpt1 = new java.io.File(base, "ckpt1").getAbsolutePath
+      val ckpt2 = new java.io.File(base, "ckpt2").getAbsolutePath
+      buildDocsTable(spark, dir, path) // v1..v4 (v4 deletes 'de')
+      graft.streaming.EventStreams.snapshotCdcStream(spark, path, mvPath, ckpt1)
+      // a later commit: the SAME lineage folds only the new delta
+      SnapshotStore.deleteWhere(spark, path, col("lang") === "zh")
+      graft.streaming.EventStreams.snapshotCdcStream(spark, path, mvPath, ckpt1)
+      def aggOf(df: DataFrame): DataFrame =
+        df.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+      val mv = SnapshotStore.read(spark, mvPath)
+        .filter(col("n_docs") > 0L)
+        .select(col("lang"), col("n_docs"), col("sum_chars"))
+      val direct = aggOf(SnapshotStore.read(spark, path))
+      require(mv.orderBy(col("lang")).collect().toSeq ==
+        direct.orderBy(col("lang")).collect().toSeq,
+        "q148: the subscribed fold must equal the direct aggregate exactly")
+      // full crash-replay: every marker redelivered from a fresh checkpoint
+      val mvVersions = SnapshotStore.versions(spark, mvPath)
+      graft.streaming.EventStreams.snapshotCdcStream(spark, path, mvPath, ckpt2)
+      require(SnapshotStore.versions(spark, mvPath) == mvVersions,
+        "q148: full redelivery must be a version-level no-op on the MV")
+      Materialize.sorted(mv, col("lang"))
+    }
+
+  /** The maintained aggregate recomputed from the original table. */
+  val q148Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE lang IS DISTINCT FROM 'de' AND lang IS DISTINCT FROM 'zh'
+      |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Join-time semantics declaratively: enrichment depends on the batch. */
   val q143Sql: String =

@@ -1,0 +1,104 @@
+package graft.sources.v2
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.SnapshotStore
+import graft.plans.SnapshotFileIndex
+
+/** The PUBLIC format-string reader for the snapshot table — the
+  * Delta/Iceberg-style surface a migrating user reaches for first
+  * (reference documentation.md:411 frames the warehouse as the queryable
+  * product; this is its table format read as a first-class Spark source):
+  *
+  * {{{
+  * spark.read.format("graft-snapshot").load(tableRoot)                 // current
+  * spark.read.format("graft-snapshot")
+  *   .option("versionAsOf", 3).load(tableRoot)                         // time travel
+  * spark.read.format("graft-snapshot")
+  *   .option("timestampAsOf", "2026-08-16T12:00:00Z").load(tableRoot)  // by instant
+  * }}}
+  *
+  * Design: the relation IS a [[HadoopFsRelation]] whose file listing is a
+  * [[graft.plans.SnapshotFileIndex]] synthesized from the resolved
+  * version's manifest fold — so the format API inherits EVERYTHING the
+  * engine's read path already proves: zone-map file pruning from plain
+  * `.filter`s at planning time (zero filesystem RPCs — the listing comes
+  * from the manifest), parquet row-group pushdown below that, columnar
+  * vectorized reads, and whole-stage codegen. This is deliberately the
+  * FileIndex extension seam rather than a bespoke DSv2 `Scan`: Spark's
+  * own file sources route all pruning/pushdown through `FileIndex` +
+  * `ParquetFileFormat`, and a custom DSv2 scan would have to re-implement
+  * the vectorized parquet reader to match it. (The engine's `graft-http-
+  * json` / `graft-jsonl` sources ARE DSv2 `TableProvider`s — there the
+  * rows come from non-file readers, which is what that API is for.)
+  *
+  * Options: `versionAsOf` (a committed version number) or `timestampAsOf`
+  * (ISO-8601 instant or epoch millis; resolves to the newest version
+  * committed at or before it via the markers' recorded commit instants —
+  * one metadata pass, no data I/O). Both at once refuse. Reads are
+  * lock-free snapshot reads: the resolved manifest is immutable, so a
+  * concurrent writer never disturbs this relation.
+  *
+  * Tables carrying live row tombstones (merge-on-read deletes) refuse
+  * loudly here rather than return resurrected rows: the pure-file
+  * relation cannot apply the tombstone anti-join. `SnapshotStore.read`
+  * resolves them; compaction folds them away (after which this format
+  * reads the table again).
+  */
+class SnapshotSource extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "graft-snapshot"
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snapshot: a table root is required — spark.read.format(" +
+        "\"graft-snapshot\").load(<path>)"))
+    val versionOpt = parameters.get("versionasof")
+      .orElse(parameters.get("versionAsOf"))
+    val tsOpt = parameters.get("timestampasof")
+      .orElse(parameters.get("timestampAsOf"))
+    require(versionOpt.isEmpty || tsOpt.isEmpty,
+      "graft-snapshot: versionAsOf and timestampAsOf are mutually exclusive")
+    val v = (versionOpt, tsOpt) match {
+      case (Some(vs), _) => vs.toLongOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-snapshot: versionAsOf must be a version number, got '$vs'"))
+      case (_, Some(ts)) =>
+        val millis = ts.toLongOption.getOrElse(
+          try java.time.Instant.parse(ts).toEpochMilli
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"graft-snapshot: timestampAsOf must be an ISO-8601 instant " +
+                  s"or epoch millis, got '$ts'")
+          })
+        SnapshotStore.versionAsOfTimestamp(spark, path, millis)
+      case _ => SnapshotStore.currentVersion(spark, path)
+    }
+    val tombs = SnapshotStore.tombstoneEntries(spark, path, v)
+    require(tombs.isEmpty,
+      s"graft-snapshot: version $v at $path carries ${tombs.size} live row-" +
+        "tombstone file(s) (merge-on-read deletes) which a pure file scan " +
+        "cannot apply — read via SnapshotStore.read, or compact the table " +
+        "to fold the tombstones away")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idx = new SnapshotFileIndex(fs.makeQualified(root),
+      SnapshotStore.entries(spark, path, v),
+      SnapshotStore.schemaOf(spark, path))
+    HadoopFsRelation(
+      location = idx,
+      partitionSchema = StructType(Nil),
+      dataSchema = SnapshotStore.schemaOf(spark, path),
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+  }
+}

@@ -321,6 +321,92 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** SNAPSHOT CDC AS A STREAMING SOURCE — the subscription form of
+    * [[graft.operators.SnapshotStore.changesBetween]]: q137/q138 POLL the
+    * change feed; this SUBSCRIBES. The table's commit markers are
+    * themselves the event log, so a checkpointed file stream over
+    * `_snapshots/commit-*` delivers each committed version exactly once
+    * per lineage — version-watermarked with no custom offset bookkeeping
+    * (the file source's seen-files log is the offset). Each micro-batch
+    * folds ONLY the manifest-diff deltas of its new versions into a
+    * maintained per-lang (count, Σchars) aggregate — q138's IVM algebra —
+    * and lands the result on the MV's OWN snapshot table in ONE atomic
+    * commit that carries the `as_of_version` high-water mark in-row.
+    * Exactly-once follows without a coordinator: a crash replay (or a
+    * full redelivery from a fresh checkpoint) finds its versions at or
+    * below the stored mark and no-ops at the version level — the same
+    * discipline q134 proves for ingest, applied to a derived view.
+    * Non-contiguous delivery refuses loudly (markers commit in strict
+    * order, so a gap means a vacuumed-away version — the consumer must
+    * re-bootstrap, not silently skip deltas). Groups folding to zero keep
+    * an n_docs=0 row (merge cannot delete); readers filter. At 100 TB the
+    * consumer pays churn-sized delta reads per version — never a table
+    * re-scan — and the marker listing is metadata-sized. */
+  def snapshotCdcStream(spark: SparkSession, tablePath: String,
+                        mvPath: String, checkpointDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.SnapshotStore
+    val q = spark.readStream.format("text")
+      .load(s"$tablePath/_snapshots/commit-*")
+      .select(col("_metadata.file_path").as("marker"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val owner = Some(checkpointDir)
+        // marker names only: metadata-sized (one row per commit in batch)
+        val vs = batch.collect().map { r =>
+          new org.apache.hadoop.fs.Path(r.getString(0)).getName
+            .stripPrefix("commit-").toLong
+        }.toSeq.distinct.sorted
+        if (vs.nonEmpty) {
+          val applied =
+            if (SnapshotStore.versions(s, mvPath).isEmpty) 0L
+            else SnapshotStore.read(s, mvPath)
+              .agg(max(col("as_of_version"))).head.getLong(0)
+          val todo = vs.filter(_ > applied)
+          if (todo.nonEmpty) {
+            require(todo == (todo.head to todo.max),
+              s"snapshotCdcStream: non-contiguous versions $todo — a delta " +
+                "was vacuumed away; re-bootstrap the consumer")
+            require(applied > 0L || todo.head == 1L,
+              s"snapshotCdcStream: first delivery must start at version 1, " +
+                s"got ${todo.head}")
+            def aggOf(df: DataFrame): DataFrame =
+              df.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"),
+                sum(col("n_chars")).as("sum_chars"))
+            var mv: DataFrame =
+              if (applied == 0L) aggOf(SnapshotStore.readVersion(s, tablePath, 1L))
+              else SnapshotStore.read(s, mvPath)
+                .select(col("lang"), col("n_docs"), col("sum_chars"))
+            val foldFrom = if (applied == 0L) todo.filter(_ > 1L) else todo
+            foldFrom.foreach { v =>
+              val sign = when(col("change_type") === "insert", 1L).otherwise(-1L)
+              val d = SnapshotStore.changesBetween(s, tablePath, v - 1, v)
+                .groupBy(col("lang"))
+                .agg(sum(sign).as("d_n"), sum(sign * col("n_chars")).as("d_chars"))
+              mv = mv.join(d, Seq("lang"), "full_outer")
+                .select(col("lang"),
+                  (coalesce(col("n_docs"), lit(0L)) +
+                    coalesce(col("d_n"), lit(0L))).as("n_docs"),
+                  (coalesce(col("sum_chars"), lit(0L)) +
+                    coalesce(col("d_chars"), lit(0L))).as("sum_chars"))
+                .localCheckpoint(true) // cut per-version lineage growth
+            }
+            val out = mv.withColumn("as_of_version", lit(todo.max))
+            if (SnapshotStore.versions(s, mvPath).isEmpty)
+              SnapshotStore.create(s, out, mvPath, owner = owner)
+            else SnapshotStore.merge(s, out, mvPath,
+              keys = Seq("lang"), tieBreak = Nil, owner = owner)
+            ()
+          }
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream-snapshot enrichment: each micro-batch joins against the dim
     * table's CURRENT COMMITTED VERSION, re-resolved per batch through the
     * snapshot's lock-free reader — so a dimension correction (a

@@ -176,6 +176,36 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(root.toFile)
   }
 
+  test("IVF retrain: atomic generation flip — probes never see a half-swap; token replay no-ops") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-retrain").toFile
+    try {
+      val idx = new java.io.File(tmp, "idx").getAbsolutePath
+      val even = embs.filter(pmod(col("vec_id"), lit(2)) === 0)
+      Similarity.buildIvfIndexWith(even, Similarity.kmeansCentroids(even), idx)
+      val root = new org.apache.hadoop.fs.Path(idx)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a marker-less generation dir (crashed retrainer) is invisible
+      fs.mkdirs(new org.apache.hadoop.fs.Path(root, "gen-3/cells"))
+      assert(Similarity.currentGen(spark, idx) == 0L)
+      val preProbe = Similarity.ivfTopKFromIndexVerified(spark, idx, even,
+        even.filter(col("vec_id") < 10), 3).collect().toSeq
+      assert(preProbe.nonEmpty)
+      // retrain on the full corpus publishes gen 1; replay no-ops; the
+      // crashed dir is reclaimed; old flat layout retires at gen 2
+      assert(Similarity.retrainIvfIndex(embs, idx, "tok-a") == 1L)
+      assert(Similarity.retrainIvfIndex(embs, idx, "tok-a") == 1L)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "gen-3")))
+      assert(Similarity.verifyIvfIndex(embs, idx), "gen-1 index serves the full corpus")
+      assert(Similarity.retrainIvfIndex(embs, idx, "tok-b") == 2L)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "centroids")),
+        "the flat legacy layout retires once two generations exist")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(root, "gen-1")),
+        "one previous generation stays for in-flight readers")
+      // appends keep folding into the ACTIVE generation
+      assert(Similarity.verifyIvfIndex(embs, idx))
+    } finally graft.util.Fs.deleteTree(tmp)
+  }
+
   test("cosine near-dups: threshold respected, pairs ordered, values match pointwise cosine") {
     val out = Similarity.cosineNearDups(embs, 0.3).collect()
     assert(out.nonEmpty)

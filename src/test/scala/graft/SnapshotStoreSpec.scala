@@ -375,6 +375,301 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest fold law: checkpointing changes NO version's entries; reads stay exact") {
+    withTable { path =>
+      // a lifecycle touching every delta shape: adds only (create/append/
+      // dedup-append), removes+adds (delete/update/merge), full turnover
+      // (compact)
+      SnapshotStore.create(spark, docs.filter(col("doc_id") < 200), path,
+        statsColumns = Seq("doc_id"), clusterBy = Seq("doc_id"), numFiles = 4)
+      SnapshotStore.append(spark,
+        docs.filter(col("doc_id").between(200, 299)), path)
+      SnapshotStore.deleteWhere(spark, path, col("doc_id").between(50, 59))
+      SnapshotStore.updateWhere(spark, path,
+        col("doc_id") < 10, Map("lang" -> lit("xx")))
+      SnapshotStore.merge(spark,
+        docs.filter(col("doc_id").between(100, 109)).withColumn("source", lit("m")),
+        path, Seq("doc_id"), Nil)
+      SnapshotStore.compact(spark, path, Long.MaxValue)
+      val vs = SnapshotStore.versions(spark, path)
+      val before = vs.map(v => v -> SnapshotStore.entries(spark, path, v)).toMap
+      val reads = vs.map(v =>
+        v -> SnapshotStore.readVersion(spark, path, v).orderBy("doc_id")
+          .collect().toSeq).toMap
+      // LAW: materializing the fold as a checkpoint is invisible — every
+      // version's entries and rows are identical before and after
+      SnapshotStore.checkpointManifest(spark, path)
+      vs.foreach { v =>
+        assert(SnapshotStore.entries(spark, path, v) == before(v),
+          s"checkpoint changed v$v's entries")
+        assert(SnapshotStore.readVersion(spark, path, v).orderBy("doc_id")
+          .collect().toSeq == reads(v), s"checkpoint changed v$v's rows")
+      }
+      // and vacuum (which now checkpoints at the oldest kept version)
+      // preserves the kept window exactly
+      SnapshotStore.vacuum(spark, path, keepVersions = 3)
+      val kept = SnapshotStore.versions(spark, path)
+      assert(kept == vs.takeRight(3))
+      kept.foreach { v =>
+        assert(SnapshotStore.entries(spark, path, v) == before(v),
+          s"vacuum changed kept v$v's entries")
+      }
+    }
+  }
+
+  test("manifest checkpoint: auto-rolls after enough deltas; commits stay delta-sized") {
+    withTable { path =>
+      SnapshotStore.create(spark, docs.filter(col("doc_id") < 10), path)
+      // 17 appends: crosses the CheckpointEvery=16 segment threshold
+      (1 to 17).foreach { i =>
+        SnapshotStore.append(spark,
+          docs.filter(col("doc_id") === (100 + i).toLong), path)
+      }
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ckpts = fs.listStatus(new org.apache.hadoop.fs.Path(root, "_snapshots"))
+        .map(_.getPath.getName).filter(_.startsWith("ckpt-"))
+      assert(ckpts.nonEmpty, "a checkpoint must auto-roll after 16 deltas")
+      // every delta segment is O(its own commit): one add row per append
+      val seg = new org.apache.hadoop.fs.Path(root, "_snapshots/v10")
+      val segRows = spark.read.parquet(seg.toString).count()
+      assert(segRows == 1L, s"append delta must carry ONLY its new file, got $segRows rows")
+      // reads exact across the checkpoint boundary
+      assert(SnapshotStore.read(spark, path).count() == 27)
+      assert(SnapshotStore.readVersion(spark, path, 5).count() == 14)
+    }
+  }
+
+  test("commutative commit rebase: two interleaved appenders BOTH land, once each") {
+    withTable { path =>
+      SnapshotStore.create(spark, docs.filter(col("doc_id") < 10), path)
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // fault injection at the commit fence: while appender A is between
+      // resolving its version slot and creating its marker, appender B
+      // (a split-brain writer — the lease failed to exclude it) commits
+      // the same slot. A must rebase onto the new head, not refuse, not
+      // duplicate, not drop B.
+      var fired = false
+      SnapshotStore.commitFence = () => {
+        if (!fired) {
+          fired = true
+          graft.operators.Lease.break_(fs, root) // split-brain simulation
+          SnapshotStore.append(spark,
+            docs.filter(col("doc_id").between(100, 104)), path)
+        }
+      }
+      try {
+        val v = SnapshotStore.append(spark,
+          docs.filter(col("doc_id").between(200, 209)), path)
+        assert(v == 3L, s"A must land at the rebased slot v3, got v$v")
+      } finally SnapshotStore.commitFence = () => ()
+      assert(SnapshotStore.versions(spark, path) == Seq(1L, 2L, 3L))
+      val got = SnapshotStore.read(spark, path).orderBy("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      val want = docs.filter(col("doc_id") < 10 ||
+        col("doc_id").between(100, 104) || col("doc_id").between(200, 209))
+        .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(got == want, "both appenders' rows exactly once")
+      val hist = SnapshotStore.history(spark, path).orderBy("version")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(hist == Seq((1L, "create"), (2L, "append"), (3L, "append")))
+    }
+  }
+
+  test("dedup-append rebase re-checks keys against the interleaved winner (no duplicates)") {
+    withTable { path =>
+      SnapshotStore.create(spark, docs.filter(col("doc_id") < 10), path)
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var fired = false
+      SnapshotStore.commitFence = () => {
+        if (!fired) {
+          fired = true
+          graft.operators.Lease.break_(fs, root)
+          // the winner lands keys 100-109 — OVERLAPPING A's batch
+          SnapshotStore.appendDedup(spark,
+            docs.filter(col("doc_id").between(100, 109)), path,
+            keys = Seq("doc_id"), tieBreak = Nil)
+        }
+      }
+      try {
+        // A's batch: keys 100-119; after the rebase only 110-119 are fresh
+        SnapshotStore.appendDedup(spark,
+          docs.filter(col("doc_id").between(100, 119)), path,
+          keys = Seq("doc_id"), tieBreak = Nil): Unit
+      } finally SnapshotStore.commitFence = () => ()
+      val cur = SnapshotStore.read(spark, path)
+      assert(cur.count() == 30, "10 seed + 20 distinct keys, no duplicates")
+      assert(cur.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
+    }
+  }
+
+  test("staged slot never rebases: an append into a WAP reservation still refuses") {
+    withTable { path =>
+      SnapshotStore.create(spark, docs.limit(10), path)
+      SnapshotStore.stageAppend(spark,
+        docs.filter(col("doc_id").between(100, 104)), path): Unit
+      val e = intercept[java.io.IOException] {
+        SnapshotStore.append(spark,
+          docs.filter(col("doc_id").between(200, 204)), path)
+      }
+      assert(e.getMessage.contains("staged"),
+        s"append must refuse the staged reservation, got: ${e.getMessage}")
+      assert(SnapshotStore.versions(spark, path) == Seq(1L))
+    }
+  }
+
+  test("timestamp time travel: versionAsOfTimestamp resolves by commit instant") {
+    withTable { path =>
+      SnapshotStore.create(spark, docs.limit(10), path)
+      Thread.sleep(20)
+      val between = System.currentTimeMillis()
+      Thread.sleep(20)
+      SnapshotStore.append(spark, docs.filter(col("doc_id").between(100, 104)), path)
+      assert(SnapshotStore.versionAsOfTimestamp(spark, path, between) == 1L)
+      assert(SnapshotStore.versionAsOfTimestamp(spark, path,
+        System.currentTimeMillis()) == 2L)
+      intercept[IllegalArgumentException] {
+        SnapshotStore.versionAsOfTimestamp(spark, path, 1000L) // before creation
+      }
+    }
+  }
+
+  test("timestamp stats: writer and pruner agree across session time zones") {
+    // both timestamp flavors: TIMESTAMP (an instant — stats are epoch
+    // micros, zone-free by construction) and TIMESTAMP_NTZ (a wall clock —
+    // stats are ISO strings, zone-free because NTZ has no zone to apply)
+    withTable { pathLtz =>
+      withTable { pathNtz =>
+        val prevTz = spark.conf.get("spark.sql.session.timeZone")
+        try {
+          // writer session far from UTC (+05:45)
+          spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+          val o = Tables.t(spark, sf, "orders") // o_orderdate is NTZ
+          SnapshotStore.create(spark,
+            o.withColumn("o_orderdate", col("o_orderdate").cast("timestamp")),
+            pathLtz, statsColumns = Seq("o_orderdate"),
+            clusterBy = Seq("o_orderdate"), numFiles = 8)
+          SnapshotStore.create(spark, o, pathNtz,
+            statsColumns = Seq("o_orderdate"),
+            clusterBy = Seq("o_orderdate"), numFiles = 8)
+          // pruner session in a THIRD zone: a session-rendered encoding
+          // would disagree by hours and silently drop matching files
+          spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+          def check(path: String, castTo: String): Unit = {
+            val pred =
+              col("o_orderdate") >= lit("1996-06-01 00:00:00").cast(castTo) &&
+                col("o_orderdate") < lit("1996-09-01 00:00:00").cast(castTo)
+            val win = SnapshotStore.readRelation(spark, path).filter(pred)
+            val n = win.collect().length.toLong
+            val scan = win.queryExecution.executedPlan.collect {
+              case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+            }.head
+            assert(scan.metrics("numFiles").value < 8, s"$castTo: must still prune")
+            assert(n > 0, s"$castTo: window must be non-empty")
+            // soundness: exact same rows as the unpruned read, same zone
+            assert(n == SnapshotStore.read(spark, path).filter(pred).count(),
+              s"$castTo: pruned read lost rows across time zones")
+          }
+          check(pathLtz, "timestamp")
+          check(pathNtz, "timestamp_ntz")
+        } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+      }
+    }
+  }
+
+  test("non-finite double stats: NaN/Infinity files carry no interval, never prune wrongly") {
+    withTable { path =>
+      import spark.implicits._
+      val d = Seq((1L, 1.5), (2L, Double.NaN), (3L, 2.5), (4L, 9.0),
+        (5L, Double.PositiveInfinity))
+        .toDF("id", "score")
+      // two files: ids 1-2 (contains NaN), ids 3-5 (contains Infinity)
+      SnapshotStore.create(spark, d.repartitionByRange(2, col("id")),
+        path, statsColumns = Seq("id", "score"))
+      val es = SnapshotStore.entries(spark, path, 1)
+      // neither file may carry a score interval (non-finite min/max)
+      assert(es.forall(e => !e.stats.contains("score")),
+        s"non-finite aggregates must yield no interval, got ${es.map(_.stats)}")
+      // pruning on score keeps everything (no interval = never pruned)
+      assert(SnapshotStore.pruned(es, "score", "100", "200").size == es.size)
+      // and the planner-side read stays exact
+      val got = SnapshotStore.readRelation(spark, path)
+        .filter(col("score") > 8.0 && !isnan(col("score")))
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(4L, 5L))
+    }
+  }
+
+  test("MoR delete: multiset + null semantics identical to CoW; re-delete is a no-op") {
+    withTable { path =>
+      import spark.implicits._
+      val cow = path + "_cow"
+      // duplicates (id=1 twice in one file) and a NULL-pred row (id=2)
+      val d = Seq((1L, Some("a")), (1L, Some("a")), (2L, None),
+        (3L, Some("a")), (4L, Some("b"))).toDF("id", "v").coalesce(1)
+      SnapshotStore.create(spark, d, path)
+      SnapshotStore.create(spark, d, cow)
+      SnapshotStore.deleteWhereMoR(spark, path, col("v") === "a")
+      SnapshotStore.deleteWhere(spark, cow, col("v") === "a")
+      val got = SnapshotStore.read(spark, path).orderBy("id").collect().toSeq
+      val want = SnapshotStore.read(spark, cow).orderBy("id").collect().toSeq
+      assert(got == want, s"MoR $got != CoW $want")
+      assert(got.map(_.getLong(0)) == Seq(2L, 4L),
+        "all duplicate copies deleted; NULL-pred row kept (SQL-style)")
+      // re-delete: matched rows resolve against existing tombstones → no-op
+      val v = SnapshotStore.currentVersion(spark, path)
+      assert(SnapshotStore.deleteWhereMoR(spark, path, col("v") === "a") == v,
+        "re-deleting the same predicate must be a version-level no-op")
+    }
+  }
+
+  test("MoR tombstones: CoW update/merge on a tombstoned table never resurrects") {
+    withTable { path =>
+      SnapshotStore.create(spark, docs, path,
+        statsColumns = Seq("doc_id"), clusterBy = Seq("doc_id"), numFiles = 4)
+      SnapshotStore.deleteWhereMoR(spark, path,
+        col("doc_id").between(0, 49)) // tombstones in the first file
+      val liveBefore = SnapshotStore.read(spark, path).count()
+      // CoW update touches the SAME file range: its rewrite must resolve
+      // the tombstones, not copy the raw (dead-inclusive) rows forward
+      SnapshotStore.updateWhere(spark, path,
+        col("doc_id").between(50, 99), Map("lang" -> lit("xx")),
+        hint = Some(RangeHint("doc_id", "50", "99")))
+      val cur = SnapshotStore.read(spark, path)
+      assert(cur.count() == liveBefore, "update must not resurrect dead rows")
+      assert(cur.filter(col("doc_id") < 50).count() == 0)
+      // merge into the tombstoned range: inserts land, dead rows stay dead
+      SnapshotStore.merge(spark,
+        docs.filter(col("doc_id").between(0, 9)).withColumn("source", lit("m2")),
+        path, Seq("doc_id"), Nil)
+      val after = SnapshotStore.read(spark, path)
+      assert(after.filter(col("doc_id") < 10).count() == 10, "merge inserts land")
+      assert(after.filter(col("doc_id").between(10, 49)).count() == 0,
+        "merge must not resurrect the rest of the tombstoned range")
+    }
+  }
+
+  test("MoR tombstones: changesBetween sees the delete; time travel sees pre-delete rows") {
+    withTable { path =>
+      SnapshotStore.create(spark, docs, path,
+        statsColumns = Seq("doc_id"), clusterBy = Seq("doc_id"), numFiles = 4)
+      SnapshotStore.deleteWhereMoR(spark, path, col("lang") === "de")
+      val deleted = docs.filter(col("lang") === "de").count()
+      assert(deleted > 0, "precondition: some de rows")
+      val delta = SnapshotStore.changesBetween(spark, path, 1L, 2L)
+      assert(delta.filter(col("change_type") === "insert").count() == 0)
+      assert(delta.filter(col("change_type") === "delete").count() == deleted,
+        "the change feed must carry the tombstoned rows as deletes")
+      // time travel: version 1 still reads the pre-delete table
+      assert(SnapshotStore.readVersion(spark, path, 1).count() == docs.count())
+      // and the delta fed forward reproduces the current state (IVM-style)
+      assert(SnapshotStore.readVersion(spark, path, 2).count() ==
+        docs.count() - deleted)
+    }
+  }
+
   test("null predicate semantics: delete keeps rows where pred is NULL (SQL-style)") {
     withTable { path =>
       import spark.implicits._
