@@ -235,6 +235,18 @@ object SnapshotStore {
       .map(r => FileEntry(r.path, r.rows, r.bytes, r.stats))
       .sortBy(_.path)
 
+  /** ONE fold collect, split (data entries, tombstone entries) — the
+    * write paths use this so an op pays a single segment-fold job, not
+    * one per kind. */
+  private def liveSplit(spark: SparkSession, path: String,
+                        v: Long): (Seq[FileEntry], Seq[FileEntry]) = {
+    val all = manifestRowsDs(spark, path, v).collect().toSeq
+    (all.filter(_.kind == "data")
+      .map(r => FileEntry(r.path, r.rows, r.bytes, r.stats)).sortBy(_.path),
+      all.filter(_.kind == "tombstone")
+        .map(r => FileEntry(r.path, r.rows, r.bytes, r.stats)).sortBy(_.path))
+  }
+
   /** The table schema is the HIGHEST-numbered schema file (`schema` = the
     * creation schema, `schema-<k>` = the k-th evolution). Each evolution
     * is a new fail-if-exists file — never an overwrite of the previous
@@ -509,8 +521,7 @@ object SnapshotStore {
     val fs = fsOf(spark, root)
     Lease.withLease(fs, root, "snapshot mor delete") {
       val cur = currentVersion(spark, path)
-      val es = entries(spark, path, cur)
-      val tombs = tombstoneEntries(spark, path, cur)
+      val (es, tombs) = liveSplit(spark, path, cur)
       val schema = tableSchema(fs, root)
       val candidates = hint match {
         case Some(h) => pruned(es, h.col, h.lo, h.hi)
@@ -842,6 +853,33 @@ object SnapshotStore {
     }
   }
 
+  /** Replace the table's contents in ONE atomic commit (the format API's
+    * SaveMode.Overwrite): the delta removes every current data and
+    * tombstone file and adds the batch's files. Readers of prior
+    * versions are untouched — the old state stays time-travelable until
+    * [[vacuum]] ages it out; a crash leaves the previous version live.
+    * The batch schema must match the table's (an overwrite is a content
+    * replacement, not an evolution — [[evolveAddColumn]] is that). */
+  def overwrite(spark: SparkSession, df: DataFrame, path: String): Long = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    Lease.withLease(fs, root, "snapshot overwrite") {
+      val cur = currentVersion(spark, path)
+      val schema = tableSchema(fs, root)
+      require(df.schema.fieldNames.sorted.sameElements(schema.fieldNames.sorted),
+        s"overwrite batch schema ${df.schema.fieldNames.mkString(",")} != " +
+          s"table schema ${schema.fieldNames.mkString(",")}")
+      val removed = { val (es, tombs) = liveSplit(spark, path, cur)
+        es.map(_.path) ++ tombs.map(_.path) }
+      val v = cur + 1
+      commitDelta(spark, root, fs, v,
+        writeData(spark, root, fs, v,
+          df.select(schema.fieldNames.toSeq.map(col): _*),
+          statsCols(fs, root))._2.map(addRow(_)),
+        removed, "overwrite")
+    }
+  }
+
   /** Which current files contain rows matching `pred`: manifest-range
     * pre-prune (when hinted), then ONE distributed scan with the predicate
     * pushed to the reader. Returns (touched, untouched-by-reference). */
@@ -874,7 +912,7 @@ object SnapshotStore {
     val fs = fsOf(spark, root)
     Lease.withLease(fs, root, "snapshot delete") {
       val cur = currentVersion(spark, path)
-      val es = entries(spark, path, cur)
+      val (es, tombs) = liveSplit(spark, path, cur)
       val (touched, _) = splitTouched(spark, path, root, es, pred, hint)
       if (touched.isEmpty) cur
       else {
@@ -882,7 +920,7 @@ object SnapshotStore {
         // rewrite from the RESOLVED rows: on a tombstoned table a raw
         // rewrite would resurrect dead rows into the fresh files
         val kept = readFilesResolved(spark, root, fs, touched,
-          tombstoneEntries(spark, path, cur), tableSchema(fs, root))
+          tombs, tableSchema(fs, root))
           .filter(!(pred <=> lit(true)))
         // delta: the rewritten files in, the touched originals out — the
         // untouched majority is never even named
@@ -907,13 +945,13 @@ object SnapshotStore {
       val schema = tableSchema(fs, root)
       set.keys.foreach(c => require(schema.fieldNames.contains(c),
         s"update of unknown column $c"))
-      val es = entries(spark, path, cur)
+      val (es, tombs) = liveSplit(spark, path, cur)
       val (touched, _) = splitTouched(spark, path, root, es, pred, hint)
       if (touched.isEmpty) cur
       else {
         val v = cur + 1
         val updated = readFilesResolved(spark, root, fs, touched,
-          tombstoneEntries(spark, path, cur), schema).select(
+          tombs, schema).select(
           schema.fieldNames.toSeq.map { c =>
             set.get(c) match {
               case Some(e) =>
@@ -959,7 +997,7 @@ object SnapshotStore {
     val fs = fsOf(spark, root)
     Lease.withLease(fs, root, "snapshot merge", owner) {
       val cur = currentVersion(spark, path)
-      val es = entries(spark, path, cur)
+      val (es, tombs) = liveSplit(spark, path, cur)
       val schema = tableSchema(fs, root)
       require(batch.schema.fieldNames.sorted.sameElements(schema.fieldNames.sorted),
         s"merge batch schema ${batch.schema.fieldNames.mkString(",")} != table " +
@@ -992,8 +1030,7 @@ object SnapshotStore {
       // inserted) — one anti-join on the key, nothing else
       val rewritten =
         if (touched.isEmpty) one
-        else readFilesResolved(spark, root, fs, touched,
-          tombstoneEntries(spark, path, cur), schema)
+        else readFilesResolved(spark, root, fs, touched, tombs, schema)
           .join(one.select(keys.map(col): _*), keys, "left_anti")
           .select(schema.fieldNames.toSeq.map(col): _*)
           .unionByName(one)
@@ -1030,15 +1067,14 @@ object SnapshotStore {
     val fs = fsOf(spark, root)
     Lease.withLease(fs, root, "snapshot compact") {
       val cur = currentVersion(spark, path)
-      val es = entries(spark, path, cur)
+      val (es, tombs) = liveSplit(spark, path, cur)
       val bytes = es.map(_.bytes).sum
       val nOut = math.min(Int.MaxValue.toLong,
         math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)).toInt
       // the compaction read RESOLVES tombstones: the rewritten files carry
       // the net rows, and the delta below drops every tombstone — this is
       // what folds merge-on-read deletes back into a pure file table
-      val df = readFilesResolved(spark, root, fs, es,
-        tombstoneEntries(spark, path, cur), tableSchema(fs, root))
+      val df = readFilesResolved(spark, root, fs, es, tombs, tableSchema(fs, root))
       val shaped =
         if (zOrderBy.nonEmpty) {
           // VALUE-based normalization from the manifest's own global
@@ -1080,7 +1116,7 @@ object SnapshotStore {
       // new files carry the net rows and the tombstones fold away here)
       commitDelta(spark, root, fs, v,
         writeData(spark, root, fs, v, shaped, statsCols(fs, root))._2.map(addRow(_)),
-        es.map(_.path) ++ tombstoneEntries(spark, path, cur).map(_.path),
+        es.map(_.path) ++ tombs.map(_.path),
         "compact")
     }
   }
@@ -1222,15 +1258,8 @@ object SnapshotStore {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val schema = tableSchema(fs, root)
-    def split(v: Long): (Seq[FileEntry], Seq[FileEntry]) = {
-      val all = manifestRowsDs(spark, path, v).collect().toSeq
-      (all.filter(_.kind == "data")
-        .map(r => FileEntry(r.path, r.rows, r.bytes, r.stats)).sortBy(_.path),
-        all.filter(_.kind == "tombstone")
-          .map(r => FileEntry(r.path, r.rows, r.bytes, r.stats)))
-    }
-    val (fromEs, fromTombs) = split(fromV)
-    val (toEs, toTombs) = split(toV)
+    val (fromEs, fromTombs) = liveSplit(spark, path, fromV)
+    val (toEs, toTombs) = liveSplit(spark, path, toV)
     val fromPaths = fromEs.map(_.path).toSet
     val toPaths = toEs.map(_.path).toSet
     // files whose VISIBLE content changed without moving: targets of

@@ -829,6 +829,64 @@ object Snapshot {
       |WHERE lang IS DISTINCT FROM 'de' AND lang IS DISTINCT FROM 'zh'
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Q149 — THE FORMAT WRITE PATH, scored: the whole ingest story of q129
+    * driven through `df.write.format("graft-snapshot")` — create with
+    * zone-map/cluster options, keyed idempotent append (`dedupKeys`
+    * option: the re-delivered slice folds to nothing extra), plain
+    * append, SaveMode.ErrorIfExists refusing, SaveMode.Ignore no-opping —
+    * plus an atomic SaveMode.Overwrite on a twin table whose prior
+    * version stays time-travelable. The require gates pin that every
+    * SaveMode maps onto the store's atomic commit protocol (exact version
+    * trail; overwrite is ONE commit; creation options flowed — the format
+    * read proves the zone map prunes). The oracle: every document exactly
+    * once. A migrating user's write-side instinct now works unchanged. */
+  def q149FormatWrite(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q149_") { path =>
+      val docs = t(spark, dir, "documents").select(docCols.map(col): _*)
+      def slice(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+      slice(0).write.format("graft-snapshot")
+        .option("statsColumns", "doc_id").option("clusterBy", "doc_id")
+        .option("numFiles", "4").save(path)
+      // keyed idempotent append: slice 0 re-delivered alongside slice 1
+      slice(0).union(slice(1)).write.format("graft-snapshot")
+        .mode("append").option("dedupKeys", "doc_id").save(path)
+      slice(2).write.format("graft-snapshot").mode("append").save(path)
+      require(SnapshotStore.versions(spark, path) == Seq(1L, 2L, 3L),
+        s"q149: expected versions 1..3, got ${SnapshotStore.versions(spark, path)}")
+      require(scala.util.Try(slice(0).write.format("graft-snapshot")
+        .mode("error").save(path)).isFailure,
+        "q149: SaveMode.ErrorIfExists must refuse an existing table")
+      slice(0).write.format("graft-snapshot").mode("ignore").save(path)
+      require(SnapshotStore.versions(spark, path) == Seq(1L, 2L, 3L),
+        "q149: SaveMode.Ignore must be a true no-op on an existing table")
+      // atomic overwrite on a twin: one commit, prior version travelable
+      val p2 = path + "_ow"
+      slice(0).write.format("graft-snapshot").save(p2)
+      slice(1).write.format("graft-snapshot").mode("overwrite").save(p2)
+      require(SnapshotStore.versions(spark, p2) == Seq(1L, 2L),
+        "q149: overwrite must be exactly one atomic commit")
+      require(SnapshotStore.readVersion(spark, p2, 1).count() == slice(0).count(),
+        "q149: the pre-overwrite version must stay time-travelable")
+      require(SnapshotStore.read(spark, p2).count() == slice(1).count(),
+        "q149: the overwritten contents must be exactly the batch")
+      // the creation options flowed: a ranged format read prunes files
+      val total = SnapshotStore.entries(spark, path,
+        SnapshotStore.currentVersion(spark, path)).size
+      val ranged = spark.read.format("graft-snapshot").load(path)
+        .filter(col("doc_id").between(0, 49))
+      ranged.collect(): Unit
+      val scanned = ranged.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.metrics("numFiles").value
+      require(scanned < total,
+        s"q149: statsColumns/clusterBy must have flowed ($scanned of $total scanned)")
+      Materialize.sorted(
+        spark.read.format("graft-snapshot").load(path), col("doc_id"))
+    }
+
+  /** Every document exactly once, despite the re-delivered slice. */
+  val q149Sql: String = q130Sql
+
   /** Join-time semantics declaratively: enrichment depends on the batch. */
   val q143Sql: String =
     """SELECT event_id, user_id,

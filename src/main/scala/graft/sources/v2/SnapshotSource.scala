@@ -1,10 +1,10 @@
 package graft.sources.v2
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.SnapshotStore
@@ -50,8 +50,57 @@ import graft.plans.SnapshotFileIndex
   * resolves them; compaction folds them away (after which this format
   * reads the table again).
   */
-class SnapshotSource extends RelationProvider with DataSourceRegister {
+class SnapshotSource extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft-snapshot"
+
+  /** The WRITE half of the format surface — every SaveMode maps onto the
+    * store's atomic commit protocol, so `df.write.format("graft-
+    * snapshot")` gets the same guarantees as the helper API:
+    *
+    *   - Append       → versioned append (create on a fresh path); with
+    *                    option `dedupKeys` (comma-separated) the keyed
+    *                    idempotent form — re-delivered batches no-op.
+    *   - Overwrite    → ONE atomic commit replacing the contents (prior
+    *                    versions stay time-travelable until vacuum);
+    *                    create on a fresh path.
+    *   - ErrorIfExists→ create, refusing an existing table.
+    *   - Ignore       → create only if absent (no-op otherwise).
+    *
+    * Creation options: `statsColumns` (comma-separated zone-map
+    * columns), `clusterBy` (range-cluster columns), `numFiles`. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snapshot: a table root is required — .save(<path>)"))
+    def csv(k: String): Seq[String] = parameters.get(k)
+      .orElse(parameters.get(k.toLowerCase)).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val dedupKeys = csv("dedupKeys")
+    def createIt(): Unit = SnapshotStore.create(spark, data, path,
+      statsColumns = csv("statsColumns"),
+      clusterBy = csv("clusterBy"),
+      numFiles = parameters.get("numfiles").orElse(parameters.get("numFiles"))
+        .map(_.toInt).getOrElse(0)): Unit
+    val exists = SnapshotStore.versions(spark, path).nonEmpty
+    mode match {
+      case SaveMode.Append =>
+        if (!exists) createIt()
+        else if (dedupKeys.nonEmpty)
+          SnapshotStore.appendDedup(spark, data, path, dedupKeys, Nil): Unit
+        else SnapshotStore.append(spark, data, path): Unit
+      case SaveMode.Overwrite =>
+        if (!exists) createIt() else SnapshotStore.overwrite(spark, data, path): Unit
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalArgumentException(
+          s"graft-snapshot: table already exists at $path (SaveMode.ErrorIfExists)")
+        else createIt()
+      case SaveMode.Ignore => if (!exists) createIt()
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
