@@ -124,9 +124,28 @@ object SnapshotProbe {
       }
       val trendJson = trend.map { case (f, s) => s""""$f":${f"$s%.3f"}""" }
         .mkString(",")
+      // VACUUM COST vs LIVE FILE COUNT — the distributed-GC claim: with
+      // FIXED garbage (one small CoW delete's dropped files), vacuum's
+      // driver does O(commit dirs) work and collects only delete lists +
+      // live-dir names; the file-level listing and the referenced-set
+      // anti-join run as executor jobs. Near-flat wall across a 100×
+      // live-file spread (and zero driver path collection by
+      // construction) is the evidence the round-9 driver-side recursive
+      // listing ceiling is gone.
+      val vtrend = Seq(8, 800).map { f =>
+        val p3 = new java.io.File(tmp, s"vtrend$f").getAbsolutePath
+        SnapshotStore.create(spark, docs, p3,
+          statsColumns = Seq("doc_id"), clusterBy = Seq("doc_id"), numFiles = f)
+        SnapshotStore.deleteWhere(spark, p3,
+          col("doc_id").between(0, 19), hint(0L, 19L))
+        f -> time { SnapshotStore.vacuum(spark, p3, 1): Unit }
+      }
+      val vtrendJson = vtrend.map { case (f, s) => s""""$f":${f"$s%.3f"}""" }
+        .mkString(",")
       val opsJson = ops.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
       println(s"""{"sf":"$dir","rows":$rows,"files":$nFiles,""" +
-        s""""ops":{$opsJson},"append_commit_vs_files":{$trendJson}}""")
+        s""""ops":{$opsJson},"append_commit_vs_files":{$trendJson},""" +
+        s""""vacuum_vs_live_files":{$vtrendJson}}""")
     } finally graft.util.Fs.deleteTree(tmp)
     spark.stop()
   }

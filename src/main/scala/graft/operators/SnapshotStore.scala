@@ -99,7 +99,32 @@ object SnapshotStore {
     * files outside the range via the manifest alone. */
   final case class RangeHint(col: String, lo: String, hi: String)
 
+  /** On-disk layout version, recorded at create as `_snapshots/format`.
+    * Version 2 = delta-manifest segments (add/remove/kind rows, epoch-
+    * micros timestamp stats). The round-8 full-snapshot layout (plain
+    * FileEntry rows, ISO timestamp stats) predates the file: a table
+    * whose `_snapshots` exists WITHOUT it is that legacy layout, and a
+    * read refuses loudly instead of silently folding its rows to an
+    * empty table (null `action` would fail every `action = 'add'`
+    * filter) or mis-pruning its lexicographic timestamp stats against
+    * micros literals. A version ABOVE the current one refuses too — a
+    * newer writer's table is not guessable. */
+  private val FormatVersion = 2
+
   private def snapDir(root: Path) = new Path(root, "_snapshots")
+  private def formatPath(root: Path) = new Path(snapDir(root), "format")
+
+  private def requireFormat(fs: FileSystem, root: Path): Unit = {
+    val p = formatPath(root)
+    if (!fs.exists(p)) throw new java.io.IOException(
+      s"snapshot table at $root has no _snapshots/format marker — a " +
+        "pre-delta-manifest legacy layout (or foreign directory); refusing " +
+        "to read it as an empty table. Re-create the table with this version.")
+    val v = readSmall(fs, p).trim.toIntOption.getOrElse(Int.MaxValue)
+    if (v > FormatVersion) throw new java.io.IOException(
+      s"snapshot table at $root is format $v; this reader supports <= " +
+        s"$FormatVersion — upgrade the reader, not the table")
+  }
   private def manifestDir(root: Path, v: Long) = new Path(snapDir(root), s"v$v")
   private def markerPath(root: Path, v: Long) = new Path(snapDir(root), s"commit-$v")
   private def ckptDir(root: Path, v: Long) = new Path(snapDir(root), s"ckpt-$v")
@@ -167,6 +192,7 @@ object SnapshotStore {
     * checkpoint at or below `v` (if any) plus every delta after it.
     * Returns (checkpoint version or 0, segment dirs in order). */
   private def segmentDirs(fs: FileSystem, root: Path, v: Long): (Long, Seq[Path]) = {
+    requireFormat(fs, root) // every fold resolves through here
     val c = ckptVersions(fs, root).filter(_ <= v).lastOption.getOrElse(0L)
     val dirs = (if (c > 0) Seq(ckptDir(root, c)) else Nil) ++
       ((c + 1) to v).map(manifestDir(root, _))
@@ -434,15 +460,27 @@ object SnapshotStore {
 
   private val TombFileCol = "__file"
 
+  /** Root-relative spelling of a file-path COLUMN — the distributed twin
+    * of [[relOf]], and it must produce the IDENTICAL string: tombstone
+    * `__file` values are equality-joined against manifest paths, so a
+    * spelling drift between the two sides silently skips the anti-join
+    * and resurrects deleted rows. [[relOf]] goes through `toUri.getPath`,
+    * which drops both the scheme and the AUTHORITY — so this side strips
+    * `scheme:(//authority)?` too (a scheme-only strip would keep
+    * `nn:8020`/`bucket` on hdfs/s3a/abfs paths and never match). The
+    * substring then removes `<root path>/`. Unit-tested against
+    * authority-bearing spellings in SnapshotStoreSpec. */
+  private[graft] def relPathExpr(fileCol: Column, rootPath: String): Column =
+    substring(
+      regexp_replace(fileCol, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""),
+      rootPath.length + 2, Int.MaxValue)
+
   /** `df`'s rows plus a root-relative source-file column, computed
-    * DISTRIBUTEDLY from the scan's `_metadata.file_path` (URI scheme
-    * stripped, root prefix removed — the same spelling [[relOf]]
-    * produces on the driver). */
+    * DISTRIBUTEDLY from the scan's `_metadata.file_path` via
+    * [[relPathExpr]] (same spelling as the driver-side [[relOf]]). */
   private def withRelFile(root: Path, fs: FileSystem, df: DataFrame): DataFrame = {
     val rootPath = fs.makeQualified(root).toUri.getPath
-    df.withColumn(TombFileCol,
-      expr("substring(regexp_replace(_metadata.file_path, " +
-        s"'^[a-zA-Z][a-zA-Z0-9+.-]*:/+', '/'), ${rootPath.length + 2})"))
+    df.withColumn(TombFileCol, relPathExpr(col("_metadata.file_path"), rootPath))
   }
 
   private def tombSchema(schema: StructType): StructType =
@@ -541,6 +579,141 @@ object SnapshotStore {
           tombEs.map(addRow(_, kind = "tombstone")), Nil, "delete_mor")
       }
     }
+  }
+
+  /** MERGE-ON-READ UPDATE: the matched rows' OLD images commit as ONE
+    * tombstone file (each tagged with its source data file — exactly the
+    * [[deleteWhereMoR]] discipline) and their NEW images as fresh data
+    * files, in ONE atomic commit — no touched data file is rewritten or
+    * even named in the delta. Cost ∝ matched rows; the copy-on-write
+    * [[updateWhere]] pays (files holding matches) × file size. At 100 TB
+    * a SCATTERED one-column correction (one row in each of 10⁴ files) is
+    * the difference between two small files here and 10⁴ full-file
+    * rewrites there. Reads resolve as with MoR deletes (old images dead
+    * via the file-scoped anti-join, new images live in their new files);
+    * [[compact]] folds it all back to a pure file table. Row count is
+    * invariant by construction (every tombstoned row re-lands updated). */
+  def updateWhereMoR(spark: SparkSession, path: String, pred: Column,
+                     set: Map[String, Column],
+                     hint: Option[RangeHint] = None): Long = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    Lease.withLease(fs, root, "snapshot mor update") {
+      val cur = currentVersion(spark, path)
+      val schema = tableSchema(fs, root)
+      set.keys.foreach(c => require(schema.fieldNames.contains(c),
+        s"update of unknown column $c"))
+      val (es, tombs) = liveSplit(spark, path, cur)
+      val candidates = hint match {
+        case Some(h) => pruned(es, h.col, h.lo, h.hi)
+        case None => es
+      }
+      if (candidates.isEmpty) cur
+      else {
+        // resolved against EXISTING tombstones: already-dead rows are
+        // neither re-tombstoned nor resurrected as updated copies
+        val matched = resolvedWithFile(spark, root, fs, candidates, tombs, schema)
+          .filter(pred <=> lit(true))
+          .localCheckpoint(true) // read twice: old images + new images
+        val oldImages = matched
+          .select(col(TombFileCol) +: schema.fieldNames.toSeq.map(col): _*)
+        val newImages = matched.select(schema.fieldNames.toSeq.map { c =>
+          set.get(c) match {
+            case Some(e) => e.cast(schema(c).dataType).as(c)
+            case None => col(c)
+          }
+        }: _*)
+        val v = cur + 1
+        val (tombDir, tombEs) = writeData(spark, root, fs, v, oldImages, Nil)
+        if (tombEs.isEmpty) { // nothing matched: a true no-op
+          fs.delete(tombDir, true)
+          cur
+        } else {
+          val (_, newEs) = writeData(spark, root, fs, v, newImages, statsCols(fs, root))
+          commitDelta(spark, root, fs, v,
+            tombEs.map(addRow(_, kind = "tombstone")) ++ newEs.map(addRow(_)),
+            Nil, "update_mor")
+        }
+      }
+    }
+  }
+
+  /** MERGE-ON-READ MERGE (upsert): the matched keys' current rows commit
+    * as ONE tombstone file and the whole batch (updates + inserts) as
+    * fresh data files — one atomic commit, zero data-file rewrites. The
+    * copy-on-write [[merge]] rewrites every file holding a matched key;
+    * here a matched key costs its old row's tombstone entry, so a
+    * scattered-key upsert batch is O(batch), not O(touched files × file
+    * size). Same key/hint contract as [[merge]] ([[RangeHint]] must
+    * bound every batch key that may already exist; `verifyHint` makes a
+    * lying hint refuse loudly). In-batch duplicates collapse by the
+    * deterministic survivor order. Empty batch = true no-op. */
+  def mergeMoR(spark: SparkSession, batch: DataFrame, path: String,
+               keys: Seq[String], tieBreak: Seq[String],
+               hint: Option[RangeHint] = None,
+               owner: Option[String] = None,
+               verifyHint: Boolean = false): Long = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    Lease.withLease(fs, root, "snapshot mor merge", owner) {
+      val cur = currentVersion(spark, path)
+      val schema = tableSchema(fs, root)
+      requireSchemaMatch(batch, schema, "merge", path)
+      val (es, tombs) = liveSplit(spark, path, cur)
+      val one = DedupAppend.survivors(
+        batch.select(schema.fieldNames.toSeq.map(col): _*), keys, tieBreak)
+        .localCheckpoint(true) // read 2-3×: matched probe, data write, hint audit
+      val candidates = hint match {
+        case Some(h) => pruned(es, h.col, h.lo, h.hi)
+        case None => es
+      }
+      if (verifyHint && hint.nonEmpty)
+        auditHint(spark, root, fs, path, es, candidates, one, keys, hint.get)
+      val matchedOld =
+        if (candidates.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tombSchema(schema))
+        else resolvedWithFile(spark, root, fs, candidates, tombs, schema)
+          .join(one.select(keys.map(col): _*), keys, "left_semi")
+          .select(col(TombFileCol) +: schema.fieldNames.toSeq.map(col): _*)
+      val v = cur + 1
+      val (tombDir, tombEs) = writeData(spark, root, fs, v, matchedOld, Nil)
+      if (tombEs.isEmpty) fs.delete(tombDir, true)
+      val (dataDir, newEs) = writeData(spark, root, fs, v, one, statsCols(fs, root))
+      if (newEs.isEmpty && tombEs.isEmpty) { // empty batch: true no-op
+        fs.delete(dataDir, true)
+        cur
+      } else commitDelta(spark, root, fs, v,
+        tombEs.map(addRow(_, kind = "tombstone")) ++ newEs.map(addRow(_)),
+        Nil, "merge_mor")
+    }
+  }
+
+  /** The `verifyHint` audit shared by [[merge]]/[[mergeMoR]]: a
+    * [[RangeHint]] is a caller PROMISE that no batch key already present
+    * in the table lives outside the hinted files — broken, the merge
+    * silently duplicates that key (documented at [[merge]]). This debug
+    * mode verifies the promise physically: probe the PRUNED-AWAY files
+    * (key columns only, batch keys semi-joined) and refuse loudly on any
+    * hit. The audit pays exactly the key-column scan the hint avoided —
+    * never the rewrite I/O — so it is the cheap way to qualify a hint on
+    * a sample before trusting it in production. A truthful hint prunes
+    * identically with or without the audit (law in SnapshotStoreSpec). */
+  private def auditHint(spark: SparkSession, root: Path, fs: FileSystem,
+                        path: String, es: Seq[FileEntry],
+                        candidates: Seq[FileEntry], one: DataFrame,
+                        keys: Seq[String], hint: RangeHint): Unit = {
+    val candSet = candidates.map(_.path).toSet
+    val outside = es.filterNot(e => candSet.contains(e.path))
+    if (outside.isEmpty) return
+    val hits = readFiles(spark, path, outside)
+      .select(keys.map(col): _*)
+      .join(one.select(keys.map(col): _*), keys, "left_semi")
+      .limit(1).count()
+    require(hits == 0L,
+      s"merge verifyHint: RangeHint(${hint.col}, [${hint.lo}, ${hint.hi}]) is " +
+        s"a LIE — a batch key already exists in a file the hint pruned away " +
+        s"at $path; an unverified merge would have silently duplicated it. " +
+        "Widen the hint (or drop it).")
   }
 
   // ---- stats + manifest construction ---------------------------------------
@@ -697,15 +870,23 @@ object SnapshotStore {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // roll a checkpoint once enough deltas accumulated (distributed job,
-    // amortized 1/CheckpointEvery per commit; best-effort — a crash here
-    // leaves a longer fold, never a wrong one)
+    // amortized 1/CheckpointEvery per commit; best-effort — the commit
+    // marker is already down, so a failure here must not fail the commit:
+    // it leaves a longer fold, never a wrong one; vacuum's own checkpoint
+    // call, by contrast, surfaces failures — it deletes covered deltas)
     val c = ckptVersions(fs, root).filter(_ <= v).lastOption.getOrElse(0L)
-    if (v - c >= CheckpointEvery) writeCheckpoint(spark, root, fs, v)
+    if (v - c >= CheckpointEvery)
+      try writeCheckpoint(spark, root, fs, v)
+      catch { case scala.util.control.NonFatal(_) => () }
     v
   }
 
   /** Materialize version `v`'s fold as checkpoint `ckpt-<v>` (tmp +
-    * rename; losing a rename race to another checkpointer is benign).
+    * rename; LOSING A RENAME RACE to another checkpointer is benign — the
+    * checkpoint exists either way — but any other rename failure SURFACES
+    * as an IOException: callers that go on to delete the deltas the
+    * checkpoint covers ([[vacuum]]) must never proceed on a silently
+    * missing checkpoint, or kept versions lose their covering segment).
     * Every read of `v` or later then starts from this segment instead of
     * replaying the full delta history. */
   private def writeCheckpoint(spark: SparkSession, root: Path,
@@ -717,7 +898,12 @@ object SnapshotStore {
     // at 100 TB), not data-sized — a single parquet part keeps the next
     // fold's read one footer instead of many
     live.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(tmp, ckptDir(root, v))) fs.delete(tmp, true)
+    if (!fs.rename(tmp, ckptDir(root, v))) {
+      fs.delete(tmp, true)
+      if (!fs.exists(ckptDir(root, v))) throw new java.io.IOException(
+        s"snapshot checkpoint rename failed at $root for ckpt-$v " +
+          "(and no concurrent checkpointer won the slot)")
+    }
   }
 
   /** Explicit maintenance form of the checkpoint roll (the auto roll
@@ -752,6 +938,7 @@ object SnapshotStore {
     Lease.withLease(fs, root, "snapshot create", owner) {
       require(versions(spark, path).isEmpty, s"snapshot table already exists at $path")
       fs.mkdirs(snapDir(root))
+      writeSmall(fs, formatPath(root), FormatVersion.toString, overwrite = true)
       writeSmall(fs, new Path(snapDir(root), "schema"), df.schema.toDDL, overwrite = true)
       writeSmall(fs, new Path(snapDir(root), "statscols"),
         statsColumns.mkString("\n"), overwrite = true)
@@ -765,6 +952,20 @@ object SnapshotStore {
         writeData(spark, root, fs, 1L, shaped, statsColumns)._2.map(addRow(_)),
         Nil, "create")
     }
+  }
+
+  /** Batch-vs-table schema contract for content-replacing writes
+    * (overwrite, merge): field NAMES and TYPES must match, order-
+    * insensitive. A same-named column of a different type would commit
+    * fine and then fail (or silently null) every later read that resolves
+    * the file against the table schema — refuse at the write instead. */
+  private def requireSchemaMatch(df: DataFrame, schema: StructType,
+                                 what: String, path: String): Unit = {
+    def sig(s: StructType): Seq[(String, DataType)] =
+      s.fields.map(f => f.name -> f.dataType).toSeq.sortBy(_._1)
+    require(sig(df.schema) == sig(schema),
+      s"$what batch schema ${df.schema.toDDL} does not match table schema " +
+        s"${schema.toDDL} at $path (names AND types, order-insensitive)")
   }
 
   /** Bounded optimistic retries for COMMUTATIVE commits (append,
@@ -866,9 +1067,7 @@ object SnapshotStore {
     Lease.withLease(fs, root, "snapshot overwrite") {
       val cur = currentVersion(spark, path)
       val schema = tableSchema(fs, root)
-      require(df.schema.fieldNames.sorted.sameElements(schema.fieldNames.sorted),
-        s"overwrite batch schema ${df.schema.fieldNames.mkString(",")} != " +
-          s"table schema ${schema.fieldNames.mkString(",")}")
+      requireSchemaMatch(df, schema, "overwrite", path)
       val removed = { val (es, tombs) = liveSplit(spark, path, cur)
         es.map(_.path) ++ tombs.map(_.path) }
       val v = cur + 1
@@ -988,20 +1187,21 @@ object SnapshotStore {
     * range would be silently re-inserted as a duplicate. Keys that cannot
     * match (e.g. inserts minted past the table's max) need not be covered
     * — excluding them is exactly what keeps a small-update+new-inserts
-    * merge pruned to the update range's files. */
+    * merge pruned to the update range's files. `verifyHint = true` audits
+    * the promise physically ([[auditHint]]): a lying hint refuses loudly
+    * instead of silently duplicating. */
   def merge(spark: SparkSession, batch: DataFrame, path: String,
             keys: Seq[String], tieBreak: Seq[String],
             hint: Option[RangeHint] = None,
-            owner: Option[String] = None): Long = {
+            owner: Option[String] = None,
+            verifyHint: Boolean = false): Long = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     Lease.withLease(fs, root, "snapshot merge", owner) {
       val cur = currentVersion(spark, path)
       val (es, tombs) = liveSplit(spark, path, cur)
       val schema = tableSchema(fs, root)
-      require(batch.schema.fieldNames.sorted.sameElements(schema.fieldNames.sorted),
-        s"merge batch schema ${batch.schema.fieldNames.mkString(",")} != table " +
-          s"schema ${schema.fieldNames.mkString(",")}")
+      requireSchemaMatch(batch, schema, "merge", path)
       val one = DedupAppend.survivors(
         batch.select(schema.fieldNames.toSeq.map(col): _*), keys, tieBreak)
         .localCheckpoint(true) // read 3×: touched-file probe, replace, anti
@@ -1011,6 +1211,8 @@ object SnapshotStore {
         case Some(h) => pruned(es, h.col, h.lo, h.hi)
         case None => es
       }
+      if (verifyHint && hint.nonEmpty)
+        auditHint(spark, root, fs, path, es, candidates, one, keys, hint.get)
       // no broadcast hint on the batch-key side: AQE picks broadcast when
       // the batch is actually small and falls back to a shuffled join when
       // it is not — a forced hint would OOM the driver on a large merge
@@ -1307,9 +1509,17 @@ object SnapshotStore {
       val oldest = kept.head
       // 1. checkpoint at the oldest kept version: kept folds then start
       //    there and never need a dropped delta (crash-safe — an extra
-      //    checkpoint is only ever redundant, never wrong)
+      //    checkpoint is only ever redundant, never wrong). The existence
+      //    re-check is the destructive-path guard: NOTHING below may
+      //    delete a marker, delta, or data file unless the covering
+      //    checkpoint is physically down — a swallowed write failure here
+      //    would otherwise compute `referenced` without the pre-window
+      //    live files (data loss) and leave kept folds without a segment.
       if (dropped.nonEmpty && !ckptVersions(fs, root).contains(oldest))
         writeCheckpoint(spark, root, fs, oldest)
+      if (dropped.nonEmpty) require(fs.exists(ckptDir(root, oldest)),
+        s"vacuum: checkpoint at oldest kept version $oldest missing at $root " +
+          "— refusing to drop deltas/files without their covering checkpoint")
       // a marker-less manifest ABOVE the committed head is an in-flight
       // write-audit-publish staging: its files are protected (abandon is
       // the explicit cleanup), unlike tmp-* dirs which are always garbage
@@ -1325,10 +1535,11 @@ object SnapshotStore {
       val keptSegs = (if (c > 0) Seq(ckptDir(root, c)) else Nil) ++
         ((c + 1) to vs.last).map(manifestDir(root, _)) ++
         staged.map(manifestDir(root, _))
-      val referenced = spark.read.schema(manifestSchema)
+      // referenced stays a DATASET — never collected: at 10⁷ files a
+      // driver-side Set here is the next memory ceiling in this path
+      val referencedDf = spark.read.schema(manifestSchema)
         .parquet(keptSegs.map(_.toString): _*)
-        .filter(col("action") === "add").select(col("path"))
-        .distinct().collect().map(_.getString(0)).toSet
+        .filter(col("action") === "add").select(col("path")).distinct()
       // markers first: a crash mid-vacuum must never leave a version that
       // LOOKS committed but whose files are partially deleted
       dropped.foreach { v =>
@@ -1349,27 +1560,75 @@ object SnapshotStore {
         val n = s.getPath.getName
         n.startsWith("tmp-") || n.startsWith("tmpckpt-")
       }.foreach(s => fs.delete(s.getPath, true))
+      // DISTRIBUTED GC: the driver lists only the FIRST-LEVEL commit dirs
+      // (O(commits in the table's history) — bounded, and itself pruned by
+      // vacuum each run); executors list the files inside each dir; the
+      // doomed set is (on disk ∖ referenced) as a Dataset anti-join; and
+      // the deletes run per-partition on executors. Driver memory is flat
+      // in table file count — the only collected lists are per-partition
+      // delete counts and the (bounded) set of dirs still holding a live
+      // file. At 10⁷ files the old driver-side recursive listing held
+      // every path in driver memory; this holds none.
       var deleted = 0L
       val dataDir = new Path(root, "data")
       if (fs.exists(dataDir)) {
-        val it = fs.listFiles(dataDir, true)
-        val toDelete = scala.collection.mutable.ArrayBuffer.empty[Path]
-        while (it.hasNext) {
-          val f = it.next()
-          val relPath = relOf(fs, root, fs.makeQualified(f.getPath).toString)
-          val isMeta = f.getPath.getName.startsWith("_") || f.getPath.getName.startsWith(".")
-          if (!referenced.contains(relPath) && !isMeta) toDelete += f.getPath
+        import spark.implicits._
+        val qualRoot = fs.makeQualified(root)
+        val rootStr = qualRoot.toString
+        val rootPathLen = qualRoot.toUri.getPath.length
+        val topDirs = fs.listStatus(dataDir).iterator
+          .filter(_.isDirectory)
+          .map(s => fs.makeQualified(s.getPath).toString).toSeq
+        // Hadoop Configuration is not serializable: ship its entries and
+        // rebuild per executor (FileSystem.get caches per scheme+authority,
+        // so the rebuild cost is once per executor, not per file)
+        val confEntries = {
+          val cc = spark.sparkContext.hadoopConfiguration
+          val b = Map.newBuilder[String, String]
+          val it = cc.iterator()
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+          b.result()
         }
-        toDelete.foreach { p => if (fs.delete(p, false)) deleted += 1 }
-        // drop commit data dirs emptied entirely (metadata markers aside)
-        fs.listStatus(dataDir).iterator.filter(_.isDirectory).foreach { d =>
-          val anyData = fs.listFiles(d.getPath, true)
-          var hasData = false
-          while (anyData.hasNext && !hasData) {
-            val n = anyData.next().getPath.getName
-            if (!n.startsWith("_") && !n.startsWith(".")) hasData = true
-          }
-          if (!hasData) fs.delete(d.getPath, true)
+        def fsFor(p: String): FileSystem = {
+          val cc = new org.apache.hadoop.conf.Configuration()
+          confEntries.foreach { case (k, vv) => cc.set(k, vv) }
+          new Path(p).getFileSystem(cc)
+        }
+        if (topDirs.nonEmpty) {
+          val onDisk = spark.createDataset(topDirs)
+            .repartition(math.min(topDirs.size, 64))
+            .mapPartitions { dirs =>
+              dirs.flatMap { d =>
+                val dfs = fsFor(d)
+                val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+                val it = dfs.listFiles(new Path(d), true)
+                while (it.hasNext) {
+                  val f = it.next()
+                  val name = f.getPath.getName
+                  if (!name.startsWith("_") && !name.startsWith("."))
+                    out += ((d, f.getPath.toUri.getPath.substring(rootPathLen + 1)))
+                }
+                out
+              }
+            }.toDF("dir", "path")
+            .localCheckpoint(true) // listed once, consumed by two jobs below
+          try {
+            val doomed = onDisk.join(referencedDf, Seq("path"), "left_anti")
+            deleted = doomed.select(col("path")).as[String]
+              .mapPartitions { ps =>
+                var n = 0L
+                ps.foreach { p =>
+                  if (fsFor(rootStr).delete(new Path(rootStr + "/" + p), false)) n += 1
+                }
+                Iterator.single(n)
+              }.collect().sum
+            // dirs left with NO live file (all deleted, or only metadata
+            // markers): collected bounded by the commit-dir count
+            val liveDirs = onDisk.join(referencedDf, Seq("path"), "left_semi")
+              .select(col("dir")).distinct().as[String].collect().toSet
+            topDirs.filterNot(liveDirs.contains)
+              .foreach(d => fs.delete(new Path(d), true))
+          } finally onDisk.unpersist(blocking = false): Unit
         }
       }
       (deleted, dropped.size.toLong)

@@ -670,6 +670,181 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("updateWhereMoR: row-identical to CoW update; carries all files; no-op on no match") {
+    withTable { path =>
+      val cow = path + "_cow"
+      SnapshotStore.create(spark, docs, path,
+        statsColumns = Seq("doc_id"), clusterBy = Seq("doc_id"), numFiles = 4)
+      SnapshotStore.create(spark, docs, cow,
+        statsColumns = Seq("doc_id"), clusterBy = Seq("doc_id"), numFiles = 4)
+      val pred = pmod(col("doc_id"), lit(7)) === 0 // scattered across files
+      val set = Map("source" -> lit("touched"))
+      SnapshotStore.updateWhereMoR(spark, path, pred, set)
+      SnapshotStore.updateWhere(spark, cow, pred, set)
+      // every prior data file carried by reference
+      val v1 = SnapshotStore.entries(spark, path, 1).map(_.path).toSet
+      assert(v1.subsetOf(SnapshotStore.entries(spark, path, 2).map(_.path).toSet))
+      assert(SnapshotStore.tombstoneEntries(spark, path, 2).nonEmpty)
+      val got = SnapshotStore.read(spark, path).orderBy("doc_id").collect().toSeq
+      val want = SnapshotStore.read(spark, cow).orderBy("doc_id").collect().toSeq
+      assert(got == want, "MoR update must read row-identically to CoW")
+      // row count invariant; version 1 time-travels to the pre-update state
+      assert(got.size == docs.count())
+      assert(SnapshotStore.readVersion(spark, path, 1)
+        .filter(col("source") === "touched").count() == 0)
+      // nothing matches → true no-op, no version bump
+      val v = SnapshotStore.currentVersion(spark, path)
+      assert(SnapshotStore.updateWhereMoR(spark, path,
+        col("doc_id") === -1L, set) == v)
+      // a second MoR update over the SAME rows resolves prior tombstones:
+      // the first update's new images update again, no resurrection
+      SnapshotStore.updateWhereMoR(spark, path, pred, Map("source" -> lit("twice")))
+      val again = SnapshotStore.read(spark, path)
+      assert(again.filter(col("source") === "twice").count() ==
+        docs.filter(pred).count())
+      assert(again.count() == docs.count())
+    }
+  }
+
+  test("mergeMoR: row-identical to CoW merge; in-batch dups collapse; compaction folds") {
+    withTable { path =>
+      val cow = path + "_cow"
+      SnapshotStore.create(spark, docs, path,
+        statsColumns = Seq("doc_id"), clusterBy = Seq("doc_id"), numFiles = 4)
+      SnapshotStore.create(spark, docs, cow,
+        statsColumns = Seq("doc_id"), clusterBy = Seq("doc_id"), numFiles = 4)
+      val upd = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .withColumn("source", lit("merged"))
+      val ins = docs.filter(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + lit(900000L))
+      val batch = upd.unionByName(ins).unionByName(upd) // dup'd updates
+      SnapshotStore.mergeMoR(spark, batch, path, Seq("doc_id"), Nil)
+      SnapshotStore.merge(spark, batch, cow, Seq("doc_id"), Nil)
+      val v1 = SnapshotStore.entries(spark, path, 1).map(_.path).toSet
+      assert(v1.subsetOf(SnapshotStore.entries(spark, path, 2).map(_.path).toSet),
+        "MoR merge must not rewrite any data file")
+      val got = SnapshotStore.read(spark, path).orderBy("doc_id").collect().toSeq
+      val want = SnapshotStore.read(spark, cow).orderBy("doc_id").collect().toSeq
+      assert(got == want, "MoR merge must read row-identically to CoW")
+      // compaction folds every tombstone; re-merge after compact still right
+      SnapshotStore.compact(spark, path, Long.MaxValue)
+      assert(SnapshotStore.tombstoneEntries(spark, path,
+        SnapshotStore.currentVersion(spark, path)).isEmpty)
+      assert(SnapshotStore.read(spark, path).orderBy("doc_id")
+        .collect().toSeq == want)
+    }
+  }
+
+  test("verifyHint law: a truthful hint prunes identically; a lying hint refuses") {
+    withTable { path =>
+      val cow = path + "_plain"
+      SnapshotStore.create(spark, docs, path,
+        statsColumns = Seq("doc_id"), clusterBy = Seq("doc_id"), numFiles = 8)
+      SnapshotStore.create(spark, docs, cow,
+        statsColumns = Seq("doc_id"), clusterBy = Seq("doc_id"), numFiles = 8)
+      // batch: updates to keys < 30 plus inserts minted past the max —
+      // the documented hint contract: only keys that MAY match need cover
+      val upd = docs.filter(col("doc_id") < 30).withColumn("source", lit("m"))
+      val ins = docs.filter(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + lit(800000L))
+      val batch = upd.unionByName(ins)
+      val truthful = Some(RangeHint("doc_id", "0", "29"))
+      val before = SnapshotStore.entries(spark, path, 1).map(_.path).toSet
+      SnapshotStore.merge(spark, batch, path, Seq("doc_id"), Nil,
+        hint = truthful, verifyHint = true)
+      SnapshotStore.merge(spark, batch, cow, Seq("doc_id"), Nil, hint = truthful)
+      // verified merge pruned identically to the unverified one...
+      val carriedV = (before intersect
+        SnapshotStore.entries(spark, path, 2).map(_.path).toSet).size
+      val carriedP = (SnapshotStore.entries(spark, cow, 1).map(_.path).toSet intersect
+        SnapshotStore.entries(spark, cow, 2).map(_.path).toSet).size
+      assert(carriedV == carriedP && carriedV >= 7,
+        s"truthful verified hint must prune identically ($carriedV vs $carriedP)")
+      // ...and row-identically
+      assert(SnapshotStore.read(spark, path).orderBy("doc_id").collect().toSeq ==
+        SnapshotStore.read(spark, cow).orderBy("doc_id").collect().toSeq)
+      // the LIE: a matched key (doc_id 100) outside the hinted range —
+      // unverified it would silently duplicate; verified it refuses
+      val lying = docs.filter(col("doc_id").between(95, 105))
+        .withColumn("source", lit("liar"))
+      val e = intercept[IllegalArgumentException] {
+        SnapshotStore.merge(spark, lying, path, Seq("doc_id"), Nil,
+          hint = Some(RangeHint("doc_id", "0", "29")), verifyHint = true)
+      }
+      assert(e.getMessage.contains("LIE"), e.getMessage)
+      // same law through the MoR form
+      val e2 = intercept[IllegalArgumentException] {
+        SnapshotStore.mergeMoR(spark, lying, path, Seq("doc_id"), Nil,
+          hint = Some(RangeHint("doc_id", "0", "29")), verifyHint = true)
+      }
+      assert(e2.getMessage.contains("LIE"), e2.getMessage)
+    }
+  }
+
+  test("relPathExpr: root-relative spelling matches on authority-bearing URIs") {
+    import spark.implicits._
+    // every spelling Spark/Hadoop can render for the SAME file must map to
+    // the identical root-relative string the driver-side relOf produces —
+    // the tombstone anti-join equality depends on it
+    val cases = Seq(
+      ("file:///tmp/t/data/c1/f.parquet", "/tmp/t"),
+      ("file:/tmp/t/data/c1/f.parquet", "/tmp/t"),
+      ("hdfs://nn:8020/warehouse/t/data/c1/f.parquet", "/warehouse/t"),
+      ("s3a://bucket/w/t/data/c1/f.parquet", "/w/t"),
+      ("abfs://cont@acct.dfs.example/w/t/data/c1/f.parquet", "/w/t"))
+    cases.foreach { case (abs, rootPath) =>
+      val got = Seq(abs).toDF("p")
+        .select(SnapshotStore.relPathExpr(col("p"), rootPath))
+        .head.getString(0)
+      assert(got == "data/c1/f.parquet", s"$abs under $rootPath -> $got")
+    }
+  }
+
+  test("format marker: legacy (marker-less) layout and future versions refuse loudly") {
+    withTable { path =>
+      SnapshotStore.create(spark, docs.filter(col("doc_id") < 20), path)
+      val fmt = new java.io.File(path, "_snapshots/format")
+      assert(fmt.exists, "create must record the layout version")
+      // legacy layout: _snapshots exists, no format file → refuse, never
+      // read as an empty table (drop the checksum sidecar too — the raw
+      // rewrites below go around Hadoop's ChecksumFileSystem)
+      val crc = new java.io.File(path, "_snapshots/.format.crc")
+      assert(fmt.delete()); crc.delete()
+      val legacy = intercept[java.io.IOException] {
+        SnapshotStore.read(spark, path).count()
+      }
+      assert(legacy.getMessage.contains("legacy"), legacy.getMessage)
+      // future layout: version above this reader's → refuse
+      java.nio.file.Files.write(fmt.toPath, "99".getBytes)
+      val future = intercept[java.io.IOException] {
+        SnapshotStore.read(spark, path).count()
+      }
+      assert(future.getMessage.contains("format 99"), future.getMessage)
+      java.nio.file.Files.write(fmt.toPath, "2".getBytes)
+      assert(SnapshotStore.read(spark, path).count() == 20)
+    }
+  }
+
+  test("overwrite/merge: a same-named column of a different TYPE refuses") {
+    withTable { path =>
+      import spark.implicits._
+      val d = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      SnapshotStore.create(spark, d, path)
+      val badType = Seq((3L, 9)).toDF("id", "v") // v: int, table says string
+      val e1 = intercept[IllegalArgumentException] {
+        SnapshotStore.overwrite(spark, badType, path)
+      }
+      assert(e1.getMessage.contains("types"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        SnapshotStore.merge(spark, badType, path, Seq("id"), Nil)
+      }
+      assert(e2.getMessage.contains("types"), e2.getMessage)
+      // matching schema in a different column ORDER still commits
+      SnapshotStore.overwrite(spark, Seq(("c", 5L)).toDF("v", "id"), path)
+      assert(SnapshotStore.read(spark, path).collect().toSeq.map(_.getLong(0)) == Seq(5L))
+    }
+  }
+
   test("null predicate semantics: delete keeps rows where pred is NULL (SQL-style)") {
     withTable { path =>
       import spark.implicits._
