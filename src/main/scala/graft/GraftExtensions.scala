@@ -23,7 +23,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * view), and
   * one planner strategy ([[graft.plans.AsofStrategy]] — plans the
   * [[graft.plans.AsofMergeJoin]] logical node to its streaming-merge
-  * exec; a no-op on every other plan).
+  * exec; a no-op on every other plan), and the two analyzer rules that
+  * give `graft-snapshot` catalog tables their SQL surface
+  * ([[graft.plans.SnapshotTimeTravelRule]] — `VERSION AS OF` /
+  * `TIMESTAMP AS OF` on V1 tables, which stock Spark refuses — and
+  * [[graft.plans.SnapshotInsertRule]] — `INSERT INTO/OVERWRITE` rerouted
+  * from the stock direct-file write to the atomic commit protocol).
   * `graft.functions.CosineUnits.register` remains as the imperative
   * fallback for sessions built without the config.
   */
@@ -36,6 +41,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // of the shared operator fixpoint — see ProjectionRewrite's scaladoc
     ext.injectPreCBORule(_ => graft.plans.ProjectionRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
+    // SQL surface of the snapshot table format: time travel for V1
+    // catalog tables must intercept BEFORE the Resolution batch's stock
+    // refusal (hint-resolution runs first); the insert reroute runs in
+    // the Resolution batch (so the built-in DataSourceAnalysis — which
+    // both refuses the snapshot-safe self-read overwrite and would plan
+    // a non-transactional file write — never sees the insert), with a
+    // post-hoc registration as the belt-and-suspenders net for plan
+    // shapes that reach the planned command another way — see
+    // SnapshotSqlRules.
+    ext.injectHintResolutionRule(s => graft.plans.SnapshotTimeTravelRule(s))
+    ext.injectResolutionRule(_ => graft.plans.SnapshotInsertRule)
+    ext.injectPostHocResolutionRule(_ => graft.plans.SnapshotInsertRule)
     ext.injectFunction((
       FunctionIdentifier("cosine_units"),
       new ExpressionInfo(

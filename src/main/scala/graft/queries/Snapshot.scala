@@ -753,10 +753,14 @@ object Snapshot {
         .orderBy(docCols.map(col): _*).collect().toSeq
       require(morRows == cowRows,
         "q147: MoR and CoW must read row-identically through the lifecycle")
-      // compaction law: every tombstone folds away; the pure-file format
-      // API (which refuses live tombstones) reads the table again
-      require(scala.util.Try(spark.read.format("graft-snapshot").load(path))
-        .isFailure, "q147: the format API must refuse live tombstones loudly")
+      // the format API stays CORRECT over live tombstones: the provider
+      // serves the RESOLVED relation mid-lifecycle (anti-join plan behind
+      // the same format string — no dark window between a MoR write and
+      // the next compaction), row-equal to the helper read
+      val viaFormatMid = spark.read.format("graft-snapshot").load(path)
+        .orderBy(docCols.map(col): _*).collect().toSeq
+      require(viaFormatMid == morRows,
+        "q147: the format read must resolve live tombstones row-identically")
       SnapshotStore.compact(spark, path,
         SnapshotStore.entries(spark, path, 3).map(_.bytes).sum / 4 + 1)
       val curV = SnapshotStore.currentVersion(spark, path)
@@ -886,6 +890,383 @@ object Snapshot {
 
   /** Every document exactly once, despite the re-delivered slice. */
   val q149Sql: String = q130Sql
+
+  /** Q150 — THE SQL/CATALOG SURFACE, scored: q129's whole ingest story
+    * driven ENTIRELY through `spark.sql` over a NAMED catalog table —
+    * CTAS (`CREATE TABLE … USING graft-snapshot AS SELECT`), the
+    * reference's ON-CONFLICT idempotent append spelled as SQL
+    * (`INSERT INTO … WHERE NOT EXISTS`, reading the target's own
+    * committed snapshot — safe only because readers are snapshot-
+    * isolated), and the delete as an atomic `INSERT OVERWRITE … SELECT
+    * FROM itself`. The require gates pin that every SQL write landed as
+    * ONE versioned commit (exact version/op trail), that the stock
+    * direct-file INSERT path was rerouted (NO unreferenced parquet next
+    * to `_snapshots/` — the silent-loss hazard
+    * [[graft.plans.SnapshotInsertRule]] closes), and that `spark.table`
+    * serves the same rows. The oracle is q129's: every document exactly
+    * once, minus the deleted language. A migrating warehouse user's SQL
+    * instinct now works against the snapshot substrate unchanged. */
+  def q150SqlCatalog(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q150_") { path =>
+      val docs = t(spark, dir, "documents").select(docCols.map(col): _*)
+      docs.createOrReplaceTempView("docs_q150")
+      spark.sql("DROP TABLE IF EXISTS g150")
+      try {
+        spark.sql("CREATE TABLE g150 USING `graft-snapshot` " +
+          s"OPTIONS (path '$path') AS SELECT * FROM docs_q150 WHERE doc_id % 3 = 0")
+        // the reference's ON CONFLICT DO NOTHING, in SQL: slice 0 is
+        // re-delivered alongside slice 1 and folds away via NOT EXISTS
+        // against the target's own committed snapshot
+        spark.sql("INSERT INTO g150 SELECT * FROM docs_q150 src " +
+          "WHERE doc_id % 3 <= 1 AND NOT EXISTS " +
+          "(SELECT 1 FROM g150 t WHERE t.doc_id = src.doc_id)")
+        spark.sql("INSERT INTO g150 SELECT * FROM docs_q150 WHERE doc_id % 3 = 2")
+        // the delete, as one atomic replace commit over the table itself
+        spark.sql("INSERT OVERWRITE g150 " +
+          "SELECT * FROM g150 WHERE lang IS DISTINCT FROM 'de'")
+        require(SnapshotStore.versions(spark, path) == Seq(1L, 2L, 3L, 4L),
+          s"q150: expected versions 1..4, got ${SnapshotStore.versions(spark, path)}")
+        val ops = SnapshotStore.history(spark, path)
+          .orderBy(col("version")).collect().map(_.getString(1)).toSeq
+        require(ops == Seq("create", "append", "append", "overwrite"),
+          s"q150: SQL writes must map onto atomic commits, got $ops")
+        // the silent-loss hazard is closed: no stray parquet in the root
+        // (stock Spark would have written the INSERT there, unreferenced)
+        val stray = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        require(stray.isEmpty,
+          s"q150: INSERT must commit through the manifest, found stray ${stray.toSeq}")
+        require(spark.table("g150").count() ==
+          spark.sql("SELECT * FROM g150").count(),
+          "q150: spark.table must serve the same relation")
+        Materialize.sorted(spark.sql(
+          "SELECT doc_id, text, lang, source, n_chars FROM g150"), col("doc_id"))
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS g150")
+        spark.catalog.dropTempView("docs_q150"): Unit
+      }
+    }
+
+  /** Same oracle as q129: each document once, minus the deleted lang. */
+  val q150Sql: String = q129Sql
+
+  /** Q151 — SQL TIME TRAVEL (`VERSION AS OF` / `TIMESTAMP AS OF`), scored:
+    * the q150 lifecycle again, then version 3 — the last pre-delete state
+    * — read as `SELECT … FROM g151 VERSION AS OF 3` (stock Spark refuses
+    * time travel on any V1 table; [[graft.plans.SnapshotTimeTravelRule]]
+    * intercepts the parsed node BEFORE the stock refusal and splices the
+    * manifest-resolved relation). The require gates pin the SQL-surface
+    * contract: `TIMESTAMP AS OF` a post-lifecycle instant resolves the
+    * current head (one marker-read pass), and `VERSION AS OF` a never-
+    * committed version refuses loudly through SQL too. Oracle: q130's —
+    * version 3 is the complete corpus. */
+  def q151SqlTimeTravel(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q151_") { path =>
+      val docs = t(spark, dir, "documents").select(docCols.map(col): _*)
+      docs.createOrReplaceTempView("docs_q151")
+      spark.sql("DROP TABLE IF EXISTS g151")
+      try {
+        spark.sql("CREATE TABLE g151 USING `graft-snapshot` " +
+          s"OPTIONS (path '$path') AS SELECT * FROM docs_q151 WHERE doc_id % 3 = 0")
+        spark.sql("INSERT INTO g151 SELECT * FROM docs_q151 src " +
+          "WHERE doc_id % 3 <= 1 AND NOT EXISTS " +
+          "(SELECT 1 FROM g151 t WHERE t.doc_id = src.doc_id)")
+        spark.sql("INSERT INTO g151 SELECT * FROM docs_q151 WHERE doc_id % 3 = 2")
+        spark.sql("INSERT OVERWRITE g151 " +
+          "SELECT * FROM g151 WHERE lang IS DISTINCT FROM 'de'")
+        // TIMESTAMP AS OF "now" (all commits are in the past) = the head
+        val nowIso = java.time.Instant.now().toString
+        require(spark.sql(
+          s"SELECT count(*) FROM g151 TIMESTAMP AS OF '$nowIso'").head.getLong(0) ==
+          spark.table("g151").count(),
+          "q151: TIMESTAMP AS OF now must resolve the current head")
+        require(scala.util.Try(spark.sql(
+          "SELECT count(*) FROM g151 VERSION AS OF 99").head).isFailure,
+          "q151: VERSION AS OF an uncommitted version must refuse through SQL")
+        Materialize.sorted(spark.sql(
+          "SELECT doc_id, text, lang, source, n_chars FROM g151 VERSION AS OF 3"),
+          col("doc_id"))
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS g151")
+        spark.catalog.dropTempView("docs_q151"): Unit
+      }
+    }
+
+  /** Same oracle as q130: version 3 is the complete pre-delete corpus. */
+  val q151Sql: String = q130Sql
+
+  /** Q152 — ZONE-MAP PRUNING THROUGH THE SQL SURFACE, scored: q141's
+    * physical contract for a table created WITH OPTIONS in SQL (the
+    * creation options — statsColumns/clusterBy/numFiles — flow through
+    * CTAS into the store) and range-scanned by NAME via `spark.sql`: the
+    * scan's post-execution `numFiles` metric is require'd strictly below
+    * the table's file count. One relation serves the helper, format, and
+    * SQL surfaces — the 100 TB read path is what every API gets. */
+  def q152SqlPrune(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q152_") { path =>
+      t(spark, dir, "orders").createOrReplaceTempView("orders_q152")
+      spark.sql("DROP TABLE IF EXISTS g152")
+      try {
+        spark.sql("CREATE TABLE g152 USING `graft-snapshot` OPTIONS (" +
+          s"path '$path', statsColumns 'o_orderkey', clusterBy 'o_orderkey', " +
+          "numFiles '8') AS SELECT * FROM orders_q152")
+        require(SnapshotStore.entries(spark, path, 1).size == 8,
+          "q152: creation options must flow through CTAS")
+        val res = orderCols(spark.sql(
+          "SELECT * FROM g152 WHERE o_orderkey BETWEEN 200 AND 399"))
+        val out = Materialize.sorted(res, col("o_orderkey"))
+        val scans = res.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        require(scans.nonEmpty, "q152: expected a FileSourceScanExec via SQL")
+        val numFiles = scans.head.metrics("numFiles").value
+        require(numFiles > 0 && numFiles < 8,
+          s"q152: the SQL read must prune via the manifest (scanned $numFiles of 8)")
+        out
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS g152")
+        spark.catalog.dropTempView("orders_q152"): Unit
+      }
+    }
+
+  /** Same oracle as q141: the range over the full table. */
+  val q152Sql: String = q141Sql
+
+  /** Q153 — THE CHANGE FEED AS A PUBLIC STREAMING SOURCE, scored: q148's
+    * exactly-once IVM story with the per-lang fold written as USER CODE
+    * over `spark.readStream.format("graft-snapshot")
+    * .option("readChangeFeed", true)` — raw `(row…, _change_type,
+    * _commit_version)` rows from [[graft.sources.v2.SnapshotCdcSource]],
+    * no engine helper in the fold. The require gates pin the public
+    * contract end to end: the folded MV equals a direct aggregate; a
+    * later commit drains incrementally on the SAME checkpoint; a FULL
+    * redelivery from a fresh checkpoint is a version-level no-op on the
+    * MV (the in-row `as_of_version` high-water mark); and after a vacuum
+    * ages versions out from under a new subscription, the source refuses
+    * LOUDLY through the public API (non-contiguous history must never
+    * silently skip deltas). At 100 TB each micro-batch reads manifest-
+    * diff-sized deltas — the consumer never re-scans the table. */
+  def q153CdcSource(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q153_") { path =>
+      import org.apache.spark.sql.streaming.Trigger
+      val base = new java.io.File(path).getParentFile
+      val mvPath = new java.io.File(base, "mv").getAbsolutePath
+      def ckpt(i: Int) = new java.io.File(base, s"ckpt$i").getAbsolutePath
+      buildDocsTable(spark, dir, path) // v1..v4 (v4 deletes 'de')
+      // ---- user-side consumer over the PUBLIC source ----
+      def drain(checkpointDir: String): Unit = {
+        val q = spark.readStream.format("graft-snapshot")
+          .option("readChangeFeed", "true").option("startingVersion", 1)
+          .load(path)
+          .writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", checkpointDir)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val s = batch.sparkSession
+            val b = batch.localCheckpoint(true) // read 2×: mark probe + fold
+            val marks = b.agg(max(col("_commit_version"))).head
+            if (!marks.isNullAt(0)) {
+              val hi = marks.getLong(0)
+              val applied =
+                if (SnapshotStore.versions(s, mvPath).isEmpty) 0L
+                else SnapshotStore.read(s, mvPath)
+                  .agg(max(col("as_of_version"))).head.getLong(0)
+              // the high-water mark makes any replay a no-op at the
+              // version level — the redelivered rows fold to nothing
+              val fresh = b.filter(col("_commit_version") > applied)
+              if (hi > applied) {
+                val sign = when(col("_change_type") === "insert", 1L)
+                  .otherwise(-1L)
+                val d = fresh.groupBy(col("lang"))
+                  .agg(sum(sign).as("d_n"), sum(sign * col("n_chars")).as("d_chars"))
+                val prev =
+                  if (applied == 0L) d.select(col("lang"),
+                    lit(0L).as("n_docs"), lit(0L).as("sum_chars")).limit(0)
+                  else SnapshotStore.read(s, mvPath)
+                    .select(col("lang"), col("n_docs"), col("sum_chars"))
+                val mv = prev.join(d, Seq("lang"), "full_outer")
+                  .select(col("lang"),
+                    (coalesce(col("n_docs"), lit(0L)) +
+                      coalesce(col("d_n"), lit(0L))).as("n_docs"),
+                    (coalesce(col("sum_chars"), lit(0L)) +
+                      coalesce(col("d_chars"), lit(0L))).as("sum_chars"))
+                  .withColumn("as_of_version", lit(hi))
+                if (SnapshotStore.versions(s, mvPath).isEmpty)
+                  SnapshotStore.create(s, mv, mvPath, owner = Some(checkpointDir))
+                else SnapshotStore.merge(s, mv, mvPath,
+                  keys = Seq("lang"), tieBreak = Nil, owner = Some(checkpointDir))
+                ()
+              }
+            }
+          }
+          .start()
+        q.awaitTermination()
+      }
+      drain(ckpt(1))
+      // a later commit: the SAME lineage folds only the new delta
+      SnapshotStore.deleteWhere(spark, path, col("lang") === "zh")
+      drain(ckpt(1))
+      val mv = SnapshotStore.read(spark, mvPath)
+        .filter(col("n_docs") > 0L)
+        .select(col("lang"), col("n_docs"), col("sum_chars"))
+      val direct = SnapshotStore.read(spark, path).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      require(mv.orderBy(col("lang")).collect().toSeq ==
+        direct.orderBy(col("lang")).collect().toSeq,
+        "q153: the public-feed fold must equal the direct aggregate exactly")
+      // full crash-replay from a fresh checkpoint: version-level no-op
+      val mvVersions = SnapshotStore.versions(spark, mvPath)
+      drain(ckpt(2))
+      require(SnapshotStore.versions(spark, mvPath) == mvVersions,
+        "q153: full redelivery must be a version-level no-op on the MV")
+      // the refusal law THROUGH the public API: vacuum ages v1..v3 out,
+      // and a brand-new subscription from version 1 must refuse loudly
+      SnapshotStore.vacuum(spark, path, keepVersions = 2)
+      require(scala.util.Try(drain(ckpt(3))).isFailure,
+        "q153: a vacuumed-away range must refuse through the source API")
+      Materialize.sorted(mv, col("lang"))
+    }
+
+  /** Same oracle as q148: the aggregate minus both deleted languages. */
+  val q153Sql: String = q148Sql
+
+  /** Q154 — MERGE-ON-READ UPDATE (the q147 cost model for updates),
+    * scored: a SCATTERED update (every 100th key — matching rows in ALL
+    * 8 range-clustered files) commits ONE tombstone (the old images) plus
+    * the new images as fresh files; no data file is rewritten, and the
+    * require pins the write-amplification ratio against a copy-on-write
+    * TWIN running the same update (CoW rewrites all 8 files; MoR writes
+    * ~1% of the rows twice). Reads stay row-identical to CoW through the
+    * lifecycle; compaction folds the tombstones away, after which the
+    * zero-overhead format read serves the table again; version 1 still
+    * time-travels to the pre-update state. The oracle replays the update
+    * declaratively. At 100 TB a scattered one-column correction is THE
+    * case where CoW explodes — this is its bounded-cost twin. */
+  def q154MorUpdate(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q154_") { path =>
+      val cowPath = path + "_cow"
+      val o = t(spark, dir, "orders")
+      val pred = pmod(col("o_orderkey"), lit(100)) === 0
+      val set = Map("o_orderpriority" -> lit("0-REWRITTEN"))
+      SnapshotStore.create(spark, o, path,
+        statsColumns = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"), numFiles = 8)
+      SnapshotStore.create(spark, o, cowPath,
+        statsColumns = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"), numFiles = 8)
+      SnapshotStore.updateWhereMoR(spark, path, pred, set)
+      SnapshotStore.updateWhere(spark, cowPath, pred, set)
+      val v1 = SnapshotStore.entries(spark, path, 1).map(_.path).toSet
+      val v2e = SnapshotStore.entries(spark, path, 2)
+      require(v1.subsetOf(v2e.map(_.path).toSet),
+        "q154: MoR update must carry EVERY prior data file by reference")
+      val tombs = SnapshotStore.tombstoneEntries(spark, path, 2)
+      require(tombs.nonEmpty, "q154: the update must have committed a tombstone")
+      val morBytes = tombs.map(_.bytes).sum +
+        v2e.filterNot(e => v1.contains(e.path)).map(_.bytes).sum
+      val cow1 = SnapshotStore.entries(spark, cowPath, 1).map(_.path).toSet
+      val cowBytes = SnapshotStore.entries(spark, cowPath, 2)
+        .filterNot(e => cow1.contains(e.path)).map(_.bytes).sum
+      require(morBytes < cowBytes,
+        s"q154: scattered MoR update must write fewer bytes than CoW " +
+          s"rewrites ($morBytes vs $cowBytes)")
+      val morRows = SnapshotStore.read(spark, path)
+        .orderBy(col("o_orderkey")).collect().toSeq
+      require(morRows == SnapshotStore.read(spark, cowPath)
+        .orderBy(col("o_orderkey")).collect().toSeq,
+        "q154: MoR and CoW updates must read row-identically")
+      // compaction folds the tombstones; the format read serves it again;
+      // version 1 still reads the pre-update state
+      SnapshotStore.compact(spark, path,
+        SnapshotStore.entries(spark, path, 2).map(_.bytes).sum / 4 + 1)
+      require(SnapshotStore.tombstoneEntries(spark, path,
+        SnapshotStore.currentVersion(spark, path)).isEmpty,
+        "q154: compaction must fold every tombstone away")
+      require(spark.read.format("graft-snapshot").load(path).count() == morRows.size,
+        "q154: post-compact format read must see the resolved rows")
+      require(SnapshotStore.readVersion(spark, path, 1)
+        .filter(col("o_orderpriority") === "0-REWRITTEN").count() == 0,
+        "q154: version 1 must still read the pre-update state")
+      Materialize.sorted(orderCols(SnapshotStore.read(spark, path)), col("o_orderkey"))
+    }
+
+  /** The scattered update replayed declaratively. */
+  val q154Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+      |  CASE WHEN o_orderkey % 100 = 0 THEN '0-REWRITTEN' ELSE o_orderpriority END
+      |    AS o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Q155 — MERGE-ON-READ MERGE (upsert), scored: a batch of SCATTERED
+    * updates (every 100th key, shipped twice — the survivor rule must
+    * collapse them) plus fresh inserts lands as ONE tombstone file (the
+    * matched keys' old rows) plus the batch's files — one atomic commit,
+    * zero data-file rewrites (require'd: every prior file carried by
+    * reference, vs the CoW twin rewriting ALL 8 files for the same
+    * batch, with the byte amplification recorded). MoR and CoW merges
+    * read row-identically; compaction folds the tombstones away. The
+    * oracle replays the merge declaratively. This closes the MoR story:
+    * delete (q147), update (q154), merge (q155) — every row-level op now
+    * has both cost models, chosen per workload. */
+  def q155MorMerge(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q155_") { path =>
+      val cowPath = path + "_cow"
+      val o = t(spark, dir, "orders")
+      SnapshotStore.create(spark, o, path,
+        statsColumns = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"), numFiles = 8)
+      SnapshotStore.create(spark, o, cowPath,
+        statsColumns = Seq("o_orderkey"), clusterBy = Seq("o_orderkey"), numFiles = 8)
+      val hit = o.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+      val updates = hit
+        .withColumn("o_orderstatus", lit("M"))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+        .withColumn("o_orderpriority", lit("0-MERGED"))
+      val inserts = hit.select(
+        (col("o_orderkey") + lit(200000L)).as("o_orderkey"), col("o_custkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        lit("0-INSERTED").as("o_orderpriority"))
+      val batch = updates.unionByName(inserts).unionByName(updates)
+      SnapshotStore.mergeMoR(spark, batch, path, keys = Seq("o_orderkey"), tieBreak = Nil)
+      SnapshotStore.merge(spark, batch, cowPath, keys = Seq("o_orderkey"), tieBreak = Nil)
+      val v1 = SnapshotStore.entries(spark, path, 1).map(_.path).toSet
+      val v2e = SnapshotStore.entries(spark, path, 2)
+      require(v1.subsetOf(v2e.map(_.path).toSet),
+        "q155: MoR merge must carry EVERY prior data file by reference")
+      val tombs = SnapshotStore.tombstoneEntries(spark, path, 2)
+      require(tombs.nonEmpty, "q155: the merge must have committed a tombstone")
+      val morBytes = tombs.map(_.bytes).sum +
+        v2e.filterNot(e => v1.contains(e.path)).map(_.bytes).sum
+      val cow1 = SnapshotStore.entries(spark, cowPath, 1).map(_.path).toSet
+      val cowBytes = SnapshotStore.entries(spark, cowPath, 2)
+        .filterNot(e => cow1.contains(e.path)).map(_.bytes).sum
+      require(morBytes < cowBytes,
+        s"q155: scattered MoR merge must write fewer bytes than CoW " +
+          s"($morBytes vs $cowBytes)")
+      val morRows = SnapshotStore.read(spark, path)
+        .orderBy(col("o_orderkey")).collect().toSeq
+      require(morRows == SnapshotStore.read(spark, cowPath)
+        .orderBy(col("o_orderkey")).collect().toSeq,
+        "q155: MoR and CoW merges must read row-identically")
+      SnapshotStore.compact(spark, path,
+        SnapshotStore.entries(spark, path, 2).map(_.bytes).sum / 4 + 1)
+      require(SnapshotStore.tombstoneEntries(spark, path,
+        SnapshotStore.currentVersion(spark, path)).isEmpty,
+        "q155: compaction must fold every tombstone away")
+      Materialize.sorted(orderCols(SnapshotStore.read(spark, path)), col("o_orderkey"))
+    }
+
+  /** The merge replayed declaratively: CASE WHEN updates + UNION inserts. */
+  val q155Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 100 = 0 THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+      |  CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END
+      |    AS o_totalprice,
+      |  o_orderdate,
+      |  CASE WHEN o_orderkey % 100 = 0 THEN '0-MERGED' ELSE o_orderpriority END
+      |    AS o_orderpriority
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey + 200000, o_custkey, 'N', o_totalprice, o_orderdate,
+      |  '0-INSERTED'
+      |FROM orders WHERE o_orderkey % 100 = 0
+      |ORDER BY o_orderkey""".stripMargin
 
   /** Join-time semantics declaratively: enrichment depends on the batch. */
   val q143Sql: String =

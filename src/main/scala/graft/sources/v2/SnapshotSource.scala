@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.SnapshotStore
@@ -44,15 +44,50 @@ import graft.plans.SnapshotFileIndex
   * lock-free snapshot reads: the resolved manifest is immutable, so a
   * concurrent writer never disturbs this relation.
   *
-  * Tables carrying live row tombstones (merge-on-read deletes) refuse
-  * loudly here rather than return resurrected rows: the pure-file
-  * relation cannot apply the tombstone anti-join. `SnapshotStore.read`
-  * resolves them; compaction folds them away (after which this format
-  * reads the table again).
+  * Tables carrying live row tombstones (merge-on-read deletes/updates)
+  * read correctly too: the relation for such a version is a
+  * [[SnapshotResolvedRelation]] — the SAME plan `SnapshotStore.read`
+  * builds (targeted files anti-joined against their tombstones,
+  * untargeted files on the plain-scan fast path), surfaced through the
+  * V1 `PrunedScan` seam so the format API never goes dark mid-lifecycle.
+  * Once compaction folds the tombstones away, reads return to the
+  * zero-overhead HadoopFsRelation form automatically.
   */
 class SnapshotSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with DataSourceRegister with StreamSourceProvider {
   override def shortName(): String = "graft-snapshot"
+
+  // ---- streaming read: the change feed (see SnapshotCdcSource) ------------
+
+  private def streamParams(parameters: Map[String, String]): (String, Long) = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snapshot: a table root is required — " +
+        "spark.readStream.format(\"graft-snapshot\").load(<path>)"))
+    def opt(k: String): Option[String] =
+      parameters.get(k).orElse(parameters.get(k.toLowerCase))
+    require(opt("readChangeFeed").exists(_.toBoolean),
+      "graft-snapshot: streaming reads serve the CHANGE FEED — set " +
+        ".option(\"readChangeFeed\", true) (and optionally " +
+        "\"startingVersion\"); for a point-in-time read use spark.read")
+    val sv = opt("startingVersion").map(_.toLong).getOrElse(1L)
+    require(sv >= 1L, s"graft-snapshot: startingVersion must be >= 1, got $sv")
+    (path, sv)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val (path, _) = streamParams(parameters)
+    (shortName(), SnapshotCdcSource.cdcSchema(
+      SnapshotStore.schemaOf(sqlContext.sparkSession, path)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val (path, startingVersion) = streamParams(parameters)
+    new SnapshotCdcSource(sqlContext, path, startingVersion)
+  }
 
   /** The WRITE half of the format surface — every SaveMode maps onto the
     * store's atomic commit protocol, so `df.write.format("graft-
@@ -99,6 +134,10 @@ class SnapshotSource extends RelationProvider with CreatableRelationProvider
         else createIt()
       case SaveMode.Ignore => if (!exists) createIt()
     }
+    // a catalog table registered over this path caches its resolved
+    // relation (version-pinned file listing) — invalidate so named reads
+    // see the commit that just landed
+    spark.catalog.refreshByPath(path)
     createRelation(sqlContext, parameters)
   }
 
@@ -131,11 +170,11 @@ class SnapshotSource extends RelationProvider with CreatableRelationProvider
       case _ => SnapshotStore.currentVersion(spark, path)
     }
     val tombs = SnapshotStore.tombstoneEntries(spark, path, v)
-    require(tombs.isEmpty,
-      s"graft-snapshot: version $v at $path carries ${tombs.size} live row-" +
-        "tombstone file(s) (merge-on-read deletes) which a pure file scan " +
-        "cannot apply — read via SnapshotStore.read, or compact the table " +
-        "to fold the tombstones away")
+    if (tombs.nonEmpty)
+      // live merge-on-read tombstones: a pure file listing cannot apply
+      // the row-level anti-join, so serve the RESOLVED plan instead —
+      // correct reads between a MoR write and the next compaction
+      return new SnapshotResolvedRelation(sqlContext, path, v)
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val idx = new SnapshotFileIndex(fs.makeQualified(root),
@@ -149,5 +188,34 @@ class SnapshotSource extends RelationProvider with CreatableRelationProvider
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+  }
+}
+
+/** The format relation for a version carrying LIVE merge-on-read
+  * tombstones: `buildScan` executes exactly the resolved plan
+  * [[SnapshotStore.readVersion]] builds (plain fast-path scan of
+  * untargeted files unioned with the tombstone anti-join over targeted
+  * ones), column-pruned through the `PrunedScan` seam and handed back as
+  * InternalRows (`needConversion = false` — no row re-encoding tax).
+  * This keeps the public read surface correct BETWEEN a MoR write and
+  * the next compaction; the zone-map-pruned HadoopFsRelation remains the
+  * steady-state form (the provider picks per version). Residual filters
+  * re-apply above this scan (PrunedScan contract), so results are
+  * identical — the mid-lifecycle trade is pruning efficiency, never
+  * correctness. */
+class SnapshotResolvedRelation(val sqlContext: SQLContext, path: String,
+                               version: Long)
+    extends BaseRelation with org.apache.spark.sql.sources.PrunedScan {
+  override val schema: StructType =
+    SnapshotStore.schemaOf(sqlContext.sparkSession, path)
+  override def needConversion: Boolean = false
+  override def buildScan(requiredColumns: Array[String]):
+      org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    // select exactly requiredColumns (possibly zero, e.g. COUNT(*)) — the
+    // PrunedScan contract is rows shaped to that projection, in order
+    val df = SnapshotStore.readVersion(sqlContext.sparkSession, path, version)
+      .select(requiredColumns.toSeq.map(org.apache.spark.sql.functions.col): _*)
+    df.queryExecution.toRdd
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
   }
 }

@@ -12,4 +12,15 @@ object GraftLogicalPlanApi {
   def ofRows(spark: org.apache.spark.sql.SparkSession,
              plan: LogicalPlan): org.apache.spark.sql.DataFrame =
     Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
+
+  /** `internalCreateDataFrame` is `private[sql]`; a V1 streaming
+    * [[org.apache.spark.sql.execution.streaming.Source]]'s `getBatch`
+    * must return a DataFrame with `isStreaming = true` over the batch's
+    * InternalRows — the same accessor every V1 streaming connector
+    * (including Spark's own file source) reaches internally. */
+  def streamingDataFrame(spark: org.apache.spark.sql.SparkSession,
+                         rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                         schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
 }
