@@ -3,9 +3,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): times every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Each query is executed once
-  * untimed (JVM/codegen warmup — first-query JIT cost was ~8s otherwise)
-  * and then timed. */
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. TWO timed passes, min per
+  * query: pass 1 doubles as the JVM/codegen warmup (its first-query JIT
+  * cost lands in pass 1's numbers, and the min discards it), so the
+  * battery's wall clock is ~2× the reported total instead of the 3× a
+  * separate warmup pass cost — the round-9 driver bench timed out (rc
+  * 124) on exactly that wall-vs-window margin. A soft deadline
+  * (SPARK_GRAFT_DEADLINE_S, default 2400 s) degrades gracefully: once
+  * exceeded, remaining pass-2 re-runs are skipped and their pass-1 times
+  * stand — every query still gets a timing row, and the artifact always
+  * lands inside the driver's window. */
 object Bench {
   def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -36,10 +43,14 @@ object Bench {
     spark
   }
 
-  /** One full battery (warmup pass + min of two timed passes per query);
-    * prints the one-line JSON record and returns the per-query seconds
-    * (-1.0 sentinel for a failed query). */
+  /** One full battery (min of two timed passes per query — pass 1 is the
+    * warmup); prints the one-line JSON record and returns the per-query
+    * seconds (-1.0 sentinel for a failed query). */
   def runBattery(spark: SparkSession, sfDir: String): Map[String, Double] = {
+    val started = System.nanoTime()
+    val deadlineS = sys.env.get("SPARK_GRAFT_DEADLINE_S")
+      .flatMap(_.toDoubleOption).getOrElse(2400.0)
+    def elapsedS: Double = (System.nanoTime() - started) / 1e9
     // SPARK_GRAFT_ONLY=q1,x29,... times a subset (local iteration on a
     // regression); unset = the full battery the driver records
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -54,15 +65,11 @@ object Bench {
     // builds a fresh plan, so nothing is ever re-read after its action.
     def dropCheckpoints(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-    // warmup: full pass (JIT, codegen cache, parquet footer cache)
-    names.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      dropCheckpoints()
-    }
-    // two timed passes, min per query — damps GC/JIT noise in the shared JVM.
-    // A query that throws records the sentinel -1.0 (and lands in "failed"),
-    // never a bogus elapsed time.
+    // two timed passes, min per query — pass 1 absorbs JIT/codegen/footer
+    // warmup and GC noise, pass 2 supplies the warm number; min-of-two
+    // keeps the recorded floor clean without a third (untimed) pass.
+    // A query that throws records the sentinel -1.0 (and lands in
+    // "failed"), never a bogus elapsed time.
     def timeOne(n: String): Double = {
       val t0 = System.nanoTime()
       val elapsed =
@@ -72,12 +79,22 @@ object Bench {
       elapsed
     }
     val pass1 = names.map(n => n -> timeOne(n)).toMap
+    var skippedSecondPass = 0
     val results = names.map { n =>
       val a = pass1(n)
-      // don't re-run a query that already failed just to discard the result
-      val b = if (a < 0) -1.0 else timeOne(n)
+      // don't re-run a query that already failed just to discard the
+      // result; past the soft deadline, let the pass-1 time stand so the
+      // artifact still lands complete inside the driver's window
+      val b =
+        if (a < 0) -1.0
+        else if (elapsedS > deadlineS) { skippedSecondPass += 1; a }
+        else timeOne(n)
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
+    if (skippedSecondPass > 0)
+      System.err.println(s"[bench] soft deadline ${deadlineS}s exceeded: " +
+        s"$skippedSecondPass quer${if (skippedSecondPass == 1) "y" else "ies"} " +
+        "report pass-1 times (no second pass)")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
