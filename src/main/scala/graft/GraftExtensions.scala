@@ -53,6 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectHintResolutionRule(s => graft.plans.SnapshotTimeTravelRule(s))
     ext.injectResolutionRule(_ => graft.plans.SnapshotInsertRule)
     ext.injectPostHocResolutionRule(_ => graft.plans.SnapshotInsertRule)
+    // row-level SQL DML (DELETE/UPDATE/MERGE INTO), which stock Spark
+    // parses but refuses for non-DSv2 tables
+    ext.injectResolutionRule(_ => graft.plans.SnapshotDmlRule)
     ext.injectFunction((
       FunctionIdentifier("cosine_units"),
       new ExpressionInfo(

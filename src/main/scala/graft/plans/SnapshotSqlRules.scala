@@ -75,6 +75,15 @@ object SnapshotSqlRules {
     }
   }
 
+  /** Post-commit catalog invalidation shared by every SQL write command:
+    * the catalog caches the resolved relation with its VERSION-PINNED
+    * file listing — the same refresh every table format issues. */
+  private[plans] def refreshAfterWrite(spark: SparkSession, path: String,
+                                       table: Option[TableIdentifier]): Unit = {
+    table.foreach(t => spark.sessionState.catalog.refreshTable(t))
+    spark.catalog.refreshByPath(path)
+  }
+
   /** `TIMESTAMP AS OF <expr>` to epoch millis. Literal strings accept the
     * same spellings as the reader option (epoch millis, ISO-8601 instant)
     * plus the SQL-native `yyyy-MM-dd[ HH:mm:ss]` forms anchored to UTC —
@@ -189,6 +198,167 @@ object SnapshotInsertRule extends Rule[LogicalPlan] {
   }
 }
 
+/** SQL ROW-LEVEL DML for graft-snapshot catalog tables — `DELETE FROM`,
+  * `UPDATE … SET` and the canonical upsert `MERGE INTO`, which stock
+  * Spark parses but then refuses for any non-DSv2 table ("… is only
+  * supported with v2 tables"). The rule intercepts the resolved command
+  * nodes and maps them onto the store's atomic row-level operations —
+  * the same copy-on-write commits the DataFrame API gets, zone-map
+  * pruning included (the predicate re-applies inside the store's own
+  * scan, pushed to the parquet reader).
+  *
+  * Predicate/assignment rebinding: the parsed condition's
+  * [[AttributeReference]]s are bound to THIS plan's relation instance;
+  * the store's operation scans build their own frames, so bound
+  * references would not resolve there. Each expression is rebound by
+  * name (attribute → `UnresolvedAttribute`), which is sound because a
+  * table's top-level column names are unique. Conditions carrying
+  * subqueries refuse loudly (they cannot rebind by name).
+  *
+  * MERGE supports exactly the canonical upsert the store's merge IS —
+  * `ON` a conjunction of same-named column equalities, `WHEN MATCHED
+  * THEN UPDATE SET *`, `WHEN NOT MATCHED THEN INSERT *` — and refuses
+  * loudly on any other clause combination rather than approximating
+  * its semantics. */
+object SnapshotDmlRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
+  import org.apache.spark.sql.catalyst.plans.logical._
+  import org.apache.spark.sql.classic.ExpressionUtils
+
+  /** Unwrap alias nodes down to a graft-snapshot LogicalRelation. */
+  private def target(p: LogicalPlan): Option[(String, Option[TableIdentifier])] =
+    p match {
+      case SubqueryAlias(_, child) => target(child)
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+              if h.location.isInstanceOf[SnapshotFileIndex] =>
+            Some((h.location.rootPaths.head.toString,
+              lr.catalogTable.map(_.identifier)))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def rebindable(e: Expression): Boolean =
+    e.resolved && !e.exists(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.SubqueryExpression])
+
+  /** Rebind by NAME — wrapped as a Column, which the analyzer treats as
+    * opaque (a raw unresolved Expression stored on the command would
+    * trip CheckAnalysis's unresolved-attribute walk): the store's own
+    * scans resolve the names when the predicate is applied. */
+  private def rebind(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+  }
+  private def columnOf(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.GraftLogicalPlanApi.columnOf(e)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transformDown {
+    case DeleteFromTable(t, cond) if target(t).isDefined && rebindable(cond) =>
+      val (path, ident) = target(t).get
+      SnapshotDeleteCommand(path, columnOf(rebind(cond)), ident)
+
+    case UpdateTable(t, assignments, cond)
+        if target(t).isDefined &&
+          cond.forall(rebindable) && assignments.forall(a => rebindable(a.value)) =>
+      val (path, ident) = target(t).get
+      val set = assignments.map { a =>
+        val name = a.key match {
+          case ar: AttributeReference => ar.name
+          case other => throw new IllegalArgumentException(
+            s"graft-snapshot UPDATE supports top-level columns only, got $other")
+        }
+        name -> columnOf(rebind(a.value))
+      }
+      SnapshotUpdateCommand(path, set,
+        cond.map(c => columnOf(rebind(c)))
+          .getOrElse(org.apache.spark.sql.functions.lit(true)), ident)
+
+    case MergeIntoTable(t, source, onCond, matched, notMatched,
+        notMatchedBySource, withSchemaEvolution)
+        if target(t).isDefined && source.resolved && onCond.resolved =>
+      val (path, ident) = target(t).get
+      // the analyzer may or may not have expanded the star actions into
+      // per-column identity assignments by the time this rule fires —
+      // accept both spellings of the same canonical clause
+      def identityAssigns(as: Seq[Assignment]): Boolean = as.forall { a =>
+        (a.key, a.value) match {
+          case (k: AttributeReference, v: AttributeReference) => k.name == v.name
+          case _ => false
+        }
+      }
+      def canonical: Boolean =
+        (matched match {
+          case Seq(UpdateStarAction(None)) => true
+          case Seq(UpdateAction(None, as, _)) => identityAssigns(as)
+          case _ => false
+        }) && (notMatched match {
+          case Seq(InsertStarAction(None)) => true
+          case Seq(InsertAction(None, as)) => identityAssigns(as)
+          case _ => false
+        }) && notMatchedBySource.isEmpty && !withSchemaEvolution
+      require(canonical,
+        "graft-snapshot MERGE supports the canonical upsert only — " +
+          "WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT * " +
+          "(no conditions, no DELETE, no NOT MATCHED BY SOURCE); got " +
+          s"${matched.size} matched / ${notMatched.size} not-matched / " +
+          s"${notMatchedBySource.size} by-source action(s): " +
+          (matched ++ notMatched ++ notMatchedBySource)
+            .map(_.getClass.getSimpleName).mkString(", "))
+      // ON: a conjunction of same-named column equalities → the key list
+      def keysOf(e: Expression): Seq[String] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          keysOf(l) ++ keysOf(r)
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if a.name == b.name => Seq(a.name)
+        case other => throw new IllegalArgumentException(
+          "graft-snapshot MERGE ON must be a conjunction of same-named " +
+            s"column equalities (t.k = s.k), got $other")
+      }
+      SnapshotMergeCommand(path, source, keysOf(onCond).distinct, ident)
+  }
+}
+
+/** `DELETE FROM t WHERE …` as one atomic copy-on-write commit. */
+case class SnapshotDeleteCommand(path: String, cond: org.apache.spark.sql.Column,
+                                 table: Option[TableIdentifier])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.operators.SnapshotStore.deleteWhere(spark, path, cond)
+    SnapshotSqlRules.refreshAfterWrite(spark, path, table)
+    Seq.empty
+  }
+}
+
+/** `UPDATE t SET … WHERE …` as one atomic copy-on-write commit. */
+case class SnapshotUpdateCommand(path: String,
+                                 set: Seq[(String, org.apache.spark.sql.Column)],
+                                 cond: org.apache.spark.sql.Column,
+                                 table: Option[TableIdentifier])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.operators.SnapshotStore.updateWhere(spark, path, cond, set.toMap)
+    SnapshotSqlRules.refreshAfterWrite(spark, path, table)
+    Seq.empty
+  }
+}
+
+/** Canonical `MERGE INTO` (upsert) as one atomic commit. */
+case class SnapshotMergeCommand(path: String, source: LogicalPlan,
+                                keys: Seq[String],
+                                table: Option[TableIdentifier])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = source :: Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.classic.GraftLogicalPlanApi.ofRows(spark, source)
+    graft.operators.SnapshotStore.merge(spark, src, path, keys, tieBreak = Nil)
+    SnapshotSqlRules.refreshAfterWrite(spark, path, table)
+    Seq.empty
+  }
+}
+
 /** The atomic SQL-insert command [[SnapshotInsertRule]] plans: one
   * versioned [[graft.operators.SnapshotStore.append]] (INSERT INTO) or
   * [[graft.operators.SnapshotStore.overwrite]] (INSERT OVERWRITE) —
@@ -209,11 +379,7 @@ case class SnapshotInsertCommand(path: String, query: LogicalPlan,
         org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
     if (overwrite) graft.operators.SnapshotStore.overwrite(spark, df, path)
     else graft.operators.SnapshotStore.append(spark, df, path)
-    // the catalog caches the resolved relation with its VERSION-PINNED
-    // file listing; invalidate so the next named read resolves the new
-    // head — the same post-write refresh every table format does
-    table.foreach(t => spark.sessionState.catalog.refreshTable(t))
-    spark.catalog.refreshByPath(path)
+    SnapshotSqlRules.refreshAfterWrite(spark, path, table)
     Seq.empty
   }
 }

@@ -1268,6 +1268,104 @@ object Snapshot {
       |FROM orders WHERE o_orderkey % 100 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Q156 — SQL ROW-LEVEL DML (`DELETE FROM` / `UPDATE … SET`), scored:
+    * q133's delete+update lifecycle driven through `spark.sql` on a
+    * named catalog table — stock Spark parses both statements and then
+    * refuses them for any non-DSv2 table;
+    * [[graft.plans.SnapshotDmlRule]] maps them onto the store's atomic
+    * copy-on-write commits instead (predicates rebound by name, so the
+    * store's own pruned scan evaluates them). The require gates pin the
+    * command mapping (exact version/op trail) and the refusal boundary
+    * (a subquery predicate cannot rebind by name and must refuse, never
+    * approximate). Oracle: q133's declarative replay. */
+  def q156SqlDml(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q156_") { path =>
+      val docs = t(spark, dir, "documents").select(docCols.map(col): _*)
+      docs.createOrReplaceTempView("docs_q156")
+      spark.sql("DROP TABLE IF EXISTS g156")
+      try {
+        spark.sql("CREATE TABLE g156 USING `graft-snapshot` OPTIONS (" +
+          s"path '$path', statsColumns 'doc_id', clusterBy 'doc_id', " +
+          "numFiles '6') AS SELECT * FROM docs_q156")
+        spark.sql("DELETE FROM g156 WHERE lang = 'de'")
+        spark.sql("UPDATE g156 SET source = 'merged' WHERE lang = 'zh'")
+        require(SnapshotStore.versions(spark, path) == Seq(1L, 2L, 3L),
+          s"q156: expected versions 1..3, got ${SnapshotStore.versions(spark, path)}")
+        val ops = SnapshotStore.history(spark, path)
+          .orderBy(col("version")).collect().map(_.getString(1)).toSeq
+        require(ops == Seq("create", "delete", "update"),
+          s"q156: SQL DML must map onto the store's atomic ops, got $ops")
+        // the refusal boundary: a subquery predicate cannot rebind by
+        // name — it must refuse (stock v2-only error), never approximate
+        require(scala.util.Try(spark.sql(
+          "DELETE FROM g156 WHERE doc_id IN (SELECT min(doc_id) FROM docs_q156)"))
+          .isFailure, "q156: a subquery DELETE predicate must refuse loudly")
+        Materialize.sorted(spark.sql(
+          "SELECT doc_id, text, lang, source, n_chars FROM g156"), col("doc_id"))
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS g156")
+        spark.catalog.dropTempView("docs_q156"): Unit
+      }
+    }
+
+  /** Same oracle as q133: delete + update replayed declaratively. */
+  val q156Sql: String = q133Sql
+
+  /** Q157 — SQL `MERGE INTO` (canonical upsert), scored: q135's
+    * update+insert batch driven as `MERGE INTO … USING … ON t.k = s.k
+    * WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` —
+    * the exact shape [[graft.operators.SnapshotStore.merge]] IS, mapped
+    * in one atomic commit ([[graft.plans.SnapshotDmlRule]]); any other
+    * clause combination refuses loudly rather than approximating (the
+    * require pins that boundary with a WHEN MATCHED THEN DELETE form).
+    * Copy-on-write pruning still holds through SQL: the matched keys
+    * live in one of 8 range-clustered files, ≥7 carry by reference.
+    * Oracle: q135's declarative replay. */
+  def q157SqlMerge(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q157_") { path =>
+      val o = t(spark, dir, "orders")
+      o.createOrReplaceTempView("orders_q157")
+      spark.sql("DROP TABLE IF EXISTS g157")
+      try {
+        spark.sql("CREATE TABLE g157 USING `graft-snapshot` OPTIONS (" +
+          s"path '$path', statsColumns 'o_orderkey', clusterBy 'o_orderkey', " +
+          "numFiles '8') AS SELECT * FROM orders_q157")
+        val low = o.filter(col("o_orderkey") < 50)
+        val updates = low
+          .withColumn("o_orderstatus", lit("M"))
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+          .withColumn("o_orderpriority", lit("0-MERGED"))
+        val inserts = low.select(
+          (col("o_orderkey") + lit(200000L)).as("o_orderkey"), col("o_custkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          lit("0-INSERTED").as("o_orderpriority"))
+        updates.unionByName(inserts).createOrReplaceTempView("src_q157")
+        val before = SnapshotStore.entries(spark, path, 1).map(_.path).toSet
+        spark.sql("""MERGE INTO g157 USING src_q157 s
+          |ON g157.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        require(SnapshotStore.versions(spark, path) == Seq(1L, 2L),
+          "q157: MERGE must land as ONE atomic commit")
+        val after = SnapshotStore.entries(spark, path, 2).map(_.path).toSet
+        require((before intersect after).size >= 7,
+          "q157: SQL merge must keep copy-on-write file pruning")
+        // the canonical-shape boundary: any other clause refuses loudly
+        require(scala.util.Try(spark.sql("""MERGE INTO g157 USING src_q157 s
+          |ON g157.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN DELETE""".stripMargin)).isFailure,
+          "q157: non-canonical MERGE clauses must refuse loudly")
+        Materialize.sorted(orderCols(spark.table("g157")), col("o_orderkey"))
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS g157")
+        spark.catalog.dropTempView("orders_q157")
+        spark.catalog.dropTempView("src_q157"): Unit
+      }
+    }
+
+  /** Same oracle as q135: CASE WHEN updates + UNION ALL inserts. */
+  val q157Sql: String = q135Sql
+
   /** Join-time semantics declaratively: enrichment depends on the batch. */
   val q143Sql: String =
     """SELECT event_id, user_id,

@@ -23,4 +23,11 @@ object GraftLogicalPlanApi {
                          schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
     spark.asInstanceOf[SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** Wrap a Catalyst [[org.apache.spark.sql.catalyst.expressions.Expression]]
+    * as a user-facing Column (`ExpressionUtils.column` is `private[sql]`)
+    * — the seam the SQL-DML rules use to hand rebound predicates to the
+    * store's Column-typed row-level operations. */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    ExpressionUtils.column(e)
 }

@@ -79,6 +79,66 @@ class SnapshotSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL DML: DELETE/UPDATE/MERGE map onto atomic ops; non-graft tables still refuse") {
+    withTable { path =>
+      docs.createOrReplaceTempView("docs_dml")
+      spark.sql("DROP TABLE IF EXISTS dmlspec")
+      try {
+        spark.sql("CREATE TABLE dmlspec USING `graft-snapshot` " +
+          s"OPTIONS (path '$path') AS SELECT * FROM docs_dml")
+        spark.sql("DELETE FROM dmlspec WHERE lang = 'de'")
+        assert(spark.table("dmlspec").filter(col("lang") === "de").count() == 0)
+        assert(spark.table("dmlspec").count() ==
+          docs.filter(col("lang") =!= "de").count())
+        spark.sql("UPDATE dmlspec SET n_chars = n_chars + 1000000 WHERE lang = 'zh'")
+        assert(spark.table("dmlspec").filter(col("n_chars") > 900000L).count() ==
+          docs.filter(col("lang") === "zh").count())
+        // MERGE: canonical upsert — updates replace, inserts land, once
+        docs.filter(col("doc_id") < 10)
+          .withColumn("n_chars", lit(-7L)).createOrReplaceTempView("src_dml")
+        spark.sql("""MERGE INTO dmlspec USING src_dml s
+          |ON dmlspec.doc_id = s.doc_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        assert(spark.table("dmlspec").filter(col("n_chars") === -7L).count() == 10)
+        assert(spark.table("dmlspec").count() ==
+          docs.filter(col("lang") =!= "de").count() +
+            docs.filter(col("doc_id") < 10 && col("lang") === "de").count())
+        // every statement was one atomic versioned commit
+        assert(SnapshotStore.versions(spark, path) == Seq(1L, 2L, 3L, 4L))
+        val ops = SnapshotStore.history(spark, path)
+          .orderBy(col("version")).collect().map(_.getString(1)).toSeq
+        assert(ops == Seq("create", "delete", "update", "merge"), ops.toString)
+        // non-canonical MERGE refuses loudly
+        val e = intercept[Exception] {
+          spark.sql("""MERGE INTO dmlspec USING src_dml s
+            |ON dmlspec.doc_id = s.doc_id
+            |WHEN MATCHED THEN DELETE""".stripMargin)
+        }
+        assert(e.getMessage.contains("canonical"), e.getMessage)
+        // DML on a NON-graft table still hits the stock v2-only refusal
+        val tmp2 = Files.createTempDirectory("graft-sql-dml").toFile
+        try {
+          val p2 = new java.io.File(tmp2, "t").getAbsolutePath
+          docs.limit(5).write.parquet(p2)
+          spark.sql(s"CREATE TABLE dmlplain USING parquet OPTIONS (path '$p2')")
+          val e2 = intercept[Exception] {
+            spark.sql("DELETE FROM dmlplain WHERE doc_id = 1")
+          }
+          assert(e2.getMessage.toLowerCase.contains("v2") ||
+            e2.getMessage.contains("DELETE"), e2.getMessage)
+        } finally {
+          spark.sql("DROP TABLE IF EXISTS dmlplain")
+          Fs.deleteTree(tmp2)
+        }
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS dmlspec")
+        spark.catalog.dropTempView("docs_dml")
+        spark.catalog.dropTempView("src_dml"): Unit
+      }
+    }
+  }
+
   test("change feed source: versions deliver once, startingVersion honored, gaps refuse") {
     withTable { path =>
       import org.apache.spark.sql.streaming.Trigger
