@@ -56,6 +56,60 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // row-level SQL DML (DELETE/UPDATE/MERGE INTO), which stock Spark
     // parses but refuses for non-DSv2 tables
     ext.injectResolutionRule(_ => graft.plans.SnapshotDmlRule)
+    // SQL TABLE-VALUED FUNCTIONS over the snapshot table's metadata —
+    // DESCRIBE-HISTORY and change-feed polling for pure-SQL users
+    // (Spark has no parser hook for `DESCRIBE HISTORY t`, so the
+    // standard extension spelling is a TVF):
+    //   SELECT * FROM snapshot_history('<table root>')
+    //   SELECT * FROM snapshot_changes('<table root>', 1, 3)
+    // Both are manifest-metadata reads: history is a marker scan (no
+    // data I/O); changes opens only the files in the manifest diff.
+    def litStr(fn: String, e: Expression): String = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(s, _) =>
+        String.valueOf(s)
+      case other => throw new IllegalArgumentException(
+        s"$fn: literal argument required, got $other")
+    }
+    def litLong(fn: String, e: Expression): Long = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) =>
+        v.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: literal integer argument required, got $other")
+    }
+    ext.injectTableFunction((
+      FunctionIdentifier("snapshot_history"),
+      new ExpressionInfo(
+        graft.operators.SnapshotStore.getClass.getName,
+        null,
+        "snapshot_history",
+        "snapshot_history(path) - table history (version, op, parent) of a graft-snapshot table, read lock-free from its commit markers",
+        ""),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) throw graft.functions.FunctionArity
+          .wrongNumArgs("snapshot_history", expected = 1, actual = exprs.length)
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.SnapshotStore
+          .history(spark, litStr("snapshot_history", exprs(0)))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("snapshot_changes"),
+      new ExpressionInfo(
+        graft.operators.SnapshotStore.getClass.getName,
+        null,
+        "snapshot_changes",
+        "snapshot_changes(path, fromV, toV) - net row-level delta (change_type insert|delete) between two committed versions of a graft-snapshot table, reading only the manifest-diff files",
+        ""),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 3) throw graft.functions.FunctionArity
+          .wrongNumArgs("snapshot_changes", expected = 3, actual = exprs.length)
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.SnapshotStore.changesBetween(spark,
+          litStr("snapshot_changes", exprs(0)),
+          litLong("snapshot_changes", exprs(1)),
+          litLong("snapshot_changes", exprs(2)))
+          .queryExecution.analyzed
+      }))
     ext.injectFunction((
       FunctionIdentifier("cosine_units"),
       new ExpressionInfo(

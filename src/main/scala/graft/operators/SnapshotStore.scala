@@ -94,6 +94,19 @@ object SnapshotStore {
   private def removeRow(path: String): ManifestRow =
     ManifestRow("remove", "data", path, 0L, 0L, Map.empty)
 
+  /** STREAM-TRANSACTION row (the SetTransaction shape every table format
+    * carries): records that writer lineage `txnId` committed its batch
+    * `batchId` IN the same atomic segment as the batch's files — so "has
+    * this batch landed?" is answered from the manifest fold itself, and
+    * a crash between the data commit and the caller's own checkpoint
+    * write replays into a loud no-op instead of a duplicate. `kind` is
+    * prefixed (`txn:<id>`) so it can never collide with data/tombstone
+    * kinds; `rows` carries the batch id. Folds keep only the LATEST
+    * batch per lineage, so checkpoints stay bounded by the number of
+    * distinct writer lineages, not the commit count. */
+  private def txnRow(txnId: String, batchId: Long): ManifestRow =
+    ManifestRow("txn", s"txn:$txnId", s"txn-$batchId", batchId, 0L, Map.empty)
+
   /** Caller promise that `pred` can only match rows where `col` falls in
     * `[lo, hi]` (canonical encoding) — lets delete/update skip reading
     * files outside the range via the manifest alone. */
@@ -225,12 +238,27 @@ object SnapshotStore {
       .parquet(dirs.map(_.toString): _*).as[ManifestRow]
     if (!withRemoves) all
     else {
+      // txn rows ride along untouched (they are lineage markers, not
+      // files — the remove anti-join must never see them)
+      val txns = all.filter(col("action") === "txn")
       val adds = all.filter(col("action") === "add")
       val removes = all.filter(col("action") === "remove").select(col("path"))
       adds.join(removes, Seq("path"), "left_anti")
         .select(col("action"), col("kind"), col("path"), col("rows"),
           col("bytes"), col("stats")).as[ManifestRow]
+        .unionByName(txns)
     }
+  }
+
+  /** The newest batch id writer lineage `txnId` has committed to this
+    * table, read from the manifest fold (the txn rows commit ATOMICALLY
+    * with their batch's files — see [[txnRow]]). None = no batch yet. */
+  def lastTxn(spark: SparkSession, path: String, txnId: String): Option[Long] = {
+    val vs = versions(spark, path)
+    if (vs.isEmpty) None
+    else manifestRowsDs(spark, path, vs.last)
+      .filter(col("action") === "txn" && col("kind") === s"txn:$txnId")
+      .collect().map(_.rows).maxOption
   }
 
   /** Live manifest rows (data + tombstone entries) of committed version
@@ -892,7 +920,18 @@ object SnapshotStore {
   private def writeCheckpoint(spark: SparkSession, root: Path,
                               fs: FileSystem, v: Long): Unit = {
     val (c, dirs) = segmentDirs(fs, root, v)
-    val live = foldSegments(spark, dirs, mayRemove(fs, root, c, v))
+    val live0 = foldSegments(spark, dirs, mayRemove(fs, root, c, v))
+    // bound persistent txn state to ONE row per writer lineage (else a
+    // long-lived stream's per-batch txn rows would accumulate across
+    // checkpoints): keep only the max batch id per lineage kind
+    implicit val enc = Encoders.product[ManifestRow]
+    val latestTxn = live0.filter((r: ManifestRow) => r.action == "txn")
+      .groupByKey((r: ManifestRow) => r.kind)(Encoders.STRING)
+      .reduceGroups((a: ManifestRow, b: ManifestRow) =>
+        if (a.rows >= b.rows) a else b)
+      .map(_._2)
+    val live = live0.filter((r: ManifestRow) => r.action != "txn")
+      .union(latestTxn)
     val tmp = new Path(snapDir(root), s"tmpckpt-$v-${java.util.UUID.randomUUID()}")
     // one writer task: a checkpoint is manifest-sized (≈50 MB / 10⁶ files
     // at 100 TB), not data-sized — a single parquet part keeps the next
@@ -925,7 +964,8 @@ object SnapshotStore {
     * scans and ranged deletes open O(range/table) files, not all of them. */
   def create(spark: SparkSession, df: DataFrame, path: String,
              statsColumns: Seq[String] = Nil, clusterBy: Seq[String] = Nil,
-             numFiles: Int = 0, owner: Option[String] = None): Long = {
+             numFiles: Int = 0, owner: Option[String] = None,
+             txn: Option[(String, Long)] = None): Long = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     statsColumns.foreach(c => require(
@@ -949,7 +989,8 @@ object SnapshotStore {
         else if (numFiles > 0) df.repartition(numFiles)
         else df
       commitDelta(spark, root, fs, 1L,
-        writeData(spark, root, fs, 1L, shaped, statsColumns)._2.map(addRow(_)),
+        writeData(spark, root, fs, 1L, shaped, statsColumns)._2.map(addRow(_)) ++
+          txn.map { case (id, b) => txnRow(id, b) }.toSeq,
         Nil, "create")
     }
   }
@@ -997,22 +1038,37 @@ object SnapshotStore {
     * never reads, collects, or rewrites the table's file list — O(batch)
     * at any table size. On losing the commit slot to another committed
     * writer, the already-written files re-commit against the new head
-    * (append is commutative; the staged bytes are head-independent). */
-  def append(spark: SparkSession, df: DataFrame, path: String): Long = {
+    * (append is commutative; the staged bytes are head-independent).
+    * `txn = Some((lineageId, batchId))` makes the append TRANSACTIONALLY
+    * IDEMPOTENT per lineage: a [[txnRow]] commits in the same atomic
+    * segment as the files, and a replay whose batchId is at or below the
+    * recorded mark returns the current version without writing — the
+    * exactly-once contract a streaming sink needs across the
+    * crash-between-commit-and-checkpoint window. */
+  def append(spark: SparkSession, df: DataFrame, path: String,
+             txn: Option[(String, Long)] = None): Long = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     Lease.withLease(fs, root, "snapshot append") {
       val cur0 = currentVersion(spark, path)
-      val (dataDir, newEs) =
-        writeData(spark, root, fs, cur0 + 1, df, statsCols(fs, root))
-      if (newEs.isEmpty) { // empty batch: a true no-op, not an empty version
-        fs.delete(dataDir, true)
-        cur0
-      } else withCommitRebase("snapshot append") { _ =>
-        // re-resolve per attempt; the data dir's name keeps the FIRST
-        // attempt's slot number — cosmetic only, paths are opaque
-        commitDelta(spark, root, fs, currentVersion(spark, path) + 1,
-          newEs.map(addRow(_)), Nil, "append")
+      val replayed = txn.exists { case (id, b) =>
+        lastTxn(spark, path, id).exists(_ >= b)
+      }
+      if (replayed) cur0
+      else {
+        val (dataDir, newEs) =
+          writeData(spark, root, fs, cur0 + 1, df, statsCols(fs, root))
+        if (newEs.isEmpty) { // empty batch: a true no-op, not an empty version
+          fs.delete(dataDir, true)
+          cur0
+        } else withCommitRebase("snapshot append") { _ =>
+          // re-resolve per attempt; the data dir's name keeps the FIRST
+          // attempt's slot number — cosmetic only, paths are opaque
+          commitDelta(spark, root, fs, currentVersion(spark, path) + 1,
+            newEs.map(addRow(_)) ++
+              txn.map { case (id, b) => txnRow(id, b) }.toSeq,
+            Nil, "append")
+        }
       }
     }
   }
@@ -1025,14 +1081,23 @@ object SnapshotStore {
     * visible. */
   def appendDedup(spark: SparkSession, df: DataFrame, path: String,
                   keys: Seq[String], tieBreak: Seq[String],
-                  owner: Option[String] = None): Long = {
+                  owner: Option[String] = None,
+                  txn: Option[(String, Long)] = None): Long = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     // streaming maintainers pass their checkpoint location as `owner` so a
     // crashed lineage's restart re-acquires its own stale lease; the
     // replayed batch is already a version-preserving no-op below
     Lease.withLease(fs, root, "snapshot dedup append", owner) {
-      withCommitRebase("snapshot dedup append") { attempt =>
+      // the txn mark ([[append]]) short-circuits a same-lineage replay
+      // BEFORE the key anti-join — the content-level idempotence below
+      // stays as the cross-lineage (fresh-checkpoint) safety net
+      val curT = currentVersion(spark, path)
+      val replayed = txn.exists { case (id, b) =>
+        lastTxn(spark, path, id).exists(_ >= b)
+      }
+      if (replayed) curT
+      else withCommitRebase("snapshot dedup append") { attempt =>
         // each attempt re-derives the anti-join against the CURRENT head:
         // a rebase after losing the slot must re-check its keys against
         // whatever the winning commit added, or a key that just landed
@@ -1048,8 +1113,10 @@ object SnapshotStore {
         if (newEs.isEmpty) { // fully re-delivered batch: idempotent no-op
           fs.delete(dataDir, true)
           cur
-        } else commitDelta(spark, root, fs, v, newEs.map(addRow(_)), Nil,
-          "append_dedup")
+        } else commitDelta(spark, root, fs, v,
+          newEs.map(addRow(_)) ++
+            txn.map { case (id, b) => txnRow(id, b) }.toSeq,
+          Nil, "append_dedup")
       }
     }
   }

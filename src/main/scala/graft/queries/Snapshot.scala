@@ -1366,6 +1366,109 @@ object Snapshot {
   /** Same oracle as q135: CASE WHEN updates + UNION ALL inserts. */
   val q157Sql: String = q135Sql
 
+  /** Q158 — TABLE METADATA AS SQL TABLE-VALUED FUNCTIONS, scored: the
+    * audit surfaces a pure-SQL user needs — `DESCRIBE HISTORY` and
+    * change-feed polling — spelled as the injected TVFs
+    * `snapshot_history('<root>')` and `snapshot_changes('<root>', a, b)`
+    * (Spark has no parser hook for new DESCRIBE forms; the TVF is the
+    * standard extension spelling). The require gates pin that both are
+    * REAL relations (aggregates and filters compose over them) and that
+    * they answer exactly what the helper APIs answer: history is a
+    * lock-free marker scan, changes reads only the manifest-diff files.
+    * Oracle: the literal expected trail (q144's). */
+  def q158SqlTvf(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q158_") { path =>
+      buildDocsTable(spark, dir, path) // v1..v4 (v4 deletes 'de')
+      val hist = spark.sql(s"SELECT * FROM snapshot_history('$path')")
+      require(hist.orderBy(col("version")).collect().toSeq ==
+        SnapshotStore.history(spark, path).orderBy(col("version")).collect().toSeq,
+        "q158: the history TVF must answer exactly the helper API")
+      // the changes TVF composes like any relation: an aggregate over the
+      // v3→v4 delta (the delete) equals the helper's count
+      val delSql = spark.sql(s"SELECT count(*) FROM snapshot_changes('$path', 3, 4) " +
+        "WHERE change_type = 'delete'").head.getLong(0)
+      val delApi = SnapshotStore.changesBetween(spark, path, 3L, 4L)
+        .filter(col("change_type") === "delete").count()
+      require(delSql == delApi && delSql > 0,
+        s"q158: the changes TVF must answer the manifest diff ($delSql vs $delApi)")
+      require(spark.sql(s"SELECT count(*) FROM snapshot_changes('$path', 3, 4) " +
+        "WHERE change_type = 'insert'").head.getLong(0) == 0L,
+        "q158: a pure delete's delta carries no inserts")
+      Materialize.sorted(hist, col("version"))
+    }
+
+  /** Same oracle as q144: the literal expected operation trail. */
+  val q158Sql: String = q144Sql
+
+  /** Q159 — THE SNAPSHOT TABLE AS A PUBLIC STREAMING SINK, scored: q134's
+    * exactly-once ingest contract behind
+    * `df.writeStream.format("graft-snapshot")` — each micro-batch ONE
+    * atomic versioned commit (creation options honored on the first
+    * batch), keyed-idempotent under `dedupKeys`. The require gates pin
+    * both exactly-once layers: the SAME-LINEAGE transaction mark (the
+    * txn row commits atomically with the batch's files, so the
+    * commit-vs-offset crash window replays into a no-op —
+    * `SnapshotStore.lastTxn` is require'd recorded for the lineage), and
+    * CONTENT idempotence (a FULL redelivery from a fresh checkpoint — a
+    * different lineage, where no txn mark can help — is a version-level
+    * no-op). The zone map flowed: a ranged format read prunes files.
+    * Oracle: every document exactly once (q134's). */
+  def q159StreamSink(spark: SparkSession, dir: String): DataFrame =
+    withTmp("graft_q159_") { path =>
+      import org.apache.spark.sql.streaming.Trigger
+      val base = new java.io.File(path).getParentFile
+      val landing = new java.io.File(base, "landing").getAbsolutePath
+      val ckpt1 = new java.io.File(base, "ckpt1").getAbsolutePath
+      val ckpt2 = new java.io.File(base, "ckpt2").getAbsolutePath
+      val docs = t(spark, dir, "documents").select(docCols.map(col): _*)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      def drain(ckpt: String): Unit = {
+        val q = spark.readStream.schema(schema).json(landing)
+          .writeStream.format("graft-snapshot")
+          .option("checkpointLocation", ckpt)
+          .option("dedupKeys", "doc_id")
+          .option("statsColumns", "doc_id").option("clusterBy", "doc_id")
+          .option("numFiles", "4")
+          .trigger(Trigger.AvailableNow())
+          .start(path)
+        q.awaitTermination()
+      }
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0).coalesce(1).write.json(landing)
+      drain(ckpt1)
+      val vsA = SnapshotStore.versions(spark, path)
+      require(vsA.nonEmpty, "q159: the first batch must create the table")
+      // the same-lineage transaction mark landed atomically with batch 0
+      require(SnapshotStore.lastTxn(spark, path, ckpt1).contains(0L),
+        "q159: the sink must record its lineage's batch mark in-commit")
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1).coalesce(1)
+        .write.mode("append").json(landing)
+      drain(ckpt1) // same lineage drains only the new file
+      val vsB = SnapshotStore.versions(spark, path)
+      require(vsB.size == vsA.size + 1,
+        s"q159: the second batch must be ONE more atomic commit ($vsA -> $vsB)")
+      // full crash-replay from a FRESH checkpoint (new lineage): the
+      // content-level dedup makes it a version-level no-op
+      drain(ckpt2)
+      require(SnapshotStore.versions(spark, path) == vsB,
+        "q159: full redelivery from a fresh checkpoint must be a no-op")
+      // creation options flowed: a ranged format read prunes files
+      val total = SnapshotStore.entries(spark, path,
+        SnapshotStore.currentVersion(spark, path)).size
+      val ranged = spark.read.format("graft-snapshot").load(path)
+        .filter(col("doc_id").between(0, 49))
+      ranged.collect(): Unit
+      val scanned = ranged.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.metrics("numFiles").value
+      require(scanned < total,
+        s"q159: statsColumns/clusterBy must have flowed ($scanned of $total)")
+      Materialize.sorted(SnapshotStore.read(spark, path), col("doc_id"))
+    }
+
+  /** Every document exactly once, despite the full redelivery. */
+  val q159Sql: String = q134Sql
+
   /** Join-time semantics declaratively: enrichment depends on the batch. */
   val q143Sql: String =
     """SELECT event_id, user_id,

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.SnapshotStore
@@ -54,8 +54,40 @@ import graft.plans.SnapshotFileIndex
   * zero-overhead HadoopFsRelation form automatically.
   */
 class SnapshotSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister with StreamSourceProvider {
+    with DataSourceRegister with StreamSourceProvider with StreamSinkProvider {
   override def shortName(): String = "graft-snapshot"
+
+  // ---- streaming write: one atomic commit per micro-batch -----------------
+
+  /** `df.writeStream.format("graft-snapshot")` — see [[SnapshotSink]].
+    * The lineage id for the per-batch transaction mark is the query's
+    * checkpoint location: stable across restarts of the SAME lineage
+    * (where the txn mark must close the commit-vs-offset crash window),
+    * distinct for a fresh checkpoint (where `dedupKeys` content
+    * idempotence is the safety net — exactly q134's law). */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-snapshot sink: append output mode only (a snapshot table " +
+        s"is an append-commit log), got $outputMode")
+    require(partitionColumns.isEmpty,
+      "graft-snapshot sink: partitionBy is not supported — use clusterBy " +
+        "(zone-map range clustering) instead")
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snapshot sink: a table root is required — .start(<path>)"))
+    def csv(k: String): Seq[String] = parameters.get(k)
+      .orElse(parameters.get(k.toLowerCase)).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val lineage = parameters.get("checkpointLocation")
+      .orElse(parameters.get("checkpointlocation"))
+      .getOrElse(path) // checkpoint-less dev streams share one lineage
+    new SnapshotSink(sqlContext, path, csv("dedupKeys"), csv("statsColumns"),
+      csv("clusterBy"),
+      parameters.get("numfiles").orElse(parameters.get("numFiles"))
+        .map(_.toInt).getOrElse(0), lineage)
+  }
 
   // ---- streaming read: the change feed (see SnapshotCdcSource) ------------
 

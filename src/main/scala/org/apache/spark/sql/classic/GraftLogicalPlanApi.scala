@@ -24,6 +24,17 @@ object GraftLogicalPlanApi {
     spark.asInstanceOf[SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
 
+  /** The BATCH twin of [[streamingDataFrame]]: a V1 streaming
+    * [[org.apache.spark.sql.execution.streaming.Sink]]'s `addBatch`
+    * receives an incrementally-planned streaming DataFrame that batch
+    * writers cannot consume directly — re-wrap its InternalRows as a
+    * plain batch frame (the same move Spark's own FileStreamSink makes). */
+  def batchDataFrame(spark: org.apache.spark.sql.SparkSession,
+                     rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                     schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
   /** Wrap a Catalyst [[org.apache.spark.sql.catalyst.expressions.Expression]]
     * as a user-facing Column (`ExpressionUtils.column` is `private[sql]`)
     * — the seam the SQL-DML rules use to hand rebound predicates to the

@@ -781,6 +781,42 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("stream txn marks: same-lineage replay no-ops; marks survive checkpoint roll + vacuum") {
+    withTable { path =>
+      val a = docs.filter(col("doc_id") < 50)
+      SnapshotStore.create(spark, a, path, txn = Some(("L1", 0L)))
+      assert(SnapshotStore.lastTxn(spark, path, "L1").contains(0L))
+      assert(SnapshotStore.lastTxn(spark, path, "L2").isEmpty)
+      val b = docs.filter(col("doc_id").between(50, 99))
+      assert(SnapshotStore.append(spark, b, path, txn = Some(("L1", 1L))) == 2L)
+      // same-lineage replay of batch 1: version-level no-op, rows unchanged
+      assert(SnapshotStore.append(spark, b, path, txn = Some(("L1", 1L))) == 2L)
+      assert(SnapshotStore.versions(spark, path) == Seq(1L, 2L))
+      assert(SnapshotStore.read(spark, path).count() == 100)
+      // lineages are independent
+      assert(SnapshotStore.append(spark, docs.filter(col("doc_id") === 100),
+        path, txn = Some(("L2", 0L))) == 3L)
+      // the dedup form short-circuits on the mark BEFORE the anti-join
+      assert(SnapshotStore.appendDedup(spark, b, path, Seq("doc_id"), Nil,
+        txn = Some(("L1", 1L))) == 3L)
+      // marks survive the 16-delta auto checkpoint roll (latest per
+      // lineage only — bounded persistent state)
+      (2 to 18).foreach(i => SnapshotStore.append(spark,
+        docs.filter(col("doc_id") === (100L + i)), path,
+        txn = Some(("L1", i.toLong))): Unit)
+      assert(SnapshotStore.lastTxn(spark, path, "L1").contains(18L))
+      assert(SnapshotStore.lastTxn(spark, path, "L2").contains(0L))
+      // vacuum drops the mark-carrying deltas; the checkpoint fold keeps
+      // the marks (L2's only mark lived in a dropped segment)
+      SnapshotStore.vacuum(spark, path, keepVersions = 2)
+      assert(SnapshotStore.lastTxn(spark, path, "L1").contains(18L))
+      assert(SnapshotStore.lastTxn(spark, path, "L2").contains(0L))
+      // txn rows never surface as data: reads and entries are clean
+      assert(SnapshotStore.entries(spark, path,
+        SnapshotStore.currentVersion(spark, path)).forall(_.path.startsWith("data/")))
+    }
+  }
+
   test("relPathExpr: root-relative spelling matches on authority-bearing URIs") {
     import spark.implicits._
     // every spelling Spark/Hadoop can render for the SAME file must map to
