@@ -1545,13 +1545,51 @@ object SnapshotStore {
       es.filter(e => !otherPaths.contains(e.path) || retombed.contains(e.path))
     // each side reads ONLY its changed files, resolved under ITS version's
     // tombstones — carried-and-untombstoned files are never opened
-    val before = readFilesResolved(spark, root, fs,
-      changed(fromEs, toPaths), fromTombs, schema)
-    val after = readFilesResolved(spark, root, fs,
-      changed(toEs, fromPaths), toTombs, schema)
-    after.exceptAll(before).withColumn("change_type", lit("insert"))
-      .unionByName(
-        before.exceptAll(after).withColumn("change_type", lit("delete")))
+    val beforeFiles = changed(fromEs, toPaths)
+    val afterFiles = changed(toEs, fromPaths)
+    val before = readFilesResolved(spark, root, fs, beforeFiles, fromTombs, schema)
+    val after = readFilesResolved(spark, root, fs, afterFiles, toTombs, schema)
+    // One-sided fast paths: when a side of the manifest diff names NO
+    // files, the multiset difference degenerates (X ∖ ∅ = X, ∅ ∖ X = ∅)
+    // — return the surviving side directly, zero exchanges. A pure APPEND
+    // (the dominant commit shape at scale, and what a CDC subscriber
+    // mostly follows) then reads only the new files with no shuffle at
+    // all; a pure file-drop (delete-all) is the mirror case. [measured
+    // r10: plans/r10/changes_append_{before,after}.txt — 4 Exchange +
+    // double-scan → 0 Exchange, single scan]
+    if (beforeFiles.isEmpty)
+      after.withColumn("change_type", lit("insert"))
+    else if (afterFiles.isEmpty)
+      before.withColumn("change_type", lit("delete"))
+    else {
+      // General case: net multiset difference in ONE aggregation. The
+      // exceptAll pair this replaces planned each side's scan TWICE and
+      // paid four Exchanges (two RewriteExceptAll aggregations); tagging
+      // the union with a ±1 sign and grouping once over the row yields
+      // the identical multiset — after.exceptAll(before) is exactly the
+      // rows with positive net count, replicated net times; the delete
+      // direction is the negative net — for one Exchange and one scan
+      // per side. Null grouping keys compare equal in both forms, so
+      // null-row semantics are unchanged. [measured r10:
+      // plans/r10/changes_rewrite_{before,after}.txt]
+      val signCol = "__chg_sign"
+      val netCol = "__chg_net"
+      require(!schema.fieldNames.contains(signCol) &&
+        !schema.fieldNames.contains(netCol) &&
+        !schema.fieldNames.contains("change_type"),
+        s"changesBetween: table schema collides with reserved column names")
+      val cols = schema.fieldNames.toSeq
+      val net = after.withColumn(signCol, lit(1L))
+        .unionByName(before.withColumn(signCol, lit(-1L)))
+        .groupBy(cols.map(col): _*)
+        .agg(sum(col(signCol)).as(netCol))
+        .filter(col(netCol) =!= 0L)
+      net.withColumn("change_type",
+          when(col(netCol) > 0L, lit("insert")).otherwise(lit("delete")))
+        .withColumn("__chg_rep",
+          explode(sequence(lit(1L), abs(col(netCol)))))
+        .select(cols.map(col) :+ col("change_type"): _*)
+    }
   }
 
   /** Reclaim storage: keep the newest `keepVersions` committed versions,
@@ -1662,6 +1700,17 @@ object SnapshotStore {
           new Path(p).getFileSystem(cc)
         }
         if (topDirs.nonEmpty) {
+          // ONE job for the whole GC: list-on-executors → left-outer join
+          // against the referenced set → per-partition delete of the
+          // unmatched files, emitting (delete count, dirs seen holding a
+          // referenced file). The previous shape materialized the listing
+          // (localCheckpoint) and consumed it twice (anti-join delete +
+          // semi-join live-dir probe) — three jobs whose scheduling
+          // dominated vacuum at the small end (vacuum_vs_live_files
+          // 8-dir case, round-10 records); the fused pass keeps driver
+          // memory flat (collected: counts + live-dir names, bounded by
+          // the commit-dir count) and does strictly less work at every
+          // scale — the listing is computed once and never persisted.
           val onDisk = spark.createDataset(topDirs)
             .repartition(math.min(topDirs.size, 64))
             .mapPartitions { dirs =>
@@ -1678,24 +1727,28 @@ object SnapshotStore {
                 out
               }
             }.toDF("dir", "path")
-            .localCheckpoint(true) // listed once, consumed by two jobs below
-          try {
-            val doomed = onDisk.join(referencedDf, Seq("path"), "left_anti")
-            deleted = doomed.select(col("path")).as[String]
-              .mapPartitions { ps =>
-                var n = 0L
-                ps.foreach { p =>
+          // referenced paths are distinct, so the join preserves every
+          // on-disk row exactly once; a null flag = unreferenced = doomed
+          val flagged = onDisk.join(
+            referencedDf.withColumn("__ref", lit(true)), Seq("path"), "left_outer")
+          val perPart = flagged.select(col("path"), col("dir"), col("__ref"))
+            .as[(String, String, Option[Boolean])]
+            .mapPartitions { rows =>
+              var n = 0L
+              val live = scala.collection.mutable.HashSet.empty[String]
+              rows.foreach { case (p, d, ref) =>
+                if (ref.isEmpty) {
                   if (fsFor(rootStr).delete(new Path(rootStr + "/" + p), false)) n += 1
-                }
-                Iterator.single(n)
-              }.collect().sum
-            // dirs left with NO live file (all deleted, or only metadata
-            // markers): collected bounded by the commit-dir count
-            val liveDirs = onDisk.join(referencedDf, Seq("path"), "left_semi")
-              .select(col("dir")).distinct().as[String].collect().toSet
-            topDirs.filterNot(liveDirs.contains)
-              .foreach(d => fs.delete(new Path(d), true))
-          } finally onDisk.unpersist(blocking = false): Unit
+                } else live += d
+              }
+              Iterator.single((n, live.toSeq))
+            }.collect()
+          deleted = perPart.map(_._1).sum
+          // dirs left with NO live file (all deleted, or only metadata
+          // markers): bounded by the commit-dir count
+          val liveDirs = perPart.iterator.flatMap(_._2).toSet
+          topDirs.filterNot(liveDirs.contains)
+            .foreach(d => fs.delete(new Path(d), true))
         }
       }
       (deleted, dropped.size.toLong)

@@ -227,27 +227,91 @@ class SnapshotSource extends RelationProvider with CreatableRelationProvider
   * tombstones: `buildScan` executes exactly the resolved plan
   * [[SnapshotStore.readVersion]] builds (plain fast-path scan of
   * untargeted files unioned with the tombstone anti-join over targeted
-  * ones), column-pruned through the `PrunedScan` seam and handed back as
-  * InternalRows (`needConversion = false` — no row re-encoding tax).
-  * This keeps the public read surface correct BETWEEN a MoR write and
-  * the next compaction; the zone-map-pruned HadoopFsRelation remains the
-  * steady-state form (the provider picks per version). Residual filters
-  * re-apply above this scan (PrunedScan contract), so results are
-  * identical — the mid-lifecycle trade is pruning efficiency, never
-  * correctness. */
+  * ones), column-pruned AND filter-pushed through the V1
+  * `PrunedFilteredScan` seam, handed back as InternalRows
+  * (`needConversion = false` — no row re-encoding tax). Pushed filters
+  * are re-expressed as Catalyst predicates over the inner resolved plan
+  * ([[SnapshotResolvedRelation.filterToColumn]]), so they reach the
+  * parquet row-group pushdown and shrink the anti-join's probe side —
+  * the round-9 PrunedScan form re-applied every predicate ABOVE the
+  * full resolved scan, losing all scan-level pruning in the MoR window.
+  * Spark still re-applies every filter above this scan (the default
+  * `unhandledFilters` contract is kept deliberately), so an
+  * untranslatable filter is simply skipped here — results are identical
+  * either way; pushdown is an optimization, never a semantic layer.
+  * This keeps the public read surface correct between a MoR write and
+  * the next compaction; the zone-map-pruned HadoopFsRelation remains
+  * the steady-state form (the provider picks per version). */
 class SnapshotResolvedRelation(val sqlContext: SQLContext, path: String,
                                version: Long)
-    extends BaseRelation with org.apache.spark.sql.sources.PrunedScan {
+    extends BaseRelation with org.apache.spark.sql.sources.PrunedFilteredScan {
   override val schema: StructType =
     SnapshotStore.schemaOf(sqlContext.sparkSession, path)
   override def needConversion: Boolean = false
-  override def buildScan(requiredColumns: Array[String]):
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[org.apache.spark.sql.sources.Filter]):
       org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val base = SnapshotStore.readVersion(sqlContext.sparkSession, path, version)
+    val pushed = filters.flatMap(SnapshotResolvedRelation.filterToColumn)
+    val filtered = pushed.foldLeft(base)((d, c) => d.filter(c))
     // select exactly requiredColumns (possibly zero, e.g. COUNT(*)) — the
-    // PrunedScan contract is rows shaped to that projection, in order
-    val df = SnapshotStore.readVersion(sqlContext.sparkSession, path, version)
+    // contract is rows shaped to that projection, in order
+    val df = filtered
       .select(requiredColumns.toSeq.map(org.apache.spark.sql.functions.col): _*)
     df.queryExecution.toRdd
       .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+  }
+}
+
+object SnapshotResolvedRelation {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  /** Inverse of Spark's own predicate→`sources.Filter` translation, for
+    * the shapes the planner actually hands a V1 relation. Each case
+    * reproduces the Catalyst semantics the filter was derived FROM (null
+    * drops on EqualTo/comparisons/In, null-safe on EqualNullSafe), so a
+    * pushed predicate can only drop rows the outer re-applied filter
+    * would drop anyway. Anything unrecognized — or an attribute whose
+    * name would not round-trip through `col` (dots/backticks) — returns
+    * None and stays outer-only.
+    *
+    * Soundness rule: the pushed predicate may be WEAKER than the true
+    * one (keep a superset — the outer filter re-drops), never stronger.
+    * Dropping one side of an `And` is a sound weakening in positive
+    * polarity only; under `Not` the polarity flips and a weakened child
+    * would OVER-drop, so inside `Not` every node must translate exactly
+    * (`exact = true`). */
+  private[graft] def filterToColumn(f: Filter): Option[Column] =
+    translate(f, exact = false)
+
+  private def translate(f: Filter, exact: Boolean): Option[Column] = {
+    def attr(a: String): Option[Column] =
+      if (a.contains(".") || a.contains("`")) None else Some(col(a))
+    f match {
+      case EqualTo(a, v) => attr(a).map(_ === lit(v))
+      case EqualNullSafe(a, v) => attr(a).map(_ <=> lit(v))
+      case GreaterThan(a, v) => attr(a).map(_ > lit(v))
+      case GreaterThanOrEqual(a, v) => attr(a).map(_ >= lit(v))
+      case LessThan(a, v) => attr(a).map(_ < lit(v))
+      case LessThanOrEqual(a, v) => attr(a).map(_ <= lit(v))
+      case In(a, vs) => attr(a).map(_.isin(vs.toSeq: _*))
+      case IsNull(a) => attr(a).map(_.isNull)
+      case IsNotNull(a) => attr(a).map(_.isNotNull)
+      case StringStartsWith(a, v) => attr(a).map(_.startsWith(v))
+      case StringEndsWith(a, v) => attr(a).map(_.endsWith(v))
+      case StringContains(a, v) => attr(a).map(_.contains(v))
+      case And(l, r) =>
+        (translate(l, exact), translate(r, exact)) match {
+          case (Some(a), Some(b)) => Some(a && b)
+          case (one, other) if !exact => one.orElse(other) // AND weakening
+          case _ => None
+        }
+      case Or(l, r) =>
+        for (a <- translate(l, exact); b <- translate(r, exact)) yield a || b
+      case Not(c) => translate(c, exact = true).map(!_)
+      case _ => None
+    }
   }
 }

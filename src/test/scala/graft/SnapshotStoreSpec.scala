@@ -893,4 +893,80 @@ class SnapshotStoreSpec extends AnyFunSuite {
       assert(got == Seq(2L, 3L))
     }
   }
+
+  // ---- round-10 optimization laws -----------------------------------------
+
+  test("changesBetween: pure append takes the no-shuffle fast path, inserts only") {
+    withTable { path =>
+      val a = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val b = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      SnapshotStore.create(spark, a, path)
+      SnapshotStore.append(spark, b, path)
+      val delta = SnapshotStore.changesBetween(spark, path, 1L, 2L)
+      // semantics: exactly the appended rows, as inserts
+      assert(delta.filter(col("change_type") === "delete").count() == 0)
+      val got = delta.drop("change_type").orderBy("doc_id").collect().toSeq
+      assert(got == b.orderBy("doc_id").collect().toSeq)
+      // plan shape: the append fast path reads the new files directly —
+      // no Exchange anywhere (the exceptAll form paid four)
+      assert(!delta.queryExecution.executedPlan.toString.contains("Exchange"),
+        "append-only changesBetween must not shuffle")
+    }
+  }
+
+  test("changesBetween: net multiset diff replicates duplicate-count changes exactly") {
+    withTable { path =>
+      import spark.implicits._
+      // v1: x appears 1×, y 3×, z 2×; v2 (overwrite): x 3×, y 1×, z 2×
+      val v1 = Seq("x", "y", "y", "y", "z", "z").toDF("v")
+      val v2 = Seq("x", "x", "x", "y", "z", "z").toDF("v")
+      SnapshotStore.create(spark, v1, path)
+      SnapshotStore.overwrite(spark, v2, path)
+      val delta = SnapshotStore.changesBetween(spark, path, 1L, 2L)
+        .select(col("v"), col("change_type")).as[(String, String)]
+        .collect().toSeq.sorted
+      // exceptAll semantics: v2∖v1 = {x, x} inserts; v1∖v2 = {y, y} deletes;
+      // z's unchanged multiplicity must vanish from the delta
+      assert(delta == Seq(("x", "insert"), ("x", "insert"),
+        ("y", "delete"), ("y", "delete")))
+    }
+  }
+
+  test("format read over live MoR tombstones: pushed filters never change results") {
+    withTable { path =>
+      SnapshotStore.create(spark, docs, path,
+        statsColumns = Seq("doc_id"), clusterBy = Seq("doc_id"), numFiles = 4)
+      SnapshotStore.deleteWhereMoR(spark, path, col("lang") === "de")
+      assert(SnapshotStore.tombstoneEntries(spark, path, 2).nonEmpty,
+        "precondition: live tombstones (the PrunedFilteredScan path)")
+      val expect = SnapshotStore.read(spark, path)
+      val via = spark.read.format("graft-snapshot").load(path)
+      // shapes covering every translator case incl. polarity-sensitive NOT
+      val preds = Seq(
+        col("doc_id").between(100, 300) && col("lang") =!= "en",
+        !(col("lang") === "fr" || col("doc_id") < 50),
+        col("lang").isin("zh", "hi") || col("doc_id") >= 9000,
+        col("lang").isNotNull && col("lang").startsWith("e"),
+        col("source").isNull)
+      for (p <- preds) {
+        val want = expect.filter(p).orderBy("doc_id").collect().toSeq
+        val got = via.filter(p).orderBy("doc_id").collect().toSeq
+        assert(got == want, s"filtered MoR format read diverged on $p")
+      }
+    }
+  }
+
+  test("filterToColumn: NOT of a half-translatable AND refuses (polarity law)") {
+    import org.apache.spark.sql.sources._
+    import graft.sources.v2.SnapshotResolvedRelation.filterToColumn
+    val exotic = AlwaysTrue() // no translation case — stands for any opaque filter
+    // positive polarity: AND may weaken to its translatable side
+    assert(filterToColumn(And(EqualTo("a", 1), exotic)).isDefined)
+    // negative polarity: Not(And(exact, opaque)) must NOT push Not(exact)
+    assert(filterToColumn(Not(And(EqualTo("a", 1), exotic))).isEmpty)
+    // Not of a fully-exact child still pushes
+    assert(filterToColumn(Not(And(EqualTo("a", 1), IsNotNull("b")))).isDefined)
+    // OR requires both sides in any polarity
+    assert(filterToColumn(Or(EqualTo("a", 1), exotic)).isEmpty)
+  }
 }
