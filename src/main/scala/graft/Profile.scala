@@ -206,9 +206,16 @@ object Profile {
           val exch = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r.findAllIn(p).size
           println(s"PLAN $n joins=$joins exchanges=$exch codegenSpans=${"WholeStageCodegen".r.findAllIn(p).size}")
         }
+      case "finalplan" =>
+        // FINAL (post-AQE) plan of a query: run it, then print the
+        // re-optimized plan — shows ReusedExchange nodes explain() hides
+        val name = args(1)
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.count()
+        println(df.queryExecution.executedPlan.toString.take(8000))
       case _ => println(
         "usage: Profile clusters|simhash|minhash|minhash-persist|asof|" +
-          "x35|x35jobs|x37|new|explain|explain-new")
+          "x35|x35jobs|x37|new|explain|explain-new|finalplan <q>")
     }
     spark.stop()
   }

@@ -290,10 +290,10 @@ object SnapshotStore {
       .sortBy(_.path)
 
   /** ONE fold collect, split (data entries, tombstone entries) — the
-    * write paths use this so an op pays a single segment-fold job, not
-    * one per kind. */
-  private def liveSplit(spark: SparkSession, path: String,
-                        v: Long): (Seq[FileEntry], Seq[FileEntry]) = {
+    * write paths and the read planners use this so an op pays a single
+    * segment-fold job, not one per kind. */
+  private[graft] def liveSplit(spark: SparkSession, path: String,
+                               v: Long): (Seq[FileEntry], Seq[FileEntry]) = {
     val all = manifestRowsDs(spark, path, v).collect().toSeq
     (all.filter(_.kind == "data")
       .map(r => FileEntry(r.path, r.rows, r.bytes, r.stats)).sortBy(_.path),
@@ -431,13 +431,14 @@ object SnapshotStore {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val v = currentVersion(spark, path)
-    val tombs = tombstoneEntries(spark, path, v)
+    // one fold job for tombstone check + file list (was two)
+    val (es, tombs) = liveSplit(spark, path, v)
     require(tombs.isEmpty,
       s"readRelation: version $v at $path carries ${tombs.size} live row-" +
         "tombstone file(s) (merge-on-read deletes) which a pure file scan " +
         "cannot apply — read via SnapshotStore.read, or compact the table")
     val idx = new graft.plans.SnapshotFileIndex(
-      fs.makeQualified(root), entries(spark, path, v), tableSchema(fs, root))
+      fs.makeQualified(root), es, tableSchema(fs, root))
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       location = idx,
       partitionSchema = StructType(Nil),

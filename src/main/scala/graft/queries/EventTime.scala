@@ -1162,6 +1162,11 @@ object EventTime {
         (datediff(col("wk").cast(DateType), col("cohort_wk").cast(DateType))
           .cast(LongType) / 7L).cast(LongType).as("week_offset"))
       .agg(count(lit(1)).cast(LongType).as("n_active"))
+      // consumed twice (retention rows + cohort sizes); without the
+      // materialization the ENTIRE distinct→first→join→agg pipeline
+      // plans twice (4 event scans, 20 Exchanges — plans/r10). Bounded:
+      // cohorts × offsets rows at any scale (weeks², never data-sized).
+      .localCheckpoint(true)
     val size = ret.filter(col("week_offset") === 0L)
       .select(col("cohort_wk"), col("n_active").as("cohort_size"))
     ret.join(size, "cohort_wk")

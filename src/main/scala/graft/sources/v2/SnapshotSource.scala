@@ -201,7 +201,8 @@ class SnapshotSource extends RelationProvider with CreatableRelationProvider
         SnapshotStore.versionAsOfTimestamp(spark, path, millis)
       case _ => SnapshotStore.currentVersion(spark, path)
     }
-    val tombs = SnapshotStore.tombstoneEntries(spark, path, v)
+    // one fold job for tombstone check + file list (was two)
+    val (es, tombs) = SnapshotStore.liveSplit(spark, path, v)
     if (tombs.nonEmpty)
       // live merge-on-read tombstones: a pure file listing cannot apply
       // the row-level anti-join, so serve the RESOLVED plan instead —
@@ -209,8 +210,7 @@ class SnapshotSource extends RelationProvider with CreatableRelationProvider
       return new SnapshotResolvedRelation(sqlContext, path, v)
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val idx = new SnapshotFileIndex(fs.makeQualified(root),
-      SnapshotStore.entries(spark, path, v),
+    val idx = new SnapshotFileIndex(fs.makeQualified(root), es,
       SnapshotStore.schemaOf(spark, path))
     HadoopFsRelation(
       location = idx,
